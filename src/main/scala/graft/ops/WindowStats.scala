@@ -19,7 +19,14 @@ import org.apache.spark.sql.types.TimestampType
  */
 object WindowStats {
 
-  /** Reference-shaped: watermarked tumbling count, streaming-legal with complete mode. */
+  /** Reference-shaped: watermarked tumbling count.
+    *
+    * Note the reference also tacks `.orderBy("window")` onto this plan
+    * (`:448`), which forces complete output mode and therefore unbounded
+    * state (the watermark never evicts in complete mode). We deliberately
+    * drop the sort from the streaming form so the watermarked aggregation
+    * runs in append/update mode with bounded state — the 100 TB-safe shape;
+    * sort at the sink or in the batch form if presentation order matters. */
   def tumblingCounts(
       df: DataFrame,
       tsCol: String,
@@ -30,7 +37,6 @@ object WindowStats {
       .withWatermark(tsCol, width)
       .groupBy(window(col(tsCol), width), col(groupCol))
       .agg(count(col(countCol)).as("total_orders"))
-      .orderBy("window")
 
   /** Batch form: window struct flattened to (window_start, window_end) columns. */
   def tumblingCountsBatch(

@@ -51,9 +51,12 @@ object Oracles {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    // json_extract_string (not a regex) so the oracle tracks from_json's
+    // semantics for any props shape — extra fields, negatives, digit-bearing
+    // keys (ADVICE round 1).
     "q02_json_decode_agg" ->
       """SELECT event_type,
-        |  CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS INT)) AS BIGINT) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events
         |GROUP BY event_type

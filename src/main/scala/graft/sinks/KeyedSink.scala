@@ -1,5 +1,7 @@
 package graft.sinks
 
+import java.util.UUID
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -14,16 +16,32 @@ import org.apache.spark.sql.functions._
  * (`es.mapping.id = data_key`, `/root/reference/bexley_spark_stream_msk_es.py:515`;
  * key built at :396): micro-batch replays overwrite rather than duplicate.
  *
- * This sink reproduces that contract on local storage: last-write-wins by key,
- * so writing the same batch twice leaves identical state (the replay-
- * idempotency law, tested in KeyedSinkSpec).
+ * This sink reproduces that contract on local storage with a crash-atomic
+ * commit protocol (ES gives the reference per-doc atomicity; we get the
+ * equivalent from an atomic manifest swap):
  *
- * Scale design: state lives in `numBuckets` key-hash bucket directories. An
- * upsert merges ONLY the buckets the incoming batch touches (read touched
- * buckets + union + window-dedup = one shuffle on the key), writes them to a
- * temp dir, then swaps directories. A micro-batch touching k buckets rewrites
- * k/numBuckets of the state, never the whole table — the same pattern scales
- * to a 1000-executor cluster by raising numBuckets.
+ *  - State lives in `numBuckets` key-hash bucket directories, each holding
+ *    immutable VERSIONED data dirs: `buckets/__bucket=<b>/<version>/part-*`.
+ *  - The current state is defined solely by the highest-numbered manifest
+ *    file `_manifest/<epoch%020d>.json` (bucket → version dir). Data dirs are
+ *    written first; the commit point is the atomic create-by-rename of the
+ *    manifest file. A crash at ANY intermediate point leaves the previous
+ *    manifest — and therefore the previous state — fully intact (orphaned
+ *    uncommitted version dirs are garbage-collected by later commits).
+ *  - Replay of an already-committed epoch is detected by the manifest file
+ *    already existing → the upsert is skipped entirely (exactly-once effect).
+ *  - Replay after a crash BEFORE commit re-merges against the old state and
+ *    re-commits — last-write-wins by key makes the result identical.
+ *
+ * Within a micro-batch, duplicate keys resolve deterministically in arrival
+ * order: incoming rows carry a monotonically-increasing sequence number and
+ * the LAST occurrence of a key wins (the ES sink's last-write-wins order).
+ *
+ * Scale design: an upsert merges ONLY the buckets the incoming batch touches
+ * (read touched buckets + union + window-dedup = one shuffle on the key). A
+ * micro-batch touching k buckets rewrites k/numBuckets of the state, never
+ * the whole table — the same pattern scales to a 1000-executor cluster by
+ * raising numBuckets.
  */
 final class KeyedParquetSink(path: String, keyCol: String, numBuckets: Int = 64) {
 
@@ -33,52 +51,115 @@ final class KeyedParquetSink(path: String, keyCol: String, numBuckets: Int = 64)
   private def bucketOf(c: org.apache.spark.sql.Column) =
     pmod(xxhash64(c), lit(numBuckets))
 
-  /** Upsert a (batch) DataFrame: incoming rows win over existing rows on keyCol. */
+  private val manifestDir = new Path(s"$path/_manifest")
+
+  private def manifestPath(epochId: Long) =
+    new Path(manifestDir, f"$epochId%020d.json")
+
+  /** bucket → current committed version-dir name, from the latest manifest. */
+  private def currentVersions(spark: SparkSession): Map[Long, String] = {
+    val hfs = fs(spark)
+    if (!hfs.exists(manifestDir)) return Map.empty
+    val manifests = hfs.listStatus(manifestDir).map(_.getPath)
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    if (manifests.isEmpty) return Map.empty
+    val in = hfs.open(manifests.last)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    parseManifest(text)
+  }
+
+  // Tiny hand-rolled (de)serialization for {"<bucket>":"<version>", ...} —
+  // versions are UUID-suffixed dir names, so no escaping is ever needed.
+  private def renderManifest(m: Map[Long, String]): String =
+    m.toSeq.sortBy(_._1).map { case (b, v) => s""""$b":"$v"""" }.mkString("{", ",", "}")
+
+  private def parseManifest(text: String): Map[Long, String] = {
+    val entry = """"(\d+)":"([^"]+)"""".r
+    entry.findAllMatchIn(text).map(m => m.group(1).toLong -> m.group(2)).toMap
+  }
+
+  private def bucketDataDir(b: Long, version: String) =
+    new Path(s"$path/buckets/__bucket=$b/$version")
+
+  /** Upsert a (batch) DataFrame: incoming rows win over existing rows on keyCol;
+    * within the batch the last occurrence of a key (arrival order) wins. */
   def upsert(batch: DataFrame, epochId: Long): Unit = {
     val spark = batch.sparkSession
     val hfs = fs(spark)
-    val incoming = batch.withColumn("__bucket", bucketOf(col(keyCol)))
+    if (hfs.exists(manifestPath(epochId))) return // epoch already committed (replay)
+
+    // __w: incoming beats existing; __seq: deterministic intra-batch
+    // last-write-wins (ADVICE round 1) — existing rows get __seq = -1.
+    val incoming = batch
+      .withColumn("__bucket", bucketOf(col(keyCol)))
+      .withColumn("__w", lit(1))
+      .withColumn("__seq", monotonically_increasing_id())
     val touched = incoming.select("__bucket").distinct()
       .collect().map(_.getLong(0)).sorted // small: ≤ numBuckets values
 
-    val existingDirs = touched
-      .map(b => new Path(s"$path/__bucket=$b"))
-      .filter(hfs.exists(_))
-    val merged = if (existingDirs.isEmpty) incoming.withColumn("__w", lit(1))
-    else {
-      val existing = spark.read
-        .option("basePath", path)
-        .parquet(existingDirs.map(_.toString): _*)
-        .withColumn("__w", lit(0))
-      existing.unionByName(incoming.withColumn("__w", lit(1)))
-    }
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("__w").desc)
+    val versions = currentVersions(spark)
+    val existingDirs = touched.flatMap(b => versions.get(b).map(v => b -> bucketDataDir(b, v)))
+      .filter { case (_, d) => hfs.exists(d) }
+    val merged =
+      if (existingDirs.isEmpty) incoming
+      else {
+        val existing = spark.read
+          .parquet(existingDirs.map(_._2.toString): _*)
+          .withColumn("__bucket", bucketOf(col(keyCol)))
+          .withColumn("__w", lit(0))
+          .withColumn("__seq", lit(-1L))
+        existing.unionByName(incoming)
+      }
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__w").desc, col("__seq").desc)
     val deduped = merged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", "__w")
+      .drop("__rn", "__w", "__seq")
 
-    val tmp = s"${path}__tmp_$epochId"
-    deduped.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+    // 1. Stage the merged buckets (data dirs are invisible until the manifest
+    //    commit below; a crash here leaves only ignorable orphans).
+    val version = s"v${epochId}_${UUID.randomUUID().toString.take(8)}"
+    val staging = new Path(s"$path/_staging_$version")
+    deduped.write.mode("overwrite").partitionBy("__bucket").parquet(staging.toString)
+    val stagedBuckets = touched.filter(b => hfs.exists(new Path(staging, s"__bucket=$b")))
+    stagedBuckets.foreach { b =>
+      val dst = bucketDataDir(b, version)
+      hfs.mkdirs(dst.getParent)
+      hfs.rename(new Path(staging, s"__bucket=$b"), dst)
+    }
+    hfs.delete(staging, true)
 
+    // 2. COMMIT: atomically create the next manifest. Buckets whose keys all
+    //    disappeared from the merge (not staged) keep no version = empty.
+    val newVersions = versions --
+      touched.filterNot(stagedBuckets.contains) ++
+      stagedBuckets.map(_ -> version)
+    hfs.mkdirs(manifestDir)
+    val tmp = new Path(manifestDir, s".tmp_$version")
+    val out = hfs.create(tmp, false)
+    try out.write(renderManifest(newVersions).getBytes("UTF-8")) finally out.close()
+    if (!hfs.rename(tmp, manifestPath(epochId))) {
+      hfs.delete(tmp, true) // lost a race / replay already committed this epoch
+      return
+    }
+
+    // 3. Best-effort GC of superseded version dirs and old manifests (the
+    //    state is defined by the newest manifest, so this is safe to skip on
+    //    crash — the next commit retries).
     touched.foreach { b =>
-      val dst = new Path(s"$path/__bucket=$b")
-      val src = new Path(s"$tmp/__bucket=$b")
-      if (hfs.exists(dst)) hfs.delete(dst, true)
-      if (hfs.exists(src)) {
-        hfs.mkdirs(dst.getParent)
-        hfs.rename(src, dst)
+      versions.get(b).filter(_ != version).foreach { old =>
+        hfs.delete(bucketDataDir(b, old), true)
       }
     }
-    hfs.delete(new Path(tmp), true)
+    val manifests = hfs.listStatus(manifestDir).map(_.getPath)
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    manifests.dropRight(2).foreach(hfs.delete(_, false))
   }
 
-  /** Current keyed state, if any batch has been written. */
+  /** Current committed keyed state, if any epoch has been committed. */
   def read(spark: SparkSession): Option[DataFrame] = {
-    val hfs = fs(spark)
-    val p = new Path(path)
-    if (hfs.exists(p) && hfs.listStatus(p).nonEmpty)
-      Some(spark.read.parquet(path).drop("__bucket"))
-    else None
+    val versions = currentVersions(spark)
+    if (versions.isEmpty) None
+    else Some(spark.read.parquet(versions.map { case (b, v) => bucketDataDir(b, v).toString }.toSeq: _*))
   }
 }
