@@ -18,6 +18,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // InferFiltersFromGenerate clones the generator's input expression into
+      // an inferred size()>0 filter; when that input is expensive (from_json
+      // of a nested array) the clone re-parses every row a second time in a
+      // separate operator where codegen CSE can't reach (q04: 5.5s -> 1.5s).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -60,9 +60,24 @@ object OrderSynth {
         col("order_basket"))
   }
 
-  /** The same events as raw JSON strings in a `value` column (the Kafka shape). */
+  /** The same events as raw JSON strings in a `value` column (the Kafka shape).
+    *
+    * The frame is `cache()`d so downstream decode stages see an opaque string
+    * column — exactly what a Kafka consumer sees. The InMemoryRelation is an
+    * optimizer barrier: without it Catalyst collapses decode expressions into
+    * this subtree; e.g. `InferFiltersFromGenerate` pushes the basket explode's
+    * `size(from_json(to_json(...)))>0 AND isnotnull(...)` predicate into the
+    * synth join condition, re-running the whole JSON roundtrip 3× per row
+    * (measured 14s vs 2s at sf0.1). Spark's CacheManager dedupes by canonical
+    * plan, so every query over the same sf dir shares one materialization.
+    * The explicit repartition sets the parse parallelism for downstream
+    * consumers (the synth agg's AQE-coalesced output is ~10 partitions).
+    * Fixture-only: engine code never caches its inputs. */
   def rawJson(spark: SparkSession, dir: String): DataFrame =
-    orderEvents(spark, dir).select(to_json(struct(col("*"))).as("value"))
+    orderEvents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(to_json(struct(col("*"))).as("value"))
+      .cache()
 
   /** The city dimension: nation as vw_uk_cities (city_id, city). */
   def cityDim(spark: SparkSession, dir: String): DataFrame =
