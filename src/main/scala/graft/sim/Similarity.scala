@@ -1,0 +1,74 @@
+package graft.sim
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Two paths, one contract:
+ *  - [[cosineKnn]]: exact brute force — the correctness baseline. Queries
+ *    are broadcast (the query set is small by construction); the candidate
+ *    side streams through a codegen'd [[graft.functions.CosineSim]] kernel,
+ *    so the only shuffle is the per-query top-k. At 100 TB the fact side
+ *    never moves.
+ *  - [[lshKnn]]: sign-random-projection LSH (Charikar 2002) — the scale
+ *    path. Vectors bucket by the sign pattern of `planes` fixed Rademacher
+ *    hyperplanes; a query probes its own bucket plus all buckets within
+ *    `probeHamming` sign flips (multi-probe, Lv et al. 2007, VLDB), and
+ *    only probed candidates pay the exact cosine. Recall is tunable via
+ *    planes/probeHamming; on uniformly random vectors (this testdata —
+ *    no planted neighbors) recall@10 is inherently modest, which the spec
+ *    asserts as a floor, not a point estimate.
+ */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Deterministic: ties broken by candidate id ascending. */
+  def cosineKnn(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+    val c = candidates.select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        GraftFunctions.cosine(col("q_v"), col("c_v")).as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("cosine"))
+  }
+
+  /** Multi-probe sign-LSH approximate top-k with the same output contract as
+    * [[cosineKnn]] (subset of candidates -> possibly different neighbors). */
+  def lshKnn(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planes: Int = 8, probeHamming: Int = 2): DataFrame = {
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    val c = candidates.select(col(idCol).as("c_id"), col(vecCol).as("c_v"),
+      GraftFunctions.signBucket(col(vecCol), planes).as("bucket"))
+    // All bucket ids within probeHamming sign flips of the query's bucket:
+    // enumerate the full 2^planes code space once (tiny) and keep close codes.
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+      GraftFunctions.signBucket(col(vecCol), planes).as("q_bucket"))
+      .select(col("q_id"), col("q_v"),
+        explode(filter(
+          sequence(lit(0), lit((1 << planes) - 1)),
+          code => bit_count(code.bitwiseXOR(col("q_bucket"))) <= probeHamming))
+          .as("bucket"))
+    val joined = c.alias("c").join(broadcast(q).alias("q"),
+      col("c.bucket") === col("q.bucket") && col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        GraftFunctions.cosine(col("q_v"), col("c_v")).as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id").asc)
+    joined
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("cosine"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data curation: token
+ * counting, quality scoring, language-ID heuristics, and content
+ * fingerprinting. Everything here is built-in-function composition (codegen'd
+ * end to end, no UDFs), so at 100 TB these run as embarrassingly-parallel
+ * narrow projections — no shuffle, full whole-stage codegen, and the scan
+ * only reads the text column (column pruning).
+ *
+ * Cross-engine determinism: every derivation uses only integer arithmetic,
+ * exact double division of small integers, and string ops with identical
+ * semantics in DuckDB — no transcendentals (libm exp/log differ by ULPs
+ * across engines), so the DuckDB oracle can hash-match bit-for-bit.
+ */
+object TextOps {
+
+  /** Whitespace tokens (single-space collapse — the corpus is single-spaced). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace-run tokenizer for messier input. */
+  def tokensWs(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish lexer token count: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token (the GPT-2 pre-tokenizer
+    * family, ASCII form). */
+  def bpeishCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+
+  /** Stopword list drawn from the corpus vocabulary (deterministic fixture). */
+  val Stopwords: Seq[String] = Seq("the", "a", "data", "value", "key")
+
+  /** Count of tokens contained in `stop` (repeats counted — it is a ratio of
+    * token occurrences, not distinct types). */
+  def stopwordCount(toks: Column, stop: Seq[String] = Stopwords): Column =
+    size(filter(toks, t => t.isInCollection(stop)))
+
+  /** Exact total token length via an integer HOF fold (no double drift). */
+  def totalTokenLen(toks: Column): Column =
+    aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (acc, x) => acc + x)
+
+  /** Punctuation character count (ASCII marks). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.!?,;:]", ""))
+
+  /**
+   * Composite quality score in [0,1] from length / stopword / token-shape
+   * signals — the standard pre-filter for web-scale corpora (C4-style
+   * heuristics: Raffel et al. 2020, JMLR, "Exploring the limits of transfer
+   * learning" §2.2 — length floors, stopword share, symbol share). Linear
+   * blend only (+,-,*,/ and clamp) so the oracle reproduces it bit-exactly.
+   */
+  def qualityScore(nTokens: Column, avgTokLen: Column, stopRatio: Column,
+      punctRatio: Column): Column = {
+    val lengthTerm = least(nTokens.cast("double") / 60.0, lit(1.0))
+    val tokLenTerm = least(avgTokLen / 6.0, lit(1.0))
+    val stopTerm = least(stopRatio * 4.0, lit(1.0))
+    val score =
+      lengthTerm * 0.35 + tokLenTerm * 0.25 + stopTerm * 0.3 - punctRatio * 0.5 + 0.1
+    greatest(least(score, lit(1.0)), lit(0.0))
+  }
+
+  /**
+   * Marker-word language votes. Real language-ID uses character n-gram
+   * profiles (Cavnar & Trenkle 1994, SDAIR, "N-gram-based text
+   * categorization"); over this synthetic single-vocabulary corpus the
+   * profile degenerates, so the capability is exercised with disjoint
+   * marker-token sets per language drawn from the corpus vocabulary. The
+   * argmax (alphabetical tiebreak) is the prediction.
+   */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "row", "merge"),
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("data", "query", "small"),
+    "fr" -> Seq("stream", "filter", "sort"),
+    "zh" -> Seq("hash", "scan", "key"))
+
+  def langScores(toks: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isInCollection(markers))).cast("long")
+    }
+
+  /** Argmax over the language scores; earlier (alphabetical) language wins
+    * ties. Branch i only compares against later languages — if an earlier
+    * language dominated, its branch already fired — which makes the CASE
+    * chain mirror-able verbatim in the oracle SQL. */
+  def predictedLang(scores: Seq[(String, Column)]): Column = {
+    val branches = scores.zipWithIndex.init.map { case ((lang, s), i) =>
+      val laterAllLe = scores.drop(i + 1).map(_._2)
+        .foldLeft(lit(true))((acc, other) => acc && s >= other)
+      (laterAllLe, lang)
+    }
+    branches.foldRight(lit(scores.last._1)) { case ((cond, lang), rest) =>
+      when(cond, lang).otherwise(rest)
+    }
+  }
+
+  /** 32-hex-digit exact content fingerprint. */
+  def md5Fingerprint(text: Column): Column = md5(text)
+
+  /**
+   * Rolling polynomial fingerprint (Karp-Rabin 1987, IBM JRD, "Efficient
+   * randomized pattern-matching algorithms"): fold acc = (acc*31 + code) mod
+   * 1e9+7 over the character codes. Expressed as an integer HOF fold so both
+   * engines compute the identical value; intermediate magnitude is bounded by
+   * 31*(1e9+7)+127 < 2^63 (no overflow in either engine).
+   */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      // filter the trailing "" that Java's split(-1) emits but DuckDB's
+      // regexp_split_to_array does not
+      transform(filter(split(text, ""), c => length(c) > 0), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % 1000000007L)
+
+  /** Normalization for exact dedup: lowercase, collapse whitespace, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+}
