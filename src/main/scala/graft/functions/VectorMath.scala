@@ -69,9 +69,11 @@ object VectorMath {
   def simhash64(tokens: ArrayData): Long = {
     val n = tokens.numElements()
     val votes = new Array[Int](64)
+    var seen = 0
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
+        seen += 1
         val h = xxhash(tokens.getUTF8String(i))
         var b = 0
         while (b < 64) {
@@ -81,6 +83,7 @@ object VectorMath {
       }
       i += 1
     }
+    if (seen == 0) return 0L
     var out = 0L
     var b = 0
     while (b < 64) {

@@ -1,0 +1,84 @@
+package graft.dedup
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Contracts for the dedup operator family, including the law that the
+  * sub-quadratic paths (LSH) agree with their exact counterparts on the
+  * fixture corpus. */
+class DedupSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("exactGroups: partitions the corpus (sum of copies = row count) and keys by content") {
+    val s = spark
+    import s.implicits._
+    val withDups = docs.select(col("doc_id"), col("text"))
+      .unionByName( // clone 3 docs with new ids and noisy-but-normalizable text
+        docs.filter(col("doc_id") < 3)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit("  ")).as("text")))
+    val g = Dedup.exactGroups(withDups, "doc_id", "text").collect()
+    assert(g.map(_.getAs[Long]("n_copies")).sum === withDups.count())
+    val dups = g.filter(_.getAs[Long]("n_copies") > 1)
+    assert(dups.length === 3) // the three clones collapse onto their originals
+    assert(dups.forall(_.getAs[Long]("canonical_id") < 3)) // min-id canonical
+  }
+
+  test("jaccardPairs: handcrafted known-similarity pairs") {
+    val s = spark
+    import s.implicits._
+    val t1 = (1 to 12).map(i => s"w$i").mkString(" ") // shingles 1..10
+    val t2 = (1 to 11).map(i => s"w$i").mkString(" ") // shingles 1..9: J = 9/10
+    val t3 = (20 to 30).map(i => s"w$i").mkString(" ") // disjoint
+    val d = Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "text")
+    val out = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("a_id") === 1L)
+    assert(out.head.getAs[Long]("b_id") === 2L)
+    assert(math.abs(out.head.getAs[Double]("jaccard") - 0.9) < 1e-12)
+  }
+
+  test("minhashLshPairs equals exact jaccardPairs on the fixture corpus (full recall)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dup pairs")
+    assert(lsh === exact)
+  }
+
+  test("simhashPairs: selective, deterministic, and recovers planted near-dups") {
+    val planted = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).collect()
+    val sim = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("hamming") <= 3))
+    // selective: a tiny fraction of the ~125k possible pairs. (On this
+    // 31-word vocabulary simhash measures unigram-bag similarity, so a few
+    // non-shingle-duplicate pairs with matching frequency profiles also
+    // land under the bound — that is simhash semantics, not noise.)
+    assert(sim.size < 100, s"simhash emitted ${sim.size} pairs — not selective")
+    // recovers a solid share of the tightest planted dups
+    val recall = planted.intersect(sim).size.toDouble / planted.size
+    assert(recall >= 0.5, s"simhash recall over jaccard>=0.9 pairs was $recall")
+    // deterministic across runs
+    val again = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === sim)
+  }
+
+  test("embeddingNearDupPairs: symmetric threshold behavior on unit test vectors") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.999f, 0.04f)), (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.9).collect()
+    assert(out.length === 1)
+    assert((out.head.getLong(0), out.head.getLong(1)) === (1L, 2L))
+  }
+}

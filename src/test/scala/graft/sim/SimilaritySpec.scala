@@ -1,0 +1,49 @@
+package graft.sim
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Contracts for exact and approximate similarity search. */
+class SimilaritySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("cosineKnn: exact neighbors on handcrafted vectors with deterministic tiebreak") {
+    val s = spark
+    import s.implicits._
+    val vs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.5f, 0.5f)),
+      (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(0.9f, 0.1f))) // exact tie with id 1 -> id order decides
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineKnn(vs.filter(col("vec_id") === 0), vs, "vec_id", "embedding", 3)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getAs[Long]("c_id")).toSeq === Seq(1L, 4L, 2L))
+    assert(out.map(_.getAs[Long]("rnk")).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("lshKnn recall@10 vs exact on the fixture embeddings (uniform vectors: floor only)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.cosineKnn(queries, emb, "vec_id", "embedding", 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshKnn(queries, emb, "vec_id", "embedding", 10,
+      planes = 8, probeHamming = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // ~23/256 of the code space is probed; on uniformly random 64-dim vectors
+    // sign-LSH concentrates true neighbors into nearby buckets only weakly,
+    // so assert a floor well above the random-probe baseline (~0.09).
+    assert(recall >= 0.2, s"lsh recall@10 = $recall")
+    // and the approximate result must never invent cosines: every reported
+    // (q,c,cosine) must equal the exact pair cosine
+    val exactCos = Similarity.cosineKnn(queries, emb, "vec_id", "embedding", 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    Similarity.lshKnn(queries, emb, "vec_id", "embedding", 10).collect().foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      exactCos.get(k).foreach(c => assert(c === r.getDouble(3)))
+    }
+  }
+}

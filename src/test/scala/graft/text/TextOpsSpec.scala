@@ -1,0 +1,72 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit contracts for the text-analysis operator family. */
+class TextOpsSpec extends SparkSpec {
+
+  private def one(text: String) = {
+    val s = spark
+    import s.implicits._
+    Seq(text).toDF("text")
+  }
+
+  test("token counting: whitespace vs BPE-ish lexer") {
+    val r = one("the quick12 fox!").select(
+      size(TextOps.tokensWs(col("text"))).as("ws"),
+      TextOps.bpeishCount(col("text")).as("bpe")).head()
+    assert(r.getAs[Int]("ws") === 3)
+    // lexer: the | quick | 12 | fox | ! -> 5 (letter runs, digit runs, marks)
+    assert(r.getAs[Int]("bpe") === 5)
+  }
+
+  test("rolling fingerprint matches a reference fold and md5 matches known digest") {
+    val r = one("abc").select(
+      TextOps.rollingFingerprint(col("text")).as("roll"),
+      TextOps.md5Fingerprint(col("text")).as("md5")).head()
+    // ((0*31+97)*31+98)*31+99 mod 1e9+7 = 96354
+    assert(r.getAs[Long]("roll") === 96354L)
+    assert(r.getAs[String]("md5") === "900150983cd24fb0d6963f7d28e17f72")
+  }
+
+  test("quality score is clamped to [0,1] and rewards longer stopword-bearing text") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      ("short", "key value"),
+      ("long", (1 to 80).map(_ => "the data value table row").mkString(" "))
+    ).toDF("tag", "text")
+    val toks = TextOps.tokens(col("text"))
+    val out = d.select(col("tag"),
+      TextOps.qualityScore(
+        size(toks).cast("long"),
+        TextOps.totalTokenLen(toks).cast("double") / size(toks).cast("double"),
+        TextOps.stopwordCount(toks).cast("double") / size(toks).cast("double"),
+        TextOps.punctCount(col("text")).cast("double") / length(col("text")).cast("double"))
+        .as("q")).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(out("long") > out("short"))
+  }
+
+  test("predictedLang: argmax with alphabetical tiebreak") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      ("de-ish", "table row merge table"),
+      ("zh-ish", "hash scan key hash scan"),
+      ("tie", "nomarkers at all")).toDF("tag", "text")
+    val toks = TextOps.tokens(col("text"))
+    val out = d.select(col("tag"),
+      TextOps.predictedLang(TextOps.langScores(toks)).as("p"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("de-ish") === "de")
+    assert(out("zh-ish") === "zh")
+    assert(out("tie") === "de") // all-zero scores: first alphabetical wins
+  }
+
+  test("normalize collapses case and whitespace for exact dedup") {
+    val r = one("  The   QUICK fox ").select(TextOps.normalize(col("text"))).head()
+    assert(r.getString(0) === "the quick fox")
+  }
+}
