@@ -131,6 +131,25 @@ object CatalogExt {
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
         col("event_type"), col("n"))
 
+  /** As-of join: each order picks up its user's most recent event at or
+    * before the order timestamp (point-in-time enrichment). Event times are
+    * truncated to seconds so both engines compare identical values (the
+    * parquet carries nanos; Spark reads micros). */
+  def q34AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir).select(
+      col("o_orderkey"), (col("o_custkey") % 150).as("user_id"),
+      col("o_orderdate").cast("timestamp").as("ots"))
+    val events = Tables.events(s, dir).select(
+      col("user_id"), date_trunc("second", col("ts")).as("ets"),
+      col("event_id"), col("event_type"), col("value"))
+    graft.ops.AsofJoin.asof(
+      orders, events,
+      keyCols = ("user_id", "user_id"), tsCols = ("ots", "ets"),
+      tieCol = "event_id", rightVals = Seq("event_type", "value"))
+      .select(col("o_orderkey"), col("user_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -145,5 +164,6 @@ object CatalogExt {
     "q31_multimodal"     -> q31Multimodal _,
     "q32_session_window" -> q32SessionWindow _,
     "q33_sliding_window" -> q33SlidingWindow _,
+    "q34_asof_join"      -> q34AsofJoin _,
   )
 }

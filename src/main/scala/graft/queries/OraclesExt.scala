@@ -140,6 +140,22 @@ object OraclesExt {
         |  count(*) AS n_events
         |FROM i GROUP BY user_id, island""".stripMargin,
 
+    "q34_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey % 150 AS user_id, o_orderdate FROM orders),
+        |e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS ts, event_id, event_type, value
+        |  FROM events),
+        |j AS (
+        |  SELECT o.o_orderkey, e.event_type, e.value,
+        |    row_number() OVER (PARTITION BY o.o_orderkey
+        |                       ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        |  FROM o JOIN e ON o.user_id = e.user_id AND e.ts <= o.o_orderdate)
+        |SELECT o.o_orderkey, o.user_id,
+        |  j.event_type AS last_type, j.value AS last_value
+        |FROM o LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+        |  ON o.o_orderkey = j.o_orderkey""".stripMargin,
+
     "q33_sliding_window" ->
       """SELECT
         |  strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
