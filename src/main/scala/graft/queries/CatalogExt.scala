@@ -131,6 +131,16 @@ object CatalogExt {
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
         col("event_type"), col("n"))
 
+  /** IVF-style ANN: deterministic coarse quantizer (every 50th vector as a
+    * centroid), nProbe=3 — fully SQL-expressible, so unlike LSH this
+    * approximate path is hash-checked against the oracle end to end. */
+  def q35AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfKnn(
+      emb.filter(col("vec_id") % 25 === 0), emb, "vec_id", "embedding", k = 10,
+      centroidStride = 50, nProbe = 3)
+  }
+
   /** As-of join: each order picks up its user's most recent event at or
     * before the order timestamp (point-in-time enrichment). Event times are
     * truncated to seconds so both engines compare identical values (the
@@ -165,5 +175,6 @@ object CatalogExt {
     "q32_session_window" -> q32SessionWindow _,
     "q33_sliding_window" -> q33SlidingWindow _,
     "q34_asof_join"      -> q34AsofJoin _,
+    "q35_ann_ivf"        -> q35AnnIvf _,
   )
 }

@@ -43,6 +43,53 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("rnk"), col("cosine"))
   }
 
+  /**
+   * IVF-style approximate top-k (the inverted-file ANN family: Sivic &
+   * Zisserman 2003, ICCV, "Video Google"; the coarse-quantizer stage of
+   * Jégou et al. 2011, TPAMI, IVFADC): candidates are partitioned into
+   * `lists` cells by nearest centroid (cosine), and each query scans only
+   * the `nProbe` cells whose centroids it is closest to.
+   *
+   * Centroids here are a deterministic sample of the corpus (every
+   * strideth vector) rather than k-means iterations — the assignment,
+   * probing and ranking plumbing is identical, the query plan is the same
+   * shuffle shape, and the whole operator stays oracle-reproducible in SQL.
+   * Scale shape: centroid set is broadcast twice (assignment + probe); the
+   * only shuffle is the cell-id equi-join, proportional to probed cells.
+   * All ties break on ascending id, so output is deterministic.
+   */
+  def ivfKnn(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroidStride: Int = 50, nProbe: Int = 3): DataFrame = {
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    val cents = candidates.filter(col(idCol) % centroidStride === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+    // assign every candidate to its nearest centroid (rank 1, tie -> min id)
+    val wAssign = Window.partitionBy(col("x_id"))
+      .orderBy(col("cos_c").desc, col("cent_id").asc)
+    def assign(df: DataFrame, n: Int): DataFrame = df
+      .select(col(idCol).as("x_id"), col(vecCol).as("x_v"))
+      .crossJoin(broadcast(cents))
+      .select(col("x_id"), col("x_v"), col("cent_id"),
+        GraftFunctions.cosine(col("x_v"), col("cent_v")).as("cos_c"))
+      .withColumn("crnk", row_number().over(wAssign))
+      .filter(col("crnk") <= n)
+      .select(col("x_id"), col("x_v"), col("cent_id"))
+    val cells = assign(candidates, 1)
+      .select(col("x_id").as("c_id"), col("x_v").as("c_v"), col("cent_id"))
+    val probes = assign(queries, nProbe)
+      .select(col("x_id").as("q_id"), col("x_v").as("q_v"), col("cent_id"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id").asc)
+    probes.join(cells, "cent_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        GraftFunctions.cosine(col("q_v"), col("c_v")).as("cosine"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("cosine"))
+  }
+
   /** Multi-probe sign-LSH approximate top-k with the same output contract as
     * [[cosineKnn]] (subset of candidates -> possibly different neighbors). */
   def lshKnn(queries: DataFrame, candidates: DataFrame,

@@ -24,6 +24,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("rnk")).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("ivfKnn recall@10 vs exact, and reported cosines are exact pair cosines") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.cosineKnn(queries, emb, "vec_id", "embedding", 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfKnn(queries, emb, "vec_id", "embedding", 10,
+      centroidStride = 50, nProbe = 3).collect()
+    val approx = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // nProbe=3 of ~10 cells scans ~30% of the corpus; on uniform random
+    // vectors cell membership correlates with query proximity only weakly,
+    // so assert a floor comfortably above the random-scan baseline.
+    assert(recall >= 0.3, s"ivf recall@10 = $recall")
+    val exactCos = Similarity.cosineKnn(queries, emb, "vec_id", "embedding", 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    ivf.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(1))).foreach(c => assert(c === r.getDouble(3)))
+    }
+  }
+
   test("lshKnn recall@10 vs exact on the fixture embeddings (uniform vectors: floor only)") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") % 50 === 0)
