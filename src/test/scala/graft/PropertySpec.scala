@@ -1,0 +1,121 @@
+package graft
+
+import graft.model.{BasketItem, OrderEvent}
+import graft.ops.{AsofJoin, Derive, Flatten, JsonDecode}
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/**
+ * Property-based laws (SURVEY.md §5): each property generates a batch of
+ * random cases with ScalaCheck Gens (fixed seed — deterministic CI) and
+ * checks the law over the whole batch in ONE Spark job.
+ */
+class PropertySpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long = 42L): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val genBasket: Gen[BasketItem] = for {
+    q <- Gen.option(Gen.chooseNum(0, 999))
+    p <- Gen.option(Gen.chooseNum(1, 100000))
+    d <- Gen.option(Gen.oneOf(true, false))
+  } yield BasketItem(q, p, d)
+
+  private val genOrder: Gen[OrderEvent] = for {
+    id <- Gen.option(Gen.chooseNum(1, Int.MaxValue))
+    total <- Gen.option(Gen.chooseNum(0.0, 1e6))
+    city <- Gen.option(Gen.chooseNum(0, 300))
+    freight <- Gen.option(Gen.chooseNum(0.0, 1e4))
+    cust <- Gen.option(Gen.chooseNum(1, 1000000))
+    method <- Gen.option(Gen.oneOf("GROUND", "AIR", "2-DAY", "with \"quotes\"", "uni→code"))
+    onum <- Gen.option(Gen.stringOfN(8, Gen.alphaNumChar))
+    disc <- Gen.option(Gen.chooseNum(0.0, 100.0))
+    date <- Gen.option(Gen.const("2024-03-04 05:06:07"))
+    basket <- Gen.listOfN(3, genBasket).flatMap(b => Gen.oneOf(Seq.empty[BasketItem], b))
+  } yield OrderEvent(id, total, city, freight, cust, method, onum, disc, date, basket)
+
+  test("law: from_json ∘ to_json = id over generated orders (PERMISSIVE round-trip)") {
+    val s = spark
+    import s.implicits._
+    val orders = sample(genOrder, 60)
+    val ds = orders.toDS()
+    val roundTripped = JsonDecode.decode(
+      ds.select(to_json(struct(col("*"))).as("value")))
+      .as[OrderEvent].collect()
+    // to_json omits null fields; from_json restores them as null — identity
+    // holds except Seq-vs-null for an absent basket, which Spark reads as null
+    val norm = (o: OrderEvent) =>
+      if (o.order_basket == null) o.copy(order_basket = Seq.empty) else o
+    assert(roundTripped.map(norm).toSeq === orders.map(norm))
+  }
+
+  test("law: explode row count = Σ size(order_basket)") {
+    val s = spark
+    import s.implicits._
+    val orders = sample(genOrder, 80)
+    val df = orders.toDS().toDF()
+    val exploded = Flatten.explodeBasket(df).count()
+    assert(exploded === orders.map(_.order_basket.size).sum.toLong)
+  }
+
+  test("law: discounted_total ∈ [0, order_total] for discount ∈ [0,100]") {
+    val s = spark
+    import s.implicits._
+    val cases = sample(
+      for {
+        t <- Gen.chooseNum(0.0, 1e7)
+        d <- Gen.chooseNum(0.0, 100.0)
+      } yield (t, d), 200)
+    val viol = cases.toDF("total", "disc")
+      .select(col("total"), Derive.discountedTotal(col("total"), col("disc")).as("dt"))
+      .filter(col("dt") < 0 || col("dt") > col("total"))
+      .count()
+    assert(viol === 0L)
+  }
+
+  test("law: AsofJoin equals the naive per-row maximum-earlier-right lookup") {
+    val s = spark
+    import s.implicits._
+    val n = 120
+    val gen = for {
+      key <- Gen.chooseNum(1, 6)
+      t <- Gen.chooseNum(0L, 500L)
+    } yield (key, t)
+    val lefts = sample(gen, n, seed = 1L).zipWithIndex
+      .map { case ((k, t), i) => (i.toLong, k, new java.sql.Timestamp(t * 1000)) }
+    val rights = sample(gen, n, seed = 2L).zipWithIndex
+      .map { case ((k, t), i) => (k, new java.sql.Timestamp(t * 1000), i.toLong, i * 1.5) }
+    val out = AsofJoin.asof(
+      lefts.toDF("lid", "k", "t"), rights.toDF("k", "t", "rid", "v"),
+      ("k", "k"), ("t", "t"), "rid", Seq("v"))
+      .collect().map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[Any]("v")).map(_.asInstanceOf[Double])).toMap
+    lefts.foreach { case (lid, k, t) =>
+      val expected = rights.filter(r => r._1 == k && !r._2.after(t))
+        .sortBy(r => (r._2.getTime, r._3)).lastOption.map(_._4)
+      assert(out(lid) === expected, s"lid=$lid key=$k t=$t")
+    }
+  }
+
+  test("law: rolling fingerprint is a homomorphism: h(a++b) = (h(a)*31^|b| + h(b)) mod p") {
+    val s = spark
+    import s.implicits._
+    val p = BigInt(1000000007L)
+    val genStr = Gen.stringOfN(20, Gen.alphaNumChar)
+    val cases = sample(Gen.zip(genStr, genStr), 60)
+    val rows = cases.toDF("a", "b")
+      .select(
+        TextOps.rollingFingerprint(col("a")).as("ha"),
+        TextOps.rollingFingerprint(col("b")).as("hb"),
+        TextOps.rollingFingerprint(concat(col("a"), col("b"))).as("hab"),
+        length(col("b")).as("lb"))
+      .collect()
+    rows.foreach { r =>
+      val expected = (BigInt(r.getAs[Long]("ha")) * BigInt(31).modPow(r.getAs[Int]("lb"), p)
+        + r.getAs[Long]("hb")).mod(p)
+      assert(BigInt(r.getAs[Long]("hab")) === expected)
+    }
+  }
+}
