@@ -160,6 +160,30 @@ object CatalogExt {
         col("event_type").as("last_type"), col("value").as("last_value"))
   }
 
+  /** P15: from_utc_timestamp (declared by the reference's import surface,
+    * bexley_spark_stream_msk_es.py:12, never exercised there). A fixed
+    * offset zone keeps the oracle DST-free (interval shift is equivalent). */
+  def q36TzShift(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(from_utc_timestamp(col("ts"), "+05:30").as("local_ts"), col("event_type"))
+      .groupBy(hour(col("local_ts")).cast("long").as("local_hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** MapType surface (declared at reference :16, never instantiated): build a
+    * per-user event_type->count map, then explode it back to rows. */
+  def q37MapFuncs(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
+      .select(col("user_id"), explode(col("m")).as(Seq("event_type", "n")),
+        )
+      .select(col("user_id"), col("event_type"), col("n"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -176,5 +200,7 @@ object CatalogExt {
     "q33_sliding_window" -> q33SlidingWindow _,
     "q34_asof_join"      -> q34AsofJoin _,
     "q35_ann_ivf"        -> q35AnnIvf _,
+    "q36_tz_shift"       -> q36TzShift _,
+    "q37_map_funcs"      -> q37MapFuncs _,
   )
 }

@@ -140,6 +140,18 @@ object OraclesExt {
         |  count(*) AS n_events
         |FROM i GROUP BY user_id, island""".stripMargin,
 
+    "q36_tz_shift" ->
+      """SELECT CAST(hour(ts + INTERVAL '5 hours 30 minutes') AS BIGINT) AS local_hour,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the map build/explode round-trips the grouped counts, so the oracle is
+    // the flat per-(user, type) count — exercising map_from_entries/explode
+    // against a semantics-equivalent relational form
+    "q37_map_funcs" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "q35_ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cents AS (SELECT vec_id AS cent_id, v AS cent_v FROM e WHERE vec_id % 50 = 0),
