@@ -202,5 +202,15 @@ object CatalogExt {
     "q35_ann_ivf"        -> q35AnnIvf _,
     "q36_tz_shift"       -> q36TzShift _,
     "q37_map_funcs"      -> q37MapFuncs _,
+    "q38_embed_knn_agg"  -> q38EmbedKnnAgg _,
   )
+
+  /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed
+    * Aggregator (map-side partial top-k instead of a window rank shuffle);
+    * identical output contract, same oracle. */
+  def q38EmbedKnnAgg(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.cosineKnnAgg(
+      emb.filter(col("vec_id") % 25 === 0), emb, "vec_id", "embedding", k = 10)
+  }
 }

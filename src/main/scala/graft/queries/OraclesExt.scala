@@ -88,18 +88,9 @@ object OraclesExt {
     // result on the test scales — same oracle by design.
     "q26_minhash_lsh" -> jaccardSql,
 
-    "q28_embed_knn" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |p AS (
-        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-        |    list_dot_product(q.v, c.v)
-        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
-        |  FROM e q JOIN e c ON q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id)
-        |SELECT q_id, c_id, rnk, cosine FROM (
-        |  SELECT q_id, c_id, cosine,
-        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS BIGINT) AS rnk
-        |  FROM p)
-        |WHERE rnk <= 10""".stripMargin,
+    "q28_embed_knn" -> knnSql,
+    // same contract, computed through the bounded-heap TopKAgg Aggregator
+    "q38_embed_knn_agg" -> knnSql,
 
     "q29_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -204,6 +195,19 @@ object OraclesExt {
         |WHERE ts >= ws AND ts < ws + INTERVAL '10 minutes'
         |GROUP BY 1, 2, 3""".stripMargin
   )
+
+  private lazy val knnSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    list_dot_product(q.v, c.v)
+      |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+      |  FROM e q JOIN e c ON q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id)
+      |SELECT q_id, c_id, rnk, cosine FROM (
+      |  SELECT q_id, c_id, cosine,
+      |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS BIGINT) AS rnk
+      |  FROM p)
+      |WHERE rnk <= 10""".stripMargin
 
   private lazy val jaccardSql: String =
     """WITH t AS (

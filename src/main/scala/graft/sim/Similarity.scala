@@ -44,6 +44,38 @@ object Similarity {
   }
 
   /**
+   * Exact top-k via the bounded-heap [[graft.functions.TopKAgg]] typed
+   * Aggregator instead of a window rank. Same output contract as
+   * [[cosineKnn]] (same oracle), different physical shape: partial
+   * aggregation bounds each map partition to k pairs before the exchange, so
+   * the shuffle carries O(k x partitions) rows per query instead of every
+   * scored candidate — the scale-preferred form when candidates >> k.
+   */
+  def cosineKnnAgg(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
+    GraftFunctions.ensureRegistered(s)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+    val c = candidates.select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        GraftFunctions.cosine(col("q_v"), col("c_v")).as("cosine"))
+      .as[(Long, Long, Double)]
+    scored
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, r._2))
+      .agg(graft.functions.TopKAgg.topK(k).toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top")))
+      .select(
+        col("q_id"),
+        col("col._2").as("c_id"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col._1").as("cosine"))
+  }
+
+  /**
    * IVF-style approximate top-k (the inverted-file ANN family: Sivic &
    * Zisserman 2003, ICCV, "Video Google"; the coarse-quantizer stage of
    * Jégou et al. 2011, TPAMI, IVFADC): candidates are partitioned into

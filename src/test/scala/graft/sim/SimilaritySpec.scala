@@ -24,6 +24,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("rnk")).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("cosineKnnAgg (bounded-heap Aggregator) equals the window-rank cosineKnn") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val viaWindow = Similarity.cosineKnn(queries, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaAgg = Similarity.cosineKnnAgg(queries, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaAgg === viaWindow)
+  }
+
   test("ivfKnn recall@10 vs exact, and reported cosines are exact pair cosines") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") % 50 === 0)
