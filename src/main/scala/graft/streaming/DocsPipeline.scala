@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.sinks.KeyedParquetSink
+import graft.text.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/**
+ * Streaming training-data ingest: the document-curation counterpart of the
+ * order pipeline. Same batch/stream-unified contract — every stage is a pure
+ * DataFrame => DataFrame, so the identical plan runs over a bounded frame
+ * (tests, backfills) or an unbounded stream (ingest).
+ *
+ *   raw docs (doc_id, text, ingest_ts)
+ *     -> text stats + quality score          (narrow, codegen'd, no shuffle)
+ *     -> quality gate                        (filter)
+ *     -> content-hash + within-watermark dedup (bounded state)
+ *     -> keyed idempotent sink on content_hash (exactly-once effect)
+ *
+ * At 100 TB: the only stateful pieces are the dedup state (watermark-bounded
+ * to the ingest-time skew window) and the sink's hash-bucketed upsert —
+ * everything else is embarrassingly parallel.
+ */
+object DocsPipeline {
+
+  /** Stats + quality stage (batch or streaming). */
+  def withQuality(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("avg_token_len",
+        TextOps.totalTokenLen(toks).cast("double") / size(toks).cast("double"))
+      .withColumn("stop_ratio",
+        TextOps.stopwordCount(toks).cast("double") / size(toks).cast("double"))
+      .withColumn("punct_ratio",
+        TextOps.punctCount(col("text")).cast("double") / length(col("text")).cast("double"))
+      .withColumn("quality_score",
+        TextOps.qualityScore(col("n_tokens"), col("avg_token_len"),
+          col("stop_ratio"), col("punct_ratio")))
+  }
+
+  /** Quality gate + exact dedup, streaming-legal (state bounded by the
+    * watermark on ingest time). */
+  def curate(docs: DataFrame, minQuality: Double, lateness: String = "10 minutes"): DataFrame =
+    withQuality(docs)
+      .filter(col("quality_score") >= minQuality)
+      .withColumn("content_hash", md5(TextOps.normalize(col("text"))))
+      .withWatermark("ingest_ts", lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming terminal: curated docs -> keyed idempotent sink. */
+  def runToKeyedSink(
+      docs: DataFrame, minQuality: Double,
+      sinkPath: String, checkpointDir: String): StreamingQuery = {
+    val sink = new KeyedParquetSink(sinkPath, "content_hash")
+    curate(docs, minQuality).writeStream
+      .queryName("graft-docs-ingest")
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        sink.upsert(batch, epochId)
+      }
+      .start()
+  }
+}
