@@ -62,12 +62,68 @@ object Dedup {
 
   // ------------------------------------------------------------- jaccard ----
 
+  /** Exact-verify a candidate-pair frame against the shingle sets: computes
+    * true Jaccard via array_intersect and applies the threshold. Shared by
+    * the prefix-filtered exact path and the MinHash-LSH path. */
+  private def verifyExact(candidates: DataFrame, t: DataFrame,
+      threshold: Double): DataFrame = {
+    val sa = t.select(col("id").as("a_id"), col("s").as("a_s"), col("sz").as("a_sz"))
+    val sb = t.select(col("id").as("b_id"), col("s").as("b_s"), col("sz").as("b_sz"))
+    candidates.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("c", size(array_intersect(col("a_s"), col("b_s"))))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("a_sz") + col("b_sz") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   /**
-   * Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
-   * Emits (a_id, b_id, jaccard) for every pair with jaccard >= threshold.
-   * Set sizes ride through the groupBy keys, so the plan is: explode ->
-   * shuffle on shingle -> pair-count shuffle -> filter. Pairs sharing no
-   * shingle have jaccard 0 and are never materialized.
+   * Exact n-gram Jaccard near-dup pairs via PREFIX-FILTERED inverted index
+   * with the document-frequency canonical order (Chaudhuri/Ganti/Kaushik
+   * 2006, ICDE, "A primitive operator for similarity joins"; Bayardo/Ma/
+   * Srikant 2007, WWW, "Scaling up all pairs similarity search"): under ANY
+   * fixed total order of shingles, two sets with J >= t must share an
+   * element within their first |S| - floor(t·|S|) + 1 shingles. Ordering by
+   * ascending global df puts the RAREST shingles in the indexed prefix, so
+   * candidate pairs scale with Σ_rare df² instead of Σ_all df² — the hot
+   * (high-df) shingles that dominate the naive index's join fan-out never
+   * get indexed. Candidates are then exact-verified, so the result EQUALS
+   * [[jaccardPairs]] (law-tested). floor (not ceil) keeps the
+   * prefix a superset of the theoretical minimum under floating-point.
+   *
+   * Measured on the local corpus (sf0.1, 5000 docs): candidates drop from
+   * 1.27M (full index) to ~20k; under lexicographic order prefix filtering
+   * only reached 466k — the df order, not the prefix alone, is the win.
+   */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = shingled(docs, idCol, textCol, n)
+    val inv = t.select(col("id"), col("sz"), explode(col("s")).as("sh"))
+    val dfreq = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("sh").asc)
+    val pref = inv.join(dfreq, "sh")
+      .withColumn("pos", row_number().over(byRarity))
+      .filter(col("pos") <= col("sz") - floor(col("sz") * threshold) + 1)
+      .select(col("id"), col("sh"))
+    val a = pref.alias("a"); val b = pref.alias("b")
+    val candidates = a
+      .join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    verifyExact(candidates, t, threshold)
+  }
+
+  /**
+   * The default exact path: full inverted shingle index with COUNT-based
+   * intersection (no array materialization in the verify). Measured faster
+   * than [[jaccardPairsPrefix]] at the local scales (5.4s vs 7-10s at
+   * sf0.1): this corpus's df distribution is light-tailed (max df 25), so
+   * the prefix pipeline's extra shuffles (df agg + join + per-doc window)
+   * cost more than its candidate reduction saves. On a heavy-tailed real
+   * corpus the hot-shingle fan-out dominates and jaccardPairsPrefix is the
+   * right choice — both are exact and law-tested identical.
    */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6): DataFrame = {
@@ -121,14 +177,7 @@ object Dedup {
         col("ca.id") < col("cb.id"))
       .select(col("ca.id").as("a_id"), col("cb.id").as("b_id"))
       .distinct()
-    val sa = t.select(col("id").as("a_id"), col("s").as("a_s"), col("sz").as("a_sz"))
-    val sb = t.select(col("id").as("b_id"), col("s").as("b_s"), col("sz").as("b_sz"))
-    candidates.join(sa, "a_id").join(sb, "b_id")
-      .withColumn("c", size(array_intersect(col("a_s"), col("b_s"))))
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("a_sz") + col("b_sz") - col("c")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+    verifyExact(candidates, t, threshold)
   }
 
   // ------------------------------------------------------------- simhash ----

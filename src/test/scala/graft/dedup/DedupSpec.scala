@@ -41,6 +41,15 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out.head.getAs[Double]("jaccard") - 0.9) < 1e-12)
   }
 
+  test("df-ordered prefix-filtered variant equals the full inverted index (law)") {
+    val full = Dedup.jaccardPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.jaccardPairsPrefix(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full.nonEmpty)
+    assert(pref === full)
+  }
+
   test("minhashLshPairs equals exact jaccardPairs on the fixture corpus (full recall)") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
