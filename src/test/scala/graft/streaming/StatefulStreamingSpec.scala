@@ -81,6 +81,32 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(custom === builtin)
   }
 
+  test("built-in session_window aggregation runs STREAMING in append mode (bounded state)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = Sessionize.sessionsBuiltin(
+      input.toDF().toDF("user_id", "ts"), "ts", "user_id", "5 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sw_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(1L -> ts("2024-01-01 00:00:00"), 1L -> ts("2024-01-01 00:02:00"))
+      q.processAllAvailable()
+      input.addData(1L -> ts("2024-01-01 01:00:00")) // watermark passes, closes session
+      q.processAllAvailable()
+      input.addData(1L -> ts("2024-01-01 02:00:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = s.table("sw_stream")
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("s"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("e"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(rows.contains((1L, "2024-01-01 00:00:00", "2024-01-01 00:07:00", 2L)))
+  }
+
   test("stream-stream interval join matches within the bound and drops outside it") {
     val s = spark
     import s.implicits._
