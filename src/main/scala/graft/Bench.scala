@@ -31,16 +31,19 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    // Two timed runs, report the min: the host is a shared VM and single
+    // Report min of up to two timed runs: the host is a shared VM and single
     // measurements swing several-fold under neighbor load; min-of-N is the
-    // standard steady-state estimator for wall-clock benchmarks.
+    // standard steady-state estimator. The second run is adaptive (only for
+    // queries whose first sample exceeds 1s) so total harness wall time stays
+    // bounded — sub-second samples are already noise-dominated either way.
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
     val results = queries.map { case (name, fn) =>
-      val samples = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> samples.min
+      val first = timed(fn)
+      name -> (if (first > 1.0) math.min(first, timed(fn)) else first)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
