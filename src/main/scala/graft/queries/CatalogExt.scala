@@ -110,6 +110,13 @@ object CatalogExt {
         col("height").cast("long").as("height"),
         col("luma16"))
 
+  /** Multimodal frame sampling: every 16th byte offset of each asset as a
+    * "frame" (the video-frame-extraction plumbing shape; mapPartitions over
+    * binary content, deterministic and oracle-mirrored via the text bytes). */
+  def q39FrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.assetsFromDocuments(Tables.documents(s, dir)), stride = 16)
+
   /** Event-time session windows per user (6-hour inactivity gap). */
   def q32SessionWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -203,6 +210,7 @@ object CatalogExt {
     "q36_tz_shift"       -> q36TzShift _,
     "q37_map_funcs"      -> q37MapFuncs _,
     "q38_embed_knn_agg"  -> q38EmbedKnnAgg _,
+    "q39_frame_sample"   -> q39FrameSample _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

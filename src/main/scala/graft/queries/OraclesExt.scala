@@ -114,6 +114,14 @@ object OraclesExt {
         |    (acc, x) -> acc + x) AS luma16
         |FROM documents""".stripMargin,
 
+    // ASCII corpus: byte at offset o == ord of character o+1 (1-based substr)
+    "q39_frame_sample" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(o AS BIGINT) AS frame_off,
+        |  CAST(ord(substr(text, CAST(o AS INT) + 1, 1)) AS BIGINT) AS frame_byte
+        |FROM documents, LATERAL (
+        |  SELECT unnest(range(0, length(text), 16)) AS o)""".stripMargin,
+
     "q32_session_window" ->
       """WITH o AS (
         |  SELECT user_id, ts,
