@@ -120,7 +120,15 @@ final class KeyedParquetSink(path: String, keyCol: String, numBuckets: Int = 64)
     //    commit below; a crash here leaves only ignorable orphans).
     val version = s"v${epochId}_${UUID.randomUUID().toString.take(8)}"
     val staging = new Path(s"$path/_staging_$version")
-    deduped.write.mode("overwrite").partitionBy("__bucket").parquet(staging.toString)
+    // One task (=> one file) per touched bucket: without the repartition the
+    // partitionBy write fans every shuffle partition across every bucket dir,
+    // producing numPartitions small files per bucket per epoch. Hash
+    // repartitioning on the bucket id keeps file counts O(1) per bucket; for
+    // buckets that outgrow a single task, raise numBuckets (the unit of both
+    // parallelism and file granularity).
+    deduped
+      .repartition(math.max(touched.length, 1), col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(staging.toString)
     val stagedBuckets = touched.filter(b => hfs.exists(new Path(staging, s"__bucket=$b")))
     stagedBuckets.foreach { b =>
       val dst = bucketDataDir(b, version)
