@@ -191,6 +191,39 @@ object CatalogExt {
       .select(col("user_id"), col("event_type"), col("n"))
   }
 
+  /** Exact percentiles (continuous interpolation): Spark `percentile` and
+    * DuckDB `quantile_cont` share the (1-f)·a + f·b formula — verified
+    * bit-identical on this data. The approximate sketch twin is q14. */
+  def q40Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("p95"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy(col("l_returnflag"))
+
+  /** Scalar-subquery pattern: rows above the global average, the aggregate
+    * broadcast back over the fact side (no driver round-trip). */
+  def q41AboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val avgPrice = o.agg(
+      (sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(25, 6))) / count(lit(1)))
+        .cast("double").as("avg_price"))
+    o.crossJoin(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** Pivot: per-user event-type count matrix (dynamic-to-fixed columns). */
+  def q42Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot(col("event_type"), Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -211,6 +244,9 @@ object CatalogExt {
     "q37_map_funcs"      -> q37MapFuncs _,
     "q38_embed_knn_agg"  -> q38EmbedKnnAgg _,
     "q39_frame_sample"   -> q39FrameSample _,
+    "q40_percentiles"    -> q40Percentiles _,
+    "q41_above_avg"      -> q41AboveAvg _,
+    "q42_pivot"          -> q42Pivot _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

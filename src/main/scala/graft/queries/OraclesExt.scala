@@ -114,6 +114,29 @@ object OraclesExt {
         |    (acc, x) -> acc + x) AS luma16
         |FROM documents""".stripMargin,
 
+    "q40_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95,
+        |  min(l_extendedprice) AS lo,
+        |  max(l_extendedprice) AS hi
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q41_above_avg" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) / count(*) AS DOUBLE)
+        |  FROM orders) * 1.5""".stripMargin,
+
+    "q42_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
     // ASCII corpus: byte at offset o == ord of character o+1 (1-based substr)
     "q39_frame_sample" ->
       """SELECT doc_id AS asset_id,
