@@ -1,0 +1,38 @@
+package graft.tools
+import graft.Tables
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+/** Dev probe: near-dup pair algorithms at growing corpus sizes. The corpus
+  * is the sf0.1 documents table replicated K times with disjoint id ranges
+  * and a per-copy token prefix (so copies are NOT near-dups of each other —
+  * pair structure stays constant while n grows K-fold). */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    def corpus(k: Int): DataFrame =
+      (0 until k).map { i =>
+        base.select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          concat(lit(s"cp$i "), col("text")).as("text"))
+      }.reduce(_ unionByName _)
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.1f s pairs=$n")
+    }
+    spark.range(1000000).count()
+    Seq(1, 2, 4).foreach { k =>
+      val c = corpus(k)
+      println(s"-- corpus x$k: ${c.count()} docs")
+      time(s"exact full-index x$k")(Dedup.jaccardPairs(c, "doc_id", "text").count())
+      time(s"exact df-prefix  x$k")(Dedup.jaccardPairsPrefix(c, "doc_id", "text").count())
+      time(s"minhash-lsh      x$k")(Dedup.minhashLshPairs(c, "doc_id", "text").count())
+    }
+  }
+}
