@@ -224,6 +224,25 @@ object CatalogExt {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  /** CUBE grouping sets (rollup's twin, q12) with grouping_id disambiguator. */
+  def q43Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+
+  /** RANGE window frame over event time: events per user in the trailing
+    * hour (epoch-second range; both engines truncate ns->s identically). */
+  def q44RangeWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("sec"))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("n_last_hour"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -247,6 +266,8 @@ object CatalogExt {
     "q40_percentiles"    -> q40Percentiles _,
     "q41_above_avg"      -> q41AboveAvg _,
     "q42_pivot"          -> q42Pivot _,
+    "q43_cube"           -> q43Cube _,
+    "q44_range_window"   -> q44RangeWindow _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

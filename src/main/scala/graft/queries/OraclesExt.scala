@@ -114,6 +114,18 @@ object OraclesExt {
         |    (acc, x) -> acc + x) AS luma16
         |FROM documents""".stripMargin,
 
+    "q43_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q44_range_window" ->
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+        |                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_last_hour
+        |FROM events""".stripMargin,
+
     "q40_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.5) AS p50,
