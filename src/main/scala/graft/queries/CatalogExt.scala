@@ -243,6 +243,32 @@ object CatalogExt {
       .select(col("event_id"), col("user_id"), col("n_last_hour"))
   }
 
+  /** Analytic window breadth beyond q18: lead/lag/ntile/first/last/percent_rank. */
+  def q45WindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      first(col("o_orderkey")).over(wf).as("first_order"),
+      last(col("o_orderkey")).over(wf).as("last_order"),
+      percent_rank().over(w).as("pr"))
+  }
+
+  /** Edit-distance fuzzy matching (levenshtein — the char-level member of
+    * the dedup family; identical classic DP semantics in both engines). */
+  def q46EditDistance(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        levenshtein(col("c_name"), col("c_mktsegment")).cast("long").as("name_seg_dist"),
+        levenshtein(substring(col("c_name"), 1, 10),
+          reverse(substring(col("c_name"), 1, 10))).cast("long").as("palindrome_dist"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -268,6 +294,8 @@ object CatalogExt {
     "q42_pivot"          -> q42Pivot _,
     "q43_cube"           -> q43Cube _,
     "q44_range_window"   -> q44RangeWindow _,
+    "q45_window_funcs"   -> q45WindowFuncs _,
+    "q46_edit_distance"  -> q46EditDistance _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

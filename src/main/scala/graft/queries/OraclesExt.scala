@@ -114,6 +114,26 @@ object OraclesExt {
         |    (acc, x) -> acc + x) AS luma16
         |FROM documents""".stripMargin,
 
+    "q45_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  first_value(o_orderkey) OVER wf AS first_order,
+        |  last_value(o_orderkey) OVER wf AS last_order,
+        |  percent_rank() OVER w AS pr
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+        |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "q46_edit_distance" ->
+      """SELECT c_custkey,
+        |  CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS name_seg_dist,
+        |  CAST(levenshtein(substr(c_name, 1, 10), reverse(substr(c_name, 1, 10))) AS BIGINT)
+        |    AS palindrome_dist
+        |FROM customer""".stripMargin,
+
     "q43_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
