@@ -42,6 +42,9 @@ object AsofJoin {
     val (lk, rk) = keyCols
     val (lt, rt) = tsCols
     val leftCols = left.columns.toSeq
+    require(rightVals.forall(!leftCols.contains(_)),
+      s"rightVals ${rightVals.filter(leftCols.contains)} collide with left column names — " +
+        "alias the right-side payload columns before the as-of join")
 
     val l = left
       .withColumn("__k", col(lk))

@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Deterministic row-salt in [0, salts): hash of all columns, no RNG —
-    * replays and retries land every row in the same salt bucket. */
+    * replays and retries land every row in the same salt bucket. Edge: rows
+    * IDENTICAL in every column share a salt and do not spread; if the skew
+    * source is fully-duplicate rows, salt on a per-partition sequence
+    * (spark_partition_id + a monotonic id) instead. */
   def rowSalt(df: DataFrame, salts: Int): Column =
     pmod(hash(df.columns.map(col).toSeq: _*), lit(salts))
 

@@ -127,6 +127,9 @@ object Similarity {
   def lshKnn(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
       planes: Int = 8, probeHamming: Int = 2): DataFrame = {
+    require(planes <= 16,
+      s"lshKnn enumerates the 2^planes code space per query ($planes planes = " +
+        s"${1 << planes} codes); use <= 16 planes or switch to ivfKnn for finer partitions")
     GraftFunctions.ensureRegistered(queries.sparkSession)
     val c = candidates.select(col(idCol).as("c_id"), col(vecCol).as("c_v"),
       GraftFunctions.signBucket(col(vecCol), planes).as("bucket"))

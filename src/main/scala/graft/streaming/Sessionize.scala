@@ -66,8 +66,12 @@ object Sessionize {
             }
             cur.foreach { s =>
               state.update(s)
-              // close the session once the watermark passes end + gap
-              state.setTimeoutTimestamp(s.end + gapMs)
+              // close the session once the watermark passes end + gap; clamp
+              // above the current watermark — a late-but-not-dropped event
+              // could otherwise request a timeout already in the past, which
+              // GroupState rejects at runtime
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             completed.iterator
           }
