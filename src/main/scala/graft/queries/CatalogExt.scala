@@ -269,6 +269,33 @@ object CatalogExt {
         levenshtein(substring(col("c_name"), 1, 10),
           reverse(substring(col("c_name"), 1, 10))).cast("long").as("palindrome_dist"))
 
+  /** Multiset set-ops (q11's ALL-variants): bag semantics preserve
+    * duplicate cardinalities through except/intersect. */
+  def q47SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val high = li.filter(col("l_quantity") >= 25).select(col("l_suppkey").as("k"))
+    val ret = li.filter(col("l_returnflag") === "R").select(col("l_suppkey").as("k"))
+    high.exceptAll(ret).groupBy(col("k")).agg(count(lit(1)).as("n_excess"))
+      .unionByName(
+        high.intersectAll(ret).groupBy(col("k")).agg(count(lit(1)).as("n_excess"))
+          .withColumn("k", -col("k")))
+      .filter(col("n_excess") >= 3)
+  }
+
+  /** Array higher-order functions over per-order quantity vectors:
+    * exists / forall / filter+size / zip_with / flatten-free aggregate. */
+  def q48ArrayHofs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qs"))
+      .select(
+        col("l_orderkey"),
+        exists(col("qs"), q => q >= 45).as("has_bulk"),
+        forall(col("qs"), q => q > 0).as("all_positive"),
+        size(filter(col("qs"), q => q % 2 === 0)).cast("long").as("n_even"),
+        aggregate(zip_with(col("qs"), reverse(col("qs")), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("rev_dot"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -296,6 +323,8 @@ object CatalogExt {
     "q44_range_window"   -> q44RangeWindow _,
     "q45_window_funcs"   -> q45WindowFuncs _,
     "q46_edit_distance"  -> q46EditDistance _,
+    "q47_set_ops_all"    -> q47SetOpsAll _,
+    "q48_array_hofs"     -> q48ArrayHofs _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -114,6 +114,29 @@ object OraclesExt {
         |    (acc, x) -> acc + x) AS luma16
         |FROM documents""".stripMargin,
 
+    "q47_set_ops_all" ->
+      """WITH high AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 25),
+        |ret AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT k, n_excess FROM (
+        |  SELECT k, count(*) AS n_excess FROM (
+        |    SELECT k FROM high EXCEPT ALL SELECT k FROM ret) GROUP BY k
+        |  UNION ALL
+        |  SELECT -k AS k, count(*) AS n_excess FROM (
+        |    SELECT k FROM high INTERSECT ALL SELECT k FROM ret) GROUP BY k)
+        |WHERE n_excess >= 3""".stripMargin,
+
+    "q48_array_hofs" ->
+      """SELECT l_orderkey,
+        |  len(list_filter(qs, q -> q >= 45)) > 0 AS has_bulk,
+        |  len(list_filter(qs, q -> NOT q > 0)) = 0 AS all_positive,
+        |  CAST(len(list_filter(qs, q -> q % 2 = 0)) AS BIGINT) AS n_even,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [qs[i] * qs[len(qs) - i + 1] for i in range(1, len(qs) + 1)]),
+        |    (acc, x) -> acc + x) AS rev_dot
+        |FROM (
+        |  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+        |  FROM lineitem GROUP BY l_orderkey)""".stripMargin,
+
     "q45_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
         |  lag(o_totalprice, 1) OVER w AS prev_price,
