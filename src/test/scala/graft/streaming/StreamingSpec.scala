@@ -63,6 +63,26 @@ class StreamingSpec extends SparkSpec {
     assert(ks === Seq("a", "b"))
   }
 
+  test("Trigger.AvailableNow drains existing file-source data then stops (backfill shape)") {
+    val s = spark
+    import s.implicits._
+    val srcDir = tmpDir("avail-src")
+    Seq(("k1", 1), ("k2", 2), ("k3", 3)).toDF("k", "v")
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.IntegerType))))
+      .parquet(srcDir)
+    val q = stream.writeStream.format("memory").queryName("avail_now")
+      .option("checkpointLocation", tmpDir("avail-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000) // AvailableNow terminates by itself after draining
+    assert(!q.isActive)
+    assert(s.table("avail_now").count() === 3)
+  }
+
   test("streaming foreachBatch → KeyedParquetSink upserts across micro-batches") {
     val s = spark
     import s.implicits._
