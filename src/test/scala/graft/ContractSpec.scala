@@ -1,0 +1,24 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver contract itself: queries and oracles stay in sync. */
+class ContractSpec extends AnyFunSuite {
+
+  test("every oracle key has a query, and rows-only queries are exactly the documented set") {
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    val orphanOracles = oracles.diff(queries)
+    assert(orphanOracles.isEmpty, s"oracle SQL without a query: $orphanOracles")
+    val rowsOnly = queries.diff(oracles)
+    // documented rows-only set: HLL sketch, engine-native simhash, approximate sign-LSH
+    assert(rowsOnly === Set("q14_approx_distinct", "q27_simhash_pairs", "q30_ann_lsh"),
+      s"undocumented rows-only queries: ${rowsOnly}")
+  }
+
+  test("query names follow the qNN_ naming scheme with no duplicates") {
+    val names = SparkEntry.queries.keys.toSeq
+    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")), names.filterNot(_.matches("q\\d{2}_[a-z0-9_]+")))
+    assert(names.distinct.size === names.size)
+  }
+}
