@@ -222,9 +222,10 @@ object Dedup {
 
   // ----------------------------------------------------------- embedding ----
 
-  /** Embedding-cosine near-dup pairs (brute force; the ANN scale path lives
-    * in [[graft.sim.Similarity]]). Broadcast-joins the smaller side when
-    * Spark's threshold allows; exact by construction. */
+  /** Embedding-cosine near-dup pairs, brute force: the CORRECTNESS BASELINE
+    * the scale path [[embeddingNearDupPairsLsh]] is law-tested against —
+    * exact by construction but an all-pairs nested-loop join, so it belongs
+    * in tests and small-corpus audits, never in a 100 TB pipeline. */
   def embeddingNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     GraftFunctions.ensureRegistered(embeddings.sparkSession)
@@ -234,6 +235,61 @@ object Dedup {
     a.join(b, col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         GraftFunctions.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /**
+   * Embedding-cosine near-dup pairs, scale path: sign-random-projection LSH
+   * (Charikar 2002) candidate generation with the chunk-pigeonhole
+   * completeness rule of [[simhashPairs]], then exact
+   * [[graft.functions.CosineSim]] verification.
+   *
+   * Each vector gets a `planes`-bit sign code ([[graft.functions.SignBucket]]);
+   * the code is cut into maxHamming+1 chunks and two vectors become a
+   * candidate iff they agree on at least one whole chunk — which pigeonhole
+   * GUARANTEES for every pair whose codes differ in <= maxHamming bits.
+   * Pairs further apart in code space are missed: the operator is
+   * approximate with a deterministic, angle-monotone miss rule (the sign
+   * code is a fixed function of the vector), so the DuckDB oracle mirrors
+   * the identical bucketing bit-for-bit and the whole dataflow stays
+   * hash-checkable end to end — the same oracle-mirrored-approximation
+   * pattern as [[graft.sim.Similarity.ivfKnn]].
+   *
+   * Scale shape vs [[embeddingNearDupPairs]]: shuffles on (chunk, chunk-key)
+   * buckets and candidate ids only — no cartesian, no all-pairs join, no
+   * driver collect. Candidate volume tracks bucket occupancy: ~26% of
+   * all-pairs on this worst-case corpus (uniform random vectors), collapsing
+   * to near-candidates-only on real clustered embedding corpora where
+   * near-dups sit at cosine >= 0.9 and code hamming ~0.
+   */
+  def embeddingNearDupPairsLsh(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 16, maxHamming: Int = 3): DataFrame = {
+    GraftFunctions.ensureRegistered(embeddings.sparkSession)
+    val chunks = maxHamming + 1
+    require(planes % chunks == 0,
+      s"planes ($planes) must divide into maxHamming+1 ($chunks) equal chunks")
+    val bitsPer = planes / chunks
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val coded = e.withColumn("code", GraftFunctions.signBucket(col("v"), planes))
+    val chunkStructs = (0 until chunks).map { cIdx =>
+      struct(
+        lit(cIdx).as("chunk"),
+        shiftrightunsigned(col("code"), cIdx * bitsPer)
+          .bitwiseAND(lit((1 << bitsPer) - 1)).as("ck"))
+    }
+    val keyed = coded.select(col("id"), explode(array(chunkStructs: _*)).as("kk"))
+      .select(col("id"), col("kk.chunk").as("chunk"), col("kk.ck").as("ck"))
+    val ka = keyed.alias("ka"); val kb = keyed.alias("kb")
+    val candidates = ka
+      .join(kb, col("ka.chunk") === col("kb.chunk") && col("ka.ck") === col("kb.ck") &&
+        col("ka.id") < col("kb.id"))
+      .select(col("ka.id").as("a_id"), col("kb.id").as("b_id"))
+      .distinct()
+    val va = e.select(col("id").as("a_id"), col("v").as("a_v"))
+    val vb = e.select(col("id").as("b_id"), col("v").as("b_v"))
+    candidates.join(va, "a_id").join(vb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        GraftFunctions.cosine(col("a_v"), col("b_v")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

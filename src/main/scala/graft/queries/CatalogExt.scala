@@ -87,9 +87,18 @@ object CatalogExt {
       emb.filter(col("vec_id") % 25 === 0), emb, "vec_id", "embedding", k = 10)
   }
 
-  /** Embedding-cosine near-dup pairs (brute force, threshold 0.45). */
+  /** Embedding-cosine near-dup pairs (brute force, threshold 0.45) — the
+    * exact correctness baseline; the production scale path is q49. */
   def q29EmbedNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
+
+  /** Embedding near-dup, scale path: sign-LSH chunk-pigeonhole candidates +
+    * exact cosine verify — candidates-only shuffles, no all-pairs join. The
+    * bucketing is deterministic, so the oracle mirrors it and the whole
+    * dataflow is hash-checked (q35's oracle-mirrored-approximation pattern). */
+  def q49EmbedNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+      0.45, planes = 16, maxHamming = 3)
 
   /** Multi-probe sign-LSH approximate KNN — same output contract as q28 on
     * a candidate subset; approximate, so rows-only check + recall spec. */
@@ -325,6 +334,7 @@ object CatalogExt {
     "q46_edit_distance"  -> q46EditDistance _,
     "q47_set_ops_all"    -> q47SetOpsAll _,
     "q48_array_hofs"     -> q48ArrayHofs _,
+    "q49_embed_neardup_lsh" -> q49EmbedNearDupLsh _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -101,6 +101,8 @@ object OraclesExt {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.45""".stripMargin,
 
+    "q49_embed_neardup_lsh" -> embedLshSql,
+
     "q31_multimodal" ->
       """SELECT doc_id AS asset_id,
         |  'application/x-graft-' || source AS mime,
@@ -294,6 +296,46 @@ object OraclesExt {
       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS BIGINT) AS rnk
       |  FROM p)
       |WHERE rnk <= 10""".stripMargin
+
+  /** q49's mirror of the engine's sign-LSH bucketing for dim=64 (this
+    * testdata's embedding width): the Rademacher sign rows are a fixed
+    * function of (plane, component) — splitmix64(p*64 + j) & 1, the exact
+    * schedule of [[graft.functions.VectorMath.signBucket]] — inlined as
+    * ±1.0 literals so DuckDB recomputes the identical 16-bit code with
+    * plain arithmetic (multiplying by ±1.0 is exact and list_dot_product
+    * accumulates doubles in element order, like the engine kernel). The
+    * candidate rule (agree on >= 1 of the 4 four-bit chunks) and the exact
+    * cosine verify are then mirrored relationally, so engine and oracle
+    * compute the SAME deterministic approximation — hash-comparable end to
+    * end, like q35's mirrored IVF. */
+  private lazy val embedLshSql: String = {
+    val planes = 16; val dim = 64; val chunks = 4; val bitsPer = 4
+    val signRows = (0 until planes).map { p =>
+      (0 until dim).map { j =>
+        if ((graft.functions.VectorMath.splitmix64(p.toLong * dim + j) & 1L) == 1L) "1.0"
+        else "-1.0"
+      }.mkString("[", ",", "]")
+    }
+    val codeExpr = (0 until planes).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${signRows(p)}) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id,
+       |    $codeExpr AS code
+       |  FROM e),
+       |k AS (
+       |  SELECT vec_id, u.c AS chunk, (code >> (u.c * $bitsPer)) & ${(1 << bitsPer) - 1} AS ck
+       |  FROM b, LATERAL (SELECT unnest(range(0, $chunks)) AS c) u),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b2.vec_id AS b_id
+       |  FROM k a JOIN k b2 ON a.chunk = b2.chunk AND a.ck = b2.ck AND a.vec_id < b2.vec_id)
+       |SELECT a_id, b_id, cosine FROM (
+       |  SELECT c.a_id, c.b_id,
+       |    list_dot_product(x.v, y.v)
+       |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cosine
+       |  FROM cand c JOIN e x ON x.vec_id = c.a_id JOIN e y ON y.vec_id = c.b_id)
+       |WHERE cosine >= 0.45""".stripMargin
+  }
 
   private lazy val jaccardSql: String =
     """WITH t AS (

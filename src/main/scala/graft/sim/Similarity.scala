@@ -86,9 +86,14 @@ object Similarity {
    * strideth vector) rather than k-means iterations — the assignment,
    * probing and ranking plumbing is identical, the query plan is the same
    * shuffle shape, and the whole operator stays oracle-reproducible in SQL.
-   * Scale shape: centroid set is broadcast twice (assignment + probe); the
-   * only shuffle is the cell-id equi-join, proportional to probed cells.
-   * All ties break on ascending id, so output is deterministic.
+   *
+   * Scale shape: nearest-centroid assignment is a NARROW projection — the
+   * centroid set is collapsed to a single broadcast array row and each
+   * vector ranks it in-place (array_sort over a struct array), so the fact
+   * side pays zero shuffle to be assigned. The probe side (small by
+   * construction) broadcasts into the cell join; the only shuffle of scored
+   * rows is the per-query top-k window. All ties break on ascending id, so
+   * output is deterministic.
    */
   def ivfKnn(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -96,24 +101,32 @@ object Similarity {
     GraftFunctions.ensureRegistered(queries.sparkSession)
     val cents = candidates.filter(col(idCol) % centroidStride === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
-    // assign every candidate to its nearest centroid (rank 1, tie -> min id)
-    val wAssign = Window.partitionBy(col("x_id"))
-      .orderBy(col("cos_c").desc, col("cent_id").asc)
+    // One row holding every centroid, sorted by id for a deterministic array.
+    // Broadcast-joined below, this keeps assignment pipelined: no exchange,
+    // no per-row fan-out to |centroids| rows, no argmin sort — the top-n
+    // centroids fall out of an in-row array_sort. Struct comparison is
+    // lexicographic, so (-cos, cent_id) ascending == (cos desc, id asc),
+    // exactly the old row_number ordering.
+    val centArr = cents
+      .agg(sort_array(collect_list(struct(col("cent_id"), col("cent_v")))).as("__cents"))
     def assign(df: DataFrame, n: Int): DataFrame = df
       .select(col(idCol).as("x_id"), col(vecCol).as("x_v"))
-      .crossJoin(broadcast(cents))
-      .select(col("x_id"), col("x_v"), col("cent_id"),
-        GraftFunctions.cosine(col("x_v"), col("cent_v")).as("cos_c"))
-      .withColumn("crnk", row_number().over(wAssign))
-      .filter(col("crnk") <= n)
-      .select(col("x_id"), col("x_v"), col("cent_id"))
+      .crossJoin(broadcast(centArr))
+      .select(col("x_id"), col("x_v"),
+        slice(
+          array_sort(transform(col("__cents"), c => struct(
+            (-GraftFunctions.cosine(col("x_v"), c("cent_v"))).as("neg_cos"),
+            c("cent_id").as("cent_id")))),
+          1, n).as("__top"))
+      .select(col("x_id"), col("x_v"), explode(col("__top")).as("__tc"))
+      .select(col("x_id"), col("x_v"), col("__tc.cent_id").as("cent_id"))
     val cells = assign(candidates, 1)
       .select(col("x_id").as("c_id"), col("x_v").as("c_v"), col("cent_id"))
     val probes = assign(queries, nProbe)
       .select(col("x_id").as("q_id"), col("x_v").as("q_v"), col("cent_id"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id").asc)
-    probes.join(cells, "cent_id")
+    broadcast(probes).join(cells, "cent_id")
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         GraftFunctions.cosine(col("q_v"), col("c_v")).as("cosine"))

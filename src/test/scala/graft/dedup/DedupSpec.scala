@@ -80,6 +80,37 @@ class DedupSpec extends SparkSpec {
     assert(again === sim)
   }
 
+  test("embeddingNearDupPairsLsh: sound + pigeonhole-complete vs brute force (law)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.embeddingNearDupPairsLsh(emb, "vec_id", "embedding", 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(brute.nonEmpty)
+    assert(lsh.nonEmpty, "LSH path should find pairs on the fixture corpus")
+    // soundness: every LSH pair is a true pair with the bit-identical cosine
+    lsh.foreach { case (pair, cos) =>
+      assert(brute.get(pair).contains(cos), s"$pair not in brute-force result")
+    }
+    // pigeonhole completeness: every true pair whose 16-bit sign codes
+    // differ in <= 3 bits MUST be found (the operator's deterministic
+    // guarantee; pairs further apart in code space may be missed)
+    import graft.functions.GraftFunctions
+    GraftFunctions.ensureRegistered(spark)
+    val codes = emb.select(col("vec_id"),
+      GraftFunctions.signBucket(col("embedding"), 16).as("code")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    brute.keys.foreach { case (a, b) =>
+      val hd = java.lang.Integer.bitCount(codes(a) ^ codes(b))
+      if (hd <= 3)
+        assert(lsh.contains((a, b)), s"pair ($a,$b) at code-hamming $hd was missed")
+    }
+    // deterministic across runs
+    val again = Dedup.embeddingNearDupPairsLsh(emb, "vec_id", "embedding", 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(again === lsh)
+  }
+
   test("embeddingNearDupPairs: symmetric threshold behavior on unit test vectors") {
     val s = spark
     import s.implicits._
