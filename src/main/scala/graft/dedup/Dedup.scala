@@ -144,6 +144,44 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /**
+   * Measured path selection between the two EXACT Jaccard plans: a cheap
+   * document-frequency probe over a deterministic 1-in-`sampleOneIn` doc
+   * sample estimates the full inverted index's candidate blowup
+   * B = Σ_sh df² / Σ_sh df (average candidate comparisons generated per
+   * shingle posting; sample Σdf² rescales by sampleOneIn since df_sample ≈
+   * df/sampleOneIn on the hot shingles that matter). Light tail (B small —
+   * this corpus measures ~5, max df 25) keeps [[jaccardPairs]], which
+   * ScaleProbe measured faster because the prefix pipeline's extra
+   * shuffles cost more than its candidate reduction saves. A heavy-tailed
+   * corpus (hot shingles with df in the 10⁴⁺ range) blows past any
+   * constant limit and flips to [[jaccardPairsPrefix]], whose df-ordered
+   * indexed prefix never contains the hot shingles. Both paths are exact
+   * and law-tested identical, so the probe changes only the plan, never
+   * the result. Probe cost: shingling 1/sampleOneIn of the corpus + one
+   * aggregate — the 100 TB-sane way to choose a plan (never a full pass).
+   */
+  private[dedup] def prefixPathPreferred(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, sampleOneIn: Int = 20, blowupLimit: Double = 64.0): Boolean = {
+    val sampled = docs.filter(pmod(xxhash64(col(idCol)), lit(sampleOneIn)) === 0)
+    val row = shingled(sampled, idCol, textCol, n)
+      .select(explode(col("s")).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .agg(
+        coalesce(sum(col("df") * col("df")), lit(0L)).cast("double").as("s2"),
+        coalesce(sum(col("df")), lit(0L)).cast("double").as("s1"))
+      .head()
+    val (s2, s1) = (row.getDouble(0), row.getDouble(1))
+    s1 > 0.0 && sampleOneIn * s2 / s1 > blowupLimit
+  }
+
+  /** Exact Jaccard pairs through the measured selector above. */
+  def jaccardPairsAuto(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6): DataFrame =
+    if (prefixPathPreferred(docs, idCol, textCol, n))
+      jaccardPairsPrefix(docs, idCol, textCol, n, threshold)
+    else jaccardPairs(docs, idCol, textCol, n, threshold)
+
   // ------------------------------------------------------------- minhash ----
 
   /**

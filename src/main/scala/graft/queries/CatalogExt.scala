@@ -62,9 +62,11 @@ object CatalogExt {
   def q24DedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
 
-  /** Exact word-3gram Jaccard near-dup pairs (inverted shingle index). */
+  /** Exact word-3gram Jaccard near-dup pairs, via the measured df-tail
+    * selector (full inverted index on light tails — this corpus — vs the
+    * df-ordered prefix-filtered index on heavy tails; both exact). */
   def q25JaccardPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.6)
+    Dedup.jaccardPairsAuto(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.6)
 
   /** MinHash+LSH near-dup pairs, exact-verified — the sub-quadratic path.
     * Oracle: identical contract to q25 (the banding parameters make the

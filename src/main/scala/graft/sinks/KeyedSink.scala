@@ -26,12 +26,21 @@ import org.apache.spark.sql.functions._
  *    file `_manifest/<epoch%020d>.json` (bucket → version dir). Data dirs are
  *    written first; the commit point is the atomic create-by-rename of the
  *    manifest file. A crash at ANY intermediate point leaves the previous
- *    manifest — and therefore the previous state — fully intact (orphaned
- *    uncommitted version dirs are garbage-collected by later commits).
- *  - Replay of an already-committed epoch is detected by the manifest file
- *    already existing → the upsert is skipped entirely (exactly-once effect).
+ *    manifest — and therefore the previous state — fully intact. Version
+ *    dirs staged by a crashed attempt (referenced by no manifest) are
+ *    garbage-collected the next time their bucket is committed.
+ *  - Replay of an already-committed epoch is skipped entirely (exactly-once
+ *    effect): the guard compares against the HIGHEST committed epoch — the
+ *    newest manifest always survives manifest GC, so the guard holds for
+ *    epochs whose own manifest file has been collected too. An epoch at or
+ *    below the high-water mark after a checkpoint rebuild (ids restarting
+ *    from 0) is therefore rejected rather than silently re-applied.
  *  - Replay after a crash BEFORE commit re-merges against the old state and
  *    re-commits — last-write-wins by key makes the result identical.
+ *  - GC retains every version referenced by the last `retainManifests`
+ *    manifests, so a concurrent reader that resolved the previous manifest
+ *    can finish its scan after the next commit (the table-format-style
+ *    retention window).
  *
  * Within a micro-batch, duplicate keys resolve deterministically in arrival
  * order: incoming rows carry a monotonically-increasing sequence number and
@@ -43,7 +52,10 @@ import org.apache.spark.sql.functions._
  * the whole table — the same pattern scales to a 1000-executor cluster by
  * raising numBuckets.
  */
-final class KeyedParquetSink(path: String, keyCol: String, numBuckets: Int = 64) {
+final class KeyedParquetSink(path: String, keyCol: String, numBuckets: Int = 64,
+    retainManifests: Int = 2) {
+  require(retainManifests >= 2,
+    "retention below 2 manifests would break the concurrent-reader window")
 
   private def fs(spark: SparkSession) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -56,16 +68,22 @@ final class KeyedParquetSink(path: String, keyCol: String, numBuckets: Int = 64)
   private def manifestPath(epochId: Long) =
     new Path(manifestDir, f"$epochId%020d.json")
 
+  /** Committed manifest files, oldest → newest (filename IS the epoch). */
+  private def listManifests(hfs: org.apache.hadoop.fs.FileSystem): Seq[Path] =
+    if (!hfs.exists(manifestDir)) Seq.empty
+    else hfs.listStatus(manifestDir).map(_.getPath)
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName).toSeq
+
+  private def readManifest(hfs: org.apache.hadoop.fs.FileSystem, p: Path): Map[Long, String] = {
+    val in = hfs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    parseManifest(text)
+  }
+
   /** bucket → current committed version-dir name, from the latest manifest. */
   private def currentVersions(spark: SparkSession): Map[Long, String] = {
     val hfs = fs(spark)
-    if (!hfs.exists(manifestDir)) return Map.empty
-    val manifests = hfs.listStatus(manifestDir).map(_.getPath)
-      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
-    if (manifests.isEmpty) return Map.empty
-    val in = hfs.open(manifests.last)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    parseManifest(text)
+    listManifests(hfs).lastOption.map(readManifest(hfs, _)).getOrElse(Map.empty)
   }
 
   // Tiny hand-rolled (de)serialization for {"<bucket>":"<version>", ...} —
@@ -86,7 +104,22 @@ final class KeyedParquetSink(path: String, keyCol: String, numBuckets: Int = 64)
   def upsert(batch: DataFrame, epochId: Long): Unit = {
     val spark = batch.sparkSession
     val hfs = fs(spark)
-    if (hfs.exists(manifestPath(epochId))) return // epoch already committed (replay)
+    // High-water-mark replay guard: the newest manifest survives manifest GC,
+    // so max committed epoch is always recoverable from the filenames even
+    // after per-epoch manifests are collected. epochId <= max means either a
+    // replay (skip silently — exactly-once effect) or a checkpoint rebuilt
+    // from scratch (ids restarting at 0) — re-applying those with
+    // incoming-wins would overwrite newer values, so warn and skip.
+    val committed = listManifests(hfs)
+    committed.lastOption.map(_.getName.stripSuffix(".json").toLong).foreach { maxEpoch =>
+      if (epochId <= maxEpoch) {
+        if (!hfs.exists(manifestPath(epochId)))
+          Console.err.println(
+            s"[keyed-sink] skipping epoch $epochId <= committed high-water $maxEpoch " +
+              "with no matching manifest - replay from a rebuilt checkpoint?")
+        return
+      }
+    }
 
     // __w: incoming beats existing; __seq: deterministic intra-batch
     // last-write-wins (ADVICE round 1) — existing rows get __seq = -1.
@@ -151,17 +184,23 @@ final class KeyedParquetSink(path: String, keyCol: String, numBuckets: Int = 64)
       return
     }
 
-    // 3. Best-effort GC of superseded version dirs and old manifests (the
-    //    state is defined by the newest manifest, so this is safe to skip on
-    //    crash — the next commit retries).
+    // 3. Best-effort GC (the state is defined solely by the newest manifest,
+    //    so this is safe to skip on crash — the next commit retries).
+    //    Retention set = every version referenced by the last
+    //    `retainManifests` manifests: superseded versions survive one more
+    //    commit for concurrent readers of the previous manifest, and
+    //    anything else in a touched bucket's directory — crashed-attempt
+    //    orphans included — is deleted.
+    val manifestsAfter = listManifests(hfs)
+    val retained: Set[(Long, String)] = manifestsAfter.takeRight(retainManifests)
+      .flatMap(p => readManifest(hfs, p).toSeq).toSet
     touched.foreach { b =>
-      versions.get(b).filter(_ != version).foreach { old =>
-        hfs.delete(bucketDataDir(b, old), true)
+      val bucketDir = new Path(s"$path/buckets/__bucket=$b")
+      if (hfs.exists(bucketDir)) hfs.listStatus(bucketDir).map(_.getPath).foreach { d =>
+        if (!retained.contains((b, d.getName))) hfs.delete(d, true)
       }
     }
-    val manifests = hfs.listStatus(manifestDir).map(_.getPath)
-      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
-    manifests.dropRight(2).foreach(hfs.delete(_, false))
+    manifestsAfter.dropRight(retainManifests).foreach(hfs.delete(_, false))
   }
 
   /** Current committed keyed state, if any epoch has been committed. */

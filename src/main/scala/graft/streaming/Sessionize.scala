@@ -7,8 +7,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** An input event for sessionization (keyed, event-timed). */
 case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
 
-/** Accumulating per-key session state. */
+/** One candidate session: [start, end] event-time extent and event count. */
 case class SessionState(start: Long, end: Long, n: Long)
+
+/** Per-key state: ALL sessions not yet sealed by the watermark, open or
+  * provisionally closed — a session is only emitted once no valid event can
+  * ever extend or merge it. */
+case class SessionsState(open: List[SessionState])
 
 /** A completed session emitted when the inactivity gap elapses. */
 case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
@@ -21,60 +26,61 @@ case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
  * user reaches for when `session_window` can't express the state machine,
  * e.g. per-session derived metrics or cross-event invariants).
  *
- * Semantics match the built-in `session_window(ts, gap)` count aggregation:
- * a session closes after `gapMs` of event-time inactivity (watermark-driven
- * EventTimeTimeout) and is emitted as one row. State per key is one
- * [[SessionState]] — bounded, watermark-evicted; at 100 TB state scales with
- * ACTIVE keys only, not history.
+ * Semantics match the built-in `session_window(ts, gap)` count aggregation,
+ * INCLUDING out-of-order arrivals: a session is emitted only once the
+ * watermark passes its end + gap, so a late-but-valid event (t above the
+ * watermark but within gap of an earlier session) still merges into it —
+ * even an event that bridges two provisionally-separate sessions into one
+ * (the eager-emit divergence flagged in round-2 ADVICE is gone). State per
+ * key is the list of not-yet-sealed sessions — bounded by the watermark
+ * (every session older than wm - gap seals and leaves), so at 100 TB state
+ * scales with ACTIVE keys only, not history.
  */
 object Sessionize {
+
+  /** Merge-normalize: sort by start and coalesce any sessions within `gapMs`
+    * of each other (an event bridging two sessions merges them — the
+    * built-in's merging-session-window rule). */
+  private[streaming] def normalize(ss: List[SessionState], gapMs: Long): List[SessionState] =
+    ss.sortBy(s => (s.start, s.end)).foldLeft(List.empty[SessionState]) {
+      case (cur :: done, s) if s.start <= cur.end + gapMs =>
+        SessionState(cur.start, math.max(cur.end, s.end), cur.n + s.n) :: done
+      case (acc, s) => s :: acc
+    }.reverse
 
   def sessions(events: Dataset[SessionEvent], gapMs: Long): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      // millisecond-precision delay: integer-dividing to seconds would turn
+      // sub-second gaps into zero lateness tolerance (round-2 ADVICE)
+      .withWatermark("ts", s"$gapMs milliseconds")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[SessionsState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionOut(
-              userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.end + gapMs), s.n))
-          } else {
-            // Fold sorted event times into the open session, SPLITTING when
-            // an event lands more than `gap` after the session end — a new
-            // event for the key can arrive before the watermark timeout
-            // fires, so the split cannot be left to the timeout path alone.
-            val times = rows.map(_.ts.getTime).toSeq.sorted
-            val completed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            var cur = state.getOption
-            times.foreach { t =>
-              cur match {
-                case Some(s) if t <= s.end + gapMs =>
-                  cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t), s.n + 1))
-                case Some(s) =>
-                  completed += SessionOut(userId, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.end + gapMs), s.n)
-                  cur = Some(SessionState(t, t, 1L))
-                case None =>
-                  cur = Some(SessionState(t, t, 1L))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // close the session once the watermark passes end + gap; clamp
-              // above the current watermark — a late-but-not-dropped event
-              // could otherwise request a timeout already in the past, which
-              // GroupState rejects at runtime
-              state.setTimeoutTimestamp(
-                math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            completed.iterator
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionsState]) =>
+          // One uniform body for both the event path and the timeout path
+          // (timeout = empty `rows`): fold incoming events into the session
+          // list, seal and emit everything the watermark has passed, keep
+          // the rest. Late rows below the watermark never reach here (the
+          // exec's event-time filter drops them), so a sealed session is
+          // final by construction.
+          val prior = state.getOption.map(_.open).getOrElse(Nil)
+          val incoming = rows.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1L)).toList
+          val merged = normalize(prior ++ incoming, gapMs)
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, open) = merged.partition(_.end + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(open))
+            // wake when the earliest open session seals; clamp above the
+            // current watermark — GroupState rejects timestamps in the past
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.end + gapMs).min, wm + 1))
           }
+          ripe.iterator.map(s => SessionOut(
+            userId, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.end + gapMs), s.n))
       }
   }
 

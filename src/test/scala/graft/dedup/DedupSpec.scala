@@ -50,6 +50,31 @@ class DedupSpec extends SparkSpec {
     assert(pref === full)
   }
 
+  test("jaccardPairsAuto: df-tail probe picks the right plan, result is law-identical") {
+    val s = spark
+    import s.implicits._
+    // fixture corpus: light-tailed df (max df ~25) -> full index preferred
+    assert(!Dedup.prefixPathPreferred(docs, "doc_id", "text", n = 3))
+    val auto = Dedup.jaccardPairsAuto(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.jaccardPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto === full)
+    // heavy tail: append the SAME 40-token boilerplate run to EVERY doc
+    // (38 distinct shingles of df = corpus size — shingles are
+    // array_distinct'd per doc, so the tokens must differ) -> blowup
+    // explodes and the probe flips to the prefix plan; both stay exact
+    val boiler = (1 to 40).map(i => s"h$i").mkString(" ", " ", "")
+    val hot = docs.select(col("doc_id"),
+      concat(col("text"), lit(boiler)).as("text"))
+    assert(Dedup.prefixPathPreferred(hot, "doc_id", "text", n = 3))
+    val autoHot = Dedup.jaccardPairsAuto(hot, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fullHot = Dedup.jaccardPairs(hot, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(autoHot === fullHot)
+  }
+
   test("minhashLshPairs equals exact jaccardPairs on the fixture corpus (full recall)") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

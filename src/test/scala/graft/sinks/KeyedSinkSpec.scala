@@ -57,6 +57,41 @@ class KeyedSinkSpec extends SparkSpec {
     }
   }
 
+  test("replay of an epoch older than the high-water mark is rejected even after manifest GC") {
+    val sink = new KeyedParquetSink(tmpDir("ks-hwm"), "data_key", numBuckets = 1)
+    sink.upsert(df("k" -> 0), epochId = 0)
+    sink.upsert(df("k" -> 1), epochId = 1)
+    sink.upsert(df("k" -> 2), epochId = 2) // manifest GC keeps only epochs 1,2
+    sink.upsert(df("k" -> 99), epochId = 1) // replay of a surviving manifest: skip
+    assert(state(sink) === Map("k" -> 2))
+    // epoch 0's manifest file is GONE — the old exists()-guard would have
+    // re-applied this and clobbered k=2 with incoming-wins (ADVICE r2)
+    sink.upsert(df("k" -> 99), epochId = 0)
+    assert(state(sink) === Map("k" -> 2))
+  }
+
+  test("GC: superseded versions survive exactly one commit; orphans are collected") {
+    val dir = tmpDir("ks-gc")
+    val sink = new KeyedParquetSink(dir, "data_key", numBuckets = 1)
+    def versionDirs: Set[String] = {
+      val d = new java.io.File(s"$dir/buckets/__bucket=0")
+      Option(d.list()).map(_.toSet).getOrElse(Set.empty)
+    }
+    sink.upsert(df("k" -> 0), epochId = 0)
+    val Seq(v0) = versionDirs.toSeq
+    sink.upsert(df("k" -> 1), epochId = 1)
+    // retention window: the previous manifest's version is still readable
+    assert(versionDirs.contains(v0), "superseded version deleted immediately")
+    assert(versionDirs.size === 2)
+    // an orphan from a crashed attempt, plus the next commit
+    df("k" -> 42).coalesce(1).write.parquet(s"$dir/buckets/__bucket=0/v9_orphan")
+    sink.upsert(df("k" -> 2), epochId = 2)
+    assert(!versionDirs.contains(v0), "version beyond the retention window kept")
+    assert(!versionDirs.contains("v9_orphan"), "crashed-attempt orphan not collected")
+    assert(versionDirs.size === 2) // epochs 1 and 2
+    assert(state(sink) === Map("k" -> 2))
+  }
+
   test("crash before manifest commit leaves prior state intact (orphaned staging ignored)") {
     val dir = tmpDir("ks-crash")
     val sink = new KeyedParquetSink(dir, "data_key", numBuckets = 8)

@@ -81,6 +81,46 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(custom === builtin)
   }
 
+  test("sessionization: out-of-order bridge event merges a provisional split (ADVICE r2)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // gap 5 min. Batch 1 opens [00:00, 00:01]; batch 2's 00:10 event is a
+    // SPLIT (>. end+gap) — the old eager-emit code closed the first session
+    // here; batch 3 delivers 00:05:30, out of order but above the watermark
+    // (wm = 00:10 - 5min = 00:05), which bridges BOTH sessions into one.
+    val input = MemoryStream[SessionEvent]
+    val out = Sessionize.sessions(input.toDS(), gapMs = 5 * 60 * 1000)
+    val q = out.writeStream.format("memory").queryName("fmgws_bridge")
+      .outputMode("append").start()
+    try {
+      input.addData(SessionEvent(1L, ts("2024-01-01 00:00:00")),
+        SessionEvent(1L, ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      input.addData(SessionEvent(1L, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      input.addData(SessionEvent(1L, ts("2024-01-01 00:05:30")))
+      q.processAllAvailable()
+      // advance the watermark far past end+gap so the merged session seals
+      input.addData(SessionEvent(9L, ts("2024-01-01 06:00:00")))
+      q.processAllAvailable()
+      input.addData(SessionEvent(9L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val custom = s.table("fmgws_bridge").filter(col("user_id") === 1L)
+      .collect().map(r => (r.getLong(0),
+        r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3))).toSet
+    // the built-in session_window over the same four events: ONE session
+    val builtin = Sessionize.sessionsBuiltin(
+      Seq((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:01:00")),
+        (1L, ts("2024-01-01 00:10:00")), (1L, ts("2024-01-01 00:05:30")))
+        .toDF("user_id", "ts"), "ts", "user_id", "5 minutes")
+      .collect().map(r => (r.getLong(0),
+        r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3))).toSet
+    assert(builtin === Set((1L, "2024-01-01 00:00:00.0", "2024-01-01 00:15:00.0", 4L)))
+    assert(custom === builtin)
+  }
+
   test("built-in session_window aggregation runs STREAMING in append mode (bounded state)") {
     val s = spark
     import s.implicits._
