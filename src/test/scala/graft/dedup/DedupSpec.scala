@@ -27,6 +27,20 @@ class DedupSpec extends SparkSpec {
     assert(dups.forall(_.getAs[Long]("canonical_id") < 3)) // min-id canonical
   }
 
+  test("shingled: repartition gate fires for narrow inputs, adds nothing for wide ones") {
+    val par = spark.sparkContext.defaultParallelism
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "RoundRobinPartitioning".r.findAllIn(
+        df.queryExecution.executedPlan.toString).length
+    // single-split fixture: the gate inserts the spreading repartition
+    val raw = Dedup.shingled(docs, "doc_id", "text", 3)
+    assert(raw.rdd.getNumPartitions === par)
+    assert(exchanges(raw) === 1)
+    // already-parallel input: exactly the input's own exchange, none added
+    val wide = Dedup.shingled(docs.repartition(par), "doc_id", "text", 3)
+    assert(exchanges(wide) === 1)
+  }
+
   test("jaccardPairs: handcrafted known-similarity pairs") {
     val s = spark
     import s.implicits._

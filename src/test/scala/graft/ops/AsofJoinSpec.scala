@@ -35,6 +35,47 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(4L) === None)        // no quotes for C -> null carry
   }
 
+  test("asofBucketed: law-equal to asof over bucketed tables, with ZERO shuffles") {
+    val s = spark
+    import s.implicits._
+    val wh = tmpDir("asof-wh")
+    // orders-shaped left / events-shaped right, co-bucketed on user_id.
+    // 600 orders x 40 users, 900 events; user 9999 has orders but no events.
+    val orders = (1 to 600).map { i =>
+      ((i % 40).toLong + (if (i % 97 == 0) 9999L else 0L), i.toLong,
+        ts(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00"))
+    }.toDF("user_id", "o_id", "ots")
+    val events = (1 to 900).map { i =>
+      ((i % 40).toLong, 1000L + i,
+        ts(f"2024-01-01 ${(i * 7) % 24}%02d:${(i * 13) % 60}%02d:${i % 60}%02d"),
+        s"type${i % 5}")
+    }.toDF("user_id", "event_id", "ets", "event_type")
+    try {
+      orders.write.bucketBy(8, "user_id").sortBy("user_id", "ots")
+        .option("path", s"$wh/orders_ab").saveAsTable("orders_ab")
+      events.write.bucketBy(8, "user_id").sortBy("user_id", "ets")
+        .option("path", s"$wh/events_ab").saveAsTable("events_ab")
+
+      val fused = AsofJoin.asofBucketed(s, "orders_ab", "events_ab",
+        ("user_id", "user_id"), ("ots", "ets"), "event_id", Seq("event_type"))
+      // zero-exchange: no shuffle anywhere in the fused RDD lineage
+      assert(!fused.rdd.toDebugString.contains("ShuffledRDD"))
+      val got = fused.collect()
+        .map(r => r.getAs[Long]("o_id") -> Option(r.getAs[String]("event_type"))).toMap
+
+      val expected = AsofJoin.asof(orders, events,
+        ("user_id", "user_id"), ("ots", "ets"), "event_id", Seq("event_type"))
+        .collect()
+        .map(r => r.getAs[Long]("o_id") -> Option(r.getAs[String]("event_type"))).toMap
+      assert(got.size === 600)
+      assert(got === expected)
+      assert(got.exists(_._2.isEmpty), "no-match orders should carry nulls")
+    } finally {
+      s.sql("DROP TABLE IF EXISTS orders_ab")
+      s.sql("DROP TABLE IF EXISTS events_ab")
+    }
+  }
+
   test("left columns survive untouched and row count is preserved") {
     val s = spark
     import s.implicits._
