@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -55,6 +55,38 @@ object VectorMath {
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  // ----------------------------------------------------------- shingles ----
+
+  /** Distinct word n-gram shingles of a token array, first-occurrence order
+    * — semantics identical to
+    * `array_distinct(transform(sequence(0, size-n), i -> concat_ws(" ", ...)))`
+    * (the HOF composition it replaces: higher-order functions run
+    * interpreted with a per-element lambda dispatch, which profiled as the
+    * dominant cost of the Jaccard dedup family — this kernel is one static
+    * call per row inside whole-stage codegen). Null tokens are skipped by
+    * the joiner exactly like `concat_ws`. Returns empty for arrays shorter
+    * than n. */
+  def wordShingles(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements() - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](tokens.numElements())
+    var i = 0
+    while (i < toks.length) {
+      toks(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String](cnt * 2)
+    val window = new Array[UTF8String](n)
+    i = 0
+    while (i < cnt) {
+      var j = 0
+      while (j < n) { window(j) = toks(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(UTF8String.SPACE_UTF8, window: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
   // ------------------------------------------------------------ simhash ----

@@ -76,6 +76,28 @@ case class MinHashSig(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** word_shingles(array<string>, n) -> array<string> — distinct word n-gram
+  * shingles, first-occurrence order (the Jaccard dedup family's hot path:
+  * the equivalent transform/concat_ws HOF composition runs interpreted and
+  * profiled as ~3/4 of q25's runtime). */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, s"shingle width must be positive, got $n")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType match { case ArrayType(StringType, _) => true; case _ => false }) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+  override protected def nullSafeEval(tokens: Any): Any =
+    VectorMath.wordShingles(tokens.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorMath.wordShingles($a, $n)")
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
 /** sign_bucket(array<float>, planes) -> int — random-hyperplane LSH bucket. */
 case class SignBucket(child: Expression, planes: Int)
     extends UnaryExpression {
@@ -116,7 +138,8 @@ object GraftFunctions {
     "graft_cosine"      -> { args => CosineSim(args(0), args(1)) },
     "graft_simhash64"   -> { args => SimHash64(args(0)) },
     "graft_minhash_sig" -> { args => MinHashSig(args(0), intArg(args(1), "k")) },
-    "graft_sign_bucket" -> { args => SignBucket(args(0), intArg(args(1), "planes")) })
+    "graft_sign_bucket" -> { args => SignBucket(args(0), intArg(args(1), "planes")) },
+    "graft_word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "n")) })
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -135,6 +158,10 @@ object GraftFunctions {
   def signBucket(vec: Column, planes: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("graft_sign_bucket", vec, lit(planes))
+  }
+  def wordShingles(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_word_shingles", tokens, lit(n))
   }
 }
 

@@ -38,6 +38,11 @@ object SqlSurface {
       .head().getInt(0)
     assert(bucket >= 0 && bucket < 64)
 
+    val sh3 = spark.sql(
+      "SELECT graft_word_shingles(array('a','b','c','d'), 3) AS s").head()
+      .getSeq[String](0)
+    assert(sh3 == Seq("a b c", "b c d"), s"shingles = $sh3")
+
     // registered functions are visible in the catalog listing
     val listed = spark.sql("SHOW FUNCTIONS LIKE 'graft*'").count()
     println(s"[sql-surface] graft functions listed=$listed cosine=$cos simhash=$sh PASS")

@@ -80,11 +80,34 @@ class ExpressionsSpec extends SparkSpec {
     assert(math.abs(agree - 80.0 / 120.0) < 0.08, s"minhash agreement $agree vs expected 0.667")
   }
 
+  test("graft_word_shingles: equals the HOF composition it replaces (law)") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.ensureRegistered(s)
+    // real corpus text + handcrafted edges: repeats (distinct-ness), exact
+    // n-length input, order of first occurrence
+    val texts = Seq(
+      "a b c d e", "x y z", "a b a b a b a b", "one two three",
+      "the the the the") ++
+      graft.Tables.documents(s, "/root/testdata/sf0.001")
+        .select("text").limit(50).collect().map(_.getString(0))
+    val toks = texts.toDF("text")
+      .select(graft.text.TextOps.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+    val native = toks.select(graft.dedup.Dedup.shingles(col("w"), 3).as("s")).collect()
+      .map(_.getSeq[String](0))
+    val hof = toks.select(graft.dedup.Dedup.shinglesHof(col("w"), 3).as("s")).collect()
+      .map(_.getSeq[String](0))
+    assert(native.length === hof.length)
+    native.zip(hof).foreach { case (n, h) => assert(n === h) } // order included
+  }
+
   test("expressions evaluate identically with codegen disabled (interpreted path)") {
     val s = spark
     val withCodegen = df.select(
       GraftFunctions.simhash64(col("toks")).as("fp"),
       GraftFunctions.minhashSig(col("toks"), 8).as("sig"),
+      GraftFunctions.wordShingles(col("toks"), 2).as("sh"),
       GraftFunctions.cosine(col("vec"), col("vec")).as("cos")).collect()
     s.conf.set("spark.sql.codegen.wholeStage", "false")
     s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
@@ -92,6 +115,7 @@ class ExpressionsSpec extends SparkSpec {
       val interpreted = df.select(
         GraftFunctions.simhash64(col("toks")).as("fp"),
         GraftFunctions.minhashSig(col("toks"), 8).as("sig"),
+        GraftFunctions.wordShingles(col("toks"), 2).as("sh"),
         GraftFunctions.cosine(col("vec"), col("vec")).as("cos")).collect()
       assert(withCodegen.map(_.toString).toSeq === interpreted.map(_.toString).toSeq)
     } finally {
