@@ -1,0 +1,79 @@
+package graft.curation
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators for training-data assembly: deterministic
+ * stratified sampling (dataset mixing rates), vocabulary building, and
+ * sequence packing. All three are single-shuffle-or-less dataflows chosen
+ * for the 100 TB regime — sampling is a narrow filter, vocabulary is one
+ * map-side-combinable aggregate, packing windows inside bounded shards
+ * (never a global sort).
+ */
+object Curation {
+
+  /** Deterministic [0,100) percent bucket of an id: first 8 hex digits of
+    * md5 — reproducible across runs/engines (the oracle recomputes it in
+    * SQL), uncorrelated with id order, unlike `rand()`-based `sampleBy`
+    * which cannot be replayed or audited. */
+  def hashPct(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
+  /**
+   * Stratified sampling by deterministic hash: keep a row of stratum s iff
+   * hashPct(id) < 100*fraction(s). The production shape for dataset mixing
+   * (e.g. downsample web crawl, keep all books): a NARROW filter — no
+   * shuffle, no state, trivially reproducible, and exact-per-row auditable
+   * (a row's fate never depends on partitioning or visit order, the flaws
+   * of `DataFrame.sampleBy` for curation pipelines).
+   */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double], defaultFraction: Double): DataFrame = {
+    val pctCap = fractions.foldLeft(lit((defaultFraction * 100).toInt)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit((f * 100).toInt)).otherwise(acc)
+    }
+    df.filter(hashPct(col(idCol)) < pctCap)
+  }
+
+  /** Vocabulary building: global token frequencies, top `k` by (count desc,
+    * token asc — total order, so top-k is deterministic). One explode + one
+    * map-side-combinable aggregate + a TakeOrdered of k rows: the classic
+    * word-count plan, shuffle carries only partial counts. */
+  def tokenFrequency(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /**
+   * Sequence packing for pretraining batches: assign documents to
+   * fixed-token-budget bins. Documents are sharded by id range
+   * (`shardSize` docs per shard) and packed contiguously within each shard
+   * by running token count — bin = (shard, floor(exclusive-prefix-sum /
+   * budget)). Deliberately NOT a single global cumulative sum: a global
+   * unpartitioned window forces every row through one task, the textbook
+   * scale cliff; per-shard packing is embarrassingly parallel, and packing
+   * quality only needs locality, not a global order (each shard wastes at
+   * most one partial bin). Deterministic: ordering inside a shard is by id.
+   */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long, shardSize: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol),
+        expr(s"$idCol div $shardSize").as("shard"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("shard"),
+        expr(s"prior div $budgetTokens").as("bin_in_shard"), col("n_tokens"))
+      .groupBy(col("shard"), col("bin_in_shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+}

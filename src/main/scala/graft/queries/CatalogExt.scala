@@ -307,6 +307,26 @@ object CatalogExt {
         aggregate(zip_with(col("qs"), reverse(col("qs")), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x).as("rev_dot"))
 
+  /** Deterministic stratified sampling (dataset mixing): keep 50% of 'en',
+    * 20% of 'de', 10% of everything else, by md5-hash percent of doc_id —
+    * reproducible and auditable, unlike rand()-based sampleBy. */
+  def q50StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.stratifiedSample(
+      Tables.documents(s, dir), "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.2), defaultFraction = 0.1)
+      .select(col("doc_id"), col("lang"))
+
+  /** Vocabulary building: global token frequencies, deterministic top-100. */
+  def q51TokenFreq(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.tokenFrequency(Tables.documents(s, dir), "text", k = 100)
+
+  /** Sequence packing: per-shard fixed-budget bin assignment (512 tokens,
+    * 100-doc shards at this scale so the fixture exercises many shards). */
+  def q52Packing(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.packSequences(
+      Tables.documents(s, dir), "doc_id", "text",
+      budgetTokens = 512L, shardSize = 100L)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -337,6 +357,9 @@ object CatalogExt {
     "q47_set_ops_all"    -> q47SetOpsAll _,
     "q48_array_hofs"     -> q48ArrayHofs _,
     "q49_embed_neardup_lsh" -> q49EmbedNearDupLsh _,
+    "q50_stratified_sample" -> q50StratifiedSample _,
+    "q51_token_freq"     -> q51TokenFreq _,
+    "q52_packing"        -> q52Packing _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -103,6 +103,32 @@ object OraclesExt {
 
     "q49_embed_neardup_lsh" -> embedLshSql,
 
+    // md5 hex is identical in both engines; ('0x'||hex)::BIGINT == Spark's
+    // conv(hex,16,10) for the 8-digit prefix (fits in a long)
+    "q50_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+        |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 20 ELSE 10 END""".stripMargin,
+
+    "q51_token_freq" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
+
+    "q52_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id // 100 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+        |  FROM t)
+        |SELECT shard, prior // 512 AS bin_in_shard,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
     "q31_multimodal" ->
       """SELECT doc_id AS asset_id,
         |  'application/x-graft-' || source AS mime,

@@ -1,0 +1,66 @@
+package graft.curation
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Curation operator contracts: reproducible sampling, exact vocabulary
+  * counts, and the per-shard packing invariants. */
+class CurationSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("stratifiedSample: deterministic, rate-accurate, narrow (no shuffle)") {
+    val fractions = Map("en" -> 0.5, "de" -> 0.2)
+    def run() = Curation.stratifiedSample(docs, "lang", "doc_id", fractions, 0.1)
+    val a = run().collect().map(_.getAs[Long]("doc_id")).toSet
+    val b = run().collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(a === b, "same input must sample identically across runs")
+    // rates: binomial(n, p) within generous tolerance per stratum
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = run().groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, n) =>
+      val p = fractions.getOrElse(lang, 0.1)
+      val rate = kept.getOrElse(lang, 0L).toDouble / n
+      assert(math.abs(rate - p) < 0.12, s"$lang: kept rate $rate vs target $p (n=$n)")
+    }
+    // a pure filter: zero exchanges in the plan
+    assert(!run().queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("tokenFrequency: exact counts and deterministic top-k tiebreak") {
+    val s = spark
+    import s.implicits._
+    val d = Seq("b a a", "c b a", "c b").toDF("text")
+    val out = Curation.tokenFrequency(d, "text", k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // a and b both occur 3 times; token asc breaks the tie
+    assert(out.toSeq === Seq(("a", 3L), ("b", 3L)))
+  }
+
+  test("packSequences: contiguous per-shard bins, totals preserved") {
+    val s = spark
+    import s.implicits._
+    // shard 0 (ids 0-2): 300+300+300 tokens at budget 512 -> bins [0,0,1]
+    // shard 1 (ids 100-101): 600+1 -> bins [0,1] (big doc fills bin 0)
+    def text(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val d = Seq(
+      0L -> text(300), 1L -> text(300), 2L -> text(300),
+      100L -> text(600), 101L -> text(1)
+    ).toDF("doc_id", "text")
+    val out = Curation.packSequences(d, "doc_id", "text", budgetTokens = 512L,
+      shardSize = 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(
+      (0L, 0L) -> (2L, 600L), (0L, 1L) -> (1L, 300L),
+      (1L, 0L) -> (1L, 600L), (1L, 1L) -> (1L, 1L)))
+    // invariant on the real corpus: token totals and doc counts preserved
+    val packed = Curation.packSequences(docs, "doc_id", "text", 512L, 100L)
+    val agg = packed.agg(sum("n_docs"), sum("n_tokens")).head()
+    val src = docs.select(size(graft.text.TextOps.tokens(col("text")))
+      .cast("long").as("t")).agg(count(lit(1)), sum("t")).head()
+    assert(agg.getLong(0) === src.getLong(0))
+    assert(agg.getLong(1) === src.getLong(1))
+  }
+}
