@@ -121,6 +121,41 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(custom === builtin)
   }
 
+  test("transformWithState sessionization (Spark 4 API) matches flatMapGroupsWithState") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // transformWithState requires the RocksDB state store
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[SessionEvent]
+      val out = Sessionize.sessionsTws(input.toDS(), gapMs = 5 * 60 * 1000)
+      val q = out.writeStream.format("memory").queryName("tws_test")
+        .outputMode("append").start()
+      try {
+        // the same out-of-order bridge scenario the fmgws spec drives
+        input.addData(SessionEvent(1L, ts("2024-01-01 00:00:00")),
+          SessionEvent(1L, ts("2024-01-01 00:01:00")))
+        q.processAllAvailable()
+        input.addData(SessionEvent(1L, ts("2024-01-01 00:10:00")))
+        q.processAllAvailable()
+        input.addData(SessionEvent(1L, ts("2024-01-01 00:05:30")))
+        q.processAllAvailable()
+        input.addData(SessionEvent(9L, ts("2024-01-01 06:00:00")))
+        q.processAllAvailable()
+        input.addData(SessionEvent(9L, ts("2024-01-01 12:00:00")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = s.table("tws_test").filter(col("user_id") === 1L)
+        .collect().map(r => (r.getLong(0),
+          r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3))).toSet
+      assert(rows === Set((1L, "2024-01-01 00:00:00.0", "2024-01-01 00:15:00.0", 4L)))
+    } finally prior.fold(s.conf.unset(providerKey))(s.conf.set(providerKey, _))
+  }
+
   test("built-in session_window aggregation runs STREAMING in append mode (bounded state)") {
     val s = spark
     import s.implicits._
