@@ -41,13 +41,18 @@ object DocsPipeline {
   }
 
   /** Quality gate + exact dedup, streaming-legal (state bounded by the
-    * watermark on ingest time). */
-  def curate(docs: DataFrame, minQuality: Double, lateness: String = "10 minutes"): DataFrame =
-    withQuality(docs)
-      .filter(col("quality_score") >= minQuality)
+    * watermark on ingest time). The gate carries an `observe` node
+    * ("quality_gate": rows seen + rows dropped), so drop rates surface per
+    * micro-batch in `StreamingQueryProgress.observedMetrics` — and through
+    * [[graft.ops.StageLogger.attach]] in batch — at zero extra passes. */
+  def curate(docs: DataFrame, minQuality: Double, lateness: String = "10 minutes"): DataFrame = {
+    val keep = col("quality_score") >= minQuality
+    graft.ops.Metrics.observeGate(withQuality(docs), "quality_gate", keep)
+      .filter(keep)
       .withColumn("content_hash", md5(TextOps.normalize(col("text"))))
       .withWatermark("ingest_ts", lateness)
       .dropDuplicatesWithinWatermark("content_hash")
+  }
 
   /** Streaming terminal: curated docs -> keyed idempotent sink. */
   def runToKeyedSink(

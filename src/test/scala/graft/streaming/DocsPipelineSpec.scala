@@ -27,6 +27,14 @@ class DocsPipelineSpec extends SparkSpec {
         (2L, "x", ts("2024-01-01 00:00:01")), // junk: fails the gate
         (3L, goodText + "  ", ts("2024-01-01 00:00:02"))) // dup after normalize
       q.processAllAvailable()
+      // the gate's observe node reports per-batch drop rates in progress
+      // (the dedup state op appends an empty watermark-advance batch, so
+      // find the data-carrying one rather than taking the last)
+      val gate = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("quality_gate"))).find(_.getAs[Long]("rows") > 0L)
+      assert(gate.isDefined, "quality_gate metrics missing from progress")
+      assert(gate.get.getAs[Long]("rows") === 3L)
+      assert(gate.get.getAs[Long]("dropped") === 1L)
     } finally q.stop()
     val ids = s.table("docs_curate").select("doc_id").as[Long].collect().toSet
     assert(ids.size === 1, s"expected one curated doc, got $ids")
