@@ -271,6 +271,57 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ---------------------------------------------------------- clustering ----
+
+  /**
+   * Connected components over a near-dup pair list: labels every document
+   * appearing in `pairs` with the SMALLEST doc id reachable through the
+   * near-dup relation — the step that turns pairwise matches into dedup
+   * GROUPS with a canonical representative (keep `id == component`, drop
+   * the rest).
+   *
+   * Pregel-style min-label propagation: each round, every node takes the
+   * min of its own label and its neighbors' labels; fixpoint after
+   * `diameter` rounds. Near-dup graphs are shallow (hub-and-spoke around a
+   * template document), so a handful of rounds suffices; `maxIter` bounds
+   * pathological chains. Scale shape per round: one join on the node id +
+   * one map-side-combinable min — all distributed; the driver loop carries
+   * only the changed-label COUNT (convergence test), never data. Lineage is
+   * truncated every round with `localCheckpoint` so the plan doesn't grow with
+   * iterations (swap for reliable `checkpoint` against a checkpoint dir on
+   * a real cluster).
+   */
+  def connectedComponents(pairs: DataFrame,
+      aCol: String = "a_id", bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("vid"), col("component").as("vlabel")),
+          col("v") === col("vid"))
+        .groupBy(col("u"))
+        .agg(min(col("vlabel")).as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, col("id") === col("u"), "left")
+        .select(col("id"), col("component"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("next_component"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("next_component") =!= col("component")).count()
+      labels = updated.select(col("id"), col("next_component").as("component"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   // ----------------------------------------------------------- embedding ----
 
   /** Embedding-cosine near-dup pairs, brute force: the CORRECTNESS BASELINE

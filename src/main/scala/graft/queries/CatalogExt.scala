@@ -327,6 +327,13 @@ object CatalogExt {
       Tables.documents(s, dir), "doc_id", "text",
       budgetTokens = 512L, shardSize = 100L)
 
+  /** Near-dup CLUSTERS: connected components over the exact Jaccard pairs,
+    * labeling each involved doc with its component's smallest doc id (the
+    * canonical representative) — pairwise matches become dedup groups. */
+  def q53DedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.jaccardPairsAuto(Tables.documents(s, dir), "doc_id", "text"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -360,6 +367,7 @@ object CatalogExt {
     "q50_stratified_sample" -> q50StratifiedSample _,
     "q51_token_freq"     -> q51TokenFreq _,
     "q52_packing"        -> q52Packing _,
+    "q53_dedup_clusters" -> q53DedupClusters _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -105,6 +105,8 @@ object OraclesExt {
 
     // md5 hex is identical in both engines; ('0x'||hex)::BIGINT == Spark's
     // conv(hex,16,10) for the 8-digit prefix (fits in a long)
+    "q53_dedup_clusters" -> clustersSql,
+
     "q50_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
@@ -362,6 +364,22 @@ object OraclesExt {
        |  FROM cand c JOIN e x ON x.vec_id = c.a_id JOIN e y ON y.vec_id = c.b_id)
        |WHERE cosine >= 0.45""".stripMargin
   }
+
+  /** q53's mirror: transitive closure over the Jaccard near-dup relation by
+    * recursive CTE — each node's component is the least id it can reach
+    * (edges made bidirectional first, so reachability = connectivity). The
+    * engine computes the same fixpoint by distributed min-label
+    * propagation; both are deterministic, so the results hash-compare. */
+  private lazy val clustersSql: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT a_id AS u, b_id AS v FROM ($jaccardSql) p
+       |  UNION
+       |  SELECT b_id AS u, a_id AS v FROM ($jaccardSql) p2),
+       |reach AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
+       |SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u""".stripMargin
 
   private lazy val jaccardSql: String =
     """WITH t AS (

@@ -119,6 +119,31 @@ class DedupSpec extends SparkSpec {
     assert(again === sim)
   }
 
+  test("connectedComponents: min-label fixpoint on handcrafted graphs + fixture pairs") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3, isolated pair 10-11, chain 20-21-22-23 (3 hops)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    // fixture: every doc in a pair gets a component; components are closed
+    // under the pair relation and led by their smallest member
+    val fp = Dedup.jaccardPairs(docs, "doc_id", "text")
+    val comp = Dedup.connectedComponents(fp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fpPairs = fp.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fpPairs.nonEmpty)
+    fpPairs.foreach { case (a, b) =>
+      assert(comp(a) === comp(b), s"pair ($a,$b) split across components")
+    }
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(label === members.keys.min, s"component $label not led by min id")
+    }
+  }
+
   test("embeddingNearDupPairsLsh: sound + pigeonhole-complete vs brute force (law)") {
     val emb = Tables.embeddings(spark, sfDir)
     val brute = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.45).collect()
