@@ -334,6 +334,23 @@ object CatalogExt {
     Dedup.connectedComponents(
       Dedup.jaccardPairsAuto(Tables.documents(s, dir), "doc_id", "text"))
 
+  /** Repeated-n-gram ratio (the Gopher/RefinedWeb repetition quality
+    * signal): share of a doc's word 3-grams that are duplicates of an
+    * earlier one — high values flag boilerplate/spam. Narrow projection on
+    * the native shingle kernel; no shuffle. */
+  def q54RepNgrams(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val toks = TextOps.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        greatest(size(toks) - 2, lit(0)).cast("long").as("n_ngrams"),
+        size(Dedup.shingles(toks, 3)).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_ngrams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -368,6 +385,7 @@ object CatalogExt {
     "q51_token_freq"     -> q51TokenFreq _,
     "q52_packing"        -> q52Packing _,
     "q53_dedup_clusters" -> q53DedupClusters _,
+    "q54_rep_ngrams"     -> q54RepNgrams _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -107,6 +107,20 @@ object OraclesExt {
     // conv(hex,16,10) for the 8-digit prefix (fits in a long)
     "q53_dedup_clusters" -> clustersSql,
 
+    // shingles(w,3) has one entry per DISTINCT 3-gram; empty (size 0) when
+    // len(w) < 3 — mirrored by the range() comprehension being empty
+    "q54_rep_ngrams" ->
+      """SELECT doc_id,
+        |  CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_ngrams,
+        |  CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                          for i in range(1, len(w) - 1)])) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(w) - 2 > 0 THEN
+        |    1.0 - CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                  for i in range(1, len(w) - 1)])) AS DOUBLE)
+        |          / CAST(len(w) - 2 AS DOUBLE)
+        |  ELSE 0.0 END AS rep_ratio
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin,
+
     "q50_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
