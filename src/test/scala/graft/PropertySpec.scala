@@ -99,6 +99,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("law: WordShingles(kernel) = array_distinct∘transform(HOF) on random token arrays") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    // small vocab forces repeats (distinct-ness matters); lengths straddle n
+    val genToks = for {
+      len <- Gen.chooseNum(0, 24)
+      toks <- Gen.listOfN(len, Gen.oneOf("a", "bb", "ccc", "d", "", "ée"))
+    } yield toks
+    val cases = sample(genToks, 150)
+    Seq(1, 2, 3, 5).foreach { n =>
+      val df = cases.toDF("w")
+      // the HOF form is only defined for size >= n (sequence(0, negative)
+      // descends and element_at(_, 0) throws under ANSI) — shingled()
+      // guards it with the same filter in production
+      val valid = df.filter(size(col("w")) >= n).select(
+        graft.dedup.Dedup.shingles(col("w"), n).as("native"),
+        graft.dedup.Dedup.shinglesHof(col("w"), n).as("hof")).collect()
+      assert(valid.nonEmpty)
+      valid.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1), s"n=$n"))
+      // the kernel itself totalizes: empty output for too-short inputs
+      val short = df.filter(size(col("w")) < n)
+        .select(graft.dedup.Dedup.shingles(col("w"), n).as("native")).collect()
+      short.foreach(r => assert(r.getSeq[String](0) === Seq.empty, s"n=$n short"))
+    }
+  }
+
   test("law: rolling fingerprint is a homomorphism: h(a++b) = (h(a)*31^|b| + h(b)) mod p") {
     val s = spark
     import s.implicits._
