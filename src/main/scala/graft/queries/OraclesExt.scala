@@ -206,9 +206,12 @@ object OraclesExt {
         |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
+    // floor(), not a bare BIGINT cast: DuckDB's double->int cast ROUNDS the
+    // sub-second fraction while Spark's unix_timestamp truncates — invisible
+    // at sf0.01, caught at sf0.1 where two events straddled a window edge
     "q44_range_window" ->
       """SELECT event_id, user_id,
-        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS n_last_hour
         |FROM events""".stripMargin,
