@@ -209,4 +209,25 @@ final class KeyedParquetSink(path: String, keyCol: String, numBuckets: Int = 64,
     if (versions.isEmpty) None
     else Some(spark.read.parquet(versions.map { case (b, v) => bucketDataDir(b, v).toString }.toSeq: _*))
   }
+
+  /** Epochs readable right now, oldest first — bounded by `retainManifests`
+    * (GC keeps every version the retained manifests reference). */
+  def readableEpochs(spark: SparkSession): Seq[Long] =
+    listManifests(fs(spark)).map(_.getName.stripSuffix(".json").toLong)
+
+  /** Time travel within the retention window: the keyed state exactly as of
+    * the commit of `epochId` — the table-format read pattern the retention
+    * GC exists to serve (a reader resolving an older retained manifest must
+    * find every version dir it references still on disk). */
+  def readAt(spark: SparkSession, epochId: Long): Option[DataFrame] = {
+    val hfs = fs(spark)
+    val p = manifestPath(epochId)
+    if (!hfs.exists(p)) None
+    else {
+      val versions = readManifest(hfs, p)
+      if (versions.isEmpty) None
+      else Some(spark.read.parquet(
+        versions.map { case (b, v) => bucketDataDir(b, v).toString }.toSeq: _*))
+    }
+  }
 }

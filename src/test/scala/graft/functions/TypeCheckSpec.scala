@@ -29,6 +29,17 @@ class TypeCheckSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_simhash64"))
   }
 
+  test("graft_word_shingles rejects non-string arrays and non-positive widths") {
+    val e = intercept[AnalysisException] {
+      df.select(GraftFunctions.wordShingles(col("dvec"), 3)).collect()
+    }
+    assert(e.getMessage.contains("graft_word_shingles"))
+    val bad = intercept[Exception] {
+      df.select(GraftFunctions.wordShingles(col("toks"), 0)).collect()
+    }
+    assert(bad.getMessage.contains("positive"))
+  }
+
   test("graft_minhash_sig requires a literal k") {
     val e = intercept[Exception] {
       df.select(call_function("graft_minhash_sig", col("toks"), col("dvec"))).collect()

@@ -92,6 +92,26 @@ class KeyedSinkSpec extends SparkSpec {
     assert(state(sink) === Map("k" -> 2))
   }
 
+  test("readAt: time travel inside the retention window, None outside it") {
+    val sink = new KeyedParquetSink(tmpDir("ks-tt"), "data_key", numBuckets = 4)
+    sink.upsert(df("a" -> 1), epochId = 0)
+    sink.upsert(df("a" -> 2, "b" -> 9), epochId = 1)
+    assert(sink.readableEpochs(spark) === Seq(0L, 1L))
+    // previous commit's state is fully readable (retention GC guarantees
+    // its version dirs survive)
+    val at0 = sink.readAt(spark, 0L).get.collect()
+      .map(r => r.getAs[String]("data_key") -> r.getAs[Int]("v")).toMap
+    assert(at0 === Map("a" -> 1))
+    assert(state(sink) === Map("a" -> 2, "b" -> 9))
+    // a third commit rolls epoch 0 out of the window
+    sink.upsert(df("c" -> 3), epochId = 2)
+    assert(sink.readableEpochs(spark) === Seq(1L, 2L))
+    assert(sink.readAt(spark, 0L).isEmpty)
+    val at1 = sink.readAt(spark, 1L).get.collect()
+      .map(r => r.getAs[String]("data_key") -> r.getAs[Int]("v")).toMap
+    assert(at1 === Map("a" -> 2, "b" -> 9))
+  }
+
   test("crash before manifest commit leaves prior state intact (orphaned staging ignored)") {
     val dir = tmpDir("ks-crash")
     val sink = new KeyedParquetSink(dir, "data_key", numBuckets = 8)
