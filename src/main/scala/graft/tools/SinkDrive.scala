@@ -19,18 +19,28 @@ object SinkDrive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // R2-parity wiring: every setup stage logs start/ok/failed and fails
+    // fast; completed actions emit one event per observed metric stage
+    val log = new graft.ops.StageLogger()
+    log.attach(spark)
     val work = java.nio.file.Files.createTempDirectory("sinkdrive").toString
     val srcDir = s"$work/src"; val sinkDir = s"$work/sink"; val ckpt = s"$work/ckpt"
     new java.io.File(srcDir).mkdirs()
 
     // epoch 0 data: the sf0.001 synthesized order events as text files
-    OrderSynth.rawJson(spark, "/root/testdata/sf0.001")
-      .coalesce(1).write.mode("overwrite").text(srcDir)
-    val rawStream = spark.readStream
-      .schema("value STRING")
-      .text(srcDir).toDF("value")
+    log.stage("synthesize_source") {
+      OrderSynth.rawJson(spark, "/root/testdata/sf0.001")
+        .coalesce(1).write.mode("overwrite").text(srcDir)
+    }
+    val rawStream = log.stage("build_stream") {
+      spark.readStream
+        .schema("value STRING")
+        .text(srcDir).toDF("value")
+    }
     val dim = OrderSynth.cityDim(spark, "/root/testdata/sf0.001")
-    val q = OrdersPipeline.runToKeyedSink(rawStream, dim, sinkDir, ckpt)
+    val q = log.stage("start_pipeline") {
+      OrdersPipeline.runToKeyedSink(rawStream, dim, sinkDir, ckpt)
+    }
     q.processAllAvailable()
 
     val sink = new KeyedParquetSink(sinkDir, "data_key")
