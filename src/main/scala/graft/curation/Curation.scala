@@ -31,9 +31,12 @@ object Curation {
    */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
       fractions: Map[String, Double], defaultFraction: Double): DataFrame = {
-    val pctCap = fractions.foldLeft(lit((defaultFraction * 100).toInt)) {
+    // compare against the fraction as a DOUBLE percent: an int conversion
+    // would truncate FP error (0.57*100 = 56.999... -> 56) and floor
+    // sub-percent rates to zero, silently emptying a stratum
+    val pctCap = fractions.foldLeft(lit(defaultFraction * 100.0)) {
       case (acc, (stratum, f)) =>
-        when(col(strataCol) === stratum, lit((f * 100).toInt)).otherwise(acc)
+        when(col(strataCol) === stratum, lit(f * 100.0)).otherwise(acc)
     }
     df.filter(hashPct(col(idCol)) < pctCap)
   }

@@ -28,7 +28,10 @@ object Dedup {
 
   /** Word n-gram shingles (distinct) of a token array — the native
     * [[graft.functions.WordShingles]] kernel (one codegen'd static call per
-    * row). [[shinglesHof]] is the built-in composition it is law-tested
+    * row). PRECONDITION: the session must have run
+    * [[graft.functions.GraftFunctions.ensureRegistered]] (every in-repo
+    * entry point — [[shingled]], the catalog queries — does).
+    * [[shinglesHof]] is the built-in composition it is law-tested
     * against. */
   def shingles(toks: Column, n: Int): Column = GraftFunctions.wordShingles(toks, n)
 
@@ -319,6 +322,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // no silent caps: returning a non-fixpoint labeling would be wrong
+    // data, not degraded data — fail loudly instead (deeper graphs need a
+    // larger maxIter; min-label propagation converges in diameter rounds)
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) - raise maxIter for this graph")
     labels
   }
 

@@ -106,7 +106,9 @@ object Similarity {
     // no per-row fan-out to |centroids| rows, no argmin sort — the top-n
     // centroids fall out of an in-row array_sort. Struct comparison is
     // lexicographic, so (-cos, cent_id) ascending == (cos desc, id asc),
-    // exactly the old row_number ordering.
+    // exactly the old row_number ordering. Ceiling: the collapsed row must
+    // fit a single Spark row (~2 GB) — fine for any sane coarse quantizer
+    // (even 2^16 centroids x 1k dims x 4 B ~ 256 MB).
     val centArr = cents
       .agg(sort_array(collect_list(struct(col("cent_id"), col("cent_v")))).as("__cents"))
     def assign(df: DataFrame, n: Int): DataFrame = df
@@ -126,7 +128,11 @@ object Similarity {
       .select(col("x_id").as("q_id"), col("x_v").as("q_v"), col("cent_id"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id").asc)
-    broadcast(probes).join(cells, "cent_id")
+    // no broadcast hint: for small probe sets Spark's size estimation picks
+    // the broadcast join on its own (measured: BHJ in PLANS.md), while a
+    // LARGE query set must be allowed to fall back to a shuffle join
+    // instead of being forced through the driver
+    probes.join(cells, "cent_id")
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         GraftFunctions.cosine(col("q_v"), col("c_v")).as("cosine"))

@@ -106,17 +106,23 @@ final class KeyedParquetSink(path: String, keyCol: String, numBuckets: Int = 64,
     val hfs = fs(spark)
     // High-water-mark replay guard: the newest manifest survives manifest GC,
     // so max committed epoch is always recoverable from the filenames even
-    // after per-epoch manifests are collected. epochId <= max means either a
-    // replay (skip silently — exactly-once effect) or a checkpoint rebuilt
-    // from scratch (ids restarting at 0) — re-applying those with
-    // incoming-wins would overwrite newer values, so warn and skip.
+    // after per-epoch manifests are collected. epochId <= max with a
+    // matching manifest is a genuine replay (skip silently — exactly-once
+    // effect; Spark only replays recent epochs, whose manifests the GC
+    // retains). WITHOUT a matching manifest it means the streaming
+    // checkpoint was rebuilt and epoch ids restarted — those batches carry
+    // NEW data, and skipping them would silently drop every batch until the
+    // counter climbed past the old high-water mark, so fail fast and make
+    // the operator point the query at a fresh sink path (or clear this one).
     val committed = listManifests(hfs)
     committed.lastOption.map(_.getName.stripSuffix(".json").toLong).foreach { maxEpoch =>
       if (epochId <= maxEpoch) {
         if (!hfs.exists(manifestPath(epochId)))
-          Console.err.println(
-            s"[keyed-sink] skipping epoch $epochId <= committed high-water $maxEpoch " +
-              "with no matching manifest - replay from a rebuilt checkpoint?")
+          throw new IllegalStateException(
+            s"epoch $epochId is at or below the committed high-water mark $maxEpoch " +
+              "but has no manifest - the streaming checkpoint was likely rebuilt " +
+              "(epoch ids restarted). Refusing to silently drop or re-apply data; " +
+              "point the query at a fresh sink path or remove this sink's state.")
         return
       }
     }

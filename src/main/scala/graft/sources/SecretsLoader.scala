@@ -35,9 +35,16 @@ object SecretsLoader {
     val trimmed = payload.trim
     require(trimmed.startsWith("{") && trimmed.endsWith("}"),
       "secret payload is not a JSON object")
-    def unescape(s: String) = s
-      .replace("\\\"", "\"").replace("\\\\", "\\")
-      .replace("\\n", "\n").replace("\\t", "\t")
+    // single-pass escape handling: sequential replace()s would corrupt a
+    // literal backslash followed by 'n'/'t' (e.g. a Windows path) by
+    // first unescaping \\ and then re-interpreting the exposed \n
+    def unescape(s: String) =
+      """\\(.)""".r.replaceAllIn(s, m =>
+        scala.util.matching.Regex.quoteReplacement(m.group(1) match {
+          case "n" => "\n"
+          case "t" => "\t"
+          case other => other // covers \" \\ \/ and passes unknowns through
+        }))
     entry.findAllMatchIn(trimmed).map { m =>
       val v = m.group(2)
       val value = if (v.startsWith("\"")) unescape(v.substring(1, v.length - 1)) else v

@@ -14,8 +14,11 @@ object ExplainQ {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, dir)
-    df.count() // materialize so AQE finalizes
-    println(df.queryExecution.executedPlan.toString)
+    // run THIS QueryExecution's own plan (count() would spawn a separate
+    // one and leave this AdaptiveSparkPlan un-finalized)
+    val plan = df.queryExecution.executedPlan
+    plan.execute().count()
+    println(plan.toString)
     spark.stop()
   }
 }

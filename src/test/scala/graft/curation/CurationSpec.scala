@@ -27,6 +27,17 @@ class CurationSpec extends SparkSpec {
     }
     // a pure filter: zero exchanges in the plan
     assert(!run().queryExecution.executedPlan.toString.contains("Exchange"))
+    // FP-hostile fractions survive: 0.57*100 is 56.999... in IEEE double —
+    // an int truncation would sample at 56% — and a small default rate
+    // (3%) must keep its strata populated rather than flooring toward zero
+    val fp = Curation.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 0.57), defaultFraction = 0.03)
+    val fpKept = fp.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val en = byLang("en").toDouble
+    assert(math.abs(fpKept("en") / en - 0.57) < 0.12)
+    assert(fpKept.exists { case (l, n) => l != "en" && n > 0 },
+      "small stratum rate must not floor to zero")
   }
 
   test("tokenFrequency: exact counts and deterministic top-k tiebreak") {

@@ -65,8 +65,11 @@ class KeyedSinkSpec extends SparkSpec {
     sink.upsert(df("k" -> 99), epochId = 1) // replay of a surviving manifest: skip
     assert(state(sink) === Map("k" -> 2))
     // epoch 0's manifest file is GONE — the old exists()-guard would have
-    // re-applied this and clobbered k=2 with incoming-wins (ADVICE r2)
-    sink.upsert(df("k" -> 99), epochId = 0)
+    // re-applied this and clobbered k=2 with incoming-wins (ADVICE r2);
+    // a silent skip would instead drop new data forever after a checkpoint
+    // rebuild, so the sink fails fast
+    val boom = intercept[IllegalStateException] { sink.upsert(df("k" -> 99), epochId = 0) }
+    assert(boom.getMessage.contains("high-water"))
     assert(state(sink) === Map("k" -> 2))
   }
 

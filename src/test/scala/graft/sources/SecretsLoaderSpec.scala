@@ -18,6 +18,14 @@ class SecretsLoaderSpec extends AnyFunSuite {
     assert(m("ssl") === "true")
   }
 
+  test("literal backslash before n/t survives unescaping (single-pass escapes)") {
+    // JSON for the literal value C:\data\new — sequential replace()s would
+    // turn the unescaped \n into a newline
+    val m = SecretsLoader.load("s")(_ => """{"path": "C:\\data\\new", "re": "a\\tb\\\\c"}""")
+    assert(m("path") === """C:\data\new""")
+    assert(m("re") === """a\tb\\c""")
+  }
+
   test("credentials() extracts the (user, pass) pair the source configs take") {
     val (u, p) = SecretsLoader.credentials("sec")(_ => payload)
     assert((u, p) === ("svc_reader", "p@ss\"word"))
