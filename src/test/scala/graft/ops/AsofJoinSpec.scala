@@ -76,6 +76,26 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("asofBucketed rejects unbucketed tables and mismatched bucket counts") {
+    val s = spark
+    import s.implicits._
+    val wh = tmpDir("asof-neg")
+    val d = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("k", "t")
+    try {
+      d.write.option("path", s"$wh/plain").saveAsTable("plain_t")
+      d.write.bucketBy(4, "k").option("path", s"$wh/b4").saveAsTable("b4_t")
+      d.write.bucketBy(8, "k").option("path", s"$wh/b8").saveAsTable("b8_t")
+      val e1 = intercept[IllegalArgumentException] {
+        AsofJoin.asofBucketed(s, "plain_t", "b4_t", ("k", "k"), ("t", "t"), "k", Seq("t"))
+      }
+      assert(e1.getMessage.contains("not a bucketed table"))
+      val e2 = intercept[IllegalArgumentException] {
+        AsofJoin.asofBucketed(s, "b4_t", "b8_t", ("k", "k"), ("t", "t"), "k", Seq("t"))
+      }
+      assert(e2.getMessage.contains("bucket counts differ"))
+    } finally Seq("plain_t", "b4_t", "b8_t").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("left columns survive untouched and row count is preserved") {
     val s = spark
     import s.implicits._
