@@ -9,14 +9,14 @@ class EsSinkSpec extends SparkSpec {
 
   test("options: reproduces the reference writer's es-hadoop option map exactly") {
     val cfg = EsSinkConfig(
-      nodes = "search-domain.example.internal",
+      nodes = "search-domain.example.com",
       port = 9243,
       user = Some("es_writer"),
       password = Some("s3cret"),
       resource = "bexley_orders",
       mappingId = "data_key")
     assert(cfg.options === Map(
-      "es.nodes" -> "search-domain.example.internal",
+      "es.nodes" -> "search-domain.example.com",
       "es.port" -> "9243",
       "es.net.http.auth.user" -> "es_writer",
       "es.net.http.auth.pass" -> "s3cret",
