@@ -388,10 +388,12 @@ object OraclesExt {
     * engine computes the same fixpoint by distributed min-label
     * propagation; both are deterministic, so the results hash-compare. */
   private lazy val clustersSql: String =
-    s"""WITH RECURSIVE e AS (
-       |  SELECT a_id AS u, b_id AS v FROM ($jaccardSql) p
+    s"""WITH RECURSIVE p AS MATERIALIZED (
+       |$jaccardSql),
+       |e AS (
+       |  SELECT a_id AS u, b_id AS v FROM p
        |  UNION
-       |  SELECT b_id AS u, a_id AS v FROM ($jaccardSql) p2),
+       |  SELECT b_id AS u, a_id AS v FROM p),
        |reach AS (
        |  SELECT u, v FROM e
        |  UNION
