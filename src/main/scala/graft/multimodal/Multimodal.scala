@@ -64,6 +64,36 @@ object Multimodal {
     }
   }
 
+  /**
+   * Resize shape demo: nearest-neighbor downsample of the payload to an
+   * outW x outH byte grid — sample position i reads byte
+   * floor(i * n_bytes / (outW*outH)) (stub for an image resampler: the
+   * binary-in/binary-out batch contract, payload-proportional output size,
+   * partition-local execution are all real; a real resizer swaps only the
+   * kernel). Emits the resized payload plus a checksum so the relational
+   * surface (q55) can verify the transform without shipping binary through
+   * the oracle compare.
+   */
+  def resizeStub(assets: Dataset[MMAsset], outW: Int, outH: Int): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val k = outW * outH
+    require(k > 0, "output dimensions must be positive")
+    assets.mapPartitions { batch =>
+      batch.map { a =>
+        val n = a.content.length
+        val out = new Array[Byte](if (n == 0) 0 else k)
+        var i = 0
+        while (i < out.length) {
+          out(i) = a.content(((i.toLong * n) / k).toInt)
+          i += 1
+        }
+        val checksum = out.iterator.map(b => (b & 0xff).toLong).sum
+        (a.asset_id, outW.toLong, outH.toLong, out, checksum)
+      }
+    }.toDF("asset_id", "out_w", "out_h", "resized", "checksum")
+  }
+
   /** Frame-sampling shape demo: pick every `stride`-th byte window as a
     * "frame" (stub for video frame extraction; same mapPartitions contract). */
   def sampleFrames(assets: Dataset[MMAsset], stride: Int): DataFrame = {

@@ -351,6 +351,15 @@ object CatalogExt {
           .otherwise(lit(0.0)))
   }
 
+  /** Multimodal resize plumbing: 8x8 nearest-neighbor byte grid per asset
+    * (scalar projection of [[Multimodal.resizeStub]] — the binary payload
+    * itself is spec-checked; the oracle verifies the transform through the
+    * sampled-byte checksum, exact on this ASCII corpus). */
+  def q55Resize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeStub(
+      Multimodal.assetsFromDocuments(Tables.documents(s, dir)), outW = 8, outH = 8)
+      .select(col("asset_id"), col("out_w"), col("out_h"), col("checksum"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -386,6 +395,7 @@ object CatalogExt {
     "q52_packing"        -> q52Packing _,
     "q53_dedup_clusters" -> q53DedupClusters _,
     "q54_rep_ngrams"     -> q54RepNgrams _,
+    "q55_resize"         -> q55Resize _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -107,6 +107,18 @@ object OraclesExt {
     // conv(hex,16,10) for the 8-digit prefix (fits in a long)
     "q53_dedup_clusters" -> clustersSql,
 
+    // nearest-neighbor byte sampling: position i reads byte (i*n)//64;
+    // ASCII corpus => byte == ord of the 1-based character (like q39)
+    "q55_resize" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, 64),
+        |      i -> CAST(ord(substr(text,
+        |             CAST((i * octet_length(encode(text))) // 64 AS INT) + 1, 1)) AS BIGINT))),
+        |    (acc, x) -> acc + x) AS BIGINT) AS checksum
+        |FROM documents""".stripMargin,
+
     // shingles(w,3) has one entry per DISTINCT 3-gram; empty (size 0) when
     // len(w) < 3 — mirrored by the range() comprehension being empty
     "q54_rep_ngrams" ->

@@ -34,6 +34,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeStub: fixed-size nearest-neighbor grid, checksum faithful, up+downsampling") {
+    val assets = Multimodal.assetsFromDocuments(Tables.documents(spark, sfDir))
+    val out = Multimodal.resizeStub(assets, outW = 8, outH = 8)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val resized = r.getAs[Array[Byte]]("resized")
+      assert(resized.length === 64) // every payload lands on the same grid
+      assert(r.getAs[Long]("checksum") ===
+        resized.iterator.map(b => (b & 0xff).toLong).sum)
+    }
+    // nearest-neighbor law against the source bytes for one asset
+    val a = assets.filter(col("asset_id") === 0).head()
+    val r0 = out.filter(col("asset_id") === 0).head().getAs[Array[Byte]]("resized")
+    (0 until 64).foreach { i =>
+      assert(r0(i) === a.content(((i.toLong * a.content.length) / 64).toInt))
+    }
+    // a payload SHORTER than the grid upsamples by repetition (never OOB)
+    val s = spark
+    import s.implicits._
+    val tiny = Seq(MMAsset(1L, "m", "ab".getBytes("UTF-8"), 2L)).toDS()
+    val up = Multimodal.resizeStub(tiny, 8, 8).head().getAs[Array[Byte]]("resized")
+    assert(up.length === 64)
+    assert(up.toSet.subsetOf("ab".getBytes("UTF-8").toSet))
+  }
+
   test("sampleFrames: one frame per stride offset, bytes faithful") {
     val s = spark
     import s.implicits._
