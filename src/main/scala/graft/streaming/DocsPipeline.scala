@@ -54,6 +54,29 @@ object DocsPipeline {
       .dropDuplicatesWithinWatermark("content_hash")
   }
 
+  /** [[curate]] with NEAR-dup suppression instead of exact: the dedup key
+    * is the 64-bit SimHash fingerprint of the normalized token BAG, so any
+    * reordering / re-wrapping / re-layout of the same tokens collides by
+    * construction (simhash is order-invariant — the exact content_hash
+    * would treat each permutation as new), and small token edits collide
+    * with high probability when the fingerprint's vote margins are wide.
+    * Same bounded-state watermark contract as [[curate]]. Fingerprint
+    * equality is the zero-hamming case; a stream needing hamming > 0 runs
+    * the batch pigeonhole pass ([[graft.dedup.Dedup.simhashPairs]]) over
+    * the sink as periodic compaction. */
+  def curateNearDup(docs: DataFrame, minQuality: Double,
+      lateness: String = "10 minutes"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val keep = col("quality_score") >= minQuality
+    graft.ops.Metrics.observeGate(withQuality(docs), "quality_gate", keep)
+      .filter(keep)
+      .withColumn("content_hash", md5(TextOps.normalize(col("text"))))
+      .withColumn("simhash",
+        graft.functions.GraftFunctions.simhash64(TextOps.tokens(TextOps.normalize(col("text")))))
+      .withWatermark("ingest_ts", lateness)
+      .dropDuplicatesWithinWatermark("simhash")
+  }
+
   /** Streaming terminal: curated docs -> keyed idempotent sink. */
   def runToKeyedSink(
       docs: DataFrame, minQuality: Double,

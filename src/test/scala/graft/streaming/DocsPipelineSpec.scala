@@ -41,6 +41,33 @@ class DocsPipelineSpec extends SparkSpec {
     assert(ids.subsetOf(Set(1L, 3L))) // one of the two identical docs survives
   }
 
+  test("curateNearDup: SimHash key collapses near-identical (not byte-equal) docs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val curated = DocsPipeline.curateNearDup(
+      input.toDF().toDF("doc_id", "text", "ingest_ts"), minQuality = 0.5)
+    val q = curated.writeStream.format("memory").queryName("docs_neardup")
+      .outputMode("append").start()
+    try {
+      // doc 2 is doc 1's token bag REORDERED — different content_hash
+      // (exact dedup would keep both), identical simhash by construction
+      val variant = goodText.split(" ").reverse.mkString(" ")
+      assert(variant !== goodText)
+      input.addData(
+        (1L, goodText, ts("2024-01-01 00:00:00")),
+        (2L, variant, ts("2024-01-01 00:00:01")),
+        (3L, (1 to 70).map(i => s"tok$i distinct words here now").mkString(" "),
+          ts("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = s.table("docs_neardup").select("doc_id").as[Long].collect().toSet
+    assert(rows.size === 2, s"expected near-dup collapse to 2 docs, got $rows")
+    assert(rows.contains(3L))
+    assert((rows - 3L).subsetOf(Set(1L, 2L)))
+  }
+
   test("runToKeyedSink: end-to-end upsert keyed by content hash across batches") {
     val s = spark
     import s.implicits._
