@@ -97,10 +97,17 @@ object Similarity {
    */
   def ivfKnn(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      centroidStride: Int = 50, nProbe: Int = 3): DataFrame = {
+      centroidStride: Int = 50, nProbe: Int = 3): DataFrame =
+    ivfKnnWith(queries, candidates,
+      candidates.filter(col(idCol) % centroidStride === 0)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v")),
+      idCol, vecCol, k, nProbe)
+
+  /** [[ivfKnn]] against an explicit centroid table (`cent_id`, `cent_v`) —
+    * e.g. one trained by [[kmeansCentroids]]. */
+  def ivfKnnWith(queries: DataFrame, candidates: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
     GraftFunctions.ensureRegistered(queries.sparkSession)
-    val cents = candidates.filter(col(idCol) % centroidStride === 0)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
     // One row holding every centroid, sorted by id for a deterministic array.
     // Broadcast-joined below, this keeps assignment pipelined: no exchange,
     // no per-row fan-out to |centroids| rows, no argmin sort — the top-n
@@ -139,6 +146,55 @@ object Similarity {
       .withColumn("rnk", row_number().over(wRank).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("c_id"), col("rnk"), col("cosine"))
+  }
+
+  /**
+   * Spherical k-means (Lloyd) training for the IVF coarse quantizer:
+   * deterministic init (every n/k-th vector in id order), then `iters`
+   * rounds of assign-by-max-cosine + per-cluster elementwise mean.
+   *
+   * Scale shape per round: assignment reuses the NARROW broadcast-array
+   * argmax (zero shuffle on the fact side); the centroid update is
+   * posexplode → (cluster, dim) partial-aggregated mean — the shuffle
+   * carries O(k × dim) partial sums, never vectors. The driver loop holds
+   * nothing but the loop counter. Clusters that lose every member simply
+   * drop (standard Lloyd detail; production re-seeds from the largest
+   * cluster). Float means are partition-order sums, so trained centroids
+   * are spec-checked (inertia monotonicity, assignment law) rather than
+   * oracle-hashed — the stride quantizer stays the oracle-checked path.
+   */
+  def kmeansCentroids(candidates: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0 and iters >= 0, got k=$k iters=$iters")
+    GraftFunctions.ensureRegistered(candidates.sparkSession)
+    // deterministic ~k init by id-hash stride — a NARROW filter (a global
+    // row_number window would funnel every row through one task)
+    val n = candidates.count()
+    val stride = math.max(1L, n / k)
+    var cents = candidates
+      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+    (0 until iters).foreach { _ =>
+      val centArr = cents
+        .agg(sort_array(collect_list(struct(col("cent_id"), col("cent_v")))).as("__cents"))
+      val assigned = candidates
+        .select(col(vecCol).as("x_v"))
+        .crossJoin(broadcast(centArr))
+        .select(col("x_v"),
+          element_at(array_sort(transform(col("__cents"), c => struct(
+            (-GraftFunctions.cosine(col("x_v"), c("cent_v"))).as("neg_cos"),
+            c("cent_id").as("cent_id")))), 1).getField("cent_id").as("cid"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("x_v")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid").as("cent_id"),
+          transform(col("pm"), e => e("m").cast("float")).as("cent_v"))
+        .localCheckpoint(true) // truncate per-round lineage, like connectedComponents
+    }
+    cents
   }
 
   /** Multi-probe sign-LSH approximate top-k with the same output contract as

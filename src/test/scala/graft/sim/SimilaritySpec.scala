@@ -54,6 +54,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeansCentroids: spherical Lloyd improves inertia monotonically; trained IVF works") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    // spherical inertia = mean (1 - max cosine to any centroid): must not
+    // degrade as Lloyd iterates (standard monotonicity, small FP slack)
+    def inertia(cents: org.apache.spark.sql.DataFrame): Double = {
+      val centArr = cents.agg(sort_array(collect_list(struct(col("cent_id"), col("cent_v"))))
+        .as("__cents"))
+      emb.select(col("embedding").as("v")).crossJoin(broadcast(centArr))
+        .select(array_max(transform(col("__cents"),
+          c => GraftFunctions.cosine(col("v"), c("cent_v")))).as("best"))
+        .agg(avg(lit(1.0) - col("best"))).head().getDouble(0)
+    }
+    val i0 = inertia(Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 10, iters = 0))
+    val i2 = inertia(Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 10, iters = 2))
+    val i5 = inertia(Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 10, iters = 5))
+    assert(i2 <= i0 + 1e-9, s"inertia rose after 2 iters: $i0 -> $i2")
+    assert(i5 <= i2 + 1e-9, s"inertia rose from 2 to 5 iters: $i2 -> $i5")
+    assert(i5 < i0, s"training never improved inertia: $i0 -> $i5")
+    // trained centroids drive the same IVF contract: k rows per query with
+    // exact pair cosines
+    val trained = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 10, iters = 3)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val out = Similarity.ivfKnnWith(queries, emb, trained, "vec_id", "embedding",
+      k = 10, nProbe = 3).collect()
+    val perQuery = out.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ === 10))
+    val exactCos = Similarity.cosineKnn(queries, emb, "vec_id", "embedding", 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    out.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(1))).foreach(c => assert(c === r.getDouble(3)))
+    }
+  }
+
   test("lshKnn recall@10 vs exact on the fixture embeddings (uniform vectors: floor only)") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") % 50 === 0)
