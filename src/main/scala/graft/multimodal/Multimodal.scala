@@ -82,9 +82,12 @@ object Multimodal {
     assets.mapPartitions { batch =>
       batch.map { a =>
         val n = a.content.length
-        val out = new Array[Byte](if (n == 0) 0 else k)
+        // uniform contract: EVERY payload lands on the k-byte grid — an
+        // empty payload resizes to the zero grid (checksum 0), keeping the
+        // output schema fixed-shape for downstream batch consumers
+        val out = new Array[Byte](k)
         var i = 0
-        while (i < out.length) {
+        while (n > 0 && i < out.length) {
           out(i) = a.content(((i.toLong * n) / k).toInt)
           i += 1
         }

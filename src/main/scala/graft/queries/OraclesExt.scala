@@ -108,15 +108,18 @@ object OraclesExt {
     "q53_dedup_clusters" -> clustersSql,
 
     // nearest-neighbor byte sampling: position i reads byte (i*n)//64;
-    // ASCII corpus => byte == ord of the 1-based character (like q39)
+    // ASCII corpus => byte == ord of the 1-based character (like q39).
+    // Empty payloads resize to the zero grid (checksum 0) on both sides.
     "q55_resize" ->
       """SELECT doc_id AS asset_id,
         |  CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
-        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(range(0, 64),
-        |      i -> CAST(ord(substr(text,
-        |             CAST((i * octet_length(encode(text))) // 64 AS INT) + 1, 1)) AS BIGINT))),
-        |    (acc, x) -> acc + x) AS BIGINT) AS checksum
+        |  CASE WHEN octet_length(encode(text)) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, 64),
+        |        i -> CAST(ord(substr(text,
+        |               CAST((i * octet_length(encode(text))) // 64 AS INT) + 1, 1)) AS BIGINT))),
+        |      (acc, x) -> acc + x) AS BIGINT)
+        |  END AS checksum
         |FROM documents""".stripMargin,
 
     // shingles(w,3) has one entry per DISTINCT 3-gram; empty (size 0) when

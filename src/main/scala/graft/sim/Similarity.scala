@@ -103,6 +103,16 @@ object Similarity {
         .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v")),
       idCol, vecCol, k, nProbe)
 
+  /** Top-n nearest centroids of a vector against the collapsed centroid
+    * array, as a sorted struct array — the shared narrow argmax of
+    * [[ivfKnnWith]] and [[kmeansCentroids]]. Struct comparison is
+    * lexicographic, so (-cos, cent_id) ascending == (cos desc, id asc). */
+  private def topCentroids(vec: org.apache.spark.sql.Column,
+      cents: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    slice(array_sort(transform(cents, c => struct(
+      (-GraftFunctions.cosine(vec, c("cent_v"))).as("neg_cos"),
+      c("cent_id").as("cent_id")))), 1, n)
+
   /** [[ivfKnn]] against an explicit centroid table (`cent_id`, `cent_v`) —
     * e.g. one trained by [[kmeansCentroids]]. */
   def ivfKnnWith(queries: DataFrame, candidates: DataFrame, cents: DataFrame,
@@ -122,11 +132,7 @@ object Similarity {
       .select(col(idCol).as("x_id"), col(vecCol).as("x_v"))
       .crossJoin(broadcast(centArr))
       .select(col("x_id"), col("x_v"),
-        slice(
-          array_sort(transform(col("__cents"), c => struct(
-            (-GraftFunctions.cosine(col("x_v"), c("cent_v"))).as("neg_cos"),
-            c("cent_id").as("cent_id")))),
-          1, n).as("__top"))
+        topCentroids(col("x_v"), col("__cents"), n).as("__top"))
       .select(col("x_id"), col("x_v"), explode(col("__top")).as("__tc"))
       .select(col("x_id"), col("x_v"), col("__tc.cent_id").as("cent_id"))
     val cells = assign(candidates, 1)
@@ -150,8 +156,14 @@ object Similarity {
 
   /**
    * Spherical k-means (Lloyd) training for the IVF coarse quantizer:
-   * deterministic init (every n/k-th vector in id order), then `iters`
-   * rounds of assign-by-max-cosine + per-cluster elementwise mean.
+   * deterministic init by id-HASH stride — a narrow filter selecting a
+   * binomial-around-k centroid set (a positional "every n/k-th row" pick
+   * would need a global row_number window, the one-task scale cliff;
+   * if the hash happens to select nothing, the k smallest ids step in via
+   * a TakeOrdered) — then `iters` rounds of assign-by-max-cosine +
+   * per-cluster NORMALIZED mean (true spherical k-means: normalizing the
+   * mean direction makes the update optimal for the cosine objective
+   * regardless of input norms, so inertia is monotone for any corpus).
    *
    * Scale shape per round: assignment reuses the NARROW broadcast-array
    * argmax (zero shuffle on the fact side); the centroid update is
@@ -167,13 +179,17 @@ object Similarity {
       k: Int, iters: Int = 5): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0 and iters >= 0, got k=$k iters=$iters")
     GraftFunctions.ensureRegistered(candidates.sparkSession)
-    // deterministic ~k init by id-hash stride — a NARROW filter (a global
-    // row_number window would funnel every row through one task)
     val n = candidates.count()
+    require(n > 0, "kmeansCentroids needs a non-empty candidate set")
     val stride = math.max(1L, n / k)
-    var cents = candidates
+    val strided = candidates
       .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+    var cents =
+      if (strided.isEmpty)
+        candidates.select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+          .orderBy(col("cent_id")).limit(k)
+      else strided
     (0 until iters).foreach { _ =>
       val centArr = cents
         .agg(sort_array(collect_list(struct(col("cent_id"), col("cent_v")))).as("__cents"))
@@ -181,17 +197,23 @@ object Similarity {
         .select(col(vecCol).as("x_v"))
         .crossJoin(broadcast(centArr))
         .select(col("x_v"),
-          element_at(array_sort(transform(col("__cents"), c => struct(
-            (-GraftFunctions.cosine(col("x_v"), c("cent_v"))).as("neg_cos"),
-            c("cent_id").as("cent_id")))), 1).getField("cent_id").as("cid"))
+          element_at(topCentroids(col("x_v"), col("__cents"), 1), 1)
+            .getField("cent_id").as("cid"))
       cents = assigned
         .select(col("cid"), posexplode(col("x_v")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("v")).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid").as("cent_id"),
-          transform(col("pm"), e => e("m").cast("float")).as("cent_v"))
+        .select(col("cid").as("cent_id"), transform(col("pm"), e => e("m")).as("mv"))
+        // normalize the mean direction (guarding the zero vector, which
+        // stays as-is and can never win a cosine argmax anyway)
+        .withColumn("nrm",
+          sqrt(aggregate(col("mv"), lit(0.0), (acc, x) => acc + x * x)))
+        .select(col("cent_id"),
+          transform(col("mv"),
+            x => when(col("nrm") > 0, x / col("nrm")).otherwise(x).cast("float"))
+            .as("cent_v"))
         .localCheckpoint(true) // truncate per-round lineage, like connectedComponents
     }
     cents

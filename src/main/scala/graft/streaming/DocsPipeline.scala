@@ -40,19 +40,24 @@ object DocsPipeline {
           col("stop_ratio"), col("punct_ratio")))
   }
 
-  /** Quality gate + exact dedup, streaming-legal (state bounded by the
-    * watermark on ingest time). The gate carries an `observe` node
-    * ("quality_gate": rows seen + rows dropped), so drop rates surface per
-    * micro-batch in `StreamingQueryProgress.observedMetrics` — and through
-    * [[graft.ops.StageLogger.attach]] in batch — at zero extra passes. */
-  def curate(docs: DataFrame, minQuality: Double, lateness: String = "10 minutes"): DataFrame = {
+  /** The shared front half of both curation paths: observed quality gate
+    * ("quality_gate": rows seen + rows dropped, surfaced per micro-batch in
+    * `StreamingQueryProgress.observedMetrics` and through
+    * [[graft.ops.StageLogger.attach]] in batch, at zero extra passes) +
+    * normalized content hash. */
+  private def gated(docs: DataFrame, minQuality: Double): DataFrame = {
     val keep = col("quality_score") >= minQuality
     graft.ops.Metrics.observeGate(withQuality(docs), "quality_gate", keep)
       .filter(keep)
       .withColumn("content_hash", md5(TextOps.normalize(col("text"))))
+  }
+
+  /** Quality gate + exact dedup, streaming-legal (state bounded by the
+    * watermark on ingest time). */
+  def curate(docs: DataFrame, minQuality: Double, lateness: String = "10 minutes"): DataFrame =
+    gated(docs, minQuality)
       .withWatermark("ingest_ts", lateness)
       .dropDuplicatesWithinWatermark("content_hash")
-  }
 
   /** [[curate]] with NEAR-dup suppression instead of exact: the dedup key
     * is the 64-bit SimHash fingerprint of the normalized token BAG, so any
@@ -67,10 +72,7 @@ object DocsPipeline {
   def curateNearDup(docs: DataFrame, minQuality: Double,
       lateness: String = "10 minutes"): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val keep = col("quality_score") >= minQuality
-    graft.ops.Metrics.observeGate(withQuality(docs), "quality_gate", keep)
-      .filter(keep)
-      .withColumn("content_hash", md5(TextOps.normalize(col("text"))))
+    gated(docs, minQuality)
       .withColumn("simhash",
         graft.functions.GraftFunctions.simhash64(TextOps.tokens(TextOps.normalize(col("text")))))
       .withWatermark("ingest_ts", lateness)

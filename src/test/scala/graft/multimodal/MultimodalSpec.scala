@@ -58,6 +58,11 @@ class MultimodalSpec extends SparkSpec {
     val up = Multimodal.resizeStub(tiny, 8, 8).head().getAs[Array[Byte]]("resized")
     assert(up.length === 64)
     assert(up.toSet.subsetOf("ab".getBytes("UTF-8").toSet))
+    // an EMPTY payload still lands on the grid: all zeros, checksum 0
+    val empty = Seq(MMAsset(2L, "m", Array.empty[Byte], 0L)).toDS()
+    val z = Multimodal.resizeStub(empty, 8, 8).head()
+    assert(z.getAs[Array[Byte]]("resized").toSeq === Seq.fill(64)(0.toByte))
+    assert(z.getAs[Long]("checksum") === 0L)
   }
 
   test("sampleFrames: one frame per stride offset, bytes faithful") {

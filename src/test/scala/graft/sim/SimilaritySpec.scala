@@ -80,6 +80,7 @@ class SimilaritySpec extends SparkSpec {
     val queries = emb.filter(col("vec_id") % 50 === 0)
     val out = Similarity.ivfKnnWith(queries, emb, trained, "vec_id", "embedding",
       k = 10, nProbe = 3).collect()
+    assert(out.nonEmpty, "trained IVF returned no neighbors")
     val perQuery = out.groupBy(_.getLong(0)).view.mapValues(_.length)
     assert(perQuery.values.forall(_ === 10))
     val exactCos = Similarity.cosineKnn(queries, emb, "vec_id", "embedding", 500).collect()
