@@ -54,6 +54,33 @@ object Curation {
       .limit(k)
 
   /**
+   * Benchmark decontamination flags: mark every document sharing at least
+   * one word n-gram with the benchmark corpus (the standard eval-leakage
+   * guard for pretraining data — n-gram collision, not exact match, so
+   * embedded/excerpted eval items are caught too).
+   *
+   * Scale shape: the benchmark side is SMALL by definition (eval sets), so
+   * its distinct shingle set broadcasts; each corpus document's shingles
+   * stream through the broadcast semi-join and only the matched doc ids
+   * (distinct — tiny) come back to flag the full table. The corpus is
+   * never shuffled. Documents too short to shingle are trivially clean.
+   */
+  def contaminationFlags(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    import graft.dedup.Dedup
+    val docSh = Dedup.shingled(docs, idCol, textCol, n)
+      .select(col("id"), explode(col("s")).as("sh"))
+    val benchSh = Dedup.shingled(benchmark, idCol, textCol, n)
+      .select(explode(col("s")).as("sh")).distinct()
+    val hit = docSh.join(broadcast(benchSh), "sh")
+      .select(col("id")).distinct()
+      .withColumn("__hit", lit(true))
+    docs.select(col(idCol))
+      .join(broadcast(hit), col(idCol) === col("id"), "left")
+      .select(col(idCol), coalesce(col("__hit"), lit(false)).as("contaminated"))
+  }
+
+  /**
    * Sequence packing for pretraining batches: assign documents to
    * fixed-token-budget bins. Documents are sharded by id range
    * (`shardSize` docs per shard) and packed contiguously within each shard

@@ -360,6 +360,14 @@ object CatalogExt {
       Multimodal.assetsFromDocuments(Tables.documents(s, dir)), outW = 8, outH = 8)
       .select(col("asset_id"), col("out_w"), col("out_h"), col("checksum"))
 
+  /** Benchmark decontamination: flag docs sharing any word 8-gram with the
+    * stand-in eval set (every 97th doc) — the eval-leakage guard. */
+  def q56Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.curation.Curation.contaminationFlags(
+      docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 8)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -396,6 +404,7 @@ object CatalogExt {
     "q53_dedup_clusters" -> q53DedupClusters _,
     "q54_rep_ngrams"     -> q54RepNgrams _,
     "q55_resize"         -> q55Resize _,
+    "q56_decontaminate"  -> q56Decontaminate _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

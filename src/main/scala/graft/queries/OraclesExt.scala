@@ -136,6 +136,22 @@ object OraclesExt {
         |  ELSE 0.0 END AS rep_ratio
         |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin,
 
+    // 8-gram shingles mirror the engine's rule (distinct per doc; docs with
+    // < 8 tokens have none and are trivially clean)
+    "q56_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_aggregate(w[i:i+7], 'string_agg', ' ')
+        |                   for i in range(1, len(w) - 6)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 8),
+        |bsh AS (SELECT DISTINCT unnest(s) AS sh FROM t WHERE doc_id % 97 = 0),
+        |hit AS (
+        |  SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(s) AS sh FROM t)
+        |  WHERE sh IN (SELECT sh FROM bsh))
+        |SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated
+        |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id""".stripMargin,
+
     "q50_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <

@@ -50,6 +50,21 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq === Seq(("a", 3L), ("b", 3L)))
   }
 
+  test("contaminationFlags: n-gram overlap with the benchmark flags docs, short docs clean") {
+    val s = spark
+    import s.implicits._
+    val shared = (1 to 8).map(i => s"b$i").mkString(" ") // the leaked 8-gram
+    val corpus = Seq(
+      1L -> s"intro words $shared and a tail",             // contains the benchmark 8-gram
+      2L -> (1 to 20).map(i => s"c$i").mkString(" "),      // clean
+      3L -> "too short to shingle"                          // < 8 tokens -> clean
+    ).toDF("doc_id", "text")
+    val benchmark = Seq(10L -> s"$shared plus benchmark framing").toDF("doc_id", "text")
+    val flags = Curation.contaminationFlags(corpus, benchmark, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags === Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("packSequences: contiguous per-shard bins, totals preserved") {
     val s = spark
     import s.implicits._
