@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
  *    cost O(sum_shingle df^2) instead of O(n^2) — the standard ppjoin-family
  *    baseline;
  *  - MinHash-LSH shuffles on (band, band-hash) buckets, candidates only
- *    (ScaleProbe, sf0.1 replicated: 20k docs / 34k true pairs -> LSH 4.7s
- *    vs 16-18s for both exact paths on the same host — the gap widens with
- *    corpus size since LSH cost tracks candidates, not Σdf²);
+ *    (ScaleProbe, sf0.1 replicated, native shingle kernel: 20k docs / 34k
+ *    true pairs -> LSH 3.3s vs 6.7s full-index / 19.1s prefix on the same
+ *    host — the gap widens with corpus size since LSH cost tracks
+ *    candidates, not Σdf²);
  *  - SimHash partitions by 16-bit chunk equality (pigeonhole: hamming <= 3
  *    over 4 chunks forces >=1 equal chunk), again candidates only.
  */
