@@ -8,6 +8,19 @@ import org.apache.spark.sql.SparkSession
   * the timed sf run measures the engine, not first-touch JVM costs (the
   * standard JMH-style warmup discipline). Queries run in name order for
   * run-to-run comparability.
+  *
+  * Noise policy (round 4): the host is a shared VM and single measurements
+  * swing several-fold under neighbor load — BENCH_r03 reported two phantom 4×
+  * regressions that re-measured at steady state within 2% of round 2. So:
+  *   - any query whose first sample exceeds 0.3 s is re-run up to two more
+  *     times and the MINIMUM of the three samples is reported (min-of-N is the
+  *     standard steady-state estimator: noise only ever adds time);
+  *   - all raw per-run samples are emitted under "samples" so a reader can
+  *     see the spread, not just the point estimate;
+  *   - a fixed noise-sentinel (sum over range(2e8), pure CPU, no I/O, no code
+  *     that this repo owns) is timed min-of-3 and emitted as "sentinel_sec" —
+  *     if the sentinel is slow, the host was loaded and every number in the
+  *     file carries that caveat.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,24 +44,34 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    // Report min of up to two timed runs: the host is a shared VM and single
-    // measurements swing several-fold under neighbor load; min-of-N is the
-    // standard steady-state estimator. The second run is adaptive (only for
-    // queries whose first sample exceeds 1s) so total harness wall time stays
-    // bounded — sub-second samples are already noise-dominated either way.
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = queries.map { case (name, fn) =>
-      val first = timed(fn)
-      name -> (if (first > 1.0) math.min(first, timed(fn)) else first)
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Warm the sentinel's codegen path too, then take min-of-3.
+    sentinel()
+    val sentinelSamples = Seq.fill(3)(sentinel())
+    val sampled = queries.map { case (name, fn) =>
+      val first = timed(fn)
+      val runs = if (first > 0.3) first +: Seq.fill(2)(timed(fn)) else Seq(first)
+      name -> runs
+    }
+    def fmt(d: Double): String = f"$d%.4f"
+    val qs = sampled.map { case (k, runs) => "\"" + k + "\":" + fmt(runs.min) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val samplesJson = sampled
+      .map { case (k, runs) => "\"" + k + "\":[" + runs.map(fmt).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val total = sampled.map(_._2.min).sum
+    val sentinelJson =
+      "[" + sentinelSamples.map(fmt).mkString(",") + "]"
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","sentinel_sec":${fmt(sentinelSamples.min)},"sentinel_samples":$sentinelJson,"samples":$samplesJson}""")
     spark.stop()
   }
 }

@@ -72,24 +72,37 @@ object Curation {
       .select(col("id"), explode(col("s")).as("sh"))
     val benchSh = Dedup.shingled(benchmark, idCol, textCol, n)
       .select(explode(col("s")).as("sh")).distinct()
+    // hit ids live under a reserved name: joining back on col(idCol) ===
+    // col("id") would be ambiguous whenever the caller's idCol is itself
+    // "id" (the shingled frame's canonical output name)
     val hit = docSh.join(broadcast(benchSh), "sh")
-      .select(col("id")).distinct()
+      .select(col("id").as("__hit_id")).distinct()
       .withColumn("__hit", lit(true))
     docs.select(col(idCol))
-      .join(broadcast(hit), col(idCol) === col("id"), "left")
+      .join(broadcast(hit), col(idCol) === col("__hit_id"), "left")
       .select(col(idCol), coalesce(col("__hit"), lit(false)).as("contaminated"))
   }
 
   /**
-   * Sequence packing for pretraining batches: assign documents to
-   * fixed-token-budget bins. Documents are sharded by id range
-   * (`shardSize` docs per shard) and packed contiguously within each shard
-   * by running token count — bin = (shard, floor(exclusive-prefix-sum /
-   * budget)). Deliberately NOT a single global cumulative sum: a global
-   * unpartitioned window forces every row through one task, the textbook
-   * scale cliff; per-shard packing is embarrassingly parallel, and packing
-   * quality only needs locality, not a global order (each shard wastes at
-   * most one partial bin). Deterministic: ordering inside a shard is by id.
+   * Sequence packing for pretraining batches: the PER-DOCUMENT bin
+   * assignment `(id, shard, bin_in_shard, n_tokens)` a batch assembler
+   * actually consumes. Documents are sharded by id range (`shardSize` docs
+   * per shard) and packed contiguously within each shard by running token
+   * count — bin = (shard, floor(exclusive-prefix-sum / budget)).
+   *
+   * Boundary contract (explicit, not hidden by aggregation): a document
+   * whose exclusive prefix sum lands under the budget line joins that bin
+   * even if it crosses the line, so each bin can overflow by AT MOST its
+   * last document (and a single document longer than `budgetTokens` owns
+   * its bin plus the overflow). This is the standard greedy contiguous
+   * packer; assemblers that must hard-cap truncate/split that final doc
+   * downstream, where tokenization is in hand.
+   *
+   * Deliberately NOT a single global cumulative sum: a global unpartitioned
+   * window forces every row through one task, the textbook scale cliff;
+   * per-shard packing is embarrassingly parallel, and packing quality only
+   * needs locality, not a global order (each shard wastes at most one
+   * partial bin). Deterministic: ordering inside a shard is by id.
    */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       budgetTokens: Long, shardSize: Long = 100000L): DataFrame = {
@@ -103,7 +116,13 @@ object Curation {
       .withColumn("prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col(idCol), col("shard"),
         expr(s"prior div $budgetTokens").as("bin_in_shard"), col("n_tokens"))
+  }
+
+  /** Bin occupancy statistics over a [[packSequences]] assignment — the
+    * audit view (docs and token mass per bin); one map-side-combinable
+    * aggregate on top of the mapping. */
+  def packStats(assignment: DataFrame): DataFrame =
+    assignment
       .groupBy(col("shard"), col("bin_in_shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-  }
 }

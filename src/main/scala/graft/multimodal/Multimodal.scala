@@ -10,6 +10,12 @@ case class MMAsset(asset_id: Long, mime: String, content: Array[Byte], n_bytes: 
 case class MMFeatures(asset_id: Long, mime: String, n_bytes: Long,
     width: Int, height: Int, luma16: Long)
 
+/** Features from the REAL image decoder ([[Multimodal.decodeImage]]):
+  * decoded=true rows carry actual pixel-derived values; decoded=false rows
+  * fell back to the deterministic stub formulas (payload not an image). */
+case class ImgFeatures(asset_id: Long, mime: String,
+    width: Int, height: Int, luma16: Long, pix_sum: Long, decoded: Boolean)
+
 /**
  * Multimodal-column plumbing for image/audio/video payloads: the engine
  * treats media as opaque `binary` columns with typed metadata, and runs
@@ -60,6 +66,104 @@ object Multimodal {
           width = (64 + a.n_bytes % 577).toInt,
           height = (64 + (a.n_bytes * 31) % 433).toInt,
           luma16 = luma)
+      }
+    }
+  }
+
+  /** Deterministic per-asset grid dims for [[encodePngGray]]/the oracle:
+    * width 4..16, height 4..14, both pure functions of the byte length. */
+  private[multimodal] def gridDims(nBytes: Long): (Int, Int) =
+    ((4 + nBytes % 13).toInt, (4 + (nBytes * 7) % 11).toInt)
+
+  /**
+   * Encode each payload as a REAL grayscale PNG whose pixels are the
+   * nearest-neighbor resample of the payload bytes onto a w x h grid
+   * (pixel i = byte floor(i*n/(w*h)) — the same grid rule as
+   * [[resizeStub]]; w, h from [[gridDims]]; an empty payload yields the
+   * zero image). Because the pixel values are a pure function of the
+   * bytes, a downstream REAL decoder's output stays predictable by the
+   * DuckDB oracle — the trick that lets an actual codec round-trip be
+   * hash-checked end to end. Runs javax.imageio's PNG writer inside the
+   * same partition-local batch boundary as every other kernel here.
+   */
+  def encodePngGray(assets: Dataset[MMAsset]): Dataset[MMAsset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      batch.map { a =>
+        val n = a.content.length
+        val (w, h) = gridDims(a.n_bytes)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < w * h) {
+          val v = if (n == 0) 0 else a.content(((i.toLong * n) / (w * h)).toInt) & 0xff
+          raster.setSample(i % w, i / w, 0, v)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val png = bos.toByteArray
+        MMAsset(a.asset_id, "image/png", png, png.length.toLong)
+      }
+    }
+  }
+
+  /**
+   * REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP — no
+   * external codec dependency): per-partition batch decode producing actual
+   * raster dimensions, the luma sum of the first 16 pixels in row-major
+   * order, and the full-image luma sum. Luma is integer math: the raw
+   * band-0 sample for single-band rasters (grayscale PNG: exactly the
+   * written byte), else (r+g+b)/3 integer-averaged from the packed sRGB
+   * value — deterministic on every platform, no float color conversion.
+   *
+   * Payloads imageio cannot decode fall back to [[decodeStub]]'s formulas
+   * with `decoded = false` (same columns, pix_sum = unsigned sum of ALL
+   * payload bytes), so a mixed corpus maps through one schema and the
+   * no-codec behavior stays available and tested.
+   */
+  def decodeImage(assets: Dataset[MMAsset]): Dataset[ImgFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.map { a =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.content))
+          catch { case _: java.io.IOException => null }
+        if (img == null) {
+          ImgFeatures(
+            a.asset_id, a.mime,
+            width = (64 + a.n_bytes % 577).toInt,
+            height = (64 + (a.n_bytes * 31) % 433).toInt,
+            luma16 = a.content.iterator.take(16).map(b => (b & 0xff).toLong).sum,
+            pix_sum = a.content.iterator.map(b => (b & 0xff).toLong).sum,
+            decoded = false)
+        } else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          val singleBand = raster.getNumBands == 1
+          def luma(i: Int): Long = {
+            val (x, y) = (i % w, i / w)
+            if (singleBand) raster.getSample(x, y, 0).toLong
+            else {
+              val rgb = img.getRGB(x, y)
+              (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong / 3
+            }
+          }
+          var l16 = 0L; var all = 0L
+          var i = 0
+          while (i < w * h) {
+            val v = luma(i)
+            if (i < 16) l16 += v
+            all += v
+            i += 1
+          }
+          ImgFeatures(a.asset_id, a.mime, w, h, l16, all, decoded = true)
+        }
       }
     }
   }

@@ -134,6 +134,15 @@ object AsofJoin {
       s"$leftTable must be bucketed by exactly ${keyCols._1}, got ${ls.bucketColumnNames}")
     require(rs.bucketColumnNames == Seq(keyCols._2),
       s"$rightTable must be bucketed by exactly ${keyCols._2}, got ${rs.bucketColumnNames}")
+    // The output schema is left.* ++ rightVals appended verbatim; a payload
+    // name colliding with a left column would build a frame with duplicate
+    // column names that only fails later, at the caller's first ambiguous
+    // select — fail here with the actual offenders instead.
+    val leftNames = spark.table(leftTable).schema.fieldNames.toSet
+    val clash = rightVals.filter(leftNames.contains)
+    require(clash.isEmpty,
+      s"rightVals ${clash.mkString(", ")} collide with $leftTable column names; " +
+        "rename them on the right table (or project the left side) before the as-of")
 
     // Force the bucketed scan: with autoBucketedScan enabled Spark may fall
     // back to size-based file splits when no operator requires the

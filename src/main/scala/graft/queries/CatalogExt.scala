@@ -121,6 +121,23 @@ object CatalogExt {
         col("height").cast("long").as("height"),
         col("luma16"))
 
+  /** REAL codec round trip: payload bytes → actual grayscale PNG
+    * (javax.imageio writer) → actual PNG decode → pixel-derived features.
+    * The PNG pixels are a pure function of the payload (the gridDims
+    * resample rule), so the DuckDB oracle predicts the decoded dimensions
+    * and pixel sums — a hash-checked real-decoder path, with decodeStub
+    * retained as the no-codec fallback (q31). */
+  def q60PngDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImage(
+      Multimodal.encodePngGray(
+        Multimodal.assetsFromDocuments(Tables.documents(s, dir))))
+      .toDF()
+      .select(
+        col("asset_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("luma16"), col("pix_sum"), col("decoded"))
+
   /** Multimodal frame sampling: every 16th byte offset of each asset as a
     * "frame" (the video-frame-extraction plumbing shape; mapPartitions over
     * binary content, deterministic and oracle-mirrored via the text bytes). */
@@ -157,6 +174,18 @@ object CatalogExt {
     Similarity.ivfKnn(
       emb.filter(col("vec_id") % 25 === 0), emb, "vec_id", "embedding", k = 10,
       centroidStride = 50, nProbe = 3)
+  }
+
+  /** TRAINED IVF end to end: spherical k-means (2 Lloyd rounds, md5-stride
+    * init, fixed-point mean accumulation — partition-order independent, so
+    * the whole training loop is mirrored by the DuckDB oracle) → ivfKnnWith
+    * probe → top-10. The stride-quantizer variant is q35. */
+  def q57KmeansIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 16, iters = 2)
+    Similarity.ivfKnnWith(
+      emb.filter(col("vec_id") % 25 === 0), emb, cents,
+      "vec_id", "embedding", k = 10, nProbe = 3)
   }
 
   /** As-of join: each order picks up its user's most recent event at or
@@ -320,12 +349,18 @@ object CatalogExt {
   def q51TokenFreq(s: SparkSession, dir: String): DataFrame =
     graft.curation.Curation.tokenFrequency(Tables.documents(s, dir), "text", k = 100)
 
-  /** Sequence packing: per-shard fixed-budget bin assignment (512 tokens,
-    * 100-doc shards at this scale so the fixture exercises many shards). */
+  /** Sequence packing: the PER-DOCUMENT (doc, shard, bin) assignment a
+    * batch assembler consumes (512-token budget, 100-doc shards at this
+    * scale so the fixture exercises many shards). */
   def q52Packing(s: SparkSession, dir: String): DataFrame =
     graft.curation.Curation.packSequences(
       Tables.documents(s, dir), "doc_id", "text",
       budgetTokens = 512L, shardSize = 100L)
+
+  /** Bin occupancy statistics over the q52 assignment — the audit view
+    * (docs and token mass per bin), derived from the mapping. */
+  def q58PackStats(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.packStats(q52Packing(s, dir))
 
   /** Near-dup CLUSTERS: connected components over the exact Jaccard pairs,
     * labeling each involved doc with its component's smallest doc id (the
@@ -333,6 +368,13 @@ object CatalogExt {
   def q53DedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
       Dedup.jaccardPairsAuto(Tables.documents(s, dir), "doc_id", "text"))
+
+  /** The one-call dedup verb end to end: exact-Jaccard near-dup pairs →
+    * connected components → keep-canonical — returns the CURATED corpus
+    * (each near-dup group survives only through its smallest doc id). */
+  def q59DropNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropNearDups(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("source"))
 
   /** Repeated-n-gram ratio (the Gopher/RefinedWeb repetition quality
     * signal): share of a doc's word 3-grams that are duplicates of an
@@ -405,6 +447,10 @@ object CatalogExt {
     "q54_rep_ngrams"     -> q54RepNgrams _,
     "q55_resize"         -> q55Resize _,
     "q56_decontaminate"  -> q56Decontaminate _,
+    "q58_pack_stats"     -> q58PackStats _,
+    "q59_drop_neardups"  -> q59DropNearDups _,
+    "q60_png_decode"     -> q60PngDecode _,
+    "q57_kmeans_ivf"     -> q57KmeansIvf _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -106,6 +106,7 @@ object OraclesExt {
     // md5 hex is identical in both engines; ('0x'||hex)::BIGINT == Spark's
     // conv(hex,16,10) for the 8-digit prefix (fits in a long)
     "q53_dedup_clusters" -> clustersSql,
+    "q59_drop_neardups" -> dropNearDupsSql,
 
     // nearest-neighbor byte sampling: position i reads byte (i*n)//64;
     // ASCII corpus => byte == ord of the 1-based character (like q39).
@@ -162,19 +163,13 @@ object OraclesExt {
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
 
-    "q52_packing" ->
-      """WITH t AS (
-        |  SELECT doc_id, doc_id // 100 AS shard,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT shard, n_tokens,
-        |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
-        |  FROM t)
-        |SELECT shard, prior // 512 AS bin_in_shard,
-        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-        |FROM c GROUP BY 1, 2""".stripMargin,
+    // per-document bin assignment (q52) and its occupancy audit view (q58)
+    "q52_packing" -> packAssignSql,
+    "q58_pack_stats" ->
+      s"""WITH a AS ($packAssignSql)
+         |SELECT shard, bin_in_shard,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM a GROUP BY 1, 2""".stripMargin,
 
     "q31_multimodal" ->
       """SELECT doc_id AS asset_id,
@@ -188,6 +183,31 @@ object OraclesExt {
         |        c -> CAST(ord(c) AS BIGINT))),
         |    (acc, x) -> acc + x) AS luma16
         |FROM documents""".stripMargin,
+
+    // the REAL png round trip stays oracle-checkable because the encoded
+    // image's pixels are the gridDims resample of the text bytes (ASCII
+    // corpus => byte == ord); min grid is 4x4 = 16 px so luma16 always
+    // sums exactly the first 16 pixels
+    "q60_png_decode" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n,
+        |    4 + octet_length(encode(text)) % 13 AS w,
+        |    4 + (octet_length(encode(text)) * 7) % 11 AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, w, h,
+        |    [CASE WHEN n = 0 THEN 0
+        |          ELSE ord(substr(text, CAST((i * n) // (w * h) AS INT) + 1, 1)) END
+        |     for i in range(0, w * h)] AS px
+        |  FROM t)
+        |SELECT doc_id AS asset_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), px[1:16]),
+        |       (acc, x) -> acc + x) AS BIGINT) AS luma16,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), px),
+        |       (acc, x) -> acc + x) AS BIGINT) AS pix_sum,
+        |  true AS decoded
+        |FROM p""".stripMargin,
 
     "q47_set_ops_all" ->
       """WITH high AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 25),
@@ -307,6 +327,8 @@ object OraclesExt {
       """SELECT user_id, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "q57_kmeans_ivf" -> kmeansIvfSql,
+
     "q35_ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cents AS (SELECT vec_id AS cent_id, v AS cent_v FROM e WHERE vec_id % 50 = 0),
@@ -359,6 +381,16 @@ object OraclesExt {
         |WHERE ts >= ws AND ts < ws + INTERVAL '10 minutes'
         |GROUP BY 1, 2, 3""".stripMargin
   )
+
+  private lazy val packAssignSql: String =
+    """SELECT doc_id, shard, prior // 512 AS bin_in_shard, n_tokens FROM (
+      |  SELECT doc_id, shard, n_tokens,
+      |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+      |  FROM (
+      |    SELECT doc_id, doc_id // 100 AS shard,
+      |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |    FROM documents))""".stripMargin
 
   private lazy val knnSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -413,13 +445,75 @@ object OraclesExt {
        |WHERE cosine >= 0.45""".stripMargin
   }
 
-  /** q53's mirror: transitive closure over the Jaccard near-dup relation by
-    * recursive CTE — each node's component is the least id it can reach
-    * (edges made bidirectional first, so reachability = connectivity). The
-    * engine computes the same fixpoint by distributed min-label
-    * propagation; both are deterministic, so the results hash-compare. */
-  private lazy val clustersSql: String =
-    s"""WITH RECURSIVE p AS MATERIALIZED (
+  /** q57's mirror of the ENTIRE k-means training loop plus the IVF probe:
+    * possible only because the engine's update is fixed-point (floor(v*2^24)
+    * long sums — exact, order-free) and its init is the md5-prefix stride —
+    * both plain SQL. Each round: argmax assignment (cosine DESC, cent_id
+    * ASC — the engine's struct-sort order), per-(cluster,dim) fixed-point
+    * mean, then normalize in double and store through a FLOAT cast exactly
+    * like the engine's `.cast("float")` centroid column. */
+  private lazy val kmeansIvfSql: String = {
+    val k = 16; val iters = 2; val nProbe = 3; val topK = 10
+    val scale = 1L << 24; val dim = 64
+    def cos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val rounds = (1 to iters).map { i =>
+      val prev = s"cents${i - 1}"
+      s"""assign$i AS (
+         |  SELECT vec_id, v, cent_id FROM (
+         |    SELECT x.vec_id, x.v, c.cent_id,
+         |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |        ${cos("x.v", "c.cent_v")} DESC, c.cent_id ASC) AS crnk
+         |    FROM e x CROSS JOIN $prev c)
+         |  WHERE crnk = 1),
+         |sums$i AS (
+         |  SELECT cent_id AS cid, u.pos,
+         |    CAST(sum(CAST(floor(v[u.pos] * $scale) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / $scale AS m
+         |  FROM assign$i, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS pos) u
+         |  GROUP BY cent_id, u.pos),
+         |cents$i AS (
+         |  SELECT cid AS cent_id,
+         |    CAST(list_transform(mv,
+         |      x -> CAST(CASE WHEN nrm > 0 THEN x / nrm ELSE x END AS FLOAT)) AS DOUBLE[])
+         |      AS cent_v
+         |  FROM (
+         |    SELECT cid, mv,
+         |      sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(mv, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+         |    FROM (SELECT cid, list(m ORDER BY pos) AS mv FROM sums$i GROUP BY cid)))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cents0 AS (
+       |  SELECT vec_id AS cent_id, v AS cent_v FROM e
+       |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+       |        % greatest(1, (SELECT count(*) FROM e) // $k) = 0),
+       |$rounds,
+       |assignF AS (
+       |  SELECT x.vec_id AS x_id, x.v AS x_v, c.cent_id,
+       |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |      ${cos("x.v", "c.cent_v")} DESC, c.cent_id ASC) AS crnk
+       |  FROM e x CROSS JOIN cents$iters c),
+       |cells AS (SELECT x_id AS c_id, x_v AS c_v, cent_id FROM assignF WHERE crnk = 1),
+       |probes AS (SELECT x_id AS q_id, x_v AS q_v, cent_id FROM assignF
+       |           WHERE crnk <= $nProbe AND x_id % 25 = 0),
+       |scored AS (
+       |  SELECT p.q_id, s.c_id, ${cos("p.q_v", "s.c_v")} AS cosine
+       |  FROM probes p JOIN cells s USING (cent_id) WHERE p.q_id <> s.c_id)
+       |SELECT q_id, c_id, rnk, cosine FROM (
+       |  SELECT q_id, c_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS BIGINT) AS rnk
+       |  FROM scored) WHERE rnk <= $topK""".stripMargin
+  }
+
+  /** q53/q59's shared mirror: transitive closure over the Jaccard near-dup
+    * relation by recursive CTE — each node's component is the least id it
+    * can reach (edges made bidirectional first, so reachability =
+    * connectivity). The engine computes the same fixpoint by distributed
+    * pointer-jumped min-label propagation; both are deterministic, so the
+    * results hash-compare. */
+  private lazy val clusterCtes: String =
+    s"""p AS MATERIALIZED (
        |$jaccardSql),
        |e AS (
        |  SELECT a_id AS u, b_id AS v FROM p
@@ -428,8 +522,20 @@ object OraclesExt {
        |reach AS (
        |  SELECT u, v FROM e
        |  UNION
-       |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
-       |SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u""".stripMargin
+       |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+       |lab AS (SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)""".stripMargin
+
+  private lazy val clustersSql: String =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT id, component FROM lab""".stripMargin
+
+  /** q59: documents minus every labeled node whose component is not itself
+    * (the non-canonical members of each dedup group). */
+  private lazy val dropNearDupsSql: String =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT d.doc_id, d.lang, d.source FROM documents d
+       |LEFT JOIN (SELECT id FROM lab WHERE id <> component) l ON d.doc_id = l.id
+       |WHERE l.id IS NULL""".stripMargin
 
   private lazy val jaccardSql: String =
     """WITH t AS (

@@ -154,26 +154,43 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("rnk"), col("cosine"))
   }
 
+  /** Fixed-point scale for the k-means mean update: float inputs times a
+    * power of two are EXACT in double (the product only shifts the
+    * exponent), so floor(v * 2^24) is an exact integer per element and the
+    * per-cluster sum is a LONG — associative/commutative, hence
+    * partition-order independent. 2^24 keeps |sum| < 2^53 up to ~2^28
+    * unit-scale members per cluster, so the back-conversion to double is
+    * exact too at any realistic cluster size. */
+  private val FixedPointScale = 1L << 24
+
   /**
    * Spherical k-means (Lloyd) training for the IVF coarse quantizer:
    * deterministic init by id-HASH stride — a narrow filter selecting a
    * binomial-around-k centroid set (a positional "every n/k-th row" pick
    * would need a global row_number window, the one-task scale cliff;
    * if the hash happens to select nothing, the k smallest ids step in via
-   * a TakeOrdered) — then `iters` rounds of assign-by-max-cosine +
-   * per-cluster NORMALIZED mean (true spherical k-means: normalizing the
-   * mean direction makes the update optimal for the cosine objective
-   * regardless of input norms, so inertia is monotone for any corpus).
+   * a TakeOrdered). The hash is the md5-prefix rule of
+   * [[graft.curation.Curation.hashPct]] — SQL-expressible, so an external
+   * engine can reproduce the selection. Then `iters` rounds of
+   * assign-by-max-cosine + per-cluster NORMALIZED mean (true spherical
+   * k-means: normalizing the mean direction makes the update optimal for
+   * the cosine objective regardless of input norms, so inertia is monotone
+   * for any corpus).
+   *
+   * The mean accumulates in FIXED POINT ([[FixedPointScale]]): per-element
+   * floor(v * 2^24) longs, summed exactly, divided back in double — so the
+   * trained centroids are PARTITION-ORDER INDEPENDENT and the whole
+   * training loop is oracle-checkable (q57 hash-matches a DuckDB mirror of
+   * the identical update), unlike a float `avg` whose partial sums depend
+   * on scheduling.
    *
    * Scale shape per round: assignment reuses the NARROW broadcast-array
    * argmax (zero shuffle on the fact side); the centroid update is
-   * posexplode → (cluster, dim) partial-aggregated mean — the shuffle
+   * posexplode → (cluster, dim) partial-aggregated sum — the shuffle
    * carries O(k × dim) partial sums, never vectors. The driver loop holds
    * nothing but the loop counter. Clusters that lose every member simply
    * drop (standard Lloyd detail; production re-seeds from the largest
-   * cluster). Float means are partition-order sums, so trained centroids
-   * are spec-checked (inertia monotonicity, assignment law) rather than
-   * oracle-hashed — the stride quantizer stays the oracle-checked path.
+   * cluster).
    */
   def kmeansCentroids(candidates: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 5): DataFrame = {
@@ -182,8 +199,9 @@ object Similarity {
     val n = candidates.count()
     require(n > 0, "kmeansCentroids needs a non-empty candidate set")
     val stride = math.max(1L, n / k)
+    val idHash = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
     val strided = candidates
-      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .filter(idHash % stride === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
     var cents =
       if (strided.isEmpty)
@@ -202,7 +220,11 @@ object Similarity {
       cents = assigned
         .select(col("cid"), posexplode(col("x_v")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("v")).as("m"))
+        .agg(
+          sum(floor(col("v").cast("double") * FixedPointScale).cast("long")).as("sv"),
+          count(lit(1)).as("nv"))
+        .select(col("cid"), col("pos"),
+          (col("sv").cast("double") / col("nv").cast("double") / FixedPointScale).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid").as("cent_id"), transform(col("pm"), e => e("m")).as("mv"))

@@ -42,6 +42,15 @@ final case class EsSinkConfig(
       * reference :515 hardcodes "true" for its AWS domain). */
     wanOnly: Boolean = true) {
 
+  /** Case-class toString would print the credentials verbatim into any log
+    * interpolation — redact them (same discipline as SecretsLoader: secret
+    * material never reaches logs; the real values stay readable via the
+    * fields and [[options]]). */
+  override def toString: String = {
+    def red(o: Option[String]) = o.map(_ => "***")
+    s"EsSinkConfig($nodes,$port,${red(user)},${red(password)},$resource,$mappingId,$wanOnly)"
+  }
+
   /** The es-hadoop option map, mirroring reference :510-518 line for line. */
   def options: Map[String, String] =
     Map(
@@ -62,6 +71,69 @@ object EsSink {
     * this line needs the connector jar and a cluster to execute. */
   def writeBatchEs(batch: DataFrame, config: EsSinkConfig): Unit =
     batch.write.mode("append").format("es").options(config.options).save()
+
+  /** Docs per `_bulk` request — bounds request size the same way
+    * es-hadoop's `es.batch.size.entries` does (its default is 1000). */
+  private val BulkChunkSize = 1000
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /**
+   * Connector-free per-batch writer: the SAME delivery semantics as
+   * [[writeBatchEs]] (`index` action keyed by `es.mapping.id`, so replays
+   * overwrite instead of duplicate — ES last-write-wins on `_id`) over the
+   * plain REST `_bulk` protocol with only JDK HTTP. Executable offline
+   * against any loopback stub speaking `_bulk` (EsSinkSpec does exactly
+   * that), and against a real cluster without the es-hadoop jar.
+   *
+   * Scale shape: rows serialize to NDJSON with the codegen'd `to_json`,
+   * and each PARTITION posts its own chunked bulk requests — no driver
+   * collect, connections fan out with the executors exactly like the
+   * connector's. Failures are loud: a non-2xx status or `"errors":true`
+   * response throws, failing the task (and with [[StreamSinks.keyedUpsert]]
+   * the micro-batch retries — safe, because the keyed index action is
+   * idempotent).
+   */
+  def writeBatchBulk(batch: DataFrame, config: EsSinkConfig): Unit = {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val endpoint = s"http://${config.nodes}:${config.port}/${config.resource}/_bulk"
+    val authHeader = for { u <- config.user; p <- config.password } yield
+      "Basic " + java.util.Base64.getEncoder
+        .encodeToString(s"$u:$p".getBytes("UTF-8"))
+    val mappingId = config.mappingId
+    val payload = batch.select(
+      col(mappingId).cast("string").as("_id"),
+      to_json(struct(batch.columns.map(col): _*)).as("_doc"))
+    payload.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.grouped(BulkChunkSize).foreach { chunk =>
+        val body = new StringBuilder
+        chunk.foreach { r =>
+          body.append("{\"index\":{\"_id\":\"")
+            .append(jsonEscape(r.getString(0))).append("\"}}\n")
+            .append(r.getString(1)).append('\n')
+        }
+        val conn = new java.net.URI(endpoint).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        try {
+          conn.setRequestMethod("POST")
+          conn.setRequestProperty("Content-Type", "application/x-ndjson")
+          authHeader.foreach(conn.setRequestProperty("Authorization", _))
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(body.toString.getBytes("UTF-8"))
+          val status = conn.getResponseCode
+          val resp = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+          if (status / 100 != 2 || resp.contains("\"errors\":true"))
+            throw new java.io.IOException(s"bulk write failed: HTTP $status $resp")
+        } finally conn.disconnect()
+      }
+    }
+  }
 
   /** Offline delivery with the same contract: keyed idempotent upsert on
     * the mapping-id column into a [[KeyedParquetSink]] at `path`. Returns

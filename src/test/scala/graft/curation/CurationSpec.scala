@@ -65,28 +65,50 @@ class CurationSpec extends SparkSpec {
     assert(flags === Map(1L -> true, 2L -> false, 3L -> false))
   }
 
-  test("packSequences: contiguous per-shard bins, totals preserved") {
+  test("packSequences: per-doc assignment, contiguous bins, overflow-by-last-doc only") {
     val s = spark
     import s.implicits._
     // shard 0 (ids 0-2): 300+300+300 tokens at budget 512 -> bins [0,0,1]
-    // shard 1 (ids 100-101): 600+1 -> bins [0,1] (big doc fills bin 0)
+    // (doc 1 straddles the 512 line: its prior is 300 < 512, so it joins
+    // bin 0, overflowing it to 600 — the documented last-doc overflow)
+    // shard 1 (ids 100-101): 600+1 -> bins [0,1] (oversized doc owns bin 0)
     def text(n: Int) = (1 to n).map(_ => "w").mkString(" ")
     val d = Seq(
       0L -> text(300), 1L -> text(300), 2L -> text(300),
       100L -> text(600), 101L -> text(1)
     ).toDF("doc_id", "text")
-    val out = Curation.packSequences(d, "doc_id", "text", budgetTokens = 512L,
-      shardSize = 100L).collect()
+    val assign = Curation.packSequences(d, "doc_id", "text", budgetTokens = 512L,
+      shardSize = 100L)
+    val byDoc = assign.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byDoc === Map(
+      0L -> (0L, 0L, 300L), 1L -> (0L, 0L, 300L), 2L -> (0L, 1L, 300L),
+      100L -> (1L, 0L, 600L), 101L -> (1L, 1L, 1L)))
+    // the audit view aggregates the mapping exactly
+    val stats = Curation.packStats(assign).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
-    assert(out === Map(
+    assert(stats === Map(
       (0L, 0L) -> (2L, 600L), (0L, 1L) -> (1L, 300L),
       (1L, 0L) -> (1L, 600L), (1L, 1L) -> (1L, 1L)))
-    // invariant on the real corpus: token totals and doc counts preserved
+    // invariants on the real corpus: every doc assigned exactly once, token
+    // totals preserved, and each bin's pre-overflow mass is under budget
+    // (total minus its last doc < budget — the overflow-by-one-doc bound)
     val packed = Curation.packSequences(docs, "doc_id", "text", 512L, 100L)
-    val agg = packed.agg(sum("n_docs"), sum("n_tokens")).head()
+    assert(packed.count() === docs.count())
+    assert(packed.select("doc_id").distinct().count() === docs.count())
+    val agg = Curation.packStats(packed).agg(sum("n_docs"), sum("n_tokens")).head()
     val src = docs.select(size(graft.text.TextOps.tokens(col("text")))
       .cast("long").as("t")).agg(count(lit(1)), sum("t")).head()
     assert(agg.getLong(0) === src.getLong(0))
     assert(agg.getLong(1) === src.getLong(1))
+    val overflowViolations = packed
+      .withColumn("last_id", max("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard", "bin_in_shard")))
+      .groupBy("shard", "bin_in_shard")
+      .agg(sum(when(col("doc_id") =!= col("last_id"), col("n_tokens"))
+        .otherwise(lit(0L))).as("pre_overflow"))
+      .filter(col("pre_overflow") >= 512L)
+      .count()
+    assert(overflowViolations === 0L, "a bin exceeded budget before its last doc")
   }
 }

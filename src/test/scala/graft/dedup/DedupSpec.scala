@@ -144,6 +144,71 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: pointer jumping converges in O(log diameter) rounds") {
+    val s = spark
+    import s.implicits._
+    // worst case for plain min-label propagation: a single path graph.
+    // 64 nodes / diameter 63 would need ~63 plain rounds; the pointer-jump
+    // step doubles label travel per round, so ceil(log2(63)) + a small
+    // constant (one propagate head start, one no-change detection round).
+    val n = 64
+    val path = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("a_id", "b_id")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(path, maxIter = 12)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0 until n).map(_.toLong -> 0L).toMap)
+    val bound = math.ceil(math.log(n - 1.0) / math.log(2.0)).toInt + 2
+    assert(rounds <= bound, s"path-$n converged in $rounds rounds, bound was $bound")
+  }
+
+  test("connectedComponents: reliable-checkpoint path (checkpoint dir configured)") {
+    val s = spark
+    import s.implicits._
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "precondition: no checkpoint dir leaked in")
+    val dir = tmpDir("graft-cc-ckpt")
+    sc.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+      val got = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // the labels really went through RELIABLE checkpoints: files on disk
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, "reliable checkpoint wrote no files")
+    } finally sc.setCheckpointDir(null) // restore the local fast path
+    assert(sc.getCheckpointDir.isEmpty)
+  }
+
+  test("dropNearDups: output is a subset, canonical-only, and pair-free (laws)") {
+    val curated = Dedup.dropNearDups(docs, "doc_id", "text")
+    val inIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val outIds = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(outIds.subsetOf(inIds))
+    assert(outIds.size < inIds.size, "fixture has planted near-dups; some must drop")
+    // exactly the non-canonical members of each component are gone
+    val comp = Dedup.connectedComponents(Dedup.jaccardPairs(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val losers = comp.collect { case (id, c) if id != c => id }.toSet
+    assert(outIds === inIds -- losers)
+    // no surviving pair at or above the threshold
+    val leftover = Dedup.jaccardPairs(curated, "doc_id", "text").count()
+    assert(leftover === 0L, s"$leftover near-dup pairs survived dropNearDups")
+  }
+
+  test("dropNearDupsByEmbedding: subset + no surviving pair above threshold") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val curated = Dedup.dropNearDupsByEmbedding(emb, "vec_id", "embedding", 0.45)
+    val inIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val outIds = curated.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(outIds.subsetOf(inIds))
+    assert(outIds.size < inIds.size)
+    // the LSH pair generator is sound (spec above), so re-running it on the
+    // curated set must find nothing — and neither may brute force for any
+    // pair the LSH path is guaranteed to see (same-chunk codes)
+    assert(Dedup.embeddingNearDupPairsLsh(curated, "vec_id", "embedding", 0.45).count() === 0L)
+  }
+
   test("embeddingNearDupPairsLsh: sound + pigeonhole-complete vs brute force (law)") {
     val emb = Tables.embeddings(spark, sfDir)
     val brute = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.45).collect()

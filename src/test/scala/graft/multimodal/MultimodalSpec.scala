@@ -65,6 +65,62 @@ class MultimodalSpec extends SparkSpec {
     assert(z.getAs[Long]("checksum") === 0L)
   }
 
+  test("decodeImage: decodes a known PNG to known pixels (real javax.imageio path)") {
+    val s = spark
+    import s.implicits._
+    // hand-build a 2x2 grayscale PNG with pixels [10, 20, 30, 40] row-major
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSample(0, 0, 0, 10)
+    img.getRaster.setSample(1, 0, 0, 20)
+    img.getRaster.setSample(0, 1, 0, 30)
+    img.getRaster.setSample(1, 1, 0, 40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val ds = Seq(MMAsset(1L, "image/png", png, png.length.toLong)).toDS()
+    val f = Multimodal.decodeImage(ds).head()
+    assert(f.decoded)
+    assert(f.width === 2)
+    assert(f.height === 2)
+    assert(f.luma16 === 100L) // 4 pixels < 16, so luma16 sums them all
+    assert(f.pix_sum === 100L)
+  }
+
+  test("decodeImage: encodePngGray round trip equals the resample grid (law)") {
+    val assets = Multimodal.assetsFromDocuments(Tables.documents(spark, sfDir))
+    val feats = Multimodal.decodeImage(Multimodal.encodePngGray(assets)).collect()
+      .map(f => f.asset_id -> f).toMap
+    val srcs = assets.collect()
+    assert(srcs.nonEmpty)
+    srcs.foreach { a =>
+      val (w, h) = Multimodal.gridDims(a.n_bytes)
+      val n = a.content.length
+      val px = (0 until w * h).map { i =>
+        if (n == 0) 0L else (a.content(((i.toLong * n) / (w * h)).toInt) & 0xff).toLong
+      }
+      val f = feats(a.asset_id)
+      assert(f.decoded, s"asset ${a.asset_id} did not take the real-decode path")
+      assert(f.width === w)
+      assert(f.height === h)
+      assert(f.luma16 === px.take(16).sum)
+      assert(f.pix_sum === px.sum)
+    }
+  }
+
+  test("decodeImage: non-image payloads fall back to the stub formulas") {
+    val s = spark
+    import s.implicits._
+    val bytes = "definitely not a png".getBytes("UTF-8")
+    val ds = Seq(MMAsset(9L, "text/plain", bytes, bytes.length.toLong)).toDS()
+    val f = Multimodal.decodeImage(ds).head()
+    assert(!f.decoded)
+    assert(f.width === (64 + bytes.length % 577))
+    assert(f.height === (64 + (bytes.length.toLong * 31) % 433).toInt)
+    assert(f.luma16 === bytes.take(16).map(b => (b & 0xff).toLong).sum)
+    assert(f.pix_sum === bytes.map(b => (b & 0xff).toLong).sum)
+  }
+
   test("sampleFrames: one frame per stride offset, bytes faithful") {
     val s = spark
     import s.implicits._

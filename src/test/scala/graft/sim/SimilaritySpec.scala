@@ -90,6 +90,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeansCentroids: fixed-point update is partition-order independent (bit-equal)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def train(input: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansCentroids(input, "vec_id", "embedding", k = 8, iters = 2)
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+    val base = train(emb)
+    // radically different partitionings: one partition vs many hash splits —
+    // a float avg would drift in the last bits; the scaled-long sums cannot
+    val one = train(emb.coalesce(1))
+    val many = train(emb.repartition(13, col("vec_id")))
+    assert(base.nonEmpty)
+    assert(one === base)
+    assert(many === base)
+  }
+
   test("lshKnn recall@10 vs exact on the fixture embeddings (uniform vectors: floor only)") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") % 50 === 0)

@@ -2,6 +2,46 @@ package graft.sinks
 
 import graft.SparkSpec
 
+/** Loopback HTTP server speaking enough of the ES `_bulk` protocol to
+  * verify delivery semantics offline: NDJSON action/source line pairs,
+  * last-write-wins per `_id` within an index, `{"errors":false}` response.
+  * Thread-safe store so concurrent partition posts interleave safely. */
+class EsBulkStub {
+  import scala.jdk.CollectionConverters._
+  private val docs = new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile var lastAuth: Option[String] = None
+  private val idRe = """"_id"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+
+  private val server = com.sun.net.httpserver.HttpServer.create(
+    new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext("/", { exchange =>
+    val path = exchange.getRequestURI.getPath // /<index>/_bulk
+    val index = path.stripPrefix("/").stripSuffix("/_bulk")
+    lastAuth = Option(exchange.getRequestHeaders.getFirst("Authorization"))
+    requests.incrementAndGet()
+    val body = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
+    val lines = body.split('\n').filter(_.nonEmpty)
+    lines.grouped(2).foreach {
+      case Array(action, source) =>
+        val id = idRe.findFirstMatchIn(action)
+          .getOrElse(sys.error(s"no _id in action line: $action")).group(1)
+        docs.put((index, id), source) // ES semantics: index action overwrites
+      case other => sys.error(s"dangling bulk line: ${other.mkString}")
+    }
+    val resp = """{"took":1,"errors":false,"items":[]}""".getBytes("UTF-8")
+    exchange.getResponseHeaders.set("Content-Type", "application/json")
+    exchange.sendResponseHeaders(200, resp.length.toLong)
+    exchange.getResponseBody.write(resp)
+    exchange.close()
+  })
+  server.start()
+
+  def port: Int = server.getAddress.getPort
+  def store: Map[(String, String), String] = docs.asScala.toMap
+  def stop(): Unit = server.stop(0)
+}
+
 /** The ES adapter's two halves: the exact es-hadoop option surface the
   * reference writer passes (bexley_spark_stream_msk_es.py:510-518), and the
   * keyed-upsert delivery contract delegated to KeyedParquetSink offline. */
@@ -29,6 +69,75 @@ class EsSinkSpec extends SparkSpec {
     // auth options appear only when credentials are configured
     val anon = cfg.copy(user = None, password = None)
     assert(!anon.options.keySet.exists(_.startsWith("es.net.http.auth")))
+  }
+
+  test("writeBatchBulk: real bulk protocol into the stub — keyed idempotency across replay") {
+    val s = spark
+    import s.implicits._
+    val stub = new EsBulkStub
+    try {
+      val cfg = EsSinkConfig(
+        nodes = "127.0.0.1", port = stub.port,
+        user = Some("es_writer"), password = Some("s3cret"),
+        resource = "docs", mappingId = "data_key")
+      val b1 = Seq(("a", 1), ("b", 2)).toDF("data_key", "v")
+      EsSink.writeBatchBulk(b1, cfg)
+      assert(stub.store.keySet === Set(("docs", "a"), ("docs", "b")))
+      // credentials travel as basic auth, exactly what es-hadoop sends
+      val expectedAuth = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("es_writer:s3cret".getBytes("UTF-8"))
+      assert(stub.lastAuth === Some(expectedAuth))
+      // a replayed micro-batch (at-least-once delivery) plus new data:
+      // the mapping id makes replays OVERWRITE, never duplicate
+      val b2 = Seq(("b", 2), ("c", 30)).toDF("data_key", "v")
+      EsSink.writeBatchBulk(b2, cfg)
+      EsSink.writeBatchBulk(b2, cfg) // exact replay
+      assert(stub.store.keySet === Set(("docs", "a"), ("docs", "b"), ("docs", "c")))
+      // last write wins on the document id
+      val b3 = Seq(("b", 99)).toDF("data_key", "v")
+      EsSink.writeBatchBulk(b3, cfg)
+      assert(stub.store(("docs", "b")).contains("99"))
+      assert(stub.store(("docs", "a")).contains("\"v\":1"))
+    } finally stub.stop()
+  }
+
+  test("writeBatchBulk: drives a streaming foreachBatch micro-batch into the stub") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val stub = new EsBulkStub
+    try {
+      val cfg = EsSinkConfig(nodes = "127.0.0.1", port = stub.port,
+        resource = "stream_docs", mappingId = "data_key")
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Int)]
+      val q = input.toDF().toDF("data_key", "v").writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          EsSink.writeBatchBulk(batch, cfg)
+        }
+        .start()
+      try {
+        input.addData(("x", 1), ("y", 2))
+        q.processAllAvailable()
+        input.addData(("y", 20))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(stub.store.keySet === Set(("stream_docs", "x"), ("stream_docs", "y")))
+      assert(stub.store(("stream_docs", "y")).contains("20"))
+      // anonymous config sends no auth header
+      assert(stub.lastAuth.isEmpty)
+      assert(stub.requests.get() >= 2)
+    } finally stub.stop()
+  }
+
+  test("EsSinkConfig: toString redacts credentials") {
+    val cfg = EsSinkConfig(nodes = "es.example.com", user = Some("u"),
+      password = Some("hunter2"), resource = "r", mappingId = "k")
+    assert(!cfg.toString.contains("hunter2"))
+    assert(!cfg.toString.contains("Some(u)"))
+    assert(cfg.toString.contains("***"))
+    // the real values remain available where they belong
+    assert(cfg.options("es.net.http.auth.pass") === "hunter2")
   }
 
   test("keyedUpsertStream: delivers the es.mapping.id upsert contract offline") {
