@@ -125,4 +125,56 @@ object Curation {
     assignment
       .groupBy(col("shard"), col("bin_in_shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
+  /**
+   * The whole corpus-curation pipeline in one call — the verb a
+   * training-data team actually runs, staged in the standard order
+   * (each stage shrinks the input of the next, so the expensive near-dedup
+   * sees only quality survivors and the sample rates apply to the FINAL
+   * pool):
+   *
+   *  1. quality gate — [[graft.text.TextOps.qualityScoreOf]] >= minQuality
+   *     (narrow filter, no shuffle);
+   *  2. exact dedup — keep each content group's min-id copy
+   *     ([[graft.dedup.Dedup.exactGroups]] + semi-join);
+   *  3. near-dedup — [[graft.dedup.Dedup.dropNearDups]] (pairs → connected
+   *     components → keep-canonical);
+   *  4. decontamination — drop docs sharing any `contamN`-gram with the
+   *     benchmark corpus ([[contaminationFlags]], broadcast eval index);
+   *  5. dataset mixing — [[stratifiedSample]] at per-stratum rates.
+   *
+   * Every stage is deterministic, so the composed pipeline is end-to-end
+   * hash-checkable against a SQL oracle (q61).
+   */
+  def curateCorpus(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      strataCol: String, fractions: Map[String, Double], defaultFraction: Double,
+      minQuality: Double = 0.5,
+      dedupN: Int = 3, dedupThreshold: Double = 0.6,
+      contamN: Int = 8): DataFrame = {
+    import graft.dedup.Dedup
+    val quality = docs.filter(TextOps.qualityScoreOf(col(textCol)) >= minQuality)
+    val exactCanon = Dedup.exactGroups(quality, idCol, textCol)
+      .select(col("canonical_id").as("__keep_id"))
+    // exactKept feeds three consumers (near-dup pair generation inside
+    // dropNearDups, its keep-canonical anti-join, and transitively
+    // everything after) and nearKept feeds two (contamination + the final
+    // sample) — without materialization every stage re-runs the whole
+    // prefix (measured 9.8s -> 5.8s at sf0.1). nearKept goes through the
+    // same lineage cut as connectedComponents (reliable checkpoint when a
+    // dir is set, else eager localCheckpoint — blocks release when the
+    // frame GCs, unlike a never-unpersisted cache), after which the
+    // transient exactKept cache can drop. On a real cluster these are
+    // exactly the stage boundaries a pipeline would write to storage.
+    val exactKept = quality.join(exactCanon,
+      col(idCol) === col("__keep_id"), "left_semi").persist()
+    val nearKept = Dedup.lineageCut(
+      Dedup.dropNearDups(exactKept, idCol, textCol, dedupN, dedupThreshold))
+    exactKept.unpersist()
+    val dirty = contaminationFlags(nearKept, benchmark, idCol, textCol, contamN)
+      .filter(col("contaminated"))
+      .select(col(idCol).as("__dirty_id"))
+    val clean = nearKept.join(dirty, col(idCol) === col("__dirty_id"), "left_anti")
+    stratifiedSample(clean, strataCol, idCol, fractions, defaultFraction)
+  }
 }

@@ -290,7 +290,7 @@ object Dedup {
     * (the local fast path; executor-held blocks, documented as
     * non-fault-tolerant, fine on local[n]). Callers opt into reliability
     * with `sparkContext.setCheckpointDir(...)` — no API change. */
-  private def lineageCut(df: DataFrame): DataFrame =
+  private[graft] def lineageCut(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
 
@@ -346,19 +346,21 @@ object Dedup {
           col("v") === col("vid"))
         .groupBy(col("u"))
         .agg(min(col("vlabel")).as("nbr_min"))
-      // materialized before the self-join below, else both join sides
-      // re-run the propagate join
-      val propagated = lineageCut(labels
+      val propagated = labels
         .join(nbrMin, col("id") === col("u"), "left")
         .select(col("id"), col("component"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("mid_component")))
-      // pointer jump: follow the (just-propagated) label of the label.
-      // mid_component is some reachable node's id, whose own label is
-      // reachable from it and <= it — so the hop preserves the invariant
-      // while doubling the lookback distance per round.
-      val jump = propagated
-        .select(col("id").as("jid"), col("mid_component").as("jlabel"))
+            .as("mid_component"))
+      // pointer jump THROUGH THE PREVIOUS round's labels (already
+      // materialized — no extra checkpoint, and `propagated` is consumed
+      // once so it needs none either): mid_component is some reachable
+      // node's id, and that node's previous-round label is reachable from
+      // it and <= it, so the hop preserves the invariant while still
+      // doubling the lookback distance per round (k -> 2k+1 instead of the
+      // same-round jump's 2k+2 — identical O(log diameter) bound, half the
+      // per-round materializations).
+      val jump = labels
+        .select(col("id").as("jid"), col("component").as("jlabel"))
       val updated = lineageCut(
         propagated
           .join(jump, col("mid_component") === col("jid"), "left")

@@ -369,6 +369,20 @@ object CatalogExt {
     Dedup.connectedComponents(
       Dedup.jaccardPairsAuto(Tables.documents(s, dir), "doc_id", "text"))
 
+  /** The WHOLE curation pipeline in one verb: quality gate → exact dedup →
+    * near-dedup → 8-gram decontamination (vs the every-97th eval stand-in)
+    * → per-language mixing rates. End-to-end deterministic, so the composed
+    * dataflow hash-checks against one composed oracle. */
+  def q61CurateCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.curation.Curation.curateCorpus(
+      docs, docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", "lang",
+      Map("en" -> 0.5, "de" -> 0.2), defaultFraction = 0.1,
+      minQuality = 0.5, dedupN = 3, dedupThreshold = 0.6, contamN = 8)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** The one-call dedup verb end to end: exact-Jaccard near-dup pairs →
     * connected components → keep-canonical — returns the CURATED corpus
     * (each near-dup group survives only through its smallest doc id). */
@@ -451,6 +465,7 @@ object CatalogExt {
     "q59_drop_neardups"  -> q59DropNearDups _,
     "q60_png_decode"     -> q60PngDecode _,
     "q57_kmeans_ivf"     -> q57KmeansIvf _,
+    "q61_curate_corpus"  -> q61CurateCorpus _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

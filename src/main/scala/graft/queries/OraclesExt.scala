@@ -107,6 +107,7 @@ object OraclesExt {
     // conv(hex,16,10) for the 8-digit prefix (fits in a long)
     "q53_dedup_clusters" -> clustersSql,
     "q59_drop_neardups" -> dropNearDupsSql,
+    "q61_curate_corpus" -> curateCorpusSql,
 
     // nearest-neighbor byte sampling: position i reads byte (i*n)//64;
     // ASCII corpus => byte == ord of the 1-based character (like q39).
@@ -512,9 +513,9 @@ object OraclesExt {
     * connectivity). The engine computes the same fixpoint by distributed
     * pointer-jumped min-label propagation; both are deterministic, so the
     * results hash-compare. */
-  private lazy val clusterCtes: String =
+  private def clusterCtesOver(rel: String): String =
     s"""p AS MATERIALIZED (
-       |$jaccardSql),
+       |${jaccardSqlOver(rel)}),
        |e AS (
        |  SELECT a_id AS u, b_id AS v FROM p
        |  UNION
@@ -524,6 +525,8 @@ object OraclesExt {
        |  UNION
        |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
        |lab AS (SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)""".stripMargin
+
+  private lazy val clusterCtes: String = clusterCtesOver("documents")
 
   private lazy val clustersSql: String =
     s"""WITH RECURSIVE $clusterCtes
@@ -537,17 +540,72 @@ object OraclesExt {
        |LEFT JOIN (SELECT id FROM lab WHERE id <> component) l ON d.doc_id = l.id
        |WHERE l.id IS NULL""".stripMargin
 
-  private lazy val jaccardSql: String =
-    """WITH t AS (
-      |  SELECT doc_id,
-      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-      |                   for i in range(1, len(w) - 1)]) AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-      |  WHERE len(w) >= 3)
-      |SELECT a_id, b_id, jaccard FROM (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
-      |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
-      |WHERE jaccard >= 0.6""".stripMargin
+  private def jaccardSqlOver(rel: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                   for i in range(1, len(w) - 1)]) AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $rel)
+       |  WHERE len(w) >= 3)
+       |SELECT a_id, b_id, jaccard FROM (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+       |WHERE jaccard >= 0.6""".stripMargin
+
+  private lazy val jaccardSql: String = jaccardSqlOver("documents")
+
+  /** The q21 quality-score expression over a text reference — shared with
+    * the q61 quality gate so engine and oracle can never drift. */
+  private def qualitySqlOf(t: String): String =
+    s"""greatest(least(
+       |      least(CAST(len(string_split($t,' ')) AS DOUBLE) / 60.0, 1.0) * 0.35
+       |    + least((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |               list_transform(string_split($t,' '), tk -> CAST(length(tk) AS BIGINT))),
+       |             (acc, x) -> acc + x) AS DOUBLE)
+       |             / CAST(len(string_split($t,' ')) AS DOUBLE)) / 6.0, 1.0) * 0.25
+       |    + least((CAST(len(list_filter(string_split($t,' '), tk -> tk IN $stop)) AS DOUBLE)
+       |             / CAST(len(string_split($t,' ')) AS DOUBLE)) * 4.0, 1.0) * 0.3
+       |    - (CAST(length(regexp_replace($t, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+       |       / CAST(length($t) AS DOUBLE)) * 0.5 + 0.1, 1.0), 0.0)""".stripMargin
+
+  /** q61: the composed curation pipeline — quality gate, exact-dedup
+    * canonical keep, near-dedup components keep-canonical, 8-gram
+    * decontamination vs the eval subset, then hash-rate sampling; every
+    * stage reuses the per-stage oracles' exact SQL forms. */
+  private lazy val curateCorpusSql: String =
+    s"""WITH RECURSIVE
+       |q AS (
+       |  SELECT doc_id, lang, source, text FROM documents
+       |  WHERE ${qualitySqlOf("text")} >= 0.5),
+       |ex AS (
+       |  SELECT q.* FROM q
+       |  JOIN (
+       |    SELECT min(doc_id) AS kid FROM q
+       |    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) c
+       |  ON q.doc_id = c.kid),
+       |${clusterCtesOver("ex")},
+       |near AS (
+       |  SELECT * FROM ex
+       |  WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> component)),
+       |nsh AS (
+       |  SELECT doc_id,
+       |    list_distinct([list_aggregate(w[i:i+7], 'string_agg', ' ')
+       |                   for i in range(1, len(w) - 6)]) AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM near)
+       |  WHERE len(w) >= 8),
+       |bsh AS (
+       |  SELECT DISTINCT unnest(s) AS sh FROM (
+       |    SELECT list_distinct([list_aggregate(w[i:i+7], 'string_agg', ' ')
+       |                          for i in range(1, len(w) - 6)]) AS s
+       |    FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 = 0)
+       |    WHERE len(w) >= 8)),
+       |dirty AS (
+       |  SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(s) AS sh FROM nsh)
+       |  WHERE sh IN (SELECT sh FROM bsh))
+       |SELECT doc_id, lang, source FROM near
+       |WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+       |  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+       |      CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 20 ELSE 10 END""".stripMargin
 }

@@ -63,6 +63,17 @@ object TextOps {
     greatest(least(score, lit(1.0)), lit(0.0))
   }
 
+  /** [[qualityScore]] derived directly from a text column (the q21 signal
+    * set: token count, mean token length, stopword share, punct share). */
+  def qualityScoreOf(text: Column): Column = {
+    val toks = tokens(text)
+    qualityScore(
+      size(toks).cast("long"),
+      totalTokenLen(toks).cast("double") / size(toks).cast("double"),
+      stopwordCount(toks).cast("double") / size(toks).cast("double"),
+      punctCount(text).cast("double") / length(text).cast("double"))
+  }
+
   /**
    * Marker-word language votes. Real language-ID uses character n-gram
    * profiles (Cavnar & Trenkle 1994, SDAIR, "N-gram-based text

@@ -65,6 +65,32 @@ class CurationSpec extends SparkSpec {
     assert(flags === Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("curateCorpus: composed pipeline laws (quality, dedup, decontamination, subset)") {
+    import graft.dedup.Dedup
+    import graft.text.TextOps
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val out = Curation.curateCorpus(docs, bench, "doc_id", "text", "lang",
+      Map("en" -> 0.5, "de" -> 0.2), defaultFraction = 0.1)
+    val outIds = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val inIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(outIds.nonEmpty, "curation emptied the corpus")
+    assert(outIds.subsetOf(inIds))
+    assert(outIds.size < inIds.size, "nothing was curated away")
+    // every survivor clears the quality gate
+    assert(out.filter(TextOps.qualityScoreOf(col("text")) < 0.5).count() === 0L)
+    // no surviving pair at or above the near-dup threshold (implies exact
+    // dups are gone too: identical texts have Jaccard 1.0)
+    assert(Dedup.jaccardPairs(out, "doc_id", "text").count() === 0L)
+    // nothing contaminated by the benchmark survives
+    assert(Curation.contaminationFlags(out, bench, "doc_id", "text", n = 8)
+      .filter(col("contaminated")).count() === 0L)
+    // deterministic end to end
+    val again = Curation.curateCorpus(docs, bench, "doc_id", "text", "lang",
+      Map("en" -> 0.5, "de" -> 0.2), defaultFraction = 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === outIds)
+  }
+
   test("packSequences: per-doc assignment, contiguous bins, overflow-by-last-doc only") {
     val s = spark
     import s.implicits._

@@ -108,6 +108,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeImage: JPEG payloads decode too (dims exact; lossy pixels bounded)") {
+    val s = spark
+    import s.implicits._
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 64).foreach(i => img.getRaster.setSample(i % 8, i / 8, 0, 128))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpg = bos.toByteArray
+    val f = Multimodal.decodeImage(
+      Seq(MMAsset(2L, "image/jpeg", jpg, jpg.length.toLong)).toDS()).head()
+    assert(f.decoded)
+    assert(f.width === 8)
+    assert(f.height === 8)
+    // flat gray is JPEG's best case: DC-only blocks reconstruct near-exactly
+    assert(math.abs(f.pix_sum - 64L * 128L) <= 64L)
+  }
+
   test("decodeImage: non-image payloads fall back to the stub formulas") {
     val s = spark
     import s.implicits._
