@@ -84,6 +84,41 @@ object Curation {
   }
 
   /**
+   * Graded decontamination: per-document n-gram OVERLAP RATIO against the
+   * benchmark corpus (n_hits / n_ngrams — the GPT-3/PaLM-style contamination
+   * measure), generalizing [[contaminationFlags]]' any-collision boolean so
+   * pipelines can threshold at, say, 10% overlap instead of dropping every
+   * doc sharing a single n-gram. Same scale shape: the benchmark's distinct
+   * shingle set broadcasts, the corpus streams through it (one broadcast
+   * join + one map-side-combinable count), the corpus never shuffles. Docs
+   * too short to shingle score 0 over 0 ngrams.
+   */
+  def contaminationScores(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    import graft.dedup.Dedup
+    val docSh = Dedup.shingled(docs, idCol, textCol, n)
+    val benchSh = Dedup.shingled(benchmark, idCol, textCol, n)
+      .select(explode(col("s")).as("sh")).distinct()
+    val hits = docSh.select(col("id"), explode(col("s")).as("sh"))
+      .join(broadcast(benchSh), "sh")
+      .groupBy(col("id")).agg(count(lit(1)).as("__hits"))
+    // (id, sz) is corpus-sized — joined, never broadcast; the join carries
+    // only ids and counts. hits is small (docs overlapping the benchmark)
+    // and broadcasts.
+    docs.select(col(idCol))
+      .join(docSh.select(col("id").as("__sh_id"), col("sz")),
+        col(idCol) === col("__sh_id"), "left")
+      .join(broadcast(hits.select(col("id").as("__hit_id"), col("__hits"))),
+        col(idCol) === col("__hit_id"), "left")
+      .select(col(idCol),
+        coalesce(col("sz"), lit(0)).cast("long").as("n_ngrams"),
+        coalesce(col("__hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("sz"), lit(0)) > 0,
+          coalesce(col("__hits"), lit(0L)).cast("double") / col("sz").cast("double"))
+          .otherwise(lit(0.0)).as("overlap"))
+  }
+
+  /**
    * Sequence packing for pretraining batches: the PER-DOCUMENT bin
    * assignment `(id, shard, bin_in_shard, n_tokens)` a batch assembler
    * actually consumes. Documents are sharded by id range (`shardSize` docs

@@ -424,6 +424,30 @@ object CatalogExt {
       docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 8)
   }
 
+  /** Graded decontamination: per-doc 8-gram overlap RATIO vs the eval
+    * stand-in (the GPT-3/PaLM contamination measure; q56 is the boolean
+    * any-collision special case). */
+  def q62ContamScores(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.curation.Curation.contaminationScores(
+      docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 8)
+  }
+
+  /** Symmetric int8 embedding quantization: per-vector scale + code sums +
+    * exact L1 reconstruction error (the 4x storage-reduction path for
+    * embedding columns; narrow projection, zero shuffle). */
+  def q63QuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    q.join(emb.select(col("vec_id").as("id"), col("embedding")), "id")
+      .select(col("id").as("vec_id"), col("scale"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x.cast("long")).as("qsum"),
+        aggregate(
+          zip_with(col("embedding"), col("qv"),
+            (a, b) => abs(a.cast("double") - b.cast("double") * col("scale"))),
+          lit(0.0), (acc, x) => acc + x).as("l1_err"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -466,6 +490,8 @@ object CatalogExt {
     "q60_png_decode"     -> q60PngDecode _,
     "q57_kmeans_ivf"     -> q57KmeansIvf _,
     "q61_curate_corpus"  -> q61CurateCorpus _,
+    "q62_contam_scores"  -> q62ContamScores _,
+    "q63_quantize_int8"  -> q63QuantizeInt8 _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -154,6 +154,50 @@ object OraclesExt {
         |SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated
         |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id""".stripMargin,
 
+    // graded decontamination: hits / distinct-8-gram count per doc (docs
+    // with < 8 tokens have no shingle row -> 0/0 -> overlap 0.0)
+    "q62_contam_scores" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_aggregate(w[i:i+7], 'string_agg', ' ')
+        |                   for i in range(1, len(w) - 6)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 8),
+        |bsh AS (SELECT DISTINCT unnest(s) AS sh FROM t WHERE doc_id % 97 = 0),
+        |h AS (
+        |  SELECT doc_id, count(*) AS n_hits
+        |  FROM (SELECT doc_id, unnest(s) AS sh FROM t)
+        |  WHERE sh IN (SELECT sh FROM bsh) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(len(t.s), 0) AS BIGINT) AS n_ngrams,
+        |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CASE WHEN COALESCE(len(t.s), 0) > 0
+        |       THEN CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(len(t.s) AS DOUBLE)
+        |       ELSE 0.0 END AS overlap
+        |FROM documents d
+        |LEFT JOIN t ON d.doc_id = t.doc_id
+        |LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin,
+
+    // int8 quantization: scale = max|v|/127, code = round(v/scale) —
+    // half-away-from-zero rounding in BOTH engines (Spark BigDecimal
+    // HALF_UP == DuckDB round); reconstruction error folds in element order
+    "q63_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e)
+        |SELECT vec_id, scale,
+        |  CAST(CASE WHEN scale = 0 THEN 0 ELSE
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(round(v[i] / scale) AS BIGINT) for i in range(1, len(v) + 1)]),
+        |      (acc, x) -> acc + x) END AS BIGINT) AS qsum,
+        |  CASE WHEN scale = 0 THEN 0.0 ELSE
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      [abs(v[i] - round(v[i] / scale) * scale) for i in range(1, len(v) + 1)]),
+        |      (acc, x) -> acc + x) END AS l1_err
+        |FROM s""".stripMargin,
+
     "q50_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <

@@ -241,6 +241,35 @@ object Similarity {
     cents
   }
 
+  /**
+   * Symmetric int8 vector quantization — the standard 4x storage/bandwidth
+   * reduction for embedding columns at the 100 TB scale (a float32 corpus'
+   * dominant cost is the vectors themselves; IVFADC-family systems, Jégou
+   * et al. 2011, store exactly such coarse codes). Per vector: scale =
+   * max|v| / 127, code_i = round(v_i / scale) ∈ [-127, 127] as TINYINT.
+   * A NARROW projection (no shuffle, no UDF — array HOFs only), and every
+   * step is exact double arithmetic + half-away-from-zero rounding, so the
+   * oracle reproduces codes and reconstruction error bit-for-bit (q63).
+   * The zero vector keeps scale 0 and an all-zero code.
+   */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x.cast("double")))))
+      .withColumn("scale", col("mx") / 127.0)
+      .select(col("id"), col("scale"),
+        when(col("mx") === 0.0,
+          transform(col("v"), _ => lit(0).cast("tinyint")))
+          .otherwise(transform(col("v"),
+            x => round(x.cast("double") / col("scale")).cast("tinyint")))
+          .as("qv"))
+
+  /** Dequantized view of a [[quantizeInt8]] frame: v̂_i = code_i * scale
+    * (float array, same shape as the source column). */
+  def dequantizeInt8(quantized: DataFrame): DataFrame =
+    quantized.select(col("id"),
+      transform(col("qv"), q => (q.cast("double") * col("scale")).cast("float"))
+        .as("v_hat"))
+
   /** Multi-probe sign-LSH approximate top-k with the same output contract as
     * [[cosineKnn]] (subset of candidates -> possibly different neighbors). */
   def lshKnn(queries: DataFrame, candidates: DataFrame,

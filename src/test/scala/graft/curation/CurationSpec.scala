@@ -65,6 +65,37 @@ class CurationSpec extends SparkSpec {
     assert(flags === Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("contaminationScores: ratio semantics, consistent with the boolean flags") {
+    val s = spark
+    import s.implicits._
+    val shared = (1 to 8).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      1L -> s"$shared tail words here",                 // some shingles hit
+      2L -> (1 to 20).map(i => s"c$i").mkString(" "),   // clean
+      3L -> "too short"                                  // no shingles
+    ).toDF("doc_id", "text")
+    val benchmark = Seq(10L -> s"$shared framing words").toDF("doc_id", "text")
+    val scores = Curation.contaminationScores(corpus, benchmark, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(scores(1L)._1 > 0 && scores(1L)._2 > 0 && scores(1L)._3 > 0.0)
+    assert(scores(1L)._3 <= 1.0)
+    assert(scores(2L)._2 === 0L && scores(2L)._3 === 0.0)
+    assert(scores(3L) === ((0L, 0L, 0.0)))
+    // law vs the boolean operator: overlap > 0 <=> contaminated
+    val flags = Curation.contaminationFlags(corpus, benchmark, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    scores.foreach { case (id, (_, _, ov)) => assert((ov > 0.0) === flags(id)) }
+    // fixture corpus: every hit count is bounded by the doc's shingle count
+    val docs0 = docs
+    val fs = Curation.contaminationScores(docs0,
+      docs0.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 8).collect()
+    assert(fs.length === docs0.count())
+    fs.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("curateCorpus: composed pipeline laws (quality, dedup, decontamination, subset)") {
     import graft.dedup.Dedup
     import graft.text.TextOps

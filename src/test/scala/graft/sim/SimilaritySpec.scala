@@ -106,6 +106,42 @@ class SimilaritySpec extends SparkSpec {
     assert(many === base)
   }
 
+  test("quantizeInt8: codes bounded, per-element error <= scale/2, dequantize law") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val joined = q.join(emb.select(col("vec_id").as("id"), col("embedding")), "id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val codes = r.getSeq[Byte](r.fieldIndex("qv"))
+      val v = r.getSeq[Float](r.fieldIndex("embedding"))
+      assert(codes.length === v.length)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      // round-to-nearest: reconstruction error is at most half a step
+      v.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x.toDouble - c.toDouble * scale) <= scale / 2 + 1e-12)
+      }
+    }
+    // dequantized view matches code * scale elementwise
+    val vh = Similarity.dequantizeInt8(q).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val qm = joined.map(r => r.getLong(r.fieldIndex("id")) ->
+      (r.getAs[Double]("scale"), r.getSeq[Byte](r.fieldIndex("qv")))).toMap
+    vh.foreach { case (id, hat) =>
+      val (scale, codes) = qm(id)
+      hat.zip(codes).foreach { case (h, c) =>
+        assert(h === (c.toDouble * scale).toFloat)
+      }
+    }
+    // the zero vector stays representable: scale 0, all-zero code
+    val z = Similarity.quantizeInt8(
+      Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding"), "vec_id", "embedding").head()
+    assert(z.getAs[Double]("scale") === 0.0)
+    assert(z.getSeq[Byte](2).forall(_ === 0))
+  }
+
   test("lshKnn recall@10 vs exact on the fixture embeddings (uniform vectors: floor only)") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") % 50 === 0)
