@@ -5,8 +5,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 /** Dev probe: near-dup pair algorithms at growing corpus sizes. The corpus
   * is the sf0.1 documents table replicated K times with disjoint id ranges
-  * and a per-copy token prefix (so copies are NOT near-dups of each other —
-  * pair structure stays constant while n grows K-fold).
+  * and a per-copy token prefix. NOTE the prefix changes only the first two
+  * 3-gram shingles, so copies of the same doc sit at J ≈ (s-1)/(s+1) — ABOVE
+  * the 0.6 threshold for any doc with ≥ 4 shingles. Replication therefore
+  * grows both n and the planted near-dup families (k copies of a family
+  * fuse into one k-times-larger cluster): pair counts grow superlinearly
+  * (x1: 256, x2: 6k, x4: 34k), which is exactly the stress a dedup pass
+  * sees on a crawl with heavy duplication. Timings below are comparative
+  * across algorithms at the same k.
+  *
+  * Round-4 verb (measured this host, local[32]): `dropNearDups` end to end
+  * x1 5.4s / x2 6.2s / x4 34.1s (dominated by exact pair generation), with
+  * connected-components converging in 2 pointer-jump rounds at EVERY scale
+  * (cluster diameter doesn't grow with replication) and kept=4756 constant
+  * — every content family collapses to exactly one canonical doc no matter
+  * how many copies exist. The flat round count is the 100 TB property: CC
+  * cost per round is one join + combinable min, and rounds track graph
+  * diameter, not corpus size.
   *
   * Measured crossover (this host, local[32]): the full inverted index beats
   * the df-ordered prefix filter at every probed scale of THIS corpus
@@ -43,6 +58,16 @@ object ScaleProbe {
       time(s"exact full-index x$k")(Dedup.jaccardPairs(c, "doc_id", "text").count())
       time(s"exact df-prefix  x$k")(Dedup.jaccardPairsPrefix(c, "doc_id", "text").count())
       time(s"minhash-lsh      x$k")(Dedup.minhashLshPairs(c, "doc_id", "text").count())
+      // the composed verb: pairs -> pointer-jumped components -> keep-
+      // canonical; rounds should stay FLAT as n grows (pair structure is
+      // constant per copy, so diameter doesn't grow with k)
+      time(s"drop-near-dups   x$k") {
+        val (labels, rounds) = Dedup.connectedComponentsWithRounds(
+          Dedup.jaccardPairsAuto(c, "doc_id", "text"))
+        val kept = Dedup.keepCanonical(c, "doc_id", labels).count()
+        println(s"[scale]   cc-rounds=$rounds kept=$kept")
+        kept
+      }
     }
   }
 }
