@@ -62,7 +62,9 @@ object Bench {
       val runs = if (first > 0.3) first +: Seq.fill(2)(timed(fn)) else Seq(first)
       name -> runs
     }
-    def fmt(d: Double): String = f"$d%.4f"
+    // Locale.ROOT: the f interpolator is locale-sensitive and a
+    // comma-decimal default locale would print invalid JSON
+    def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", d)
     val qs = sampled.map { case (k, runs) => "\"" + k + "\":" + fmt(runs.min) }
       .mkString("{", ",", "}")
     val samplesJson = sampled

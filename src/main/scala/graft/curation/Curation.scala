@@ -99,17 +99,22 @@ object Curation {
     val docSh = Dedup.shingled(docs, idCol, textCol, n)
     val benchSh = Dedup.shingled(benchmark, idCol, textCol, n)
       .select(explode(col("s")).as("sh")).distinct()
-    val hits = docSh.select(col("id"), explode(col("s")).as("sh"))
-      .join(broadcast(benchSh), "sh")
-      .groupBy(col("id")).agg(count(lit(1)).as("__hits"))
-    // (id, sz) is corpus-sized — joined, never broadcast; the join carries
-    // only ids and counts. hits is small (docs overlapping the benchmark)
-    // and broadcasts.
+    // ONE pass over the corpus shingles: a left join against the broadcast
+    // (distinct — no fanout) benchmark set marks hits, and a single
+    // aggregate carries both the hit count and the doc's shingle total (sz
+    // is constant per id). Shingling is the dominant cost of this family
+    // (ProfileDedup), so it must not be evaluated once per consumer.
+    val stats = docSh.select(col("id"), col("sz"), explode(col("s")).as("sh"))
+      .join(broadcast(benchSh.withColumn("__hit", lit(1))), Seq("sh"), "left")
+      .groupBy(col("id"))
+      .agg(first(col("sz")).as("sz"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("__hits"))
+    // stats is corpus-sized — joined, never broadcast; the join carries
+    // only ids and two counts, not text. Reserved-name alias: idCol may
+    // itself be "id" (same ambiguity trap as contaminationFlags' __hit_id)
     docs.select(col(idCol))
-      .join(docSh.select(col("id").as("__sh_id"), col("sz")),
+      .join(stats.withColumnRenamed("id", "__sh_id"),
         col(idCol) === col("__sh_id"), "left")
-      .join(broadcast(hits.select(col("id").as("__hit_id"), col("__hits"))),
-        col(idCol) === col("__hit_id"), "left")
       .select(col(idCol),
         coalesce(col("sz"), lit(0)).cast("long").as("n_ngrams"),
         coalesce(col("__hits"), lit(0L)).as("n_hits"),

@@ -289,7 +289,15 @@ object Dedup {
     * 100 TB run survives mid-loop failures), else eager `localCheckpoint`
     * (the local fast path; executor-held blocks, documented as
     * non-fault-tolerant, fine on local[n]). Callers opt into reliability
-    * with `sparkContext.setCheckpointDir(...)` — no API change. */
+    * with `sparkContext.setCheckpointDir(...)` — no API change.
+    *
+    * DISK NOTE for the reliable path: each cut writes a snapshot to the
+    * checkpoint dir and Spark deletes superseded ones only when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
+    * context-start conf, default false — files otherwise persist until the
+    * application exits). Set it on any long-running cluster job using the
+    * iterative operators here, or point the checkpoint dir at
+    * storage-lifecycle-managed scratch space. */
   private[graft] def lineageCut(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)

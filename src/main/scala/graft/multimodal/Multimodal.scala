@@ -132,8 +132,12 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       batch.map { a =>
         val img =
+          // NonFatal, not just IOException: the JDK's GIF/BMP readers throw
+          // unchecked exceptions (IllegalArgument/ArrayIndexOutOfBounds) on
+          // payloads whose magic bytes match but whose body is garbage, and
+          // those must take the documented decoded=false fallback too
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.content))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) {
           ImgFeatures(
             a.asset_id, a.mime,

@@ -217,7 +217,10 @@ object Similarity {
         .select(col("x_v"),
           element_at(topCentroids(col("x_v"), col("__cents"), 1), 1)
             .getField("cent_id").as("cid"))
-      cents = assigned
+      // per-round lineage cut shared with connectedComponents: reliable
+      // checkpoint when a checkpoint dir is set (fault-tolerant training),
+      // else eager localCheckpoint
+      cents = graft.dedup.Dedup.lineageCut(assigned
         .select(col("cid"), posexplode(col("x_v")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
         .agg(
@@ -235,8 +238,7 @@ object Similarity {
         .select(col("cent_id"),
           transform(col("mv"),
             x => when(col("nrm") > 0, x / col("nrm")).otherwise(x).cast("float"))
-            .as("cent_v"))
-        .localCheckpoint(true) // truncate per-round lineage, like connectedComponents
+            .as("cent_v")))
     }
     cents
   }

@@ -114,6 +114,11 @@ object EsSink {
       rows.grouped(BulkChunkSize).foreach { chunk =>
         val body = new StringBuilder
         chunk.foreach { r =>
+          // fail like es-hadoop's explicit 'no id found', not with an
+          // opaque NPE from deep inside the serializer
+          if (r.isNullAt(0)) throw new java.io.IOException(
+            s"bulk write failed: null $mappingId value (es.mapping.id column " +
+              "must be non-null on every row)")
           body.append("{\"index\":{\"_id\":\"")
             .append(jsonEscape(r.getString(0))).append("\"}}\n")
             .append(r.getString(1)).append('\n')
@@ -124,10 +129,20 @@ object EsSink {
           conn.setRequestMethod("POST")
           conn.setRequestProperty("Content-Type", "application/x-ndjson")
           authHeader.foreach(conn.setRequestProperty("Authorization", _))
+          // a black-holed endpoint must fail the task (and let the
+          // micro-batch retry), not hang it — es-hadoop's es.http.timeout
+          // defaults to 1m for the same reason
+          conn.setConnectTimeout(60000)
+          conn.setReadTimeout(60000)
           conn.setDoOutput(true)
           conn.getOutputStream.write(body.toString.getBytes("UTF-8"))
           val status = conn.getResponseCode
-          val resp = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+          // getInputStream throws on error statuses; the diagnostic body
+          // (ES's rejection reason) lives on getErrorStream there
+          val stream =
+            if (status / 100 == 2) conn.getInputStream
+            else Option(conn.getErrorStream).getOrElse(conn.getInputStream)
+          val resp = new String(stream.readAllBytes(), "UTF-8")
           if (status / 100 != 2 || resp.contains("\"errors\":true"))
             throw new java.io.IOException(s"bulk write failed: HTTP $status $resp")
         } finally conn.disconnect()

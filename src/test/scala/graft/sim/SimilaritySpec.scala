@@ -142,6 +142,29 @@ class SimilaritySpec extends SparkSpec {
     assert(z.getSeq[Byte](2).forall(_ === 0))
   }
 
+  test("quantizeInt8: KNN over dequantized vectors preserves exact-KNN neighbors") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.cosineKnn(queries, emb, "vec_id", "embedding", 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // search the int8-compressed corpus with the ORIGINAL float queries
+    // (asymmetric search, the standard quantized-ANN setup); cosine is
+    // scale-invariant so only code rounding perturbs ranks
+    val deq = Similarity.dequantizeInt8(
+      Similarity.quantizeInt8(emb, "vec_id", "embedding"))
+      .select(col("id").as("vec_id"), col("v_hat").as("embedding"))
+    val quant = Similarity.cosineKnn(queries, deq, "vec_id", "embedding", 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val exactSets = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quantSets = quant.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(exactSets.nonEmpty)
+    val recall = exactSets.map { case (q, s) =>
+      quantSets.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size
+    }.sum / exactSets.size
+    // int8 distortion is ~0.4% per element; top-10 must survive nearly whole
+    assert(recall >= 0.9, s"quantized recall@10 was $recall")
+  }
+
   test("lshKnn recall@10 vs exact on the fixture embeddings (uniform vectors: floor only)") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") % 50 === 0)
