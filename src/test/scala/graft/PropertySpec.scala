@@ -126,6 +126,68 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("law: connectedComponents equals in-memory union-find on random graphs") {
+    val s = spark
+    import s.implicits._
+    // random sparse graphs over a small id space: chains, cliques, isolated
+    // pairs, self-dup edges all arise; union-find is the trusted reference
+    val genEdges = for {
+      n <- Gen.chooseNum(2, 40)
+      edges <- Gen.listOfN(n,
+        Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)))
+    } yield edges.filter { case (a, b) => a != b }.map { case (a, b) =>
+      (math.min(a, b), math.max(a, b))
+    }
+    sample(genEdges, 6, seed = 7L).zipWithIndex.foreach { case (edges, i) =>
+      if (edges.nonEmpty) {
+        val got = graft.dedup.Dedup.connectedComponents(
+          edges.toDF("a_id", "b_id")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // reference: classic union-find with path compression
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(x => x -> find(x)).toMap
+        assert(got === expected, s"graph #$i: $edges")
+      }
+    }
+  }
+
+  test("law: quantizeInt8 error bound and sign preservation on random vectors") {
+    val s = spark
+    import s.implicits._
+    val genVec = for {
+      dim <- Gen.chooseNum(1, 16)
+      v <- Gen.listOfN(dim, Gen.chooseNum(-1e3f, 1e3f))
+    } yield v
+    val cases = sample(genVec, 120, seed = 11L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val out = graft.sim.Similarity.quantizeInt8(
+      cases.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("scale"), r.getSeq[Byte](2))).toMap
+    cases.foreach { case (id, v) =>
+      val (scale, codes) = out(id)
+      assert(codes.length === v.length)
+      val mx = v.map(x => math.abs(x.toDouble)).max
+      assert(scale === mx / 127.0)
+      v.zip(codes).foreach { case (x, c) =>
+        assert(c >= -127 && c <= 127)
+        if (scale > 0) {
+          assert(math.abs(x.toDouble - c.toDouble * scale) <= scale / 2 + 1e-9)
+          // rounding never flips a decisively-signed component
+          if (math.abs(x) > scale) assert(math.signum(c.toDouble) === math.signum(x.toDouble))
+        } else assert(c === 0)
+      }
+    }
+  }
+
   test("law: rolling fingerprint is a homomorphism: h(a++b) = (h(a)*31^|b| + h(b)) mod p") {
     val s = spark
     import s.implicits._
