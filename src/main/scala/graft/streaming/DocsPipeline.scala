@@ -79,6 +79,37 @@ object DocsPipeline {
       .dropDuplicatesWithinWatermark("simhash")
   }
 
+  /**
+   * Stream-safe benchmark decontamination gate: drops every doc sharing at
+   * least one word n-gram with the STATIC benchmark corpus — the streaming
+   * counterpart of [[graft.curation.Curation.contaminationFlags]], whose
+   * batch shape (a join against stream-derived hit ids) is not legal in a
+   * stream. Here the benchmark's distinct shingle set is collected once at
+   * plan-build time (eval sets are small by definition — the same argument
+   * that lets the batch operator broadcast them; `maxBenchShingles` fails
+   * loudly if someone passes a corpus instead of a benchmark) and inlined
+   * as a literal array, so the gate is a NARROW `arrays_overlap` filter:
+   * no state, no shuffle, batch/stream-unified. Docs too short to shingle
+   * pass untouched (trivially clean, matching the batch contract).
+   */
+  def decontaminateGate(docs: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 8,
+      maxBenchShingles: Int = 1 << 22): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    require(!benchmark.isStreaming, "benchmark must be a static (bounded) frame")
+    val benchShingles = graft.dedup.Dedup.shingled(benchmark, idCol, textCol, n)
+      .select(explode(col("s")).as("sh")).distinct()
+      .limit(maxBenchShingles + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(benchShingles.length <= maxBenchShingles,
+      s"benchmark has > $maxBenchShingles distinct $n-grams — that is a corpus, " +
+        "not an eval set; use the batch contaminationFlags/contaminationScores path")
+    val clean = !arrays_overlap(
+      graft.dedup.Dedup.shingles(TextOps.tokens(col(textCol)), n),
+      typedLit(benchShingles))
+    graft.ops.Metrics.observeGate(docs, "contamination_gate", clean).filter(clean)
+  }
+
   /** Streaming terminal: curated docs -> keyed idempotent sink. */
   def runToKeyedSink(
       docs: DataFrame, minQuality: Double,

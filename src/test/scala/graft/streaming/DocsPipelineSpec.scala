@@ -41,6 +41,52 @@ class DocsPipelineSpec extends SparkSpec {
     assert(ids.subsetOf(Set(1L, 3L))) // one of the two identical docs survives
   }
 
+  test("decontaminateGate: stream-safe n-gram gate matches the batch operator") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val leak = (1 to 8).map(i => s"b$i").mkString(" ")
+    val benchmark = Seq((100L, s"$leak plus eval framing")).toDF("doc_id", "text")
+    // STREAM path: MemoryStream through the literal-array gate
+    val input = MemoryStream[(Long, String)]
+    val gated = DocsPipeline.decontaminateGate(
+      input.toDF().toDF("doc_id", "text"), benchmark)
+    assert(gated.isStreaming, "gate must stay streaming-legal")
+    val q = gated.writeStream.format("memory").queryName("docs_decontam")
+      .outputMode("append").start()
+    val docs = Seq(
+      1L -> s"intro words $leak and a tail",             // contaminated
+      2L -> (1 to 20).map(i => s"c$i").mkString(" "),    // clean
+      3L -> "too short to shingle")                       // trivially clean
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val gate = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("contamination_gate")))
+        .find(_.getAs[Long]("rows") > 0L)
+      assert(gate.isDefined)
+      assert(gate.get.getAs[Long]("rows") === 3L)
+      assert(gate.get.getAs[Long]("dropped") === 1L)
+    } finally q.stop()
+    val kept = s.table("docs_decontam").select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L))
+    // law: the streaming gate keeps exactly the docs the batch operator
+    // marks clean
+    val batchClean = graft.curation.Curation.contaminationFlags(
+      docs.toDF("doc_id", "text"), benchmark, "doc_id", "text", n = 8)
+      .filter(!col("contaminated")).select("doc_id").as[Long].collect().toSet
+    assert(kept === batchClean)
+    // a corpus-sized 'benchmark' is rejected loudly, not silently collected
+    val boom = intercept[IllegalArgumentException] {
+      DocsPipeline.decontaminateGate(
+        input.toDF().toDF("doc_id", "text"),
+        (1 to 40).map(i => (i.toLong, (1 to 30).map(j => s"t$i-$j").mkString(" ")))
+          .toDF("doc_id", "text"),
+        maxBenchShingles = 100)
+    }
+    assert(boom.getMessage.contains("eval set"))
+  }
+
   test("curateNearDup: SimHash key collapses near-identical (not byte-equal) docs") {
     val s = spark
     import s.implicits._
