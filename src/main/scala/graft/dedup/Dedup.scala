@@ -205,6 +205,34 @@ object Dedup {
       jaccardPairsPrefix(docs, idCol, textCol, n, threshold)
     else jaccardPairs(docs, idCol, textCol, n, threshold)
 
+  /**
+   * Cross-document LONG-SPAN duplication: pairs of docs sharing at least
+   * `minShared` contiguous `n`-token runs — the word-level, bounded-memory
+   * relative of suffix-array substring dedup (Lee et al. 2022, ACL,
+   * "Deduplicating training data makes language models better" §4.1 uses
+   * 50-token spans; pick `n` ≈ the span length that matters for
+   * memorization). Distinct from Jaccard near-dup: two docs can share one
+   * verbatim boilerplate paragraph while being dissimilar overall — this
+   * catches exactly that.
+   *
+   * Scale shape: the same inverted-index join as [[jaccardPairs]], but
+   * LONG shingles are near-unique (a 20-gram is practically a fingerprint),
+   * so the df tail is flat and the index join's Σdf² cost collapses to
+   * ~Σdf — this is why span-based dedup is the CHEAP pass at corpus scale.
+   * Shared-span counts equal intersection sizes because shingle sets are
+   * distinct per doc.
+   */
+  def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 20, minShared: Long = 1L): DataFrame = {
+    val t = shingled(docs, idCol, textCol, n)
+    val inv = t.select(col("id"), explode(col("s")).as("sh"))
+    val a = inv.alias("a"); val b = inv.alias("b")
+    a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .filter(col("n_shared_spans") >= minShared)
+  }
+
   // ------------------------------------------------------------- minhash ----
 
   /**

@@ -424,6 +424,13 @@ object CatalogExt {
       docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 8)
   }
 
+  /** Cross-document long-span duplication: pairs sharing >= 1 contiguous
+    * 20-token run (the word-level relative of suffix-array substring dedup
+    * — catches shared boilerplate paragraphs between otherwise-dissimilar
+    * docs; long shingles are near-unique so the index join is cheap). */
+  def q64SharedSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.sharedSpans(Tables.documents(s, dir), "doc_id", "text", n = 20)
+
   /** Graded decontamination: per-doc 8-gram overlap RATIO vs the eval
     * stand-in (the GPT-3/PaLM contamination measure; q56 is the boolean
     * any-collision special case). */
@@ -492,6 +499,7 @@ object CatalogExt {
     "q61_curate_corpus"  -> q61CurateCorpus _,
     "q62_contam_scores"  -> q62ContamScores _,
     "q63_quantize_int8"  -> q63QuantizeInt8 _,
+    "q64_shared_spans"   -> q64SharedSpans _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -154,6 +154,21 @@ object OraclesExt {
         |SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated
         |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id""".stripMargin,
 
+    // long-span duplication: shared distinct 20-gram counts (count per
+    // pair == intersection size because shingle sets are per-doc distinct)
+    "q64_shared_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_aggregate(w[i:i+19], 'string_agg', ' ')
+        |                   for i in range(1, len(w) - 18)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 20)
+        |SELECT a_id, b_id, n_shared_spans FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_shared_spans
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |WHERE n_shared_spans >= 1""".stripMargin,
+
     // graded decontamination: hits / distinct-8-gram count per doc (docs
     // with < 8 tokens have no shingle row -> 0/0 -> overlap 0.0)
     "q62_contam_scores" ->

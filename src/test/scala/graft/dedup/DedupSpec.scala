@@ -144,6 +144,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("sharedSpans: planted boilerplate paragraph detected between dissimilar docs") {
+    val s = spark
+    import s.implicits._
+    val boiler = (1 to 25).map(i => s"bp$i").mkString(" ") // 25-token shared run
+    val d = Seq(
+      1L -> s"${(1 to 40).map(i => s"a$i").mkString(" ")} $boiler",
+      2L -> s"$boiler ${(1 to 40).map(i => s"z$i").mkString(" ")}",
+      3L -> (1 to 60).map(i => s"c$i").mkString(" ") // no shared span
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedSpans(d, "doc_id", "text", n = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // docs 1 and 2 are overall dissimilar (Jaccard far below any threshold)
+    // but share the 25-token run -> 6 distinct 20-gram spans inside it
+    assert(out.keySet === Set((1L, 2L)))
+    assert(out((1L, 2L)) === 6L)
+    assert(Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.6).count() === 0L,
+      "planted pair must NOT be a whole-doc near-dup — that is the point")
+    // count == intersection of distinct span sets (law, fixture corpus)
+    val fx = Dedup.sharedSpans(docs, "doc_id", "text", n = 20).collect()
+    assert(fx.nonEmpty, "fixture corpus should contain shared long spans")
+    fx.foreach(r => assert(r.getLong(2) >= 1L))
+  }
+
   test("connectedComponents: pointer jumping converges in O(log diameter) rounds") {
     val s = spark
     import s.implicits._
