@@ -215,18 +215,32 @@ object Dedup {
    * verbatim boilerplate paragraph while being dissimilar overall — this
    * catches exactly that.
    *
-   * Scale shape: the same inverted-index join as [[jaccardPairs]], but
-   * LONG shingles are near-unique (a 20-gram is practically a fingerprint),
-   * so the df tail is flat and the index join's Σdf² cost collapses to
-   * ~Σdf — this is why span-based dedup is the CHEAP pass at corpus scale.
-   * Shared-span counts equal intersection sizes because shingle sets are
-   * distinct per doc.
+   * Scale shape: the same inverted-index join as [[jaccardPairs]]. For
+   * NATURAL text, long shingles are near-unique (a 20-gram is practically
+   * a fingerprint), the df tail is flat, and Σdf² ≈ Σdf — cheap. But the
+   * very boilerplate this operator hunts breaks that premise: a license
+   * header shared by k docs gives its spans df = k, and the self-join
+   * emits span_len·C(k,2) rows for that one template. `maxDf` is the
+   * standard mitigation (cap posting-list length; Lee et al. likewise
+   * bound bucket sizes): spans shared by MORE than `maxDf` docs are
+   * excluded from pair generation — at that popularity the right tool is
+   * boilerplate REMOVAL (the span itself, findable from the df table),
+   * not quadratic pair enumeration. Shared-span counts equal intersection
+   * sizes (over the surviving spans) because shingle sets are distinct
+   * per doc.
    */
   def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 20, minShared: Long = 1L): DataFrame = {
+      n: Int = 20, minShared: Long = 1L, maxDf: Long = 1000L): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (a span needs df 2 to form a pair), got $maxDf")
     val t = shingled(docs, idCol, textCol, n)
     val inv = t.select(col("id"), explode(col("s")).as("sh"))
-    val a = inv.alias("a"); val b = inv.alias("b")
+    // one map-side-combinable count per span; the broadcast-ability of the
+    // HOT list (df > maxDf) is by construction: it is tiny or the corpus
+    // is template spam
+    val hot = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("sh"))
+    val cold = inv.join(broadcast(hot), Seq("sh"), "left_anti")
+    val a = cold.alias("a"); val b = cold.alias("b")
     a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .agg(count(lit(1)).as("n_shared_spans"))

@@ -427,7 +427,8 @@ object CatalogExt {
   /** Cross-document long-span duplication: pairs sharing >= 1 contiguous
     * 20-token run (the word-level relative of suffix-array substring dedup
     * — catches shared boilerplate paragraphs between otherwise-dissimilar
-    * docs; long shingles are near-unique so the index join is cheap). */
+    * docs). The default hot-span cap (maxDf = 1000) exceeds any span df in
+    * the fixture corpora, so the uncapped SQL oracle mirrors exactly. */
   def q64SharedSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.sharedSpans(Tables.documents(s, dir), "doc_id", "text", n = 20)
 

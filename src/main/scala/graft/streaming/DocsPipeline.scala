@@ -94,7 +94,12 @@ object DocsPipeline {
    */
   def decontaminateGate(docs: DataFrame, benchmark: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 8,
-      maxBenchShingles: Int = 1 << 22): DataFrame = {
+      maxBenchShingles: Int = 1 << 17): DataFrame = {
+    // cap default 131k: real eval sets carry 10^4-10^5 distinct n-grams,
+    // and the literal array rides in the serialized plan while every CLEAN
+    // doc (the vast majority) probes the whole array — a cap orders of
+    // magnitude higher would let a mistaken corpus argument melt the stream
+    // before the require fires
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     require(!benchmark.isStreaming, "benchmark must be a static (bounded) frame")
     val benchShingles = graft.dedup.Dedup.shingled(benchmark, idCol, textCol, n)
@@ -104,10 +109,22 @@ object DocsPipeline {
     require(benchShingles.length <= maxBenchShingles,
       s"benchmark has > $maxBenchShingles distinct $n-grams — that is a corpus, " +
         "not an eval set; use the batch contaminationFlags/contaminationScores path")
-    val clean = !arrays_overlap(
-      graft.dedup.Dedup.shingles(TextOps.tokens(col(textCol)), n),
-      typedLit(benchShingles))
-    graft.ops.Metrics.observeGate(docs, "contamination_gate", clean).filter(clean)
+    // coalesce(true): a null text shingles to null -> null predicate, which
+    // filter would DROP — but the batch operator keeps null-text docs as
+    // trivially clean, and the law spec holds the two paths equal.
+    // The predicate is materialized as a NAMED column so the observe
+    // aggregate and the filter share ONE evaluation of the shingle kernel
+    // (non-cheap aliases survive CollapseProject; an inline expression
+    // would tokenize+shingle every row twice).
+    val clean = coalesce(
+      !arrays_overlap(
+        graft.dedup.Dedup.shingles(TextOps.tokens(col(textCol)), n),
+        typedLit(benchShingles)),
+      lit(true))
+    graft.ops.Metrics.observeGate(
+      docs.withColumn("__clean", clean), "contamination_gate", col("__clean"))
+      .filter(col("__clean"))
+      .drop("__clean")
   }
 
   /** Streaming terminal: curated docs -> keyed idempotent sink. */

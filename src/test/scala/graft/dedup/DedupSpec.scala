@@ -161,10 +161,22 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)) === 6L)
     assert(Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.6).count() === 0L,
       "planted pair must NOT be a whole-doc near-dup — that is the point")
-    // count == intersection of distinct span sets (law, fixture corpus)
+    // law on the fixture corpus: reported count == |intersection of the
+    // two docs' distinct span sets|, computed independently here
+    val spanSets = Dedup.shingled(docs, "doc_id", "text", 20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
     val fx = Dedup.sharedSpans(docs, "doc_id", "text", n = 20).collect()
     assert(fx.nonEmpty, "fixture corpus should contain shared long spans")
-    fx.foreach(r => assert(r.getLong(2) >= 1L))
+    fx.foreach { r =>
+      val expected = spanSets(r.getLong(0)).intersect(spanSets(r.getLong(1))).size
+      assert(r.getLong(2) === expected.toLong,
+        s"pair (${r.getLong(0)},${r.getLong(1)})")
+    }
+    // hot-span cap: a template shared by MANY docs is excluded from pair
+    // generation at maxDf, so template spam cannot go quadratic
+    val spam = (1L to 10L).map(i => i -> s"head$i $boiler tail$i").toDF("doc_id", "text")
+    assert(Dedup.sharedSpans(spam, "doc_id", "text", n = 20).count() === 45L) // C(10,2)
+    assert(Dedup.sharedSpans(spam, "doc_id", "text", n = 20, maxDf = 5L).count() === 0L)
   }
 
   test("connectedComponents: pointer jumping converges in O(log diameter) rounds") {
