@@ -131,11 +131,24 @@ object Catalog {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
-  /** approx_count_distinct (HLL sketch) — engine-specific, no SQL oracle. */
+  /** approx_count_distinct (HLL++ sketch) as a TOLERANCE LAW: the sketch
+    * estimate itself is engine-specific (no external engine reproduces
+    * Spark's HLL++ registers), but its merge is order-independent, so
+    * |approx - exact| <= 5% * exact is a DETERMINISTIC boolean — the oracle
+    * recomputes `exact_parts` and asserts the bound as a constant TRUE
+    * column. A sketch regression past the configured 2% rsd (x2.5 headroom)
+    * now breaks the hash gate instead of hiding behind a rows-only check. */
   def q14ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        (abs(col("approx").cast("double") - col("exact_parts").cast("double"))
+          <= col("exact_parts").cast("double") * 0.05).as("within_5pct"))
       .orderBy(col("l_returnflag"))
 
   /** String function family: concat_ws, substring, upper/lower, lpad, regexp. */

@@ -135,6 +135,16 @@ object Oracles {
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // q14's oracle is a tolerance LAW, not a mirror: Spark's HLL++ estimate
+    // is engine-specific, but it is a deterministic order-independent
+    // function of the data, so the 5%-of-exact bound is a constant — the
+    // oracle recomputes the exact count and asserts the bound holds (TRUE).
+    "q14_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q15_string_funcs" ->
       """SELECT c_custkey,
         |  c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS seg_key,

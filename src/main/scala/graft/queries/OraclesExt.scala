@@ -12,10 +12,12 @@ package graft.queries
  *  - quality/ratio formulas use only +,-,*,/ and least/greatest with
  *    identical parenthesization — no libm transcendentals.
  *
- * q27 (simhash) and q30 (approximate ANN) are engine-native (xxhash64 seeds)
- * / intentionally approximate, so they carry no SQL oracle — the driver
- * records rows-only checks and their contracts are asserted in DedupSpec /
- * SimilaritySpec instead.
+ * Round 5 closed the last no-oracle gaps: q27's simhash weights derive from
+ * md5 (both engines compute the identical 64-bit token weight as two 32-bit
+ * hex-prefix words), and q30's multi-probe bucketing is a deterministic
+ * function of the vector mirrored exactly like q49's — every approximate
+ * operator is now either oracle-mirrored (same deterministic approximation
+ * on both sides) or a tolerance law (q14), never rows-only.
  */
 object OraclesExt {
 
@@ -102,6 +104,9 @@ object OraclesExt {
         |WHERE cosine >= 0.45""".stripMargin,
 
     "q49_embed_neardup_lsh" -> embedLshSql,
+
+    "q27_simhash_pairs" -> simhashSql,
+    "q30_ann_lsh" -> annLshSql,
 
     // md5 hex is identical in both engines; ('0x'||hex)::BIGINT == Spark's
     // conv(hex,16,10) for the 8-digit prefix (fits in a long)

@@ -11,9 +11,10 @@ class ContractSpec extends AnyFunSuite {
     val orphanOracles = oracles.diff(queries)
     assert(orphanOracles.isEmpty, s"oracle SQL without a query: $orphanOracles")
     val rowsOnly = queries.diff(oracles)
-    // documented rows-only set: HLL sketch, engine-native simhash, approximate sign-LSH
-    assert(rowsOnly === Set("q14_approx_distinct", "q27_simhash_pairs", "q30_ann_lsh"),
-      s"undocumented rows-only queries: ${rowsOnly}")
+    // round 5 closed the last rows-only gaps: q14 became a tolerance law,
+    // q27 moved to md5-derived simhash weights, q30's bucketing is mirrored
+    // like q49's — every declared query now carries a full hash oracle
+    assert(rowsOnly.isEmpty, s"undocumented rows-only queries: ${rowsOnly}")
   }
 
   test("query names follow the qNN_ naming scheme with no duplicates") {
