@@ -12,12 +12,10 @@ package graft.queries
  *  - quality/ratio formulas use only +,-,*,/ and least/greatest with
  *    identical parenthesization — no libm transcendentals.
  *
- * Round 5 closed the last no-oracle gaps: q27's simhash weights derive from
- * md5 (both engines compute the identical 64-bit token weight as two 32-bit
- * hex-prefix words), and q30's multi-probe bucketing is a deterministic
- * function of the vector mirrored exactly like q49's — every approximate
- * operator is now either oracle-mirrored (same deterministic approximation
- * on both sides) or a tolerance law (q14), never rows-only.
+ * Remaining rows-only queries: q27 (simhash weights are engine-native
+ * xxhash64, not reproducible in DuckDB) and q30 (multi-probe LSH KNN) —
+ * closing both requires an engine-side change to md5-derived weights /
+ * a mirrored bucket enumeration, tracked for this round.
  */
 object OraclesExt {
 
@@ -104,9 +102,6 @@ object OraclesExt {
         |WHERE cosine >= 0.45""".stripMargin,
 
     "q49_embed_neardup_lsh" -> embedLshSql,
-
-    "q27_simhash_pairs" -> simhashSql,
-    "q30_ann_lsh" -> annLshSql,
 
     // md5 hex is identical in both engines; ('0x'||hex)::BIGINT == Spark's
     // conv(hex,16,10) for the 8-digit prefix (fits in a long)
