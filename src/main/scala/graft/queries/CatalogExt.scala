@@ -103,7 +103,9 @@ object CatalogExt {
       0.45, planes = 16, maxHamming = 3)
 
   /** Multi-probe sign-LSH approximate KNN — same output contract as q28 on
-    * a candidate subset; approximate, so rows-only check + recall spec. */
+    * a candidate subset. The bucketing and probe rule are deterministic, so
+    * the oracle mirrors them (annLshSql) and the approximation hash-checks;
+    * recall vs exact KNN is asserted separately in SimilaritySpec. */
   def q30AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.lshKnn(

@@ -12,10 +12,11 @@ package graft.queries
  *  - quality/ratio formulas use only +,-,*,/ and least/greatest with
  *    identical parenthesization — no libm transcendentals.
  *
- * Remaining rows-only queries: q27 (simhash weights are engine-native
- * xxhash64, not reproducible in DuckDB) and q30 (multi-probe LSH KNN) —
- * closing both requires an engine-side change to md5-derived weights /
- * a mirrored bucket enumeration, tracked for this round.
+ * Remaining rows-only query: q27 (simhash weights are engine-native
+ * xxhash64, not reproducible in DuckDB) — closing it requires an
+ * engine-side change to md5-derived token weights, tracked for this round.
+ * q30's multi-probe sign-LSH is deterministic and mirrored ([[annLshSql]]),
+ * like q49's bucketing.
  */
 object OraclesExt {
 
@@ -102,6 +103,7 @@ object OraclesExt {
         |WHERE cosine >= 0.45""".stripMargin,
 
     "q49_embed_neardup_lsh" -> embedLshSql,
+    "q30_ann_lsh" -> annLshSql,
 
     // md5 hex is identical in both engines; ('0x'||hex)::BIGINT == Spark's
     // conv(hex,16,10) for the 8-digit prefix (fits in a long)
@@ -503,6 +505,47 @@ object OraclesExt {
        |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cosine
        |  FROM cand c JOIN e x ON x.vec_id = c.a_id JOIN e y ON y.vec_id = c.b_id)
        |WHERE cosine >= 0.45""".stripMargin
+  }
+
+  /** q30's mirror of the multi-probe sign-LSH KNN
+    * ([[graft.sim.Similarity.lshKnn]], planes=8, probeHamming=2, k=10):
+    * the 8-bit bucket is the same splitmix64-seeded Rademacher code as
+    * [[embedLshSql]]'s (inlined ±1.0 sign rows, exact double arithmetic in
+    * element order), and the engine's probe rule — explode all codes within
+    * `probeHamming` sign flips of the query's bucket, then equi-join — is
+    * relationally identical to joining on
+    * `bit_count(q.code XOR c.code) <= probeHamming`, which DuckDB computes
+    * directly. Ranking mirrors the engine's (cosine DESC, c_id ASC) window,
+    * so both engines emit the SAME deterministic approximate neighbor set —
+    * hash-comparable like q49/q35. */
+  private lazy val annLshSql: String = {
+    val planes = 8; val dim = 64; val probeHamming = 2; val topK = 10
+    val signRows = (0 until planes).map { p =>
+      (0 until dim).map { j =>
+        if ((graft.functions.VectorMath.splitmix64(p.toLong * dim + j) & 1L) == 1L) "1.0"
+        else "-1.0"
+      }.mkString("[", ",", "]")
+    }
+    val codeExpr = (0 until planes).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${signRows(p)}) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |    $codeExpr AS code
+       |  FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    list_dot_product(q.v, c.v)
+       |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+       |  FROM b q JOIN b c
+       |    ON c.vec_id <> q.vec_id
+       |   AND bit_count(xor(q.code, c.code)) <= $probeHamming
+       |  WHERE q.vec_id % 25 = 0)
+       |SELECT q_id, c_id, rnk, cosine FROM (
+       |  SELECT q_id, c_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS BIGINT) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $topK""".stripMargin
   }
 
   /** q57's mirror of the ENTIRE k-means training loop plus the IVF probe:

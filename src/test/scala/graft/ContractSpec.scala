@@ -11,10 +11,10 @@ class ContractSpec extends AnyFunSuite {
     val orphanOracles = oracles.diff(queries)
     assert(orphanOracles.isEmpty, s"oracle SQL without a query: $orphanOracles")
     val rowsOnly = queries.diff(oracles)
-    // q27 (engine-native xxhash64 simhash) and q30 (multi-probe LSH KNN)
-    // are the documented rows-only residue; q14 carries a tolerance-law
-    // oracle since round 5
-    assert(rowsOnly == Set("q27_simhash_pairs", "q30_ann_lsh"),
+    // q27 (engine-native xxhash64 simhash) is the last rows-only query;
+    // q14 carries a tolerance-law oracle, q30's deterministic bucketing is
+    // mirrored like q49's
+    assert(rowsOnly == Set("q27_simhash_pairs"),
       s"rows-only queries drifted from the documented set: ${rowsOnly}")
   }
 
