@@ -22,6 +22,27 @@ object VectorMath {
   def xxhash(s: UTF8String): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, XxSeed)
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of md5(s) as a big-endian long — bit-equal to the SQL
+    * form `('0x'||substr(md5(s),1,8))::BIGINT << 32 | ('0x'||substr(md5(s),
+    * 9,8))::BIGINT`, i.e. two 32-bit hex-prefix words. Used where a per-token
+    * 64-bit weight must be reproducible by an external SQL engine (the
+    * simhash oracle); ~5-10× slower per token than [[xxhash]], which remains
+    * the choice for engine-internal hashing (minhash permutations). */
+  def md5Prefix64(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
   // ------------------------------------------------------------- cosine ----
 
   /** Cosine similarity of two float vectors, accumulated in double in element
@@ -93,9 +114,13 @@ object VectorMath {
 
   /** 64-bit SimHash over an array of string tokens (Charikar 2002, STOC —
     * "Similarity estimation techniques from rounding algorithms"): each
-    * token's xxhash64 votes ±1 on every bit position; bit b of the result is
-    * set iff the aggregate vote is >= 0. Hamming distance between simhashes
-    * estimates the angular distance between token multisets. Null tokens are
+    * token's [[md5Prefix64]] votes ±1 on every bit position; bit b of the
+    * result is set iff the aggregate vote is >= 0. Hamming distance between
+    * simhashes estimates the angular distance between token multisets. The
+    * md5-derived weight (not xxhash64) makes the fingerprint reproducible in
+    * any SQL engine with an md5 builtin, so the q27 dedup oracle hash-checks
+    * the full pair set; md5's per-token cost is acceptable because simhash
+    * is computed once per document, not per permutation. Null tokens are
     * skipped; an empty/all-null array yields 0 (all votes tie at 0 with no
     * evidence — callers should treat 0-token docs separately). */
   def simhash64(tokens: ArrayData): Long = {
@@ -106,7 +131,7 @@ object VectorMath {
     while (i < n) {
       if (!tokens.isNullAt(i)) {
         seen += 1
-        val h = xxhash(tokens.getUTF8String(i))
+        val h = md5Prefix64(tokens.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -76,8 +76,9 @@ object CatalogExt {
       n = 3, threshold = 0.6, bands = 42, rows = 3)
 
   /** SimHash near-dup pairs (hamming <= 3, pigeonhole-complete candidates).
-    * No SQL oracle (xxhash64 is engine-native); contract tested in
-    * DedupSpec against the exact-Jaccard planted pairs. */
+    * Token weights are md5-derived (VectorMath.md5Prefix64), so the oracle
+    * recomputes the identical fingerprints and the FULL pair set
+    * hash-checks; recall over planted near-dups is DedupSpec's law. */
   def q27SimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
 

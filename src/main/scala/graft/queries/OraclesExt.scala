@@ -12,11 +12,11 @@ package graft.queries
  *  - quality/ratio formulas use only +,-,*,/ and least/greatest with
  *    identical parenthesization — no libm transcendentals.
  *
- * Remaining rows-only query: q27 (simhash weights are engine-native
- * xxhash64, not reproducible in DuckDB) — closing it requires an
- * engine-side change to md5-derived token weights, tracked for this round.
- * q30's multi-probe sign-LSH is deterministic and mirrored ([[annLshSql]]),
- * like q49's bucketing.
+ * Every declared query carries a full hash oracle: the approximate
+ * operators are deterministic and mirrored (q26/q30/q35/q49/q57 recompute
+ * the identical bucketing/training in SQL; q27's simhash weights are
+ * md5-derived, see [[simhashSql]]) or tolerance laws (q14's HLL bound as a
+ * constant-TRUE boolean) — never rows-only.
  */
 object OraclesExt {
 
@@ -104,6 +104,7 @@ object OraclesExt {
 
     "q49_embed_neardup_lsh" -> embedLshSql,
     "q30_ann_lsh" -> annLshSql,
+    "q27_simhash_pairs" -> simhashSql,
 
     // md5 hex is identical in both engines; ('0x'||hex)::BIGINT == Spark's
     // conv(hex,16,10) for the 8-digit prefix (fits in a long)
@@ -506,6 +507,42 @@ object OraclesExt {
        |  FROM cand c JOIN e x ON x.vec_id = c.a_id JOIN e y ON y.vec_id = c.b_id)
        |WHERE cosine >= 0.45""".stripMargin
   }
+
+  /** q27's mirror of the simhash near-dup pair set: the engine's per-token
+    * weight is [[graft.functions.VectorMath.md5Prefix64]] — the first 8
+    * md5 bytes big-endian, i.e. exactly the two 32-bit hex-prefix words
+    * `('0x'||substr(md5(t),1,8))` / `(…,9,8)` — so DuckDB recomputes the
+    * identical 64-bit fingerprint as (hi, lo) word pairs: per (doc, bit)
+    * majority vote (2·set ≥ seen, the engine's votes ≥ 0 rule), then
+    * pairwise hamming as the sum of two 32-bit bit_count(xor)s. The engine's
+    * chunk-pigeonhole candidate generation is COMPLETE for hamming ≤ 3
+    * (Manku/Jain/Sarma 2007), so its output equals the all-pairs filter the
+    * oracle computes — hash-identical, not just approximately equal. */
+  private lazy val simhashSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(t), 1, 8))::BIGINT AS whi,
+      |    ('0x' || substr(md5(t), 9, 8))::BIGINT AS wlo
+      |  FROM tok),
+      |v AS (
+      |  SELECT doc_id, u.b,
+      |    CASE WHEN 2 * sum(CASE WHEN u.b < 32 THEN (wlo >> u.b) & 1
+      |                           ELSE (whi >> (u.b - 32)) & 1 END) >= count(*)
+      |         THEN 1 ELSE 0 END AS bit
+      |  FROM h, LATERAL (SELECT unnest(range(0, 64)) AS b) u
+      |  GROUP BY doc_id, u.b),
+      |fp AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN b < 32 THEN bit << b ELSE 0 END) AS flo,
+      |    sum(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END) AS fhi
+      |  FROM v GROUP BY doc_id)
+      |SELECT a_id, b_id, hamming FROM (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(bit_count(xor(a.fhi, b.fhi)) + bit_count(xor(a.flo, b.flo)) AS BIGINT) AS hamming
+      |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+      |WHERE hamming <= 3""".stripMargin
 
   /** q30's mirror of the multi-probe sign-LSH KNN
     * ([[graft.sim.Similarity.lshKnn]], planes=8, probeHamming=2, k=10):

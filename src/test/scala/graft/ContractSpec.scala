@@ -11,11 +11,10 @@ class ContractSpec extends AnyFunSuite {
     val orphanOracles = oracles.diff(queries)
     assert(orphanOracles.isEmpty, s"oracle SQL without a query: $orphanOracles")
     val rowsOnly = queries.diff(oracles)
-    // q27 (engine-native xxhash64 simhash) is the last rows-only query;
-    // q14 carries a tolerance-law oracle, q30's deterministic bucketing is
-    // mirrored like q49's
-    assert(rowsOnly == Set("q27_simhash_pairs"),
-      s"rows-only queries drifted from the documented set: ${rowsOnly}")
+    // every declared query carries a full hash oracle: deterministic
+    // approximations are mirrored in SQL (q26/q27/q30/q35/q49/q57), q14's
+    // HLL sketch is a tolerance law asserted as a constant-TRUE boolean
+    assert(rowsOnly.isEmpty, s"undocumented rows-only queries: ${rowsOnly}")
   }
 
   test("query names follow the qNN_ naming scheme with no duplicates") {
