@@ -16,6 +16,12 @@ case class MMFeatures(asset_id: Long, mime: String, n_bytes: Long,
 case class ImgFeatures(asset_id: Long, mime: String,
     width: Int, height: Int, luma16: Long, pix_sum: Long, decoded: Boolean)
 
+/** One asset's REAL lossy-codec round trip ([[Multimodal.jpegRoundTrip]]):
+  * exact_sum is the SQL-predictable pre-encode pixel sum; within_tol bounds
+  * the decoded sum's lossy drift (the q14-style tolerance-law column). */
+case class JpegRoundTrip(asset_id: Long, width: Long, height: Long,
+    exact_sum: Long, decoded: Boolean, within_tol: Boolean)
+
 /**
  * Multimodal-column plumbing for image/audio/video payloads: the engine
  * treats media as opaque `binary` columns with typed metadata, and runs
@@ -92,15 +98,13 @@ object Multimodal {
     assets.mapPartitions { batch =>
       javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
       batch.map { a =>
-        val n = a.content.length
         val (w, h) = gridDims(a.n_bytes)
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
         val raster = img.getRaster
         var i = 0
         while (i < w * h) {
-          val v = if (n == 0) 0 else a.content(((i.toLong * n) / (w * h)).toInt) & 0xff
-          raster.setSample(i % w, i / w, 0, v)
+          raster.setSample(i % w, i / w, 0, gridPixel(a.content, i, w * h))
           i += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
@@ -169,6 +173,76 @@ object Multimodal {
           ImgFeatures(a.asset_id, a.mime, w, h, l16, all, decoded = true)
         }
       }
+    }
+  }
+
+  /** The shared grid rule of [[encodePngGray]]/[[jpegRoundTrip]]: pixel i of
+    * the w x h grid is byte floor(i*n/(w*h)) of the payload (0 when empty). */
+  private def gridPixel(content: Array[Byte], i: Int, wh: Int): Int =
+    if (content.length == 0) 0
+    else content(((i.toLong * content.length) / wh).toInt) & 0xff
+
+  /**
+   * REAL lossy-codec round trip: resample the payload onto the [[gridDims]]
+   * grid (exactly like [[encodePngGray]]), encode it as an actual JPEG via
+   * javax.imageio's writer at the given quality, then decode the JPEG bytes
+   * back and compare pixel sums. JPEG is lossy, so the decoded sum is NOT a
+   * pure function an external engine can recompute — the oracle-checkable
+   * outputs are the exact pre-encode sum (SQL-predictable from the bytes),
+   * the raster dimensions (lossless in JPEG), the decode-success flag, and
+   * `within_tol`, a q14-style tolerance law: |decoded_sum - exact_sum| <=
+   * tolPerPixel * w * h, asserted as constant TRUE by the oracle. All work
+   * is partition-local (encode+decode in one batch pass, zero shuffles);
+   * codec-less platforms surface as decoded=false rows, never exceptions.
+   */
+  def jpegRoundTrip(assets: Dataset[MMAsset], quality: Float = 0.95f,
+      tolPerPixel: Int = 8): Dataset[JpegRoundTrip] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      // per-partition codec init: one writer instance reused for the batch
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(quality)
+      val out = batch.map { a =>
+        val (w, h) = gridDims(a.n_bytes)
+        val wh = w * h
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var exact = 0L
+        var i = 0
+        while (i < wh) {
+          val v = gridPixel(a.content, i, wh)
+          exact += v
+          raster.setSample(i % w, i / w, 0, v)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+        ios.close()
+        val back =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (back == null)
+          JpegRoundTrip(a.asset_id, w.toLong, h.toLong, exact,
+            decoded = false, within_tol = false)
+        else {
+          val r = back.getRaster
+          var sum = 0L
+          var j = 0
+          while (j < wh) { sum += r.getSample(j % back.getWidth, j / back.getWidth, 0); j += 1 }
+          JpegRoundTrip(a.asset_id, back.getWidth.toLong, back.getHeight.toLong, exact,
+            decoded = true, within_tol = math.abs(sum - exact) <= tolPerPixel.toLong * wh)
+        }
+      }
+      // writer.dispose() after the batch would need a closing iterator; the
+      // instance is task-scoped and GC'd with the task, which imageio allows
+      out
     }
   }
 

@@ -459,6 +459,18 @@ object CatalogExt {
           lit(0.0), (acc, x) => acc + x).as("l1_err"))
   }
 
+  /** REAL lossy-codec round trip: grid-resample payload → actual JPEG encode
+    * (javax.imageio, quality 0.95) → actual JPEG decode → drift check. The
+    * SQL-predictable columns (dims, exact pre-encode sum, decode flag) hash
+    * directly; the lossy decoded sum enters as the q14-style tolerance-law
+    * boolean within_tol, asserted constant TRUE by the oracle. */
+  def q65JpegDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.jpegRoundTrip(
+      Multimodal.assetsFromDocuments(Tables.documents(s, dir)))
+      .toDF()
+      .select(col("asset_id"), col("width"), col("height"),
+        col("exact_sum"), col("decoded"), col("within_tol"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -504,6 +516,7 @@ object CatalogExt {
     "q62_contam_scores"  -> q62ContamScores _,
     "q63_quantize_int8"  -> q63QuantizeInt8 _,
     "q64_shared_spans"   -> q64SharedSpans _,
+    "q65_jpeg_decode"    -> q65JpegDecode _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -112,6 +112,29 @@ object OraclesExt {
     "q59_drop_neardups" -> dropNearDupsSql,
     "q61_curate_corpus" -> curateCorpusSql,
 
+    // q65: the lossy JPEG round trip. SQL-predictable columns mirror the
+    // grid rule (dims are pure functions of the byte length, exact_sum is
+    // the q55-style nearest-neighbor byte resample over the w x h grid);
+    // decode success and the lossy-drift bound enter as constant-TRUE
+    // booleans, the q14 tolerance-law pattern.
+    "q65_jpeg_decode" ->
+      """WITH a AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n,
+        |    4 + octet_length(encode(text)) % 13 AS w,
+        |    4 + (octet_length(encode(text)) * 7) % 11 AS h
+        |  FROM documents)
+        |SELECT doc_id AS asset_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, w * h),
+        |        i -> CAST(ord(substr(text, CAST((i * n) // (w * h) AS INT) + 1, 1)) AS BIGINT))),
+        |      (acc, x) -> acc + x) AS BIGINT)
+        |  END AS exact_sum,
+        |  TRUE AS decoded,
+        |  TRUE AS within_tol
+        |FROM a""".stripMargin,
+
     // nearest-neighbor byte sampling: position i reads byte (i*n)//64;
     // ASCII corpus => byte == ord of the 1-based character (like q39).
     // Empty payloads resize to the zero grid (checksum 0) on both sides.

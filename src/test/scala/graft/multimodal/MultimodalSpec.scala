@@ -126,6 +126,31 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f.pix_sum - 64L * 128L) <= 64L)
   }
 
+  test("jpegRoundTrip: real encode+decode, exact dims/sums, lossy drift within law") {
+    val assets = Multimodal.assetsFromDocuments(Tables.documents(spark, sfDir))
+    val out = Multimodal.jpegRoundTrip(assets).collect().map(r => r.asset_id -> r).toMap
+    val srcs = assets.collect()
+    assert(srcs.nonEmpty)
+    srcs.foreach { a =>
+      val (w, h) = Multimodal.gridDims(a.n_bytes)
+      val n = a.content.length
+      val exact = (0 until w * h).map { i =>
+        if (n == 0) 0L else (a.content(((i.toLong * n) / (w * h)).toInt) & 0xff).toLong
+      }.sum
+      val r = out(a.asset_id)
+      assert(r.decoded, s"asset ${a.asset_id} failed the real JPEG decode")
+      assert(r.width === w.toLong)
+      assert(r.height === h.toLong)
+      assert(r.exact_sum === exact)
+      assert(r.within_tol, s"asset ${a.asset_id} drifted past the tolerance law")
+    }
+    // the law must also FAIL visibly when the budget is impossible: the
+    // same corpus at tolPerPixel = 0 should breach on noisy byte grids
+    val strict = Multimodal.jpegRoundTrip(assets, tolPerPixel = 0).collect()
+    assert(strict.exists(!_.within_tol),
+      "tolPerPixel=0 passed everywhere — the drift check is vacuous")
+  }
+
   test("decodeImage: non-image payloads fall back to the stub formulas") {
     val s = spark
     import s.implicits._
