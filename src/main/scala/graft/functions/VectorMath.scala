@@ -110,6 +110,44 @@ object VectorMath {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** True iff any word n-gram of `tokens` hashes (xxhash64) into the SORTED
+    * long array `sorted` — the decontamination-gate probe. Binary search per
+    * window: a clean doc (the common case) pays shingleCount × log2(|bench|)
+    * long compares instead of the |bench|-sized scan an `arrays_overlap`
+    * against the inlined benchmark would cost, and the plan carries 8 bytes
+    * per benchmark shingle instead of the string. Windows are built exactly
+    * like [[wordShingles]] (concatWs, null tokens skipped by the joiner), so
+    * hash equality mirrors the batch path's string equality up to xxhash64
+    * collisions (~2^-64 per probe — negligible against any eval set). */
+  def shingleHashOverlap(tokens: ArrayData, n: Int, sorted: ArrayData): Boolean = {
+    val cnt = tokens.numElements() - n + 1
+    val m = sorted.numElements()
+    if (cnt <= 0 || m == 0) return false
+    val toks = new Array[UTF8String](tokens.numElements())
+    var i = 0
+    while (i < toks.length) {
+      toks(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      i += 1
+    }
+    val window = new Array[UTF8String](n)
+    i = 0
+    while (i < cnt) {
+      var j = 0
+      while (j < n) { window(j) = toks(i + j); j += 1 }
+      val h = xxhash(UTF8String.concatWs(UTF8String.SPACE_UTF8, window: _*))
+      var lo = 0; var hi = m - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val v = sorted.getLong(mid)
+        if (v == h) return true
+        else if (v < h) lo = mid + 1
+        else hi = mid - 1
+      }
+      i += 1
+    }
+    false
+  }
+
   // ------------------------------------------------------------ simhash ----
 
   /** 64-bit SimHash over an array of string tokens (Charikar 2002, STOC —

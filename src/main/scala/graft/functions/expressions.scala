@@ -98,6 +98,32 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** shingle_hash_overlap(array<string> tokens, array<long> sortedHashes, n)
+  * -> boolean — true iff any word n-gram of the tokens xxhash64-es into the
+  * sorted hash array (binary search per window; the streaming
+  * decontamination gate's probe kernel). */
+case class ShingleHashOverlap(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  require(n > 0, s"shingle width must be positive, got $n")
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<long>), got " +
+          children.map(_.dataType.simpleString).mkString(", "))
+    }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_shingle_hash_overlap"
+  override protected def nullSafeEval(tokens: Any, hashes: Any): Any =
+    VectorMath.shingleHashOverlap(
+      tokens.asInstanceOf[ArrayData], n, hashes.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorMath.shingleHashOverlap($a, $n, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ShingleHashOverlap =
+    copy(left = l, right = r)
+}
+
 /** sign_bucket(array<float>, planes) -> int — random-hyperplane LSH bucket. */
 case class SignBucket(child: Expression, planes: Int)
     extends UnaryExpression {
@@ -139,7 +165,9 @@ object GraftFunctions {
     "graft_simhash64"   -> { args => SimHash64(args(0)) },
     "graft_minhash_sig" -> { args => MinHashSig(args(0), intArg(args(1), "k")) },
     "graft_sign_bucket" -> { args => SignBucket(args(0), intArg(args(1), "planes")) },
-    "graft_word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "n")) })
+    "graft_word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "n")) },
+    "graft_shingle_hash_overlap" -> { args =>
+      ShingleHashOverlap(args(0), args(1), intArg(args(2), "n")) })
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -162,6 +190,10 @@ object GraftFunctions {
   def wordShingles(tokens: Column, n: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("graft_word_shingles", tokens, lit(n))
+  }
+  def shingleHashOverlap(tokens: Column, sortedHashes: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_shingle_hash_overlap", tokens, sortedHashes, lit(n))
   }
 }
 

@@ -84,13 +84,20 @@ object DocsPipeline {
    * least one word n-gram with the STATIC benchmark corpus — the streaming
    * counterpart of [[graft.curation.Curation.contaminationFlags]], whose
    * batch shape (a join against stream-derived hit ids) is not legal in a
-   * stream. Here the benchmark's distinct shingle set is collected once at
+   * stream. The benchmark's distinct shingle set is collected once at
    * plan-build time (eval sets are small by definition — the same argument
    * that lets the batch operator broadcast them; `maxBenchShingles` fails
-   * loudly if someone passes a corpus instead of a benchmark) and inlined
-   * as a literal array, so the gate is a NARROW `arrays_overlap` filter:
-   * no state, no shuffle, batch/stream-unified. Docs too short to shingle
-   * pass untouched (trivially clean, matching the batch contract).
+   * loudly if someone passes a corpus instead of a benchmark), xxhash64-ed
+   * and SORTED, and the gate probes it with a codegen'd binary-search
+   * kernel ([[graft.functions.ShingleHashOverlap]]): a clean doc — the vast
+   * majority — pays shingles × log2(|bench|) long compares instead of
+   * scanning a |bench|-sized literal per row, and the serialized plan
+   * carries 8 bytes per benchmark shingle instead of the string. Hash
+   * equality mirrors the batch path's string equality up to xxhash64
+   * collisions (~2^-64 per probe); the law spec holds the two paths equal.
+   * The gate stays a NARROW filter: no state, no shuffle,
+   * batch/stream-unified. Docs too short to shingle pass untouched
+   * (trivially clean, matching the batch contract).
    */
   def decontaminateGate(docs: DataFrame, benchmark: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 8,
@@ -109,7 +116,12 @@ object DocsPipeline {
     require(benchShingles.length <= maxBenchShingles,
       s"benchmark has > $maxBenchShingles distinct $n-grams — that is a corpus, " +
         "not an eval set; use the batch contaminationFlags/contaminationScores path")
-    // coalesce(true): a null text shingles to null -> null predicate, which
+    val benchHashes = benchShingles.iterator
+      .map(s => graft.functions.VectorMath.xxhash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+      .toArray
+    java.util.Arrays.sort(benchHashes)
+    // coalesce(true): a null text tokenizes to null -> null predicate, which
     // filter would DROP — but the batch operator keeps null-text docs as
     // trivially clean, and the law spec holds the two paths equal.
     // The predicate is materialized as a NAMED column so the observe
@@ -117,9 +129,8 @@ object DocsPipeline {
     // (non-cheap aliases survive CollapseProject; an inline expression
     // would tokenize+shingle every row twice).
     val clean = coalesce(
-      !arrays_overlap(
-        graft.dedup.Dedup.shingles(TextOps.tokens(col(textCol)), n),
-        typedLit(benchShingles)),
+      !graft.functions.GraftFunctions.shingleHashOverlap(
+        TextOps.tokens(col(textCol)), typedLit(benchHashes), n),
       lit(true))
     graft.ops.Metrics.observeGate(
       docs.withColumn("__clean", clean), "contamination_gate", col("__clean"))
