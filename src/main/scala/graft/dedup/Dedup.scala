@@ -373,14 +373,28 @@ object Dedup {
    * iterations.
    */
   def connectedComponents(pairs: DataFrame,
-      aCol: String = "a_id", bCol: String = "b_id", maxIter: Int = 20): DataFrame =
-    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+      aCol: String = "a_id", bCol: String = "b_id", maxIter: Int = 20,
+      hotLabelThreshold: Option[Long] = None): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter, hotLabelThreshold)._1
 
   /** [[connectedComponents]] exposing the executed round count — the
-    * convergence-rate contract DedupSpec asserts (O(log diameter)). */
+    * convergence-rate contract DedupSpec asserts (O(log diameter)).
+    *
+    * `hotLabelThreshold`: the GIANT-COMPONENT fallback. Once a huge dedup
+    * group forms (the degenerate million-identical-docs corpus), most rows'
+    * `mid_component` is the SAME label, so the pointer-jump equi-join
+    * hot-keys one shuffle partition. AQE's skew-join split handles this on
+    * sane configs; where it can't be relied on, pass a threshold: each
+    * round counts members per label (map-side-combinable, skew-free),
+    * collects the few labels above the threshold (bounded by
+    * nodes/threshold), and routes their rows through a BROADCAST lookup of
+    * just those labels — map-side, no shuffle key hotter than the threshold
+    * — while cold rows take the normal equi-join. Same fixpoint (the law
+    * spec plants a giant star and holds both paths' labelings equal); costs
+    * one extra count + materialization per round, so it stays opt-in. */
   def connectedComponentsWithRounds(pairs: DataFrame,
       aCol: String = "a_id", bCol: String = "b_id",
-      maxIter: Int = 20): (DataFrame, Int) = {
+      maxIter: Int = 20, hotLabelThreshold: Option[Long] = None): (DataFrame, Int) = {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
@@ -411,12 +425,28 @@ object Dedup {
       // per-round materializations).
       val jump = labels
         .select(col("id").as("jid"), col("component").as("jlabel"))
-      val updated = lineageCut(
-        propagated
-          .join(jump, col("mid_component") === col("jid"), "left")
-          .select(col("id"), col("component"),
-            least(col("mid_component"), coalesce(col("jlabel"), col("mid_component")))
-              .as("next_component")))
+      def jumped(rows: DataFrame, lookup: DataFrame): DataFrame = rows
+        .join(lookup, col("mid_component") === col("jid"), "left")
+        .select(col("id"), col("component"),
+          least(col("mid_component"), coalesce(col("jlabel"), col("mid_component")))
+            .as("next_component"))
+      val updated = lineageCut(hotLabelThreshold match {
+        case None => jumped(propagated, jump)
+        case Some(t) =>
+          // materialize once: the hot count, the split, and the join all
+          // re-read `propagated` below
+          val mid = lineageCut(propagated)
+          val hotKeys = mid.groupBy(col("mid_component")).agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > t).select(col("mid_component"))
+            .collect().map(_.get(0)).toSeq
+          if (hotKeys.isEmpty) jumped(mid, jump)
+          else {
+            val isHot = col("mid_component").isin(hotKeys: _*)
+            val hotJump = jump.filter(col("jid").isin(hotKeys: _*))
+            jumped(mid.filter(isHot), broadcast(hotJump))
+              .unionByName(jumped(mid.filter(!isHot), jump))
+          }
+      })
       changed = updated.filter(col("next_component") =!= col("component")).count()
       labels = updated.select(col("id"), col("next_component").as("component"))
       iter += 1

@@ -195,6 +195,30 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= bound, s"path-$n converged in $rounds rounds, bound was $bound")
   }
 
+  test("connectedComponents: hot-label broadcast path equals default on a giant component (law)") {
+    val s = spark
+    import s.implicits._
+    // degenerate corpus: one giant star (every node paired with node 0) plus
+    // a bystander pair — after round 1 nearly every row's mid_component is
+    // the same label, the exact shape that hot-keys the pointer-jump join
+    val n = 2000
+    val star = (1 until n).map(i => (0L, i.toLong)) :+ (50000L, 50001L)
+    val pairs = star.toDF("a_id", "b_id")
+    val expected = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (salted, rounds) = Dedup.connectedComponentsWithRounds(
+      pairs, maxIter = 20, hotLabelThreshold = Some(100))
+    val got = salted.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected, "hot-label path diverged from the default labeling")
+    assert(got.count(_._2 == 0L) === n, "giant star did not collapse to component 0")
+    assert(got(50001L) === 50000L, "cold rows must still take the normal join")
+    // a threshold nothing exceeds must behave exactly like the default too
+    val cold = Dedup.connectedComponents(pairs, hotLabelThreshold = Some(n * 10L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cold === expected)
+    assert(rounds <= 5, s"star graph (diameter 2) took $rounds rounds")
+  }
+
   test("connectedComponents: reliable-checkpoint path (checkpoint dir configured)") {
     val s = spark
     import s.implicits._
