@@ -134,22 +134,38 @@ object Catalog {
   /** approx_count_distinct (HLL++ sketch) as a TOLERANCE LAW: the sketch
     * estimate itself is engine-specific (no external engine reproduces
     * Spark's HLL++ registers), but its merge is order-independent, so
-    * |approx - exact| <= 5% * exact is a DETERMINISTIC boolean — the oracle
+    * |approx - exact| <= tol * exact is a DETERMINISTIC boolean — the oracle
     * recomputes `exact_parts` and asserts the bound as a constant TRUE
-    * column. A sketch regression past the configured 2% rsd (x2.5 headroom)
-    * now breaks the hash gate instead of hiding behind a rows-only check. */
-  def q14ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    * column. A sketch regression past the configured rsd now breaks the
+    * hash gate instead of hiding behind a rows-only check.
+    *
+    * The tolerance DERIVES from the configured rsd (4x = 4 sigma of the
+    * estimator's relative standard deviation) rather than a magic
+    * percentage; even so it is a per-dataset statement, not a universal
+    * guarantee — an in-spec sketch can legitimately land outside any fixed
+    * multiple on some input. 4 sigma makes that a ~6e-5 event per group,
+    * and the fixture datasets are pinned, so the gate is deterministic in
+    * practice while staying sensitive to real sketch regressions.
+    *
+    * NOTE for cross-round bench comparisons: since round 5 this query pays
+    * for BOTH the sketch and the exact countDistinct (the law needs the
+    * exact side) — its bench number measures the pair, not the sketch
+    * alone. */
+  def q14ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val rsd = 0.02
+    val tol = 4 * rsd
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+        approx_count_distinct(col("l_partkey"), rsd).as("approx"),
         countDistinct(col("l_partkey")).as("exact_parts"))
       .select(
         col("l_returnflag"),
         col("exact_parts"),
         (abs(col("approx").cast("double") - col("exact_parts").cast("double"))
-          <= col("exact_parts").cast("double") * 0.05).as("within_5pct"))
+          <= col("exact_parts").cast("double") * tol).as("within_tol"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** String function family: concat_ws, substring, upper/lower, lpad, regexp. */
   def q15StringFuncs(s: SparkSession, dir: String): DataFrame =

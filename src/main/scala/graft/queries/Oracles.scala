@@ -137,12 +137,12 @@ object Oracles {
 
     // q14's oracle is a tolerance LAW, not a mirror: Spark's HLL++ estimate
     // is engine-specific, but it is a deterministic order-independent
-    // function of the data, so the 5%-of-exact bound is a constant — the
+    // function of the data, so the 4*rsd-of-exact bound is a constant — the
     // oracle recomputes the exact count and asserts the bound holds (TRUE).
     "q14_approx_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_parts,
-        |  TRUE AS within_5pct
+        |  TRUE AS within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q15_string_funcs" ->
