@@ -22,6 +22,12 @@ case class ImgFeatures(asset_id: Long, mime: String,
 case class JpegRoundTrip(asset_id: Long, width: Long, height: Long,
     exact_sum: Long, decoded: Boolean, within_tol: Boolean)
 
+/** One asset's REAL audio-codec round trip ([[Multimodal.wavRoundTrip]]):
+  * 8-bit PCM is lossless, so every column is SQL-predictable and the whole
+  * round trip hash-checks — no tolerance law needed. */
+case class WavRoundTrip(asset_id: Long, n_samples: Long, sample_sum: Long,
+    sample_rate_hz: Long, decoded: Boolean)
+
 /**
  * Multimodal-column plumbing for image/audio/video payloads: the engine
  * treats media as opaque `binary` columns with typed metadata, and runs
@@ -243,6 +249,60 @@ object Multimodal {
       // writer.dispose() after the batch would need a closing iterator; the
       // instance is task-scoped and GC'd with the task, which imageio allows
       out
+    }
+  }
+
+  /** 1-D analog of [[gridDims]] for audio: sample count 64..256, a pure
+    * function of the byte length (so the oracle predicts it). */
+  private[multimodal] def sampleCount(nBytes: Long): Int = (64 + nBytes % 193).toInt
+
+  /**
+   * REAL audio-codec round trip via the JDK's `javax.sound.sampled` (no
+   * external dependency): resample the payload onto [[sampleCount]] 8-bit
+   * PCM samples (the 1-D twin of the image grid rule), write an actual WAV
+   * file through AudioSystem's WAVE writer, then parse+decode the WAV bytes
+   * back and sum the samples. 8-bit PCM is LOSSLESS — the decoded samples
+   * are the written bytes — so unlike [[jpegRoundTrip]] every output column
+   * is an exact pure function of the payload and the whole container
+   * round trip (RIFF header, format chunk, data chunk) hash-checks against
+   * the SQL oracle. Partition-local batch pass, zero shuffles. Compressed
+   * audio (MP3/AAC) needs codec jars this container lacks and stays out of
+   * scope; WAV is the container-level real-codec path, exactly like PNG for
+   * images. A parse failure surfaces as decoded=false (stub-free fallback:
+   * counts/sums straight off the payload), never an exception.
+   */
+  def wavRoundTrip(assets: Dataset[MMAsset], sampleRateHz: Int = 8000): Dataset[WavRoundTrip] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { batch =>
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+        sampleRateHz.toFloat, 8, 1, 1, sampleRateHz.toFloat, false)
+      batch.map { a =>
+        val k = sampleCount(a.n_bytes)
+        val pcm = new Array[Byte](k)
+        var i = 0
+        while (i < k) { pcm(i) = gridPixel(a.content, i, k).toByte; i += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        val ais = new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, k.toLong)
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+        val wav = bos.toByteArray
+        val back =
+          try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (back == null) {
+          val sum = pcm.iterator.map(b => (b & 0xff).toLong).sum
+          WavRoundTrip(a.asset_id, k.toLong, sum, sampleRateHz.toLong, decoded = false)
+        } else {
+          val samples = back.readAllBytes()
+          var sum = 0L
+          var j = 0
+          while (j < samples.length) { sum += samples(j) & 0xff; j += 1 }
+          WavRoundTrip(a.asset_id, samples.length.toLong, sum,
+            back.getFormat.getSampleRate.toLong, decoded = true)
+        }
+      }
     }
   }
 

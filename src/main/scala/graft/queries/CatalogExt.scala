@@ -471,6 +471,16 @@ object CatalogExt {
       .select(col("asset_id"), col("width"), col("height"),
         col("exact_sum"), col("decoded"), col("within_tol"))
 
+  /** REAL audio-codec round trip: payload → 8-bit PCM samples → actual WAV
+    * write (javax.sound.sampled) → actual WAV parse+decode → sample sums.
+    * PCM is lossless, so every column hash-checks — no tolerance law. */
+  def q66WavDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavRoundTrip(
+      Multimodal.assetsFromDocuments(Tables.documents(s, dir)))
+      .toDF()
+      .select(col("asset_id"), col("n_samples"), col("sample_sum"),
+        col("sample_rate_hz"), col("decoded"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -517,6 +527,7 @@ object CatalogExt {
     "q63_quantize_int8"  -> q63QuantizeInt8 _,
     "q64_shared_spans"   -> q64SharedSpans _,
     "q65_jpeg_decode"    -> q65JpegDecode _,
+    "q66_wav_decode"     -> q66WavDecode _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -135,6 +135,27 @@ object OraclesExt {
         |  TRUE AS within_tol
         |FROM a""".stripMargin,
 
+    // q66: the LOSSLESS audio round trip — 8-bit PCM through an actual WAV
+    // write+parse is byte-faithful, so the sample count (the 1-D grid rule,
+    // 64 + n % 193) and the resampled-byte sum are exact pure functions of
+    // the payload; decode success is the only boolean and it must be TRUE.
+    "q66_wav_decode" ->
+      """WITH a AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n,
+        |    64 + octet_length(encode(text)) % 193 AS k
+        |  FROM documents)
+        |SELECT doc_id AS asset_id,
+        |  CAST(k AS BIGINT) AS n_samples,
+        |  CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, k),
+        |        i -> CAST(ord(substr(text, CAST((i * n) // k AS INT) + 1, 1)) AS BIGINT))),
+        |      (acc, x) -> acc + x) AS BIGINT)
+        |  END AS sample_sum,
+        |  CAST(8000 AS BIGINT) AS sample_rate_hz,
+        |  TRUE AS decoded
+        |FROM a""".stripMargin,
+
     // nearest-neighbor byte sampling: position i reads byte (i*n)//64;
     // ASCII corpus => byte == ord of the 1-based character (like q39).
     // Empty payloads resize to the zero grid (checksum 0) on both sides.

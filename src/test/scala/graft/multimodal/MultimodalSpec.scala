@@ -151,6 +151,31 @@ class MultimodalSpec extends SparkSpec {
       "tolPerPixel=0 passed everywhere — the drift check is vacuous")
   }
 
+  test("wavRoundTrip: lossless PCM through a real WAV write+parse (law vs bytes)") {
+    val assets = Multimodal.assetsFromDocuments(Tables.documents(spark, sfDir))
+    val out = Multimodal.wavRoundTrip(assets).collect().map(r => r.asset_id -> r).toMap
+    val srcs = assets.collect()
+    assert(srcs.nonEmpty)
+    srcs.foreach { a =>
+      val k = Multimodal.sampleCount(a.n_bytes)
+      val n = a.content.length
+      val expected = (0 until k).map { i =>
+        if (n == 0) 0L else (a.content(((i.toLong * n) / k).toInt) & 0xff).toLong
+      }.sum
+      val r = out(a.asset_id)
+      assert(r.decoded, s"asset ${a.asset_id} failed the WAV parse")
+      assert(r.n_samples === k.toLong)
+      assert(r.sample_sum === expected, s"asset ${a.asset_id}: PCM not byte-faithful")
+      assert(r.sample_rate_hz === 8000L)
+    }
+    // empty payload: all-zero samples, sum 0, still a valid WAV
+    val s = spark
+    import s.implicits._
+    val empty = Seq(MMAsset(5L, "m", Array.empty[Byte], 0L)).toDS()
+    val z = Multimodal.wavRoundTrip(empty).head()
+    assert(z.decoded && z.sample_sum === 0L && z.n_samples === 64L)
+  }
+
   test("decodeImage: non-image payloads fall back to the stub formulas") {
     val s = spark
     import s.implicits._
