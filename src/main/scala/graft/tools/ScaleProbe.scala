@@ -69,5 +69,31 @@ object ScaleProbe {
         kept
       }
     }
+    // round-6 probe: the giant-component fallback. A planted n-node star is
+    // the degenerate dedup graph (a million identical docs): after round 1
+    // nearly every row's mid_component is ONE label, the exact shape that
+    // hot-keys the pointer-jump join. Compare the default path (AQE
+    // skew-join's problem) against hotLabelThreshold routing.
+    // MEASURED (this host, local[32], AQE on): star-200k default 4.3s vs
+    // hot-label 4.2s; star-800k default 9.5s vs hot-label 13.0s — AQE's
+    // skew split already covers the hot key locally, so the fallback's
+    // extra per-round count + materialization is pure overhead HERE. That
+    // is exactly why hotLabelThreshold defaults to None: it exists for
+    // configs where AQE cannot split this join (disabled, or a hot key
+    // whose matching build rows exceed one executor), not as a default.
+    Seq(200000, 800000).foreach { n =>
+      val star = spark.range(1, n)
+        .select(lit(0L).as("a_id"), col("id").as("b_id"))
+      def run(tag: String, t: Option[Long]): Unit = {
+        val t0 = System.nanoTime()
+        val (labels, rounds) =
+          Dedup.connectedComponentsWithRounds(star, maxIter = 20, hotLabelThreshold = t)
+        val comps = labels.select("component").distinct().count()
+        println(f"[scale] star-$n $tag%-10s ${(System.nanoTime() - t0) / 1e9}%7.1f s " +
+          s"rounds=$rounds comps=$comps")
+      }
+      run("default", None)
+      run("hot-label", Some(10000L))
+    }
   }
 }
