@@ -481,6 +481,18 @@ object CatalogExt {
       .select(col("asset_id"), col("n_samples"), col("sample_sum"),
         col("sample_rate_hz"), col("decoded"))
 
+  /** PII redaction + per-class audit counts: the standard scrub step for
+    * released corpora. Narrow regexp projection, zero shuffles; the oracle
+    * runs the IDENTICAL pattern strings (generated from TextOps.PiiPatterns). */
+  def q67PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val counts = graft.text.TextOps.piiCounts(col("text"))
+      .map { case (name, c) => c.as(s"n_$name") }
+    Tables.documents(s, dir)
+      .select(
+        Seq(col("doc_id"),
+          graft.text.TextOps.redactPii(col("text")).as("redacted")) ++ counts: _*)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -528,6 +540,7 @@ object CatalogExt {
     "q64_shared_spans"   -> q64SharedSpans _,
     "q65_jpeg_decode"    -> q65JpegDecode _,
     "q66_wav_decode"     -> q66WavDecode _,
+    "q67_pii_redact"     -> q67PiiRedact _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

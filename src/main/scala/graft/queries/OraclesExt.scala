@@ -135,6 +135,23 @@ object OraclesExt {
         |  TRUE AS within_tol
         |FROM a""".stripMargin,
 
+    // q67: PII redaction. The SQL is GENERATED from TextOps.PiiPatterns —
+    // identical pattern strings in both engines (RE2-compatible by
+    // construction), replace-all semantics on both sides ('g' flag in
+    // DuckDB, Spark's default), counts over the original text.
+    "q67_pii_redact" -> {
+      val redacted = graft.text.TextOps.PiiPatterns.foldLeft("text") {
+        case (acc, (_, pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
+      }
+      val counts = graft.text.TextOps.PiiPatterns.map { case (name, pat, _) =>
+        s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  $redacted AS redacted,
+         |  $counts
+         |FROM documents""".stripMargin
+    },
+
     // q66: the LOSSLESS audio round trip — 8-bit PCM through an actual WAV
     // write+parse is byte-faithful, so the sample count (the 1-D grid rule,
     // 64 + n % 193) and the resampled-byte sum are exact pure functions of

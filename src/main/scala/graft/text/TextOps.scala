@@ -130,4 +130,35 @@ object TextOps {
   /** Normalization for exact dedup: lowercase, collapse whitespace, trim. */
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /**
+   * PII patterns for pretraining-data redaction (the standard scrub step —
+   * e.g. the email/phone/IP classes BigScience ROOTS and most open corpora
+   * mask before release): (name, regex, replacement), applied in order.
+   * ASCII forms only, RE2-compatible (character classes + \b, no
+   * lookaround/backreferences), so the DuckDB oracle runs the IDENTICAL
+   * pattern strings — the SQL is generated from this list and can't drift.
+   * Replacement tokens contain no digits or '@', so later patterns can
+   * never match inside an earlier substitution.
+   */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    ("phone", "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** Text with every [[PiiPatterns]] match replaced by its typed
+    * placeholder — a narrow codegen'd projection (regexp_replace chain),
+    * zero shuffles at any scale. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (_, pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
+  /** Per-class PII match counts over the ORIGINAL text (the audit columns
+    * next to [[redactPii]]'s transform). */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (name, pat, _) =>
+      name -> regexp_count(text, lit(pat)).cast("long")
+    }
 }

@@ -69,4 +69,30 @@ class TextOpsSpec extends SparkSpec {
     val r = one("  The   QUICK fox ").select(TextOps.normalize(col("text"))).head()
     assert(r.getString(0) === "the quick fox")
   }
+
+  test("redactPii masks planted email/ssn/phone/ipv4 and counts each class") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "contact jane.doe+test@sub.example.org or bob@x.io today"),
+      (2L, "ssn 123-45-6789 phone 555-123-4567 alt 555.123.4567"),
+      (3L, "server at 192.168.1.10 and 10.0.0.1 ok"),
+      (4L, "clean text with nothing sensitive at all"),
+      (5L, "mixed a@b.co 111-22-3333 999-888-7777 127.0.0.1")).toDF("doc_id", "text")
+    val counts = TextOps.piiCounts(col("text")).map { case (n, c) => c.as(s"n_$n") }
+    val out = d.select(Seq(col("doc_id"),
+        TextOps.redactPii(col("text")).as("r")) ++ counts: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("r") === "contact <EMAIL> or <EMAIL> today")
+    assert(out(1L).getAs[Long]("n_email") === 2L)
+    assert(out(2L).getAs[String]("r") === "ssn <SSN> phone <PHONE> alt <PHONE>")
+    assert(out(2L).getAs[Long]("n_ssn") === 1L)
+    assert(out(2L).getAs[Long]("n_phone") === 2L)
+    assert(out(3L).getAs[String]("r") === "server at <IP> and <IP> ok")
+    assert(out(3L).getAs[Long]("n_ipv4") === 2L)
+    assert(out(4L).getAs[String]("r") === "clean text with nothing sensitive at all")
+    assert(Seq("n_email", "n_ssn", "n_phone", "n_ipv4")
+      .forall(c => out(4L).getAs[Long](c) === 0L))
+    assert(out(5L).getAs[String]("r") === "mixed <EMAIL> <SSN> <PHONE> <IP>")
+  }
 }
