@@ -433,7 +433,7 @@ object Dedup {
         .select(col("id"), col("component"),
           least(col("mid_component"), coalesce(col("jlabel"), col("mid_component")))
             .as("next_component"))
-      val updated = lineageCut(hotLabelThreshold match {
+      val next = hotLabelThreshold match {
         case None => jumped(propagated, jump)
         case Some(t) =>
           // materialize once: the hot count, the split, and the join all
@@ -449,8 +449,17 @@ object Dedup {
             jumped(mid.filter(isHot), broadcast(hotJump))
               .unionByName(jumped(mid.filter(!isHot), jump))
           }
-      })
-      changed = updated.filter(col("next_component") =!= col("component")).count()
+      }
+      // convergence count FUSED into the materialization: an Observation on
+      // the frame the lineage cut materializes delivers the changed-label
+      // count from the SAME job (verified for both the localCheckpoint and
+      // reliable-checkpoint paths), replacing the per-round follow-up
+      // count() scan — one job per round instead of two
+      val obs = org.apache.spark.sql.Observation()
+      val updated = lineageCut(next.observe(obs,
+        coalesce(sum((col("next_component") =!= col("component")).cast("long")), lit(0L))
+          .as("changed")))
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = updated.select(col("id"), col("next_component").as("component"))
       iter += 1
     }
