@@ -43,6 +43,17 @@ object SqlSurface {
       .getSeq[String](0)
     assert(sh3 == Seq("a b c", "b c d"), s"shingles = $sh3")
 
+    // the gate probe: 'b c d' xxhash64-ed is in the sorted array, 'x y z' not
+    val probeHash = graft.functions.VectorMath.xxhash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("b c d"))
+    val hit = spark.sql(
+      s"SELECT graft_shingle_hash_overlap(array('a','b','c','d'), array(${probeHash}L), 3) AS o")
+      .head().getBoolean(0)
+    val miss = spark.sql(
+      s"SELECT graft_shingle_hash_overlap(array('x','y','z'), array(${probeHash}L), 3) AS o")
+      .head().getBoolean(0)
+    assert(hit && !miss, s"shingle_hash_overlap hit=$hit miss=$miss")
+
     // registered functions are visible in the catalog listing
     val listed = spark.sql("SHOW FUNCTIONS LIKE 'graft*'").count()
     println(s"[sql-surface] graft functions listed=$listed cosine=$cos simhash=$sh PASS")
