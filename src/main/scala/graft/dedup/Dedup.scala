@@ -452,9 +452,11 @@ object Dedup {
       }
       // convergence count FUSED into the materialization: an Observation on
       // the frame the lineage cut materializes delivers the changed-label
-      // count from the SAME job (verified for both the localCheckpoint and
-      // reliable-checkpoint paths), replacing the per-round follow-up
-      // count() scan — one job per round instead of two
+      // count from the SAME job, replacing the per-round follow-up count()
+      // scan — one job per round instead of two. Verified empirically on
+      // BOTH lineageCut paths (Spark 4.1: sum over 1..100 observed as
+      // exactly 5050): in particular the reliable checkpoint(true) does NOT
+      // double-deliver the metric through its checkpoint-write recompute.
       val obs = org.apache.spark.sql.Observation()
       val updated = lineageCut(next.observe(obs,
         coalesce(sum((col("next_component") =!= col("component")).cast("long")), lit(0L))

@@ -10,9 +10,12 @@ import org.apache.spark.unsafe.types.UTF8String
  * single static-dispatch call per row — no boxing, no closures, no
  * per-row allocation beyond the result.
  *
- * All hashing is xxHash64 with Spark's own seed (42), i.e. bit-compatible
- * with `org.apache.spark.sql.functions.xxhash64` on STRING input, so test
- * suites can cross-check against the built-in.
+ * Hashing: engine-internal hashing (minhash permutations, the gate probe)
+ * is xxHash64 with Spark's own seed (42), bit-compatible with
+ * `org.apache.spark.sql.functions.xxhash64` on STRING input so test suites
+ * can cross-check against the built-in. The exception is [[simhash64]],
+ * whose per-token weight is [[md5Prefix64]] — md5-derived precisely so an
+ * external SQL engine can reproduce the fingerprint (the q27 oracle).
  */
 object VectorMath {
 

@@ -207,11 +207,17 @@ object Multimodal {
     import spark.implicits._
     assets.mapPartitions { batch =>
       javax.imageio.ImageIO.setUseCache(false)
-      // per-partition codec init: one writer instance reused for the batch
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-      val param = writer.getDefaultWriteParam
-      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-      param.setCompressionQuality(quality)
+      // per-partition codec init: one writer instance reused for the batch;
+      // a platform with no JPEG writer yields decoded=false rows, honoring
+      // the never-an-exception contract (same for write/read failures below)
+      val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
+      val writer = if (writers.hasNext) writers.next() else null
+      val param = if (writer == null) null else {
+        val p = writer.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(quality)
+        p
+      }
       val out = batch.map { a =>
         val (w, h) = gridDims(a.n_bytes)
         val wh = w * h
@@ -226,14 +232,16 @@ object Multimodal {
           raster.setSample(i % w, i / w, 0, v)
           i += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-        writer.setOutput(ios)
-        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-        ios.close()
         val back =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
-          catch { case scala.util.control.NonFatal(_) => null }
+          if (writer == null) null
+          else try {
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            writer.setOutput(ios)
+            writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+            ios.close()
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+          } catch { case scala.util.control.NonFatal(_) => null }
         if (back == null)
           JpegRoundTrip(a.asset_id, w.toLong, h.toLong, exact,
             decoded = false, within_tol = false)
@@ -283,14 +291,18 @@ object Multimodal {
         val pcm = new Array[Byte](k)
         var i = 0
         while (i < k) { pcm(i) = gridPixel(a.content, i, k).toByte; i += 1 }
-        val bos = new java.io.ByteArrayOutputStream()
-        val ais = new AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, k.toLong)
-        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-        val wav = bos.toByteArray
+        // encode AND parse both guarded: a platform without a WAVE writer
+        // (or a write/parse failure) lands on the decoded=false row, never
+        // a task-killing exception
         val back =
-          try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(wav))
-          catch { case scala.util.control.NonFatal(_) => null }
+          try {
+            val bos = new java.io.ByteArrayOutputStream()
+            val ais = new AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, k.toLong)
+            AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+            AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+          } catch { case scala.util.control.NonFatal(_) => null }
         if (back == null) {
           val sum = pcm.iterator.map(b => (b & 0xff).toLong).sum
           WavRoundTrip(a.asset_id, k.toLong, sum, sampleRateHz.toLong, decoded = false)

@@ -102,11 +102,13 @@ object DocsPipeline {
   def decontaminateGate(docs: DataFrame, benchmark: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 8,
       maxBenchShingles: Int = 1 << 17): DataFrame = {
-    // cap default 131k: real eval sets carry 10^4-10^5 distinct n-grams,
-    // and the literal array rides in the serialized plan while every CLEAN
-    // doc (the vast majority) probes the whole array — a cap orders of
-    // magnitude higher would let a mistaken corpus argument melt the stream
-    // before the require fires
+    // cap default 131k: real eval sets carry 10^4-10^5 distinct n-grams.
+    // The hashed probe made the cap cheap to exceed technically (log2 probe
+    // cost, 8 B/shingle in the plan — 131k is ~1 MB), but the cap's REAL
+    // job is catching a mistaken corpus argument: a benchmark with more
+    // distinct 8-grams than this is a corpus, and the driver-side collect
+    // of the shingle strings (pre-hash) is where that mistake would hurt
+    // first
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     require(!benchmark.isStreaming, "benchmark must be a static (bounded) frame")
     val benchShingles = graft.dedup.Dedup.shingled(benchmark, idCol, textCol, n)
