@@ -233,7 +233,13 @@ object Dedup {
       n: Int = 20, minShared: Long = 1L, maxDf: Long = 1000L): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (a span needs df 2 to form a pair), got $maxDf")
     val t = shingled(docs, idCol, textCol, n)
-    val inv = t.select(col("id"), explode(col("s")).as("sh"))
+    // materialize the exploded inverted index ONCE: it feeds the hot-span
+    // aggregate plus BOTH sides of the self-join, and without the cut each
+    // consumer re-scans and re-shingles the whole corpus (measured on the
+    // adaptive plan before the cut: 5 parquet scans / 6 shingle Generates
+    // per query — a 100 TB corpus read five times). After the cut: one
+    // scan, one shingle pass, three cheap checkpoint reads.
+    val inv = lineageCut(t.select(col("id"), explode(col("s")).as("sh")))
     // one map-side-combinable count per span; the broadcast-ability of the
     // HOT list (df > maxDf) is by construction: it is tiny or the corpus
     // is template spam
