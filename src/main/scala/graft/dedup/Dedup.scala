@@ -566,20 +566,9 @@ object Dedup {
   def embeddingNearDupPairsLsh(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 16, maxHamming: Int = 3): DataFrame = {
     GraftFunctions.ensureRegistered(embeddings.sparkSession)
-    val chunks = maxHamming + 1
-    require(planes % chunks == 0,
-      s"planes ($planes) must divide into maxHamming+1 ($chunks) equal chunks")
-    val bitsPer = planes / chunks
+    val (chunks, bitsPer) = chunkGeometry(planes, maxHamming)
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val coded = e.withColumn("code", GraftFunctions.signBucket(col("v"), planes))
-    val chunkStructs = (0 until chunks).map { cIdx =>
-      struct(
-        lit(cIdx).as("chunk"),
-        shiftrightunsigned(col("code"), cIdx * bitsPer)
-          .bitwiseAND(lit((1 << bitsPer) - 1)).as("ck"))
-    }
-    val keyed = coded.select(col("id"), explode(array(chunkStructs: _*)).as("kk"))
-      .select(col("id"), col("kk.chunk").as("chunk"), col("kk.ck").as("ck"))
+    val keyed = chunkKeyed(e, planes, chunks, bitsPer)
     val ka = keyed.alias("ka"); val kb = keyed.alias("kb")
     val candidates = ka
       .join(kb, col("ka.chunk") === col("kb.chunk") && col("ka.ck") === col("kb.ck") &&
@@ -592,5 +581,80 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         GraftFunctions.cosine(col("a_v"), col("b_v")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  private def chunkGeometry(planes: Int, maxHamming: Int): (Int, Int) = {
+    val chunks = maxHamming + 1
+    require(planes % chunks == 0,
+      s"planes ($planes) must divide into maxHamming+1 ($chunks) equal chunks")
+    (chunks, planes / chunks)
+  }
+
+  /** (id, v) -> one (id, chunk, ck) row per sign-code chunk — the shared
+    * candidate key of the single-frame and cross-frame LSH paths. The sign
+    * code is a NAMED column so the O(planes x dim) kernel runs once per row
+    * (a non-cheap alias survives CollapseProject), not once per chunk. */
+  private def chunkKeyed(e: DataFrame, planes: Int, chunks: Int, bitsPer: Int): DataFrame = {
+    val coded = e.withColumn("code", GraftFunctions.signBucket(col("v"), planes))
+    val chunkStructs = (0 until chunks).map { cIdx =>
+      struct(
+        lit(cIdx).as("chunk"),
+        shiftrightunsigned(col("code"), cIdx * bitsPer)
+          .bitwiseAND(lit((1 << bitsPer) - 1)).as("ck"))
+    }
+    coded.select(col("id"), explode(array(chunkStructs: _*)).as("kk"))
+      .select(col("id"), col("kk.chunk").as("chunk"), col("kk.ck").as("ck"))
+  }
+
+  /**
+   * CROSS-corpus semantic near-dup pairs: the two-frame form of
+   * [[embeddingNearDupPairsLsh]] — sign-LSH chunk-pigeonhole candidates
+   * between `left` and `right`, then exact cosine verification. Same
+   * deterministic, oracle-mirrorable approximation; the output is
+   * (l_id, r_id, cosine) with no id-order constraint (the frames' id
+   * spaces are unrelated). Scale shape: each side shuffles on its
+   * (chunk, chunk-key) buckets only — never a cartesian — and the
+   * candidate join keys are the same on both sides, so a 100 TB corpus
+   * meets a small benchmark without the corpus ever being broadcast or
+   * replicated.
+   */
+  def embeddingCrossPairsLsh(left: DataFrame, right: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      planes: Int = 16, maxHamming: Int = 3): DataFrame = {
+    GraftFunctions.ensureRegistered(left.sparkSession)
+    val (chunks, bitsPer) = chunkGeometry(planes, maxHamming)
+    val l = left.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val r = right.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val kl = chunkKeyed(l, planes, chunks, bitsPer).alias("kl")
+    val kr = chunkKeyed(r, planes, chunks, bitsPer).alias("kr")
+    val candidates = kl
+      .join(kr, col("kl.chunk") === col("kr.chunk") && col("kl.ck") === col("kr.ck"))
+      .select(col("kl.id").as("l_id"), col("kr.id").as("r_id"))
+      .distinct()
+    val vl = l.select(col("id").as("l_id"), col("v").as("l_v"))
+    val vr = r.select(col("id").as("r_id"), col("v").as("r_v"))
+    candidates.join(vl, "l_id").join(vr, "r_id")
+      .select(col("l_id"), col("r_id"),
+        GraftFunctions.cosine(col("l_v"), col("r_v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /**
+   * SEMANTIC decontamination: drop every corpus row whose embedding is a
+   * near-duplicate (cosine >= threshold under [[embeddingCrossPairsLsh]]'s
+   * deterministic candidate rule) of ANY benchmark row — the
+   * embedding-space complement of the n-gram guard
+   * ([[graft.curation.Curation.contaminationFlags]]): n-grams catch verbatim
+   * and lightly-edited eval leakage, embeddings catch paraphrased leakage
+   * n-grams miss entirely. Anti-join on the matched corpus ids; benchmark
+   * rows never enter the output.
+   */
+  def decontaminateByEmbedding(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      planes: Int = 16, maxHamming: Int = 3): DataFrame = {
+    val dirty = embeddingCrossPairsLsh(corpus, benchmark, idCol, vecCol,
+      threshold, planes, maxHamming)
+      .select(col("l_id").as("__dirty_id")).distinct()
+    corpus.join(dirty, col(idCol) === col("__dirty_id"), "left_anti")
   }
 }

@@ -493,6 +493,19 @@ object CatalogExt {
           graft.text.TextOps.redactPii(col("text")).as("redacted")) ++ counts: _*)
   }
 
+  /** SEMANTIC decontamination: corpus vectors (vec_id % 97 != 0) surviving
+    * after dropping everything cosine-near (>= 0.45 under the mirrored
+    * sign-LSH candidate rule) to the eval stand-in (vec_id % 97 == 0) —
+    * the embedding-space complement of the n-gram guard (q56/q62), catching
+    * paraphrased eval leakage that n-grams miss. */
+  def q68SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Dedup.decontaminateByEmbedding(
+      emb.filter(col("vec_id") % 97 =!= 0), emb.filter(col("vec_id") % 97 === 0),
+      "vec_id", "embedding", threshold = 0.45)
+      .select(col("vec_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -541,6 +554,7 @@ object CatalogExt {
     "q65_jpeg_decode"    -> q65JpegDecode _,
     "q66_wav_decode"     -> q66WavDecode _,
     "q67_pii_redact"     -> q67PiiRedact _,
+    "q68_semantic_decontam" -> q68SemanticDecontam _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

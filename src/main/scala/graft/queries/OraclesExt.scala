@@ -105,6 +105,7 @@ object OraclesExt {
     "q49_embed_neardup_lsh" -> embedLshSql,
     "q30_ann_lsh" -> annLshSql,
     "q27_simhash_pairs" -> simhashSql,
+    "q68_semantic_decontam" -> semanticDecontamSql,
 
     // md5 hex is identical in both engines; ('0x'||hex)::BIGINT == Spark's
     // conv(hex,16,10) for the 8-digit prefix (fits in a long)
@@ -540,17 +541,25 @@ object OraclesExt {
     * cosine verify are then mirrored relationally, so engine and oracle
     * compute the SAME deterministic approximation — hash-comparable end to
     * end, like q35's mirrored IVF. */
-  private lazy val embedLshSql: String = {
-    val planes = 16; val dim = 64; val chunks = 4; val bitsPer = 4
+  /** The 16-plane sign-code SQL expression shared by every oracle that
+    * mirrors [[graft.functions.VectorMath.signBucket]] at planes=16
+    * (q49/q68): ±1.0 Rademacher rows from the splitmix64 schedule, inlined
+    * as literals. */
+  private def signCodeExpr(planes: Int, dim: Int): String = {
     val signRows = (0 until planes).map { p =>
       (0 until dim).map { j =>
         if ((graft.functions.VectorMath.splitmix64(p.toLong * dim + j) & 1L) == 1L) "1.0"
         else "-1.0"
       }.mkString("[", ",", "]")
     }
-    val codeExpr = (0 until planes).map { p =>
+    (0 until planes).map { p =>
       s"(CASE WHEN list_dot_product(v, ${signRows(p)}) >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("\n    + ")
+  }
+
+  private lazy val embedLshSql: String = {
+    val planes = 16; val dim = 64; val chunks = 4; val bitsPer = 4
+    val codeExpr = signCodeExpr(planes, dim)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |b AS (SELECT vec_id,
        |    $codeExpr AS code
@@ -604,6 +613,36 @@ object OraclesExt {
       |    CAST(bit_count(xor(a.fhi, b.fhi)) + bit_count(xor(a.flo, b.flo)) AS BIGINT) AS hamming
       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
       |WHERE hamming <= 3""".stripMargin
+
+  /** q68's mirror of the semantic-decontamination dataflow: the same
+    * 16-plane sign code and 4-bit chunk keys as q49's, but joined CROSS
+    * frame (corpus = vec_id % 97 != 0, eval = % 97 == 0), exact-cosine
+    * verified at 0.45, then anti-joined — every step deterministic, so the
+    * surviving id set hash-matches. */
+  private lazy val semanticDecontamSql: String = {
+    val planes = 16; val dim = 64; val chunks = 4; val bitsPer = 4
+    val codeExpr = signCodeExpr(planes, dim)
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |    $codeExpr AS code
+       |  FROM e),
+       |k AS (
+       |  SELECT vec_id, u.c AS chunk, (code >> (u.c * $bitsPer)) & ${(1 << bitsPer) - 1} AS ck
+       |  FROM b, LATERAL (SELECT unnest(range(0, $chunks)) AS c) u),
+       |cand AS (
+       |  SELECT DISTINCT c.vec_id AS l_id, q.vec_id AS r_id
+       |  FROM k c JOIN k q ON c.chunk = q.chunk AND c.ck = q.ck
+       |  WHERE c.vec_id % 97 <> 0 AND q.vec_id % 97 = 0),
+       |dirty AS (
+       |  SELECT DISTINCT l_id FROM (
+       |    SELECT c.l_id,
+       |      list_dot_product(x.v, y.v)
+       |        / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cosine
+       |    FROM cand c JOIN e x ON x.vec_id = c.l_id JOIN e y ON y.vec_id = c.r_id)
+       |  WHERE cosine >= 0.45)
+       |SELECT vec_id FROM e
+       |WHERE vec_id % 97 <> 0 AND vec_id NOT IN (SELECT l_id FROM dirty)""".stripMargin
+  }
 
   /** q30's mirror of the multi-probe sign-LSH KNN
     * ([[graft.sim.Similarity.lshKnn]], planes=8, probeHamming=2, k=10):

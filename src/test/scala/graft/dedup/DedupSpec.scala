@@ -299,6 +299,40 @@ class DedupSpec extends SparkSpec {
     assert(again === lsh)
   }
 
+  test("decontaminateByEmbedding: sound vs brute force, drops planted paraphrase (laws)") {
+    val s = spark
+    import s.implicits._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") % 7 =!= 0)
+    val bench = emb.filter(col("vec_id") % 7 === 0)
+    // soundness: every emitted cross pair really clears the threshold, and
+    // the candidate rule is a SUBSET of brute force (LSH only prunes)
+    val cross = Dedup.embeddingCrossPairsLsh(corpus, bench, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cross.forall(_._3 >= 0.3))
+    val brute = corpus.select(col("vec_id").as("l_id"), col("embedding").as("l_v"))
+      .crossJoin(bench.select(col("vec_id").as("r_id"), col("embedding").as("r_v")))
+      .select(col("l_id"), col("r_id"),
+        graft.functions.GraftFunctions.cosine(col("l_v"), col("r_v")).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross.map(p => (p._1, p._2)).toSet.subsetOf(brute), "LSH emitted a non-pair")
+    // a corpus vector IDENTICAL to a benchmark vector shares every chunk
+    // (pigeonhole at hamming 0) => guaranteed candidate => guaranteed drop
+    val planted = bench.limit(1)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val seeded = corpus.unionByName(planted)
+    val kept = Dedup.decontaminateByEmbedding(seeded, bench, "vec_id", "embedding", 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(planted.head().getLong(0)), "planted duplicate survived")
+    // output is a subset of the corpus and never contains benchmark rows
+    val corpusIds = seeded.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(corpusIds))
+    val benchIds = bench.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(benchIds).isEmpty)
+  }
+
   test("embeddingNearDupPairs: symmetric threshold behavior on unit test vectors") {
     val s = spark
     import s.implicits._
