@@ -188,6 +188,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("law: md5Prefix64 = first 16 hex digits of Spark's own md5 (the q27 oracle premise)") {
+    val s = spark
+    import s.implicits._
+    val genStr = Gen.oneOf(
+      Gen.stringOfN(12, Gen.alphaNumChar),
+      Gen.stringOfN(3, Gen.alphaChar),
+      Gen.const(""),
+      Gen.stringOfN(8, Gen.oneOf('Ω', 'ß', '中', 'a', ' ')))
+    val cases = sample(genStr, 80).distinct
+    val sparkHex = cases.toDF("t")
+      .select(col("t"), md5(col("t")).as("hex"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { t =>
+      val kernel = graft.functions.VectorMath.md5Prefix64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      val viaHex = java.lang.Long.parseUnsignedLong(sparkHex(t).substring(0, 16), 16)
+      assert(kernel === viaHex, s"md5Prefix64 mismatch for ${t.take(20)}")
+    }
+  }
+
+  test("law: shingleHashOverlap = arrays_overlap of xxhash64-ed word shingles") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val word = Gen.oneOf("the", "a", "data", "key", "row", "merge", "scan", "x1", "y2")
+    val genToks = Gen.chooseNum(0, 9).flatMap(k => Gen.listOfN(k, word))
+    val cases = sample(genToks, 120).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val n = 3
+    // bench set: real shingles from half the docs (hits) + noise (misses)
+    val benchStrings = cases.filter(_._1 % 2 == 0)
+      .flatMap { case (_, toks) => toks.sliding(n).filter(_.size == n).map(_.mkString(" ")) }
+      .distinct.take(30) ++ Seq("never gonna match", "zz zz zz")
+    val benchHashes = benchStrings.map(x => graft.functions.VectorMath.xxhash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(x))).toArray
+    val sorted = benchHashes.clone(); java.util.Arrays.sort(sorted)
+    val rows = cases.toDF("id", "toks")
+      .select(
+        graft.functions.GraftFunctions.shingleHashOverlap(
+          col("toks"), typedLit(sorted), n).as("kernel"),
+        coalesce(arrays_overlap(
+          transform(
+            graft.functions.GraftFunctions.wordShingles(col("toks"), n),
+            sh => xxhash64(sh)),
+          typedLit(benchHashes)), lit(false)).as("composed"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(0) === r.getBoolean(1)))
+    // and both polarities actually occur in the generated batch
+    assert(rows.exists(_.getBoolean(0)) && rows.exists(!_.getBoolean(0)))
+  }
+
   test("law: rolling fingerprint is a homomorphism: h(a++b) = (h(a)*31^|b| + h(b)) mod p") {
     val s = spark
     import s.implicits._
