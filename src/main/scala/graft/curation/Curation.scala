@@ -41,6 +41,98 @@ object Curation {
     df.filter(hashPct(col(idCol)) < pctCap)
   }
 
+  /**
+   * Deterministic train/validation/test split assignment by hash range:
+   * row → split s iff hashPct(id) lands in s's cumulative [lo, hi) band,
+   * bands laid out in the order given (e.g. train [0,90), val [90,95),
+   * test [95,100)). The standard reproducible splitter for training
+   * corpora: a NARROW projection (no shuffle, no RNG state), a document's
+   * split never changes when the corpus grows or repartitions, and any
+   * engine can recompute the assignment from the id alone (the oracle
+   * does, in SQL). Fractions must sum to 1.
+   */
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+      : DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $splits")
+    val pct = hashPct(col(idCol))
+    // cumulative upper bounds as DOUBLE percents (same FP-honest comparison
+    // as stratifiedSample); the last split takes the remainder, so FP drift
+    // in the final bound can never orphan a row
+    val his = splits.scanLeft(0.0) { case (cum, (_, f)) => cum + f * 100.0 }.tail
+    val assign = splits.zip(his).init.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), rest) => when(pct < hi, name).otherwise(rest)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /**
+   * Square-root-tempered domain mixing weights — the multilingual/multi-
+   * source balancing rule (sampling ∝ n^α with α = 1/2, the exponent used
+   * for low-resource upsampling in multilingual pretraining, e.g. XLM-R,
+   * Conneau et al. 2020, ACL §3): weight(d) = √n_d / Σ_d √n_d.
+   *
+   * Determinism across engines: √n is IEEE-exactly-rounded in both engines,
+   * but a DOUBLE sum over domains would depend on aggregation order — so
+   * the denominator accumulates floor(√n · 2²⁴) LONGS (the kmeans
+   * fixed-point idiom), summed exactly in any order, and the final weight
+   * is one double division. Plan shape: ONE corpus scan into a
+   * map-side-combinable count per domain; the denominator is a global
+   * window over the already-aggregated domain table (rows = |domains|, so
+   * the single-partition window exchange moves a handful of rows — a
+   * crossJoin against a separate total would re-scan the corpus instead).
+   */
+  def mixtureWeights(df: DataFrame, domainCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fpScale = 1L << 24
+    df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__fp",
+        floor(sqrt(col("n_docs").cast("double")) * fpScale).cast("long"))
+      .withColumn("weight",
+        col("__fp").cast("double") / sum(col("__fp")).over(Window.partitionBy()).cast("double"))
+      .select(col(domainCol), col("n_docs"), col("weight"))
+  }
+
+  /**
+   * Rule-based document gate with per-rule audit columns — the
+   * Gopher-style filter set (Rae et al. 2021, "Scaling language models",
+   * §A.1.1: word-count bounds, mean-word-length band, stopword floor,
+   * repetition ceiling), each rule surfaced as its own boolean so corpus
+   * reports can attribute WHY a document was dropped, not just that it
+   * was. A narrow codegen'd projection (token stats + the native shingle
+   * kernel): zero shuffles at any scale. Thresholds are parameters;
+   * defaults are tuned to this corpus' token range so both outcomes occur.
+   */
+  def ruleGate(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Long = 20L, maxTokens: Long = 90L,
+      minAvgTokLen: Double = 3.0, maxAvgTokLen: Double = 8.0,
+      minStopwords: Long = 2L, maxRepRatio: Double = 0.2): DataFrame = {
+    import graft.dedup.Dedup
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val toks = TextOps.tokens(col(textCol))
+    docs
+      .select(col(idCol),
+        size(toks).cast("long").as("__n_tokens"),
+        (TextOps.totalTokenLen(toks).cast("double") / size(toks).cast("double"))
+          .as("__avg_tok"),
+        TextOps.stopwordCount(toks).cast("long").as("__n_stop"),
+        greatest(size(toks) - 2, lit(0)).cast("long").as("__n_ngrams"),
+        size(Dedup.shingles(toks, 3)).cast("long").as("__n_distinct"))
+      .withColumn("__rep",
+        when(col("__n_ngrams") > 0,
+          lit(1.0) - col("__n_distinct").cast("double") / col("__n_ngrams").cast("double"))
+          .otherwise(lit(0.0)))
+      .select(col(idCol),
+        col("__n_tokens").between(minTokens, maxTokens).as("r_len"),
+        (col("__avg_tok") >= minAvgTokLen && col("__avg_tok") <= maxAvgTokLen).as("r_tok_len"),
+        (col("__n_stop") >= minStopwords).as("r_stop"),
+        (col("__rep") <= maxRepRatio).as("r_rep"))
+      .withColumn("pass",
+        col("r_len") && col("r_tok_len") && col("r_stop") && col("r_rep"))
+  }
+
   /** Vocabulary building: global token frequencies, top `k` by (count desc,
     * token asc — total order, so top-k is deterministic). One explode + one
     * map-side-combinable aggregate + a TakeOrdered of k rows: the classic

@@ -506,6 +506,60 @@ object CatalogExt {
       .select(col("vec_id"))
   }
 
+  /** Deterministic train/val/test split assignment (90/5/5 by hash band):
+    * a document's split is a pure function of its id — reproducible across
+    * runs, engines, and corpus growth. */
+  def q69TrainSplit(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.assignSplits(Tables.documents(s, dir), "doc_id")
+      .select(col("doc_id"), col("lang"), col("split"))
+
+  /** Square-root-tempered domain mixing weights (the multilingual
+    * low-resource upsampling rule): weight(source) = √n / Σ√n, denominator
+    * in exact fixed-point so the result is aggregation-order independent. */
+  def q70DomainMix(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.mixtureWeights(Tables.documents(s, dir), "source")
+
+  /** Approximate-percentile sketch (Greenwald-Khanna summaries) as a
+    * TOLERANCE LAW, q14's pattern for the quantile family: the sketch value
+    * is engine-specific, but its rank-error contract (±1/accuracy of the
+    * target rank, any merge order) makes "approx lies between the exact
+    * quantiles at p ∓ slack" a deterministic boolean the oracle asserts as
+    * constant TRUE. The slack is 2ε plus a 0.1% rank cushion: the sketch
+    * returns a dataset ELEMENT, while `percentile` interpolates between
+    * elements, so a band of bare 2ε (< one element gap at small N) can
+    * exclude the element straddling the target rank. The exact-percentile
+    * twin is q40. */
+  def q71ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val accuracy = 10000
+    val slack = 2.0 / accuracy + 1e-3
+    val price = col("l_extendedprice")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(price, lit(0.5), lit(accuracy)).as("a50"),
+        percentile_approx(price, lit(0.95), lit(accuracy)).as("a95"),
+        percentile(price, lit(0.5 - slack)).as("lo50"),
+        percentile(price, lit(0.5 + slack)).as("hi50"),
+        percentile(price, lit(0.95 - slack)).as("lo95"),
+        percentile(price, lit(0.95 + slack)).as("hi95"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n"),
+        (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("ok50"),
+        (col("a95") >= col("lo95") && col("a95") <= col("hi95")).as("ok95"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Gopher-style rule gate with per-rule audit booleans (word-count band,
+    * mean-token-length band, stopword floor, repetition ceiling) — corpus
+    * reports can attribute WHY each document fails, not just that it did. */
+  def q72GopherRules(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.ruleGate(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Per-label embedding centroids (class prototypes): fixed-point mean per
+    * (label, dimension) — partition-order independent, hash-checked. */
+  def q73LabelCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -555,6 +609,11 @@ object CatalogExt {
     "q66_wav_decode"     -> q66WavDecode _,
     "q67_pii_redact"     -> q67PiiRedact _,
     "q68_semantic_decontam" -> q68SemanticDecontam _,
+    "q69_train_split"    -> q69TrainSplit _,
+    "q70_domain_mix"     -> q70DomainMix _,
+    "q71_approx_quantiles" -> q71ApproxQuantiles _,
+    "q72_gopher_rules"   -> q72GopherRules _,
+    "q73_label_centroids" -> q73LabelCentroids _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

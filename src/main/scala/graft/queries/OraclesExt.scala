@@ -283,6 +283,78 @@ object OraclesExt {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
         |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 20 ELSE 10 END""".stripMargin,
 
+    // q69: the hash-band splitter — same md5-percent rule as q50, cumulative
+    // [0,90)/[90,95)/[95,100) bands compared as DOUBLE percents
+    "q69_train_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90.0
+        |         THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 95.0
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    // q70: √n is IEEE-exactly-rounded in both engines; the denominator sums
+    // floor(√n * 2^24) BIGINTs exactly (aggregation-order independent), so
+    // the final double division is deterministic
+    "q70_domain_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |f AS (SELECT source, n_docs,
+        |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 16777216) AS BIGINT) AS fp
+        |      FROM c)
+        |SELECT source, n_docs,
+        |  CAST(fp AS DOUBLE) / CAST((SELECT sum(fp) FROM f) AS DOUBLE) AS weight
+        |FROM f""".stripMargin,
+
+    // q71: the sketch estimates are engine-specific; the rank-error bound
+    // (the q14 tolerance-law pattern) is asserted as constant TRUE
+    "q71_approx_quantiles" ->
+      """SELECT l_returnflag, count(*) AS n, TRUE AS ok50, TRUE AS ok95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q72: q21's token stats + q54's distinct-3-gram rule, thresholded into
+    // per-rule audit booleans with identical comparison semantics
+    "q72_gopher_rules" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_tokens,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(w, t -> CAST(length(t) AS BIGINT))),
+         |         (acc, x) -> acc + x) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_tok,
+         |    CAST(len(list_filter(w, t -> t IN $stop)) AS BIGINT) AS n_stop,
+         |    CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_ngrams,
+         |    CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                            for i in range(1, len(w) - 1)])) AS BIGINT) AS n_distinct
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+         |SELECT doc_id,
+         |  n_tokens BETWEEN 20 AND 90 AS r_len,
+         |  avg_tok >= 3.0 AND avg_tok <= 8.0 AS r_tok_len,
+         |  n_stop >= 2 AS r_stop,
+         |  (CASE WHEN n_ngrams > 0
+         |        THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+         |        ELSE 0.0 END) <= 0.2 AS r_rep,
+         |  (n_tokens BETWEEN 20 AND 90)
+         |    AND (avg_tok >= 3.0 AND avg_tok <= 8.0)
+         |    AND (n_stop >= 2)
+         |    AND ((CASE WHEN n_ngrams > 0
+         |               THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+         |               ELSE 0.0 END) <= 0.2) AS pass
+         |FROM s""".stripMargin,
+
+    // q73: the fixed-point mean mirror — floor(v * 2^24) BIGINTs summed
+    // exactly per (label, dim), divided back in double in the same order
+    "q73_label_centroids" ->
+      """WITH pv AS (
+        |  SELECT label,
+        |    unnest(list_transform(range(0, len(embedding)),
+        |                          i -> {'pos': i, 'v': embedding[CAST(i + 1 AS INT)]})) AS e
+        |  FROM embeddings),
+        |f AS (SELECT label, CAST(e.pos AS BIGINT) AS pos, CAST(e.v AS DOUBLE) AS v FROM pv)
+        |SELECT label, pos, count(*) AS n_vecs,
+        |  CAST(sum(CAST(floor(v * 16777216) AS BIGINT)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 16777216 AS centroid
+        |FROM f GROUP BY 1, 2""".stripMargin,
+
     "q51_token_freq" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -272,6 +272,29 @@ object Similarity {
       transform(col("qv"), q => (q.cast("double") * col("scale")).cast("float"))
         .as("v_hat"))
 
+  /**
+   * Per-label embedding centroids — the aggregate view behind corpus-level
+   * embedding analyses (class prototypes, per-domain drift monitoring,
+   * nearest-centroid labeling). One row per (label, dimension): the member
+   * count and the dimension's mean.
+   *
+   * The mean accumulates in FIXED POINT ([[FixedPointScale]] — the same
+   * idiom as the k-means update): floor(v · 2²⁴) longs summed exactly, so
+   * the result is partition-order independent and hash-checks against a
+   * SQL oracle, unlike a float `avg` whose partial sums depend on
+   * scheduling. Plan shape: posexplode → one map-side-combinable aggregate;
+   * the shuffle carries O(labels × dim) partial sums, never vectors.
+   */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(floor(col("v").cast("double") * FixedPointScale).cast("long")).as("__sv"))
+      .select(col("label"), col("pos").cast("long").as("pos"), col("n_vecs"),
+        (col("__sv").cast("double") / col("n_vecs").cast("double") / FixedPointScale)
+          .as("centroid"))
+
   /** Multi-probe sign-LSH approximate top-k with the same output contract as
     * [[cosineKnn]] (subset of candidates -> possibly different neighbors). */
   def lshKnn(queries: DataFrame, candidates: DataFrame,

@@ -258,4 +258,28 @@ class PropertySpec extends SparkSpec {
       assert(BigInt(r.getAs[Long]("hab")) === expected)
     }
   }
+
+  test("law: approx-quantile tolerance band (q71) holds and is nearly a point, not a blanket") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    // q71's slack: 2eps of rank error plus the 0.1% element-gap cushion
+    val slack = 2.0 / 10000 + 1e-3
+    val price = col("l_extendedprice")
+    val r = li.agg(
+      percentile_approx(price, lit(0.5), lit(10000)).as("approx"),
+      percentile(price, lit(0.5 - slack)).as("lo"),
+      percentile(price, lit(0.5 + slack)).as("hi"),
+      min(price).as("mn"), max(price).as("mx"),
+      count(lit(1)).as("n")).head()
+    val (approx, lo, hi) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    // the law itself: the sketch's rank-error contract puts it inside the band
+    assert(approx >= lo && approx <= hi, s"approx $approx outside [$lo, $hi]")
+    // non-vacuity: the band must be nearly a point — a tiny sliver of the
+    // value range covering ~0.24% of rows, so an off-spec sketch value
+    // would break the q71 boolean rather than hide inside it
+    assert((hi - lo) < (r.getDouble(4) - r.getDouble(3)) * 0.01,
+      s"band [$lo, $hi] too wide to be a meaningful law")
+    val inBand = li.filter(price >= lo && price <= hi).count()
+    assert(inBand <= math.max(3L, r.getLong(5) / 200),
+      s"$inBand rows inside the tolerance band — the law is too loose")
+  }
 }

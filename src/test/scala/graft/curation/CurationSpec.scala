@@ -168,4 +168,102 @@ class CurationSpec extends SparkSpec {
       .count()
     assert(overflowViolations === 0L, "a bin exceeded budget before its last doc")
   }
+
+  test("assignSplits: total, exclusive, deterministic, rate-accurate, narrow") {
+    val out = Curation.assignSplits(docs, "doc_id")
+    // total + exclusive: every doc gets exactly one split
+    assert(out.count() === docs.count())
+    assert(out.filter(!col("split").isInCollection(Seq("train", "val", "test")))
+      .count() === 0L)
+    // deterministic: a doc's split is a pure function of its id
+    val a = out.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Curation.assignSplits(docs.repartition(7), "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b, "split assignment must not depend on partitioning")
+    // rates: 90/5/5 within binomial tolerance
+    val n = docs.count().toDouble
+    val byScheme = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byScheme("train") / n - 0.90) < 0.1)
+    assert(byScheme("val") > 0 && byScheme("test") > 0)
+    // a pure projection: zero exchanges
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    // band layout: splits partition [0,100) in order — consistent with the
+    // stratifiedSample hash, so split and sample decisions are correlated
+    // by design (same id hash), never contradictory
+    val withPct = docs.select(col("doc_id"),
+      Curation.hashPct(col("doc_id")).as("pct"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach { case (id, split) =>
+      val pct = withPct(id)
+      val expect = if (pct < 90) "train" else if (pct < 95) "val" else "test"
+      assert(split === expect, s"doc $id pct $pct")
+    }
+    // malformed fractions rejected
+    intercept[IllegalArgumentException] {
+      Curation.assignSplits(docs, "doc_id", Seq("train" -> 0.5, "val" -> 0.1))
+    }
+  }
+
+  test("mixtureWeights: sums to ~1, monotone in counts, partition-order independent") {
+    val out = Curation.mixtureWeights(docs, "source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length === docs.select("source").distinct().count().toInt)
+    val totalW = out.map(_._3).sum
+    assert(math.abs(totalW - 1.0) < 1e-9, s"weights sum to $totalW")
+    // √-tempering: weight order follows count order, but ratios are damped
+    // (a domain with 4x the docs gets only ~2x the weight)
+    val sorted = out.sortBy(_._2)
+    sorted.sliding(2).foreach { case Array((_, n1, w1), (_, n2, w2)) =>
+      if (n1 < n2) assert(w1 <= w2, s"weight must be monotone in count")
+    }
+    val (_, nLo, wLo) = sorted.head
+    val (_, nHi, wHi) = sorted.last
+    if (nHi > nLo) {
+      assert(wHi / wLo <= nHi.toDouble / nLo + 1e-9,
+        "tempering must damp the count ratio")
+    }
+    // partition-order independence (the fixed-point denominator): identical
+    // weights bit-for-bit under a different partitioning
+    val again = Curation.mixtureWeights(docs.repartition(13), "source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(again.toSeq === out.sortBy(_._1).toSeq)
+    // scan-once law: the denominator must come from the aggregated domain
+    // table (a global window), never a second pass over the corpus
+    val plan = Curation.mixtureWeights(docs, "source").queryExecution.executedPlan.toString
+    assert(plan.split("FileScan").length - 1 === 1, s"corpus scanned more than once:\n$plan")
+  }
+
+  test("ruleGate: per-rule audit semantics, pass is the conjunction, planted failures fire every rule") {
+    val s = spark
+    import s.implicits._
+    def words(n: Int, w: String = "tok") = (1 to n).map(i => s"$w$i").mkString(" ")
+    val planted = Seq(
+      // passes everything: 30 varied tokens incl. stopwords, low repetition
+      1L -> ("the a data " + words(27)),
+      2L -> words(5),                                  // too short -> r_len false
+      3L -> ("the a " + words(200)),                   // too long -> r_len false
+      4L -> ("the a " + (1 to 28).map(_ => "x").mkString(" ")),  // avg token len 1.2 -> r_tok_len false
+      5L -> ("the a " + (1 to 28).map(_ => "extraordinarily").mkString(" ")), // avg len ~14 -> r_tok_len false
+      6L -> words(30),                                 // zero stopwords -> r_stop false
+      7L -> ("the a " + Seq.fill(10)("p q r").mkString(" "))  // repeated 3-gram -> r_rep false
+    ).toDF("doc_id", "text")
+    val got = Curation.ruleGate(planted, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+      .toMap
+    assert(got(1L) === ((true, true, true, true, true)))
+    assert(!got(2L)._1 && !got(2L)._5)
+    assert(!got(3L)._1)
+    assert(!got(4L)._2)
+    assert(!got(5L)._2)
+    assert(!got(6L)._3)
+    assert(!got(7L)._4, s"repetition rule must fire: ${got(7L)}")
+    // conjunction law on the real corpus + a narrow plan (zero exchanges)
+    val corpus = Curation.ruleGate(docs, "doc_id", "text")
+    assert(corpus.filter(col("pass") =!=
+      (col("r_len") && col("r_tok_len") && col("r_stop") && col("r_rep"))).count() === 0L)
+    assert(!corpus.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }

@@ -187,4 +187,37 @@ class SimilaritySpec extends SparkSpec {
       exactCos.get(k).foreach(c => assert(c === r.getDouble(3)))
     }
   }
+
+  test("labelCentroids: exact handcrafted means, partition-order independent (bit-equal)") {
+    val s = spark
+    import s.implicits._
+    // two labels, 2-dim: means are exactly representable so the fixed-point
+    // path must reproduce them without drift
+    val d = Seq(
+      ("a", Array(1.0f, 0.0f)), ("a", Array(3.0f, 2.0f)),
+      ("b", Array(0.5f, 0.5f))
+    ).toDF("label", "embedding")
+    val got = Similarity.labelCentroids(d, "label", "embedding").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("a", 0L)) === ((2L, 2.0)))
+    assert(got(("a", 1L)) === ((2L, 1.0)))
+    assert(got(("b", 0L)) === ((1L, 0.5)))
+    assert(got(("b", 1L)) === ((1L, 0.5)))
+    // fixture corpus: repartitioning must not change a single bit (the
+    // long-sum accumulator is associative/commutative; a double avg is not)
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = Similarity.labelCentroids(emb, "label", "embedding").collect()
+      .map(r => (r.get(0).toString, r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val shuffled = Similarity.labelCentroids(emb.repartition(11), "label", "embedding")
+      .collect()
+      .map(r => (r.get(0).toString, r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(base.toSeq === shuffled.toSeq)
+    // shape: one row per (label, dim); counts add back to the corpus size
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val labels = emb.select("label").distinct().count()
+    assert(base.length.toLong === labels * dims)
+    assert(base.filter(_._1._2 == 0L).map(_._2._1).sum === emb.count())
+  }
 }
