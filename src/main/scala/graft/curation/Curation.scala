@@ -216,6 +216,107 @@ object Curation {
   }
 
   /**
+   * Token-rarity quality signal: each document's mean corpus-frequency of
+   * its tokens — the LM-free stand-in for the CCNet perplexity filter
+   * (Wenzek et al. 2020, LREC: docs are bucketed by a language-model score;
+   * here the unigram corpus statistics play the model). LOW mean frequency
+   * = rare-token-dense (gibberish/OCR noise candidates), HIGH = stopword
+   * soup; pipelines threshold both tails. Deliberately rational arithmetic
+   * (integer counts + one double division) instead of log-probabilities:
+   * ln() differs by ULPs across engines, exact integer sums do not, so the
+   * score hash-checks.
+   *
+   * Scale shape: pass 1 builds the token frequency table (one explode +
+   * map-side-combinable count); pass 2 re-joins it to the corpus tokens —
+   * vocabulary joins are hash joins on the (bounded, Zipf-capped)
+   * vocabulary, and Catalyst broadcasts it when small. The per-doc
+   * aggregate carries two longs per document.
+   */
+  def rarityScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    tok.join(vocab, "token")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("tf")).as("tf_sum"))
+      .select(col("id"), col("n_tokens"), col("tf_sum"),
+        (col("tf_sum").cast("double") / col("n_tokens").cast("double")).as("mean_tf"))
+  }
+
+  /**
+   * Byte-pair-encoding merge training (Sennrich et al. 2016, ACL, "Neural
+   * machine translation of rare words with subword units" — the tokenizer-
+   * training step of a data pipeline), word-level form: start from the
+   * corpus VOCABULARY (distinct words + occurrence counts — the one
+   * corpus-scale stage, a single map-side-combinable aggregate), segment
+   * each word into characters, then `nMerges` rounds of: count adjacent
+   * symbol pairs weighted by word count → merge the most frequent pair
+   * everywhere (ties broken by pair lexicographic order, so training is
+   * DETERMINISTIC and the DuckDB oracle replays the identical loop).
+   * Returns the learned merge table (rank, left, right, merged, count) —
+   * exactly what a tokenizer consumes.
+   *
+   * Representation: a segmented word is the string `|s1||s2||...||sk|`
+   * (each symbol wrapped in bars). Merging pair (a,b) is then ONE literal
+   * `replace(repr, "|a||b|", "|ab|")` — left-to-right non-overlapping in
+   * both engines, which IS BPE's greedy merge order; the double-bar
+   * wrapping makes consecutive occurrences independent matches and makes
+   * "symbol suffix + symbol prefix" false matches impossible. Tokens must
+   * not contain '|' (guaranteed by the corpus tokenizer).
+   *
+   * Scale shape: after the vocabulary aggregate, every round works on the
+   * vocabulary table (rows = |vocab|, symbols ≤ word length) — pair
+   * counting is an explode + combinable sum, and only the single best
+   * pair (one row) ever reaches the driver per round, mirroring how
+   * production BPE trainers operate on word-count tables, not the corpus.
+   */
+  def bpeMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val s = docs.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val chars = filter(split(col("word"), ""), c => length(c) > 0)
+    var vocab = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(concat(lit("|"), array_join(chars, "||"), lit("|")).as("repr"), col("n"))
+    // per-round lineage cut: each round's repr derives from the last —
+    // without it round k replays all k-1 predecessors
+    vocab = graft.dedup.Dedup.lineageCut(vocab)
+    val merges = Seq.newBuilder[Row]
+    var done = false
+    for (r <- 1 to nMerges if !done) {
+      val syms = split(trim(col("repr"), "|"), "\\|\\|")
+      val best = vocab
+        .select(col("n"), syms.as("s"))
+        // single-symbol words contribute no pairs (guard: Spark's
+        // sequence(1, 0) DESCENDS instead of being empty)
+        .filter(size(col("s")) >= 2)
+        .select(col("n"), explode(
+          transform(sequence(lit(1), size(col("s")) - 1),
+            i => struct(element_at(col("s"), i).as("l"),
+              element_at(col("s"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true // every word is a single symbol
+      else {
+        val (l, rr, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Row(r.toLong, l, rr, l + rr, cnt)
+        vocab = graft.dedup.Dedup.lineageCut(vocab.select(
+          replace(col("repr"), lit(s"|$l||$rr|"), lit(s"|$l$rr|")).as("repr"), col("n")))
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("merge_rank", LongType, nullable = false),
+      StructField("l_sym", StringType, nullable = false),
+      StructField("r_sym", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    s.createDataFrame(s.sparkContext.parallelize(merges.result(), 1), schema)
+  }
+
+  /**
    * Sequence packing for pretraining batches: the PER-DOCUMENT bin
    * assignment `(id, shard, bin_in_shard, n_tokens)` a batch assembler
    * actually consumes. Documents are sharded by id range (`shardSize` docs

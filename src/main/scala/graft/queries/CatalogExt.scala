@@ -560,6 +560,18 @@ object CatalogExt {
   def q73LabelCentroids(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")
 
+  /** Token-rarity quality signal (the LM-free CCNet-style filter): mean
+    * corpus-frequency of each doc's tokens, exact integer arithmetic. */
+  def q74TokenRarity(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.rarityScores(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+
+  /** BPE merge training (the tokenizer-training step): 8 merge rounds over
+    * the corpus vocabulary; the oracle replays the identical deterministic
+    * loop in SQL, so the learned merge table hash-checks end to end. */
+  def q75BpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.bpeMerges(Tables.documents(s, dir), "text", nMerges = 8)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -614,6 +626,8 @@ object CatalogExt {
     "q71_approx_quantiles" -> q71ApproxQuantiles _,
     "q72_gopher_rules"   -> q72GopherRules _,
     "q73_label_centroids" -> q73LabelCentroids _,
+    "q74_token_rarity"   -> q74TokenRarity _,
+    "q75_bpe_merges"     -> q75BpeMerges _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

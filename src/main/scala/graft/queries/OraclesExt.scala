@@ -341,6 +341,21 @@ object OraclesExt {
          |               ELSE 0.0 END) <= 0.2) AS pass
          |FROM s""".stripMargin,
 
+    // q74: unigram corpus frequencies re-joined to the corpus tokens —
+    // integer counts + one double division, no transcendentals
+    "q74_token_rarity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |v AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(tf) AS BIGINT) AS tf_sum,
+        |  CAST(sum(tf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tf
+        |FROM tok JOIN v USING (token)
+        |GROUP BY doc_id""".stripMargin,
+
+    // q75: the FULL BPE training loop replayed in SQL (the q57 mirror-the-
+    // training pattern): k chained CTE rounds of pair-count → argmax →
+    // literal replace over the bar-wrapped segmentation
+    "q75_bpe_merges" -> bpeSql(8),
+
     // q73: the fixed-point mean mirror — floor(v * 2^24) BIGINTs summed
     // exactly per (label, dim), divided back in double in the same order
     "q73_label_centroids" ->
@@ -578,6 +593,41 @@ object OraclesExt {
         |WHERE ts >= ws AND ts < ws + INTERVAL '10 minutes'
         |GROUP BY 1, 2, 3""".stripMargin
   )
+
+  /** The q75 BPE oracle: replay `k` merge rounds. Round r: split the
+    * bar-wrapped segmentation back into symbols, count adjacent pairs
+    * weighted by word count, pick the (count DESC, pair ASC) argmax, and
+    * apply it as one literal replace — identical non-overlapping
+    * left-to-right semantics in both engines (= BPE's greedy merge). */
+  private def bpeSql(k: Int): String = {
+    // MATERIALIZED is load-bearing: each round references its predecessor
+    // several times (pair CTE + argmax scalar subqueries + the replace),
+    // so default CTE inlining would expand the plan exponentially in k
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT pr.l AS l, pr.r AS r, sum(n) AS cnt FROM (
+         |    SELECT n, unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS pr
+         |    FROM (SELECT string_split(trim(repr, '|'), '||') AS s, n FROM v${r - 1}))
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT replace(repr,
+         |           '|' || (SELECT l FROM b$r) || '||' || (SELECT r FROM b$r) || '|',
+         |           '|' || (SELECT l FROM b$r) || (SELECT r FROM b$r) || '|') AS repr, n
+         |  FROM v${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS l_sym, r AS r_sym, " +
+        s"l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |v0 AS MATERIALIZED (
+       |  SELECT '|' || list_aggregate(regexp_split_to_array(w, ''), 'string_agg', '||') || '|' AS repr,
+       |         count(*) AS n
+       |  FROM tok GROUP BY w),
+       |$rounds
+       |$out""".stripMargin
+  }
 
   private lazy val packAssignSql: String =
     """SELECT doc_id, shard, prior // 512 AS bin_in_shard, n_tokens FROM (

@@ -266,4 +266,49 @@ class CurationSpec extends SparkSpec {
       (col("r_len") && col("r_tok_len") && col("r_stop") && col("r_rep"))).count() === 0L)
     assert(!corpus.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("rarityScores: exact handcrafted frequencies; every doc covered; mean_tf >= 1") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(1L -> "x x y", 2L -> "y z").toDF("doc_id", "text")
+    val got = Curation.rarityScores(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // tf: x=2, y=2, z=1 -> doc1 = (2+2+2)/3, doc2 = (2+1)/2
+    assert(got(1L) === ((3L, 6L, 2.0)))
+    assert(got(2L) === ((2L, 3L, 1.5)))
+    // corpus: total coverage, and every token occurs at least once by
+    // definition so no mean can dip under 1
+    val full = Curation.rarityScores(docs, "doc_id", "text")
+    assert(full.count() === docs.count())
+    assert(full.filter(col("mean_tf") < 1.0).count() === 0L)
+  }
+
+  test("bpeMerges: handcrafted merge sequence, greedy left-to-right overlap, early stop") {
+    val s = spark
+    import s.implicits._
+    // vocab {abab: 2, ab: 1}: round 1 merges (a,b) with count 2*2+1 = 5;
+    // round 2 merges (ab,ab) with count 2; then no pairs remain
+    val d = Seq("abab abab ab").toDF("text")
+    val got = Curation.bpeMerges(d, "text", nMerges = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, "a", "b", "ab", 5L),
+      (2L, "ab", "ab", "abab", 2L)), "and training must stop when no pairs remain")
+    // greedy overlap semantics: "aaa" merges its FIRST adjacent pair, so
+    // round 2 sees (aa, a) — the left-to-right BPE order, not (a, aa)
+    val aaa = Curation.bpeMerges(Seq("aaa").toDF("text"), "text", nMerges = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(aaa.toSeq === Seq((1L, "a", "a", 2L), (2L, "aa", "a", 1L)))
+    // corpus run: ranks are 1..k, counts non-increasing (a merge can never
+    // create a pair more frequent than the one just taken... it can create
+    // ties, so non-strict), every merged symbol is left||right
+    val corpus = Curation.bpeMerges(docs, "text", nMerges = 8).collect()
+    assert(corpus.length === 8)
+    assert(corpus.map(_.getLong(0)).toSeq === (1L to 8L))
+    corpus.foreach(r => assert(r.getString(3) === r.getString(1) + r.getString(2)))
+    corpus.map(_.getLong(4)).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, "merge counts must be non-increasing")
+      case _ =>
+    }
+  }
 }
