@@ -572,6 +572,17 @@ object CatalogExt {
   def q75BpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.curation.Curation.bpeMerges(Tables.documents(s, dir), "text", nMerges = 8)
 
+  /** Z-order layout audit: Morton-interleave (l_partkey, l_suppkey) to a
+    * 32-bit clustering key and report per-bucket min/max of BOTH dims —
+    * the data-skipping guarantee a reader gets per file after a z-ordered
+    * write (every bucket confined to a 1/16 × 1/16 key-space rectangle). */
+  def q76ZorderCluster(s: SparkSession, dir: String): DataFrame =
+    graft.layout.Layout.zOrderStats(
+      Tables.lineitem(s, dir), "l_partkey", "l_suppkey")
+      .withColumnsRenamed(Map(
+        "min_x" -> "min_pk", "max_x" -> "max_pk",
+        "min_y" -> "min_sk", "max_y" -> "max_sk"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -628,6 +639,7 @@ object CatalogExt {
     "q73_label_centroids" -> q73LabelCentroids _,
     "q74_token_rarity"   -> q74TokenRarity _,
     "q75_bpe_merges"     -> q75BpeMerges _,
+    "q76_zorder_cluster" -> q76ZorderCluster _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

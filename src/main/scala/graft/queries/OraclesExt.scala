@@ -356,6 +356,31 @@ object OraclesExt {
     // literal replace over the bar-wrapped segmentation
     "q75_bpe_merges" -> bpeSql(8),
 
+    // q76: scale each dim to 16 bits against its global min/max (IEEE
+    // double floor — engine-identical), Morton-interleave with plain
+    // shift/mask terms, bucket by the top 8 z-bits
+    "q76_zorder_cluster" ->
+      """WITH b AS (SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+        |                  min(l_suppkey) AS mins, max(l_suppkey) AS maxs FROM lineitem),
+        |s AS (
+        |  SELECT l.l_partkey, l.l_suppkey,
+        |    CAST(floor(CAST(l.l_partkey - b.minp AS DOUBLE) * 65535.0
+        |               / greatest(CAST(b.maxp - b.minp AS DOUBLE), 1.0)) AS BIGINT) AS xs,
+        |    CAST(floor(CAST(l.l_suppkey - b.mins AS DOUBLE) * 65535.0
+        |               / greatest(CAST(b.maxs - b.mins AS DOUBLE), 1.0)) AS BIGINT) AS ys
+        |  FROM lineitem l CROSS JOIN b),
+        |z AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [((xs >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))
+        |         + ((ys >> i) & 1) * (CAST(2 AS BIGINT) << (2*i)) for i in range(0, 16)]),
+        |      (a, x) -> a + x) AS zval
+        |  FROM s)
+        |SELECT zval >> 24 AS z_bucket, count(*) AS n,
+        |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+        |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+        |FROM z GROUP BY 1""".stripMargin,
+
     // q73: the fixed-point mean mirror — floor(v * 2^24) BIGINTs summed
     // exactly per (label, dim), divided back in double in the same order
     "q73_label_centroids" ->
