@@ -572,6 +572,16 @@ object CatalogExt {
   def q75BpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.curation.Curation.bpeMerges(Tables.documents(s, dir), "text", nMerges = 8)
 
+  /** Count-min sketch point-frequency estimates next to exact counts: the
+    * constant-size (d×w longs) mergeable summary for frequency queries at
+    * corpus scale. Buckets are md5-derived, so the oracle REPLAYS the
+    * sketch — the approximate estimates themselves hash-match. */
+  def q77CmsFreq(s: SparkSession, dir: String): DataFrame =
+    graft.sketch.Sketch.cmsEstimates(
+      Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token")),
+      "token")
+
   /** Z-order layout audit: Morton-interleave (l_partkey, l_suppkey) to a
     * 32-bit clustering key and report per-bucket min/max of BOTH dims —
     * the data-skipping guarantee a reader gets per file after a z-ordered
@@ -640,6 +650,7 @@ object CatalogExt {
     "q74_token_rarity"   -> q74TokenRarity _,
     "q75_bpe_merges"     -> q75BpeMerges _,
     "q76_zorder_cluster" -> q76ZorderCluster _,
+    "q77_cms_freq"       -> q77CmsFreq _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -356,6 +356,20 @@ object OraclesExt {
     // literal replace over the bar-wrapped segmentation
     "q75_bpe_merges" -> bpeSql(8),
 
+    // q77: the count-min sketch REPLAYED — buckets are md5-derived, the
+    // grid is a (row, bucket) SUM, estimates the row-wise MIN: cell-wise
+    // addition is commutative so the approximate answer is still a pure
+    // function of the token multiset and hash-matches exactly
+    "q77_cms_freq" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1),
+        |e AS (SELECT token, tf, r,
+        |        CAST(('0x' || substr(md5(token || ':' || r), 1, 8))::BIGINT % 256 AS BIGINT) AS b
+        |      FROM tf CROSS JOIN (SELECT unnest(range(0, 4)) AS r) x),
+        |c AS (SELECT r, b, sum(tf) AS cnt FROM e GROUP BY 1, 2)
+        |SELECT token, any_value(tf) AS tf, CAST(min(cnt) AS BIGINT) AS est
+        |FROM e JOIN c USING (r, b) GROUP BY token""".stripMargin,
+
     // q76: scale each dim to 16 bits against its global min/max (IEEE
     // double floor — engine-identical), Morton-interleave with plain
     // shift/mask terms, bucket by the top 8 z-bits

@@ -1,0 +1,58 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005): fixed
+ * d×w counter grid answering point frequency queries with one-sided error
+ * (never under-estimates; over-estimate ≤ εN with w = ⌈e/ε⌉).
+ *
+ * Why it matters at 100 TB: exact per-token frequency needs a shuffle keyed
+ * by token over the full vocabulary; the sketch is a CONSTANT-size summary
+ * (d×w longs) that merges by cell-wise addition — partial sketches combine
+ * map-side, ship one grid per partition, and the merged grid answers any
+ * point query. This implementation keeps the whole pipeline declarative:
+ * counters are a (row, bucket) aggregate, estimates come back via a
+ * broadcast join against the tiny grid, and — because the bucket hash is
+ * md5-derived rather than engine-private — the DuckDB oracle replays the
+ * exact same grid, so estimates hash-match bit for bit.
+ *
+ * Cell-wise addition is commutative ⇒ the estimate is a pure function of
+ * the input MULTISET, independent of partitioning/merge order: the sketch
+ * is deterministic even though it is approximate.
+ */
+object Sketch {
+
+  /** Row-r bucket of a token: the first 8 md5 hex chars of `token:r` as an
+    * integer, mod `width`. Any engine with md5 reproduces it. */
+  def cmsBucket(token: Column, row: Column, width: Int): Column =
+    pmod(
+      conv(substring(md5(concat(token, lit(":"), row.cast("string"))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(width.toLong))
+
+  /** Per-token CMS point estimates next to exact counts.
+    *
+    * Output: (token, tf, est) — `tf` the exact multiplicity, `est` the
+    * sketch answer min_r grid[r][bucket_r(token)]. `est >= tf` always
+    * (one-sided error law, spec-asserted); equality wherever a token
+    * collides with nothing heavier in every row.
+    *
+    * Plan shape: one token-keyed aggregate for tf (the only large shuffle),
+    * a d-way explode of the DISTINCT token set (vocabulary-sized, not
+    * corpus-sized), a (row, bucket) aggregate producing the d×w grid, and a
+    * broadcast join of the grid back to the vocabulary. */
+  def cmsEstimates(tokens: DataFrame, tokenCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val tf = tokens.groupBy(col(tokenCol)).agg(count(lit(1)).as("tf"))
+    val exploded = tf
+      .withColumn("r", explode(lit((0 until depth).toArray)))
+      .withColumn("b", cmsBucket(col(tokenCol), col("r"), width))
+    val grid = exploded.groupBy(col("r"), col("b"))
+      .agg(sum(col("tf")).as("cnt"))
+    exploded.join(broadcast(grid), Seq("r", "b"))
+      .groupBy(col(tokenCol))
+      .agg(first(col("tf")).as("tf"), min(col("cnt")).as("est"))
+  }
+}
