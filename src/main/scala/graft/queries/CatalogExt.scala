@@ -572,6 +572,32 @@ object CatalogExt {
   def q75BpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.curation.Curation.bpeMerges(Tables.documents(s, dir), "text", nMerges = 8)
 
+  /** Hybrid retrieval via reciprocal-rank fusion: a keyword ranking (term
+    * frequency of 'spark', TakeOrdered top-50) and an embedding ranking
+    * (cosine to the vec_id=0 query vector, top-50) fused rank-wise —
+    * RRF needs no score calibration between the two modalities. */
+  def q78RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val kwScored = Tables.documents(s, dir).select(
+      col("doc_id").as("id"),
+      size(filter(TextOps.tokens(col("text")), t => t === "spark"))
+        .cast("long").as("score"))
+    val kwTop = kwScored.orderBy(col("score").desc, col("id").asc).limit(50)
+      .withColumn("r", row_number()
+        .over(Window.orderBy(col("score").desc, col("id").asc)).cast("long"))
+    val emb = Tables.embeddings(s, dir)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_v"))
+    val vecScored = emb.crossJoin(broadcast(qv)).select(
+      col("vec_id").as("id"),
+      graft.functions.GraftFunctions.cosine(col("embedding"), col("q_v")).as("cos"))
+    val vecTop = vecScored.orderBy(col("cos").desc, col("id").asc).limit(50)
+      .withColumn("r", row_number()
+        .over(Window.orderBy(col("cos").desc, col("id").asc)).cast("long"))
+    Similarity.rrfFuse(kwTop, vecTop, "id", "r")
+      .withColumnsRenamed(Map("r_a" -> "r_kw", "r_b" -> "r_vec"))
+  }
+
   /** Count-min sketch point-frequency estimates next to exact counts: the
     * constant-size (d×w longs) mergeable summary for frequency queries at
     * corpus scale. Buckets are md5-derived, so the oracle REPLAYS the
@@ -651,6 +677,7 @@ object CatalogExt {
     "q75_bpe_merges"     -> q75BpeMerges _,
     "q76_zorder_cluster" -> q76ZorderCluster _,
     "q77_cms_freq"       -> q77CmsFreq _,
+    "q78_rrf_fusion"     -> q78RrfFusion _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -356,6 +356,33 @@ object OraclesExt {
     // literal replace over the bar-wrapped segmentation
     "q75_bpe_merges" -> bpeSql(8),
 
+    // q78: both rankings rebuilt (tf-of-'spark' window, cosine window with
+    // the q28 dot-product mirror), RRF = two IEEE divisions summed in fixed
+    // order — rank-based fusion, so doubles stay engine-identical
+    "q78_rrf_fusion" ->
+      """WITH kw0 AS (
+        |  SELECT doc_id AS id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t = 'spark')) AS BIGINT) AS score
+        |  FROM documents),
+        |kw AS (SELECT id, r FROM (
+        |  SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS BIGINT) AS r FROM kw0)
+        |  WHERE r <= 50),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |vs AS (SELECT vec_id AS id,
+        |    list_dot_product(embedding::DOUBLE[], q.qv)
+        |      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |         * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+        |  FROM embeddings CROSS JOIN q),
+        |vt AS (SELECT id, r FROM (
+        |  SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id ASC) AS BIGINT) AS r FROM vs)
+        |  WHERE r <= 50)
+        |SELECT id, r_kw, r_vec, rrf FROM (
+        |  SELECT coalesce(kw.id, vt.id) AS id, kw.r AS r_kw, vt.r AS r_vec,
+        |    coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + kw.r), CAST(0.0 AS DOUBLE))
+        |      + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + vt.r), CAST(0.0 AS DOUBLE)) AS rrf
+        |  FROM kw FULL JOIN vt ON kw.id = vt.id)
+        |ORDER BY rrf DESC, id ASC LIMIT 20""".stripMargin,
+
     // q77: the count-min sketch REPLAYED — buckets are md5-derived, the
     // grid is a (row, bucket) SUM, estimates the row-wise MIN: cell-wise
     // addition is commutative so the approximate answer is still a pure

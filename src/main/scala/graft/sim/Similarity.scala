@@ -326,4 +326,31 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("c_id"), col("rnk"), col("cosine"))
   }
+
+  /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009): merge
+   * two retrieval rankings by score(d) = Σ 1/(kRrf + rank_i(d)) — the
+   * standard way to combine a keyword ranking with an embedding ranking in
+   * hybrid search, rank-based so the two scoring scales never need
+   * calibration.
+   *
+   * Inputs are (id, rank) frames (rank 1-based, each id at most once). The
+   * fusion is a single full-outer join on id — ranked lists are top-N by
+   * construction, so both sides are small relative to the corpus and the
+   * join is broadcastable; the corpus itself is never touched. Output keeps
+   * both source ranks (NULL where a list missed the doc) plus the fused
+   * score. Deterministic: the score sums exactly two IEEE divisions in
+   * fixed order, ties order by id.
+   */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
+      kRrf: Int = 60, topN: Int = 20): DataFrame = {
+    val left = a.select(col(idCol).as("id"), col(rankCol).cast("long").as("r_a"))
+    val right = b.select(col(idCol).as("id"), col(rankCol).cast("long").as("r_b"))
+    left.join(right, Seq("id"), "full_outer")
+      .select(col("id"), col("r_a"), col("r_b"),
+        (coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("r_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("r_b")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(topN)
+  }
 }

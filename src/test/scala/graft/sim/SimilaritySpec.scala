@@ -220,4 +220,22 @@ class SimilaritySpec extends SparkSpec {
     assert(base.length.toLong === labels * dims)
     assert(base.filter(_._1._2 == 0L).map(_._2._1).sum === emb.count())
   }
+
+  test("rrfFuse: both-list docs outrank single-list docs at equal ranks; nulls kept") {
+    val s = spark
+    import s.implicits._
+    // a: docs 1,2,3 ranked; b: docs 2,3,4 ranked
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "r")
+    val b = Seq((2L, 1L), (3L, 2L), (4L, 3L)).toDF("id", "r")
+    val got = Similarity.rrfFuse(a, b, "id", "r", kRrf = 60, topN = 10)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), r.getDouble(3)))
+    assert(got.map(_._1).toSeq === Seq(2L, 3L, 1L, 4L))
+    // doc 2: 1/62 + 1/61; doc 1 (a-only): 1/61 + 0
+    val d2 = got.find(_._1 == 2L).get
+    assert(math.abs(d2._4 - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    val d1 = got.find(_._1 == 1L).get
+    assert(d1._3.isEmpty && math.abs(d1._4 - 1.0 / 61) < 1e-15)
+    // every input id survives the outer join (topN larger than the union)
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L, 4L))
+  }
 }
