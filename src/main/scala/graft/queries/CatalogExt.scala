@@ -572,6 +572,13 @@ object CatalogExt {
   def q75BpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.curation.Curation.bpeMerges(Tables.documents(s, dir), "text", nMerges = 8)
 
+  /** Context-window chunking: every document sliced into 32-token windows
+    * every 16 tokens (overlapping sliding contexts, the corpus→training-
+    * sequence step). One generator on the scan, no shuffle. */
+  def q79ContextWindows(s: SparkSession, dir: String): DataFrame =
+    TextOps.contextWindows(Tables.documents(s, dir), "doc_id", "text",
+      window = 32, stride = 16)
+
   /** Hybrid retrieval via reciprocal-rank fusion: a keyword ranking (term
     * frequency of 'spark', TakeOrdered top-50) and an embedding ranking
     * (cosine to the vec_id=0 query vector, top-50) fused rank-wise —
@@ -678,6 +685,7 @@ object CatalogExt {
     "q76_zorder_cluster" -> q76ZorderCluster _,
     "q77_cms_freq"       -> q77CmsFreq _,
     "q78_rrf_fusion"     -> q78RrfFusion _,
+    "q79_context_windows" -> q79ContextWindows _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

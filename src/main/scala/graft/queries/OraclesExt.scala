@@ -356,6 +356,21 @@ object OraclesExt {
     // literal replace over the bar-wrapped segmentation
     "q75_bpe_merges" -> bpeSql(8),
 
+    // q79: window starts mirrored as range(0, len, stride) (DuckDB range
+    // excludes the end = Spark sequence(0, len-1, stride) inclusive), the
+    // 1-based inclusive list slice = Spark's slice(arr, start+1, window)
+    "q79_context_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, w,
+        |        unnest(range(0, greatest(len(w), 1), 16)) AS start
+        |      FROM t)
+        |SELECT doc_id,
+        |  CAST(start // 16 AS BIGINT) AS win_id,
+        |  CAST(start AS BIGINT) AS start,
+        |  CAST(least(32, len(w) - start) AS BIGINT) AS n_tokens,
+        |  array_to_string(w[start + 1 : start + 32], ' ') AS chunk
+        |FROM s""".stripMargin,
+
     // q78: both rankings rebuilt (tf-of-'spark' window, cosine window with
     // the q28 dot-product mirror), RRF = two IEEE divisions summed in fixed
     // order — rank-based fusion, so doubles stay engine-identical

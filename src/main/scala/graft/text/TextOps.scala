@@ -161,4 +161,33 @@ object TextOps {
     PiiPatterns.map { case (name, pat, _) =>
       name -> regexp_count(text, lit(pat)).cast("long")
     }
+
+  /**
+   * Fixed-size overlapping context windows (the chunking step that turns a
+   * variable-length document corpus into training sequences): windows of
+   * `window` tokens starting every `stride` tokens, the last window ragged.
+   * With stride < window, consecutive windows overlap by window−stride
+   * tokens so no span longer than stride is ever split across ALL windows
+   * — the standard sliding-context construction.
+   *
+   * Shape: one `posexplode` over a per-row integer `sequence` — a generator
+   * directly on the scan, no shuffle, no UDF; output rows ≈ corpus tokens /
+   * stride regardless of document skew. Output: (idCol, win_id, start,
+   * n_tokens, chunk).
+   */
+  def contextWindows(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int = 32, stride: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(window > 0 && stride > 0,
+      s"window and stride must be positive, got window=$window stride=$stride")
+    df
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol), col("__w"),
+        posexplode(sequence(lit(0), greatest(size(col("__w")) - 1, lit(0)), lit(stride)))
+          .as(Seq("win_id", "start")))
+      .select(col(idCol),
+        col("win_id").cast("long").as("win_id"),
+        col("start").cast("long").as("start"),
+        least(lit(window), size(col("__w")) - col("start")).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("__w"), col("start") + 1, lit(window))).as("chunk"))
+  }
 }

@@ -95,4 +95,30 @@ class TextOpsSpec extends SparkSpec {
       .forall(c => out(4L).getAs[Long](c) === 0L))
     assert(out(5L).getAs[String]("r") === "mixed <EMAIL> <SSN> <PHONE> <IP>")
   }
+
+  test("contextWindows: coverage, overlap, ragged tail, short docs") {
+    val s = spark
+    import s.implicits._
+    val words = (0 until 40).map(i => s"t$i")
+    val d = Seq(
+      (1L, words.mkString(" ")),  // 40 tokens: starts 0,16,32
+      (2L, "a b c"),              // 3 tokens: one ragged window
+      (3L, words.take(16).mkString(" "))) // exactly one stride: start 0 only
+      .toDF("doc_id", "text")
+    val rows = TextOps.contextWindows(d, "doc_id", "text", window = 32, stride = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(w => (w._2, w._3, w._4)).toSeq ===
+      Seq((0L, 0L, 32L), (1L, 16L, 24L), (2L, 32L, 8L)))
+    // full coverage: every token appears in some window
+    val covered = d1.flatMap(_._5.split(" ")).toSet
+    assert(covered === words.toSet)
+    // overlap: window 1 repeats the back half of window 0
+    assert(d1(1)._5.split(" ").take(16).toSeq === d1(0)._5.split(" ").drop(16).toSeq)
+    // short doc: single ragged window, chunk = whole text
+    assert(rows.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 0L, 3L, "a b c")))
+    // doc of exactly `stride` tokens: one window, not two
+    assert(rows.count(_._1 == 3L) === 1)
+  }
 }
