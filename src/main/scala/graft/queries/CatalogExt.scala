@@ -572,6 +572,18 @@ object CatalogExt {
   def q75BpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.curation.Curation.bpeMerges(Tables.documents(s, dir), "text", nMerges = 8)
 
+  /** Two-phase salted aggregation surfaced end to end: per-user event
+    * count + fixed-point value total through Skew.saltedCountSum (hot keys
+    * spread over 16 salt reducers, partials re-merged on the bare key).
+    * The salt is invisible in the result — the oracle is the PLAIN group
+    * by, which is exactly the law the rewrite must preserve. */
+  def q80SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    graft.ops.Skew.saltedCountSum(ev, "user_id", "cents", salts = 16)
+      .withColumnRenamed("total", "cents_total")
+  }
+
   /** Context-window chunking: every document sliced into 32-token windows
     * every 16 tokens (overlapping sliding contexts, the corpus→training-
     * sequence step). One generator on the scan, no shuffle. */
@@ -686,6 +698,7 @@ object CatalogExt {
     "q77_cms_freq"       -> q77CmsFreq _,
     "q78_rrf_fusion"     -> q78RrfFusion _,
     "q79_context_windows" -> q79ContextWindows _,
+    "q80_salted_agg"     -> q80SaltedAgg _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -356,6 +356,13 @@ object OraclesExt {
     // literal replace over the bar-wrapped segmentation
     "q75_bpe_merges" -> bpeSql(8),
 
+    // q80: the salt must be INVISIBLE — the oracle is the plain GROUP BY
+    // the two-phase rewrite must equal; value stabilized to exact cents
+    "q80_salted_agg" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_total
+        |FROM events GROUP BY user_id""".stripMargin,
+
     // q79: window starts mirrored as range(0, len, stride) (DuckDB range
     // excludes the end = Spark sequence(0, len-1, stride) inclusive), the
     // 1-based inclusive list slice = Spark's slice(arr, start+1, window)
