@@ -572,6 +572,13 @@ object CatalogExt {
   def q75BpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.curation.Curation.bpeMerges(Tables.documents(s, dir), "text", nMerges = 8)
 
+  /** Ordered-stage funnel: per-user first reach times for view → click →
+    * purchase (stage k only counts events at/after the stage k−1 reach
+    * time) plus conversion depth — the standard product-analytics report. */
+  def q81Funnel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.stageTimes(Tables.events(s, dir),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+
   /** Two-phase salted aggregation surfaced end to end: per-user event
     * count + fixed-point value total through Skew.saltedCountSum (hot keys
     * spread over 16 salt reducers, partials re-merged on the bare key).
@@ -699,6 +706,7 @@ object CatalogExt {
     "q78_rrf_fusion"     -> q78RrfFusion _,
     "q79_context_windows" -> q79ContextWindows _,
     "q80_salted_agg"     -> q80SaltedAgg _,
+    "q81_funnel"         -> q81Funnel _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

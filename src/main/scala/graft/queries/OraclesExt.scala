@@ -356,6 +356,26 @@ object OraclesExt {
     // literal replace over the bar-wrapped segmentation
     "q75_bpe_merges" -> bpeSql(8),
 
+    // q81: stage CTEs chained exactly like the engine's per-stage folds;
+    // ts truncated to microseconds FIRST so the >= comparisons see the
+    // same instants Spark's ns→µs reader does
+    "q81_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |s1 AS (SELECT user_id, min(ts) AS t_view FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT ev.user_id, min(ev.ts) AS t_click FROM ev JOIN s1 USING (user_id)
+        |       WHERE ev.event_type = 'click' AND ev.ts >= s1.t_view GROUP BY 1),
+        |s3 AS (SELECT ev.user_id, min(ev.ts) AS t_purchase FROM ev JOIN s2 USING (user_id)
+        |       WHERE ev.event_type = 'purchase' AND ev.ts >= s2.t_click GROUP BY 1)
+        |SELECT u.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+        |  CAST(CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+        |            WHEN s2.t_click IS NOT NULL THEN 2
+        |            WHEN s1.t_view IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS depth
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |       LEFT JOIN s3 USING (user_id)""".stripMargin,
+
     // q80: the salt must be INVISIBLE — the oracle is the plain GROUP BY
     // the two-phase rewrite must equal; value stabilized to exact cents
     "q80_salted_agg" ->
