@@ -258,4 +258,33 @@ object VectorMath {
     }
     bucket
   }
+
+  /** Unicode accent fold: NFD-decompose, drop every combining mark
+    * (categories Mn/Mc/Me = `\p{M}`), NFC-recompose. Verified bit-equal to
+    * DuckDB's `strip_accents` on the Latin accent range (both reduce to the
+    * base letter), which is what lets the q82 oracle replay normalization.
+    * ASCII input short-circuits without allocating — the common case in a
+    * mostly-ASCII corpus pays one byte scan. */
+  def stripAccents(s: UTF8String): UTF8String = {
+    val n = s.numBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      if ((s.getByte(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) return s
+    val nfd = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var j = 0
+    while (j < nfd.length) {
+      val c = nfd.charAt(j)
+      val t = Character.getType(c)
+      if (t != Character.NON_SPACING_MARK && t != Character.COMBINING_SPACING_MARK &&
+        t != Character.ENCLOSING_MARK) sb.append(c)
+      j += 1
+    }
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))
+  }
 }

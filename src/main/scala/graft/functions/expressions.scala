@@ -98,6 +98,24 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** strip_accents(string) -> string — NFD + drop `\p{M}` + NFC (bit-equal to
+  * DuckDB's strip_accents on the Latin range; ASCII short-circuits). */
+case class StripAccents(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_strip_accents"
+  override protected def nullSafeEval(s: Any): Any =
+    VectorMath.stripAccents(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorMath.stripAccents($a)")
+  override protected def withNewChildInternal(c: Expression): StripAccents =
+    copy(child = c)
+}
+
 /** shingle_hash_overlap(array<string> tokens, array<long> sortedHashes, n)
   * -> boolean — true iff any word n-gram of the tokens xxhash64-es into the
   * sorted hash array (binary search per window; the streaming
@@ -166,6 +184,7 @@ object GraftFunctions {
     "graft_minhash_sig" -> { args => MinHashSig(args(0), intArg(args(1), "k")) },
     "graft_sign_bucket" -> { args => SignBucket(args(0), intArg(args(1), "planes")) },
     "graft_word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "n")) },
+    "graft_strip_accents" -> { args => StripAccents(args(0)) },
     "graft_shingle_hash_overlap" -> { args =>
       ShingleHashOverlap(args(0), args(1), intArg(args(2), "n")) })
 
@@ -191,6 +210,7 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.lit
     call_function("graft_word_shingles", tokens, lit(n))
   }
+  def stripAccents(text: Column): Column = call_function("graft_strip_accents", text)
   def shingleHashOverlap(tokens: Column, sortedHashes: Column, n: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("graft_shingle_hash_overlap", tokens, sortedHashes, lit(n))

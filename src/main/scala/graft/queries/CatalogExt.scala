@@ -572,6 +572,21 @@ object CatalogExt {
   def q75BpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.curation.Curation.bpeMerges(Tables.documents(s, dir), "text", nMerges = 8)
 
+  /** Unicode normalization round trip: deterministically decorate the
+    * corpus with precomposed Latin accents (translate a→á e→é o→ö), then
+    * fold them back through the native StripAccents kernel + case/space
+    * canon. roundtrip_ok = (normalized == original) is the engine-level
+    * law; the oracle replays decorate + strip_accents + canon in SQL. */
+  def q82NormalizeText(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    Tables.documents(s, dir)
+      .withColumn("decorated",
+        translate(col("text"), "aeo", "áéö"))
+      .select(col("doc_id"), col("decorated"),
+        TextOps.normalizeUnicode(col("decorated")).as("normalized"),
+        (TextOps.normalizeUnicode(col("decorated")) === col("text")).as("roundtrip_ok"))
+  }
+
   /** Ordered-stage funnel: per-user first reach times for view → click →
     * purchase (stage k only counts events at/after the stage k−1 reach
     * time) plus conversion depth — the standard product-analytics report. */
@@ -707,6 +722,7 @@ object CatalogExt {
     "q79_context_windows" -> q79ContextWindows _,
     "q80_salted_agg"     -> q80SaltedAgg _,
     "q81_funnel"         -> q81Funnel _,
+    "q82_normalize_text" -> q82NormalizeText _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -356,6 +356,19 @@ object OraclesExt {
     // literal replace over the bar-wrapped segmentation
     "q75_bpe_merges" -> bpeSql(8),
 
+    // q82: decorate with precomposed accents via translate, fold back with
+    // strip_accents (verified bit-equal to the engine's NFD+drop-marks+NFC
+    // kernel on the Latin range), then the same case/space canon
+    "q82_normalize_text" ->
+      """WITH d AS (SELECT doc_id, text,
+        |             translate(text, 'aeo', 'áéö') AS decorated
+        |           FROM documents)
+        |SELECT doc_id, decorated,
+        |  trim(regexp_replace(lower(strip_accents(decorated)), '\s+', ' ', 'g')) AS normalized,
+        |  trim(regexp_replace(lower(strip_accents(decorated)), '\s+', ' ', 'g')) = text
+        |    AS roundtrip_ok
+        |FROM d""".stripMargin,
+
     // q81: stage CTEs chained exactly like the engine's per-stage folds;
     // ts truncated to microseconds FIRST so the >= comparisons see the
     // same instants Spark's ns→µs reader does

@@ -131,6 +131,13 @@ object TextOps {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Full Unicode normalization for messy multilingual corpora: accent
+    * fold (NFD → drop marks → NFC, the native [[graft.functions.StripAccents]]
+    * codegen kernel) then [[normalize]]'s case/whitespace canon. Same
+    * narrow-projection posture as everything else here. */
+  def normalizeUnicode(text: Column): Column =
+    normalize(graft.functions.GraftFunctions.stripAccents(text))
+
   /**
    * PII patterns for pretraining-data redaction (the standard scrub step —
    * e.g. the email/phone/IP classes BigScience ROOTS and most open corpora

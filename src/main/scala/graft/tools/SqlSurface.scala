@@ -54,6 +54,10 @@ object SqlSurface {
       .head().getBoolean(0)
     assert(hit && !miss, s"shingle_hash_overlap hit=$hit miss=$miss")
 
+    val folded = spark.sql(
+      "SELECT graft_strip_accents('café naïve') AS f").head().getString(0)
+    assert(folded == "cafe naive", s"strip_accents = $folded")
+
     // registered functions are visible in the catalog listing
     val listed = spark.sql("SHOW FUNCTIONS LIKE 'graft*'").count()
     println(s"[sql-surface] graft functions listed=$listed cosine=$cos simhash=$sh PASS")

@@ -132,4 +132,26 @@ class ExpressionsSpec extends SparkSpec {
     val again = df.select(GraftFunctions.signBucket(col("vec"), 8).as("b")).collect()
     assert(out.map(_.getInt(0)).toSeq === again.map(_.getInt(0)).toSeq)
   }
+
+  test("strip_accents: precomposed, decomposed, non-mark unicode, ASCII, null") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.ensureRegistered(s)
+    val rows = Seq(
+      "café",                 // precomposed é
+      "café",                // decomposed e + combining acute (Mn)
+      "áéöüñç", // accent alphabet
+      "naïve ☃ snow",    // ï folds; the snowman (So) survives
+      "plain ascii stays put",
+      null.asInstanceOf[String])
+      .toDF("t")
+    val got = rows.select(GraftFunctions.stripAccents(col("t"))).collect()
+      .map(r => Option(r.getString(0)))
+    assert(got(0) === Some("cafe"))
+    assert(got(1) === Some("cafe")) // NFD canonicalizes both spellings
+    assert(got(2) === Some("aeounc")) // áéöüñç -> aeounc
+    assert(got(3) === Some("naive ☃ snow"))
+    assert(got(4) === Some("plain ascii stays put"))
+    assert(got(5) === None)
+  }
 }
