@@ -572,6 +572,23 @@ object CatalogExt {
   def q75BpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.curation.Curation.bpeMerges(Tables.documents(s, dir), "text", nMerges = 8)
 
+  /** Fixed-point PageRank over the customer↔supplier trade graph (an edge
+    * per distinct trading pair through orders/lineitem, both directions;
+    * node id = 2·key + side to keep the key spaces disjoint): 8 damped
+    * iterations in exact BIGINT arithmetic, every iteration replayed by
+    * the oracle's chained CTEs — the mirror-the-training pattern applied
+    * to iterative graph analytics. */
+  def q83PageRank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("cust"), (col("l_suppkey") * 2 + 1).as("supp"))
+      .distinct()
+    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+    graft.graph.Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 8)
+  }
+
   /** Unicode normalization round trip: deterministically decorate the
     * corpus with precomposed Latin accents (translate a→á e→é o→ö), then
     * fold them back through the native StripAccents kernel + case/space
@@ -723,6 +740,7 @@ object CatalogExt {
     "q80_salted_agg"     -> q80SaltedAgg _,
     "q81_funnel"         -> q81Funnel _,
     "q82_normalize_text" -> q82NormalizeText _,
+    "q83_pagerank"       -> q83PageRank _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -356,6 +356,10 @@ object OraclesExt {
     // literal replace over the bar-wrapped segmentation
     "q75_bpe_merges" -> bpeSql(8),
 
+    // q83: iterative fixed-point PageRank, every round replayed (see
+    // pageRankSql)
+    "q83_pagerank" -> pageRankSql(8),
+
     // q82: decorate with precomposed accents via translate, fold back with
     // strip_accents (verified bit-equal to the engine's NFD+drop-marks+NFC
     // kernel on the Latin range), then the same case/space canon
@@ -720,6 +724,35 @@ object OraclesExt {
     * weighted by word count, pick the (count DESC, pair ASC) argmax, and
     * apply it as one literal replace — identical non-overlapping
     * left-to-right semantics in both engines (= BPE's greedy merge). */
+  /** The q83 PageRank oracle: the fixed-point iteration replayed as k
+    * chained MATERIALIZED CTEs. `//` is DuckDB integer division = Spark's
+    * `div` on the all-positive rank domain; the contribution sum is BIGINT
+    * addition — order-free — so every round is bit-exact. */
+  private def pageRankSql(k: Int): String = {
+    val scale = 1L << 40
+    val rounds = (1 to k).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS MATERIALIZED (SELECT nodes.node,
+         |  CAST(((15 * CAST($scale AS BIGINT)) // 100) // nn.n
+         |    + (85 * coalesce(c.contrib, CAST(0 AS BIGINT))) // 100 AS BIGINT) AS rank
+         |FROM nodes CROSS JOIN nn LEFT JOIN (
+         |  SELECT e.dst, CAST(sum($prev.rank // od.outdeg) AS BIGINT) AS contrib
+         |  FROM e JOIN $prev ON $prev.node = e.src JOIN od ON od.src = e.src
+         |  GROUP BY e.dst) c ON c.dst = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |e AS (SELECT 2*ck AS src, 2*sk + 1 AS dst FROM p
+       |      UNION SELECT 2*sk + 1 AS src, 2*ck AS dst FROM p),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CAST(CAST($scale AS BIGINT) // nn.n AS BIGINT) AS rank
+       |       FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT node, rank FROM r$k""".stripMargin
+  }
+
   private def bpeSql(k: Int): String = {
     // MATERIALIZED is load-bearing: each round references its predecessor
     // several times (pair CTE + argmax scalar subqueries + the replace),
