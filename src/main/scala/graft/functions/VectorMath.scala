@@ -259,6 +259,22 @@ object VectorMath {
     bucket
   }
 
+  /** Binary search for one long in a sorted long array — the probe kernel
+    * behind the runtime-filter semi-join (log₂|keys| compares per row,
+    * 8 bytes per key in the broadcast). Nulls inside the array are not
+    * expected (builder uses collect_set of a non-null cast). */
+  def sortedContains(v: Long, arr: ArrayData): Boolean = {
+    var lo = 0
+    var hi = arr.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val x = arr.getLong(mid)
+      if (x == v) return true
+      if (x < v) lo = mid + 1 else hi = mid - 1
+    }
+    false
+  }
+
   /** Unicode accent fold: NFD-decompose, drop every combining mark
     * (categories Mn/Mc/Me = `\p{M}`), NFC-recompose. Verified bit-equal to
     * DuckDB's `strip_accents` on the Latin accent range (both reduce to the

@@ -98,6 +98,28 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** sorted_contains(long, array<long>) -> boolean — binary-search membership
+  * against a SORTED key array (the runtime-filter probe: log₂|keys|
+  * compares inside whole-stage codegen, no join operator, no hash map). */
+case class SortedContains(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType &&
+      (right.dataType match { case ArrayType(LongType, _) => true; case _ => false }))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (bigint, array<bigint>), got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_sorted_contains"
+  override protected def nullSafeEval(v: Any, arr: Any): Any =
+    VectorMath.sortedContains(v.asInstanceOf[Long], arr.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, a) => s"graft.functions.VectorMath.sortedContains($v, $a)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedContains =
+    copy(left = l, right = r)
+}
+
 /** strip_accents(string) -> string — NFD + drop `\p{M}` + NFC (bit-equal to
   * DuckDB's strip_accents on the Latin range; ASCII short-circuits). */
 case class StripAccents(child: Expression)
@@ -185,6 +207,7 @@ object GraftFunctions {
     "graft_sign_bucket" -> { args => SignBucket(args(0), intArg(args(1), "planes")) },
     "graft_word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "n")) },
     "graft_strip_accents" -> { args => StripAccents(args(0)) },
+    "graft_sorted_contains" -> { args => SortedContains(args(0), args(1)) },
     "graft_shingle_hash_overlap" -> { args =>
       ShingleHashOverlap(args(0), args(1), intArg(args(2), "n")) })
 
@@ -211,6 +234,8 @@ object GraftFunctions {
     call_function("graft_word_shingles", tokens, lit(n))
   }
   def stripAccents(text: Column): Column = call_function("graft_strip_accents", text)
+  def sortedContains(v: Column, sortedArr: Column): Column =
+    call_function("graft_sorted_contains", v, sortedArr)
   def shingleHashOverlap(tokens: Column, sortedHashes: Column, n: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("graft_shingle_hash_overlap", tokens, sortedHashes, lit(n))

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Data profiling: the ANALYZE-style per-column statistics a catalog keeps
+ * for cost-based optimization and a pipeline keeps for data-quality gates
+ * (row counts, null rates, exact NDV, value bounds).
+ *
+ * Single pass over the table: all columns' statistics are computed in ONE
+ * aggregate (the multi-count-distinct EXPAND strategy — Catalyst multiplies
+ * rows by the column count but scans the table once), then unpivoted into
+ * the (col_name, stats...) report shape. At 100 TB prefer this one-pass
+ * shape over a per-column loop: the scan dominates, and it is paid once.
+ */
+object Profile {
+
+  /** Per-numeric-column profile: (col_name, n, n_null, ndv, min_v, max_v)
+    * with bounds cast to double (exact for data values — no aggregation
+    * arithmetic happens on them). */
+  def numericStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        countDistinct(col(c)).as(s"__ndv_$c"),
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // unpivot: one struct per column, then explode to report rows
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col("__n").as("n"),
+        (col("__n") - col(s"__cnt_$c")).as("n_null"),
+        col(s"__ndv_$c").as("ndv"),
+        col(s"__min_$c").as("min_v"),
+        col(s"__max_$c").as("max_v"))
+    }
+    one.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+  }
+
+  /**
+   * Exact equi-depth histogram (the CBO selectivity structure): bucket k
+   * holds the rows whose cumulative rank lands in [k·n/B, (k+1)·n/B).
+   *
+   * Scale shape: NOT a global sort of the table. Rows first collapse to
+   * the (value, count) distribution (one value-keyed shuffle with map-side
+   * combine); the cumulative window then runs over the DISTINCT-VALUE
+   * frame — value-distribution-sized, orders of magnitude smaller than the
+   * data. Ties never split: a distinct value belongs to exactly one bucket
+   * (the compressed-histogram convention), so bucket depths are equal up
+   * to tie granularity. Fully deterministic ⇒ oracle-mirrorable.
+   */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+      buckets: Int = 8): DataFrame = {
+    require(buckets >= 1, s"need at least one bucket, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val vc = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = vc.agg(sum(col("c")).as("n"))
+    vc
+      .withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("bucket", expr(s"(cb * $buckets) div n"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("ndv"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+  }
+}

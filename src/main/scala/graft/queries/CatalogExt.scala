@@ -572,6 +572,41 @@ object CatalogExt {
   def q75BpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.curation.Curation.bpeMerges(Tables.documents(s, dir), "text", nMerges = 8)
 
+  /** ANALYZE-style column profile of lineitem's numeric columns in one
+    * scan: row count, null count, exact NDV, min/max per column — the
+    * stats a CBO or a data-quality gate consumes. */
+  def q84ProfileStats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.numericStats(Tables.lineitem(s, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey"))
+
+  /** Runtime-filter semi-join: lineitem reduced by the urgent-order key
+    * set as a broadcast sorted-array scan predicate (binary search inside
+    * codegen, no join operator). The result is exactly the semi-join,
+    * which is what the oracle asserts. */
+  def q87RuntimeFilter(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Prefilter.semiJoinBySortedKeys(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+      "l_orderkey",
+      Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+      "o_orderkey")
+
+  /** Time-series densification: per-user hourly event grid with gap rows
+    * (n=0) and the last observed hourly cents total carried forward —
+    * LOCF over each user's own activity span. */
+  def q86GapfillLocf(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.gapFillLocf(
+      Tables.events(s, dir)
+        .withColumn("cents", round(col("value") * 100).cast("long")),
+      "user_id", "ts", "cents")
+
+  /** Exact equi-depth histogram of l_extendedprice in 8 buckets: rows
+    * collapse to the (value, count) distribution first, so the cumulative
+    * window runs over distinct values, never the raw table. */
+  def q85EquiDepthHist(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.equiDepthHistogram(Tables.lineitem(s, dir),
+      "l_extendedprice", buckets = 8)
+
   /** Fixed-point PageRank over the customer↔supplier trade graph (an edge
     * per distinct trading pair through orders/lineitem, both directions;
     * node id = 2·key + side to keep the key spaces disjoint): 8 damped
@@ -741,6 +776,10 @@ object CatalogExt {
     "q81_funnel"         -> q81Funnel _,
     "q82_normalize_text" -> q82NormalizeText _,
     "q83_pagerank"       -> q83PageRank _,
+    "q84_profile_stats"  -> q84ProfileStats _,
+    "q85_equidepth_hist" -> q85EquiDepthHist _,
+    "q86_gapfill_locf"   -> q86GapfillLocf _,
+    "q87_runtime_filter" -> q87RuntimeFilter _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -360,6 +360,58 @@ object OraclesExt {
     // pageRankSql)
     "q83_pagerank" -> pageRankSql(8),
 
+    // q87: the runtime filter must EQUAL the semi-join — exact keys, no
+    // false positives, so the oracle is the plain IN-subquery reduction
+    "q87_runtime_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+
+    // q86: grid = per-user generate_series between that user's own hourly
+    // bounds (inclusive, like Spark's sequence); LOCF = last_value IGNORE
+    // NULLS over the same frame; money stabilized to exact cents
+    "q86_gapfill_locf" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |              CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |h AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+        |        count(*) AS n, CAST(sum(cents) AS BIGINT) AS v
+        |      FROM ev GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM h GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |         FROM sp)
+        |SELECT g.user_id, g.hour, coalesce(h.n, 0) AS n,
+        |  last_value(h.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.hour
+        |    ROWS UNBOUNDED PRECEDING) AS v_locf
+        |FROM grid g LEFT JOIN h ON h.user_id = g.user_id AND h.hour = g.hour""".stripMargin,
+
+    // q85: the same distribution-first construction — cumulative count
+    // over distinct values, bucket = (cum_before * B) // n
+    "q85_equidepth_hist" ->
+      """WITH vc AS (SELECT l_extendedprice AS v, count(*) AS c
+        |            FROM lineitem GROUP BY 1),
+        |cum AS (SELECT v, c,
+        |          coalesce(sum(c) OVER (ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+        |          (SELECT sum(c) FROM vc) AS n
+        |        FROM vc)
+        |SELECT CAST((cb * 8) // n AS BIGINT) AS bucket,
+        |  CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS ndv,
+        |  min(v) AS min_v, max(v) AS max_v
+        |FROM cum GROUP BY 1""".stripMargin,
+
+    // q84: per-column UNION ALL mirror of the one-pass profiler; bounds
+    // are data values cast to DOUBLE (no arithmetic on them)
+    "q84_profile_stats" -> Seq(
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS ndv,
+           |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+           |FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n"),
+
     // q82: decorate with precomposed accents via translate, fold back with
     // strip_accents (verified bit-equal to the engine's NFD+drop-marks+NFC
     // kernel on the Latin range), then the same case/space canon

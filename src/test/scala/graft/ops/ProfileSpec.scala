@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Profiler + histogram laws. */
+class ProfileSpec extends SparkSpec {
+
+  test("numericStats: counts, nulls, ndv, bounds on a handcrafted frame") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Long)](
+      (1.5, 10L), (2.5, 10L), (null, 20L), (2.5, null), (9.0, null))
+      .toDF("a", "b")
+    val got = Profile.numericStats(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got("a") === ((5L, 1L, 3L, 1.5, 9.0)))
+    assert(got("b") === ((5L, 2L, 2L, 10.0, 20.0)))
+  }
+
+  test("equiDepthHistogram: partitions all rows, ordered disjoint bounds, near-equal depths") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val hist = Profile.equiDepthHistogram(li, "l_extendedprice", buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(hist.map(_._1).toSeq === (0L until 8L).toSeq)
+    assert(hist.map(_._2).sum === li.count())
+    // buckets tile the domain in order without overlap
+    hist.sliding(2).foreach {
+      case Array((_, _, _, _, hiA), (_, _, _, loB, _)) => assert(hiA < loB)
+      case _ => ()
+    }
+    // near-equal depth: every bucket within 20% of the ideal (ties only)
+    val ideal = li.count() / 8.0
+    hist.foreach { case (b, n, _, _, _) =>
+      assert(math.abs(n - ideal) < ideal * 0.2, s"bucket $b depth $n vs ideal $ideal")
+    }
+  }
+}
