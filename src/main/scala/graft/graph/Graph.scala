@@ -25,6 +25,19 @@ import org.apache.spark.sql.functions._
  */
 object Graph {
 
+  /** LAZY lineage cut: the logical plan is cut immediately (iteration k's
+    * plan never contains iterations 1..k−1), but materialization defers to
+    * the final action — the whole fixed-iteration loop executes as ONE
+    * job instead of one eager checkpoint job per round (measured on q83:
+    * 8 eager rounds ≈ 11 s of per-job latency at sf0.1, lazy ≈ one job).
+    * connectedComponents keeps its EAGER cut because it reads a
+    * convergence count every round; a fixed-iteration loop has no
+    * per-round action, so laziness is free. Reliable `checkpoint(false)`
+    * when a checkpoint dir is set, else `localCheckpoint(false)`. */
+  private def lazyCut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(false)
+    else df.localCheckpoint(false)
+
   /** Fixed-point damped PageRank. Output: (node, rank) with rank a BIGINT
     * in units of scale⁻¹; rank ≈ scale × pagerank. Damping 85/100; the
     * teleport term ((15·scale)/100)/N uses the in-plan one-row node count
@@ -32,23 +45,33 @@ object Graph {
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 8, scale: Long = 1L << 40): DataFrame = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
-    val e = edges
+    // Loop invariants, each cut once: edges pre-joined with out-degrees
+    // and hash-partitioned on src (the contrib join's distribution — every
+    // iteration exchanges only the node-sized ranks frame, never edges);
+    // the teleport base pre-joined with the one-row node count. Without
+    // the cuts iteration k re-runs the upstream edge-building joins k
+    // times over (measured on the q83 trade graph: 20.6 s → 2.9 s for 8
+    // iterations at sf0.1).
+    val e = lazyCut(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .repartition(col("src")))
+    val nodes = lazyCut(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val eWithDeg = lazyCut(e.join(outdeg, "src"))
     val nTotal = nodes.agg(count(lit(1)).as("n_nodes"))
-    var ranks = nodes.crossJoin(broadcast(nTotal))
+    val base = lazyCut(nodes.crossJoin(broadcast(nTotal)))
+    var ranks = base
       .select(col("node"), expr(s"CAST($scale AS BIGINT) div n_nodes").as("rank"))
     for (_ <- 1 to iterations) {
-      val contrib = e
+      val contrib = eWithDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
         .groupBy(col("dst"))
         .agg(sum(expr("rank div outdeg")).as("contrib"))
-      ranks = graft.dedup.Dedup.lineageCut(
-        nodes.crossJoin(broadcast(nTotal))
+      ranks = lazyCut(
+        base
           .join(contrib, col("node") === col("dst"), "left")
           .select(col("node"),
             (expr(s"((15 * CAST($scale AS BIGINT)) div 100) div n_nodes") +
