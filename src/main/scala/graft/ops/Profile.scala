@@ -69,4 +69,32 @@ object Profile {
       .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("ndv"),
         min(col("v")).as("min_v"), max(col("v")).as("max_v"))
   }
+
+  /**
+   * Winsorization: clamp a value column to its [pLo, pHi] element-rank
+   * percentiles — the outlier-trimming step before feature scaling or
+   * training-metric aggregation. Bounds are dataset ELEMENTS (smallest
+   * value whose cumulative count reaches ⌈p·n⌉), computed with the same
+   * distribution-first shape as [[equiDepthHistogram]] — no global sort of
+   * the raw table, no interpolation (interpolated percentiles differ by
+   * ULPs across engines; element ranks are exact). The clamp itself is a
+   * narrow broadcast-bounds projection. Appends `<valueCol>_wins`.
+   */
+  def winsorize(df: DataFrame, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, s"bad percentile band [$pLo, $pHi]")
+    import org.apache.spark.sql.expressions.Window
+    val vc = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vc.withColumn("ct", sum(col("c")).over(w))
+    val tot = vc.agg(sum(col("c")).as("n"))
+    val bounds = cum.crossJoin(broadcast(tot)).agg(
+      min(when(col("ct") >= ceil(lit(pLo) * col("n")), col("v"))).as("__lo"),
+      min(when(col("ct") >= ceil(lit(pHi) * col("n")), col("v"))).as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(s"${valueCol}_wins",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
 }

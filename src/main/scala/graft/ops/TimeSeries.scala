@@ -40,4 +40,47 @@ object TimeSeries {
         coalesce(col("n"), lit(0L)).as("n"),
         last(col("v"), ignoreNulls = true).over(w).as("v_locf"))
   }
+
+  /**
+   * Batch sessionization: the gaps-and-islands assignment (a new session
+   * starts when the gap since the previous event exceeds `gapSeconds`) —
+   * the batch twin of the streaming session window (q32), but emitting a
+   * session id PER EVENT so downstream joins can attribute rows to
+   * sessions. One per-key window; `tieCol` breaks equal-timestamp ties so
+   * the assignment is total-order deterministic. Output: input columns +
+   * session_seq (0-based per key) + session_id.
+   */
+  def sessionIds(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    val brk = when(prev.isNull
+      .or(unix_micros(col(tsCol)) - prev >= gapSeconds * 1000000L), 1L)
+      .otherwise(0L)
+    events
+      .withColumn("session_seq",
+        (sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
+          .cast("long"))
+      .withColumn("session_id",
+        concat(col(keyCol).cast("string"), lit("#"), col("session_seq").cast("string")))
+  }
+
+  /**
+   * Retention cohort matrix: users grouped by their first-activity week
+   * (the cohort), counted in each later week they return — the classic
+   * retention triangle. Two aggregates and one broadcastable join of the
+   * per-user cohort frame back to events; week offsets in exact integer
+   * arithmetic on epoch seconds (both engines truncate weeks to Monday).
+   */
+  def retentionCohorts(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val firstWeek = events.groupBy(col(keyCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    events
+      .select(col(keyCol), date_trunc("week", col(tsCol)).as("activity_week"))
+      .join(firstWeek, Seq(keyCol))
+      .groupBy(col("cohort_week"),
+        expr("(unix_seconds(activity_week) - unix_seconds(cohort_week)) div 604800")
+          .as("week_offset"))
+      .agg(countDistinct(col(keyCol)).as("n_users"))
+  }
 }

@@ -579,6 +579,44 @@ object CatalogExt {
     graft.ops.Profile.numericStats(Tables.lineitem(s, dir),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey"))
 
+  /** Batch sessionization (gaps-and-islands, 6h gap like q32's streaming
+    * session window) emitting a session id PER EVENT, tie-broken by
+    * event_id for a total deterministic order. */
+  def q88SessionIds(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.sessionIds(
+      Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+      "user_id", "ts", "event_id", gapSeconds = 6 * 3600)
+      .select(col("event_id"), col("user_id"), col("session_seq"), col("session_id"))
+
+  /** Retention cohort triangle: users bucketed by first-activity week,
+    * counted in each later week they return. */
+  def q89RetentionCohorts(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.retentionCohorts(Tables.events(s, dir), "user_id", "ts")
+
+  /** SCD2 dimension versioning: the customer snapshot (effective
+    * 2024-01-01) merged with a deterministic change set (every 10th
+    * customer re-observed 2024-06-01 with a shifted balance) into
+    * versioned rows with validity intervals — the lakehouse MERGE shape. */
+  def q90Scd2(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("eff"))
+    val changes = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("bal_cents") + 10000L).as("bal_cents"),
+        to_timestamp(lit("2024-06-01 00:00:00")).as("eff"))
+    graft.ops.Scd2.versions(base.unionByName(changes), "c_custkey", "eff")
+  }
+
+  /** Winsorization: l_extendedprice clamped to its [p05, p95] element-rank
+    * percentiles (distribution-first bounds, broadcast clamp). */
+  def q91Winsorize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.winsorize(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+      "l_extendedprice")
+
   /** Runtime-filter semi-join: lineitem reduced by the urgent-order key
     * set as a broadcast sorted-array scan predicate (binary search inside
     * codegen, no join operator). The result is exactly the semi-join,
@@ -780,6 +818,10 @@ object CatalogExt {
     "q85_equidepth_hist" -> q85EquiDepthHist _,
     "q86_gapfill_locf"   -> q86GapfillLocf _,
     "q87_runtime_filter" -> q87RuntimeFilter _,
+    "q88_session_ids"    -> q88SessionIds _,
+    "q89_retention"      -> q89RetentionCohorts _,
+    "q90_scd2"           -> q90Scd2 _,
+    "q91_winsorize"      -> q91Winsorize _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

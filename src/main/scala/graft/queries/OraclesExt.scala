@@ -360,6 +360,71 @@ object OraclesExt {
     // pageRankSql)
     "q83_pagerank" -> pageRankSql(8),
 
+    // q88: gaps-and-islands with the SAME total order (ts, event_id) and
+    // the gap compared on epoch microseconds in both engines
+    "q88_session_ids" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |o AS (SELECT event_id, user_id, ts,
+        |        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 21600000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |i AS (SELECT event_id, user_id,
+        |        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_seq
+        |      FROM o)
+        |SELECT event_id, user_id, session_seq,
+        |  CAST(user_id AS VARCHAR) || '#' || CAST(session_seq AS VARCHAR) AS session_id
+        |FROM i""".stripMargin,
+
+    // q89: cohort = week of first activity; offsets in exact epoch-second
+    // integer division (UTC, week-truncated — always a 604800 multiple)
+    "q89_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |fw AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |       FROM ev GROUP BY 1),
+        |a AS (SELECT ev.user_id, fw.cohort_week,
+        |        date_trunc('week', ev.ts) AS activity_week
+        |      FROM ev JOIN fw USING (user_id))
+        |SELECT cohort_week,
+        |  (epoch(activity_week)::BIGINT - epoch(cohort_week)::BIGINT) // 604800 AS week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin,
+
+    // q90: base snapshot + deterministic change set versioned by the same
+    // per-key lead/row_number windows; money stabilized to exact cents
+    "q90_scd2" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS eff
+        |  FROM customer),
+        |chg AS (
+        |  SELECT c_custkey, c_mktsegment, bal_cents + 10000 AS bal_cents,
+        |    TIMESTAMP '2024-06-01 00:00:00' AS eff
+        |  FROM base WHERE c_custkey % 10 = 0),
+        |obs AS (SELECT * FROM base UNION ALL SELECT * FROM chg)
+        |SELECT c_custkey, c_mktsegment, bal_cents,
+        |  eff AS valid_from,
+        |  lead(eff) OVER w AS valid_to,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  lead(eff) OVER w IS NULL AS is_current
+        |FROM obs WINDOW w AS (PARTITION BY c_custkey ORDER BY eff)""".stripMargin,
+
+    // q91: winsorization bounds are dataset ELEMENTS at ceil(p*n) rank —
+    // same distribution-first construction as q85, then a broadcast clamp
+    "q91_winsorize" ->
+      """WITH vc AS (SELECT l_extendedprice AS v, count(*) AS c FROM lineitem GROUP BY 1),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ct FROM vc),
+        |tot AS (SELECT sum(c) AS n FROM vc),
+        |b AS (SELECT
+        |    min(CASE WHEN ct >= ceil(CAST(0.05 AS DOUBLE) * n) THEN v END) AS lo,
+        |    min(CASE WHEN ct >= ceil(CAST(0.95 AS DOUBLE) * n) THEN v END) AS hi
+        |  FROM cum CROSS JOIN tot)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  least(greatest(l_extendedprice, lo), hi) AS l_extendedprice_wins
+        |FROM lineitem CROSS JOIN b""".stripMargin,
+
     // q87: the runtime filter must EQUAL the semi-join — exact keys, no
     // false positives, so the oracle is the plain IN-subquery reduction
     "q87_runtime_filter" ->

@@ -38,4 +38,25 @@ class ProfileSpec extends SparkSpec {
       assert(math.abs(n - ideal) < ideal * 0.2, s"bucket $b depth $n vs ideal $ideal")
     }
   }
+
+  test("winsorize: bounds are dataset elements, clamp respects them, idempotent") {
+    val s = spark
+    import s.implicits._
+    val values = (1 to 100).map(_.toDouble)
+    val df = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Profile.winsorize(df, "v", pLo = 0.05, pHi = 0.95)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2))
+    // ceil(0.05*100)=5th element = 5.0; ceil(0.95*100)=95th = 95.0
+    got.foreach { case (v, w) =>
+      assert(w === math.min(math.max(v, 5.0), 95.0), s"v=$v w=$w")
+    }
+    assert(got.map(_._2).min === 5.0 && got.map(_._2).max === 95.0)
+    // bounds are members of the original value set
+    assert(values.contains(got.map(_._2).min) && values.contains(got.map(_._2).max))
+    // idempotence: winsorizing the winsorized column changes nothing
+    val once = Profile.winsorize(df, "v").select(col("id"), col("v_wins").as("v"))
+    val twice = Profile.winsorize(once, "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    twice.foreach { case (_, v, w) => assert(v === w) }
+  }
 }

@@ -30,4 +30,44 @@ class TimeSeriesSpec extends SparkSpec {
     // densification preserves observed totals: sum over non-gap hours
     assert(u1.filter(_._3 > 0).map(_._4).sum === 220L)
   }
+
+  test("sessionIds: gap starts a new session; same-instant ties are stable") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (10L, 1L, ts(1)), (11L, 1L, ts(2)),           // session 0
+      (12L, 1L, ts(10)), (13L, 1L, ts(10)),         // > 6h gap -> session 1; tie
+      (14L, 2L, ts(3)))                             // other user
+      .toDF("event_id", "user_id", "ts")
+    val got = TimeSeries.sessionIds(ev, "user_id", "ts", "event_id", 6 * 3600)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("session_seq"), r.getAs[String]("session_id")))
+      .toMap
+    assert(got(10L) === ((0L, "1#0")))
+    assert(got(11L) === ((0L, "1#0")))
+    assert(got(12L) === ((1L, "1#1")))
+    assert(got(13L) === ((1L, "1#1"))) // tie joins the same session
+    assert(got(14L) === ((0L, "2#0")))
+  }
+
+  test("retentionCohorts: handcrafted two-cohort triangle") {
+    val s = spark
+    import s.implicits._
+    def t(d: Int) = Timestamp.valueOf(f"2024-03-$d%02d 12:00:00")
+    // week of 2024-03-04 (Mon) and week of 2024-03-11
+    val ev = Seq(
+      (1L, t(4)), (1L, t(12)),  // cohort w0, returns w1
+      (2L, t(5)),               // cohort w0 only
+      (3L, t(11)), (3L, t(13))) // cohort w1, active twice same week
+      .toDF("user_id", "ts")
+    val got = TimeSeries.retentionCohorts(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === Set(
+      ("2024-03-04", 0L, 2L),  // users 1,2 in their first week
+      ("2024-03-04", 1L, 1L),  // user 1 returned
+      ("2024-03-11", 0L, 1L))) // user 3's cohort, counted once
+  }
 }
