@@ -579,6 +579,36 @@ object CatalogExt {
     graft.ops.Profile.numericStats(Tables.lineitem(s, dir),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey"))
 
+  /** Incremental view maintenance: a per-user aggregate materialized over
+    * pre-June history merged with the post-June delta — the refresh
+    * touches only aggregate-sized state, and the oracle asserts it equals
+    * the full recompute over everything. */
+  def q92IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val cutoff = to_timestamp(lit("2024-02-01 00:00:00"))
+    val prevState = ev.filter(col("ts") < cutoff)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+    graft.ops.Incremental.mergeCountSum(
+      prevState, ev.filter(col("ts") >= cutoff), "user_id", "cents")
+  }
+
+  /** Point-in-interval range join through coarse-bucket equi-keys: every
+    * lineitem shipped inside a sampled order's 7-day window, planned as a
+    * HASH join on week buckets + exact post-filter (never a nested-loop
+    * cartesian). */
+  def q93RangeJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RangeJoin.pointInInterval(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate")),
+      "l_shipdate",
+      Tables.orders(s, dir).filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").as("w_start"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("w_end")),
+      "w_start", "w_end")
+      .select(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"))
+
   /** Batch sessionization (gaps-and-islands, 6h gap like q32's streaming
     * session window) emitting a session id PER EVENT, tie-broken by
     * event_id for a total deterministic order. */
@@ -822,6 +852,8 @@ object CatalogExt {
     "q89_retention"      -> q89RetentionCohorts _,
     "q90_scd2"           -> q90Scd2 _,
     "q91_winsorize"      -> q91Winsorize _,
+    "q92_incremental_agg" -> q92IncrementalAgg _,
+    "q93_range_join"     -> q93RangeJoin _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -360,6 +360,21 @@ object OraclesExt {
     // pageRankSql)
     "q83_pagerank" -> pageRankSql(8),
 
+    // q92: THE incremental-maintenance law — merge(prev_state, delta)
+    // must equal the full recompute, so the oracle IS the full GROUP BY
+    "q92_incremental_agg" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // q93: the bucketed range join must equal the plain theta join
+    "q93_range_join" ->
+      """SELECT o.o_orderkey, l.l_orderkey, l.l_linenumber
+        |FROM orders o JOIN lineitem l
+        |  ON o.o_orderkey % 97 = 0
+        | AND l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY""".stripMargin,
+
     // q88: gaps-and-islands with the SAME total order (ts, event_id) and
     // the gap compared on epoch microseconds in both engines
     "q88_session_ids" ->
