@@ -34,4 +34,19 @@ object Scd2 {
       .withColumn("is_current", col("valid_to").isNull)
       .drop(tsCol)
   }
+
+  /** CDC compaction (the SCD1 companion to [[versions]]): keep only the
+    * LATEST observation per key, ordered by (orderCol, tieCol) — turns a
+    * change log into current state. A per-key rank-1 window, which
+    * Spark's WindowGroupLimit pushes down so each partition keeps one
+    * candidate row per key before the exchange. */
+  def latestByKey(changes: DataFrame, keyCols: Seq[String], orderCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieCol).desc)
+    changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 }

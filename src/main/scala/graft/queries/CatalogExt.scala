@@ -579,6 +579,29 @@ object CatalogExt {
     graft.ops.Profile.numericStats(Tables.lineitem(s, dir),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey"))
 
+  /** Explicit GROUPING SETS (the general form behind q43's cube): the
+    * (flag, status), (flag), and grand-total groupings in one pass, with
+    * grouping_id disambiguating NULL-as-rollup from NULL-as-data. */
+  def q94GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+
+  /** CDC compaction: latest observation per (user, event_type) key by
+    * (ts, event_id) — the keep-last-write verb that turns a change log
+    * into current state. One per-key window, rank pushdown eligible. */
+  def q95LatestByKey(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Scd2.latestByKey(
+      Tables.events(s, dir)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("cents")),
+      Seq("user_id", "event_type"), "ts", "event_id")
+
   /** Incremental view maintenance: a per-user aggregate materialized over
     * pre-June history merged with the post-June delta — the refresh
     * touches only aggregate-sized state, and the oracle asserts it equals
@@ -854,6 +877,8 @@ object CatalogExt {
     "q91_winsorize"      -> q91Winsorize _,
     "q92_incremental_agg" -> q92IncrementalAgg _,
     "q93_range_join"     -> q93RangeJoin _,
+    "q94_grouping_sets"  -> q94GroupingSets _,
+    "q95_latest_by_key"  -> q95LatestByKey _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

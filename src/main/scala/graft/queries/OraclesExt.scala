@@ -360,6 +360,26 @@ object OraclesExt {
     // pageRankSql)
     "q83_pagerank" -> pageRankSql(8),
 
+    // q94: GROUPING SETS + GROUPING() — both engines set one bit per
+    // grouping column, leftmost most significant
+    "q94_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+
+    // q95: keep-last-write per key, total order (ts, event_id) descending
+    "q95_latest_by_key" ->
+      """SELECT event_id, user_id, event_type, ts, cents FROM (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
+
     // q92: THE incremental-maintenance law — merge(prev_state, delta)
     // must equal the full recompute, so the oracle IS the full GROUP BY
     "q92_incremental_agg" ->

@@ -37,4 +37,19 @@ class Scd2Spec extends SparkSpec {
     assert(got.filter(_._1 == 2L).toSeq ===
       Seq((2L, "AUTOMOBILE", ts("2024-01-01"), None, 1L, true)))
   }
+
+  test("latestByKey: last write wins, ties broken by the tie column") {
+    val s = spark
+    import s.implicits._
+    val log = Seq(
+      (1L, 1L, "k", ts("2024-01-01"), "old"),
+      (2L, 1L, "k", ts("2024-02-01"), "mid"),
+      (3L, 1L, "k", ts("2024-02-01"), "new"), // same instant: higher id wins
+      (4L, 2L, "k", ts("2024-01-15"), "only"))
+      .toDF("event_id", "user_id", "event_type", "ts", "payload")
+    val got = Scd2.latestByKey(log, Seq("user_id", "event_type"), "ts", "event_id")
+      .collect().map(r => r.getLong(1) -> (r.getLong(0), r.getString(4))).toMap
+    assert(got(1L) === ((3L, "new")))
+    assert(got(2L) === ((4L, "only")))
+  }
 }
