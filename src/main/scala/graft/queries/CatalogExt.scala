@@ -579,6 +579,13 @@ object CatalogExt {
     graft.ops.Profile.numericStats(Tables.lineitem(s, dir),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey"))
 
+  /** PCA top principal component of the embedding corpus: fixed-point
+    * centering + exact-integer scatter matrix + 8 power-iteration rounds
+    * whose only floating-point folds run in fixed in-row order — the
+    * oracle replays the entire training loop (see Pca). */
+  def q96PcaTop(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Pca.topComponent(Tables.embeddings(s, dir), "embedding")
+
   /** Explicit GROUPING SETS (the general form behind q43's cube): the
     * (flag, status), (flag), and grand-total groupings in one pass, with
     * grouping_id disambiguating NULL-as-rollup from NULL-as-data. */
@@ -879,6 +886,7 @@ object CatalogExt {
     "q93_range_join"     -> q93RangeJoin _,
     "q94_grouping_sets"  -> q94GroupingSets _,
     "q95_latest_by_key"  -> q95LatestByKey _,
+    "q96_pca_top"        -> q96PcaTop _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -360,6 +360,9 @@ object OraclesExt {
     // pageRankSql)
     "q83_pagerank" -> pageRankSql(8),
 
+    // q96: PCA power iteration, fully replayed (see pcaSql)
+    "q96_pca_top" -> pcaSql(8),
+
     // q94: GROUPING SETS + GROUPING() — both engines set one bit per
     // grouping column, leftmost most significant
     "q94_grouping_sets" ->
@@ -876,6 +879,44 @@ object OraclesExt {
     * weighted by word count, pick the (count DESC, pair ASC) argmax, and
     * apply it as one literal replace — identical non-overlapping
     * left-to-right semantics in both engines (= BPE's greedy merge). */
+  /** The q96 PCA oracle: quantize → integer center → exact-integer
+    * scatter → k power-iteration rounds. Every corpus-order reduction is
+    * integer (commutes); every floating-point fold is in-row with fixed
+    * element order (`list_dot_product` = the engine's zip_with/aggregate
+    * fold, the equality q28 already proves), so the loadings hash-match.
+    * `//` truncates toward zero in DuckDB exactly like Spark's `div`. */
+  private def pcaSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      val prev = s"r${i - 1}"
+      s"""w$i AS MATERIALIZED (
+         |  SELECT j, list_dot_product(srow, (SELECT v FROM $prev)) AS w FROM srows),
+         |a$i AS MATERIALIZED (SELECT list(w ORDER BY j) AS warr FROM w$i),
+         |r$i AS MATERIALIZED (
+         |  SELECT list_transform(warr, x -> x / sqrt(list_dot_product(warr, warr))) AS v,
+         |         sqrt(list_dot_product(warr, warr)) AS norm
+         |  FROM a$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT list_transform(embedding::DOUBLE[],
+       |             x -> CAST(floor(x * 1048576) AS BIGINT)) AS q FROM embeddings),
+       |ex AS (SELECT unnest(q) AS qv, generate_subscripts(q, 1) - 1 AS j FROM q),
+       |m AS (SELECT j, CAST(CAST(sum(qv) AS BIGINT) // count(*) AS BIGINT) AS m
+       |      FROM ex GROUP BY 1),
+       |marr AS (SELECT list(m ORDER BY j) AS marr FROM m),
+       |cen AS MATERIALIZED (
+       |  SELECT [q.q[i] - ma.marr[i] for i in range(1, len(q.q) + 1)] AS c
+       |  FROM q CROSS JOIN marr ma),
+       |e1 AS (SELECT c, unnest(c) AS cj, generate_subscripts(c, 1) - 1 AS j FROM cen),
+       |e2 AS (SELECT j, cj, unnest(c) AS ck, generate_subscripts(c, 1) - 1 AS k FROM e1),
+       |sjk AS MATERIALIZED (
+       |  SELECT j, k, CAST(sum(cj * ck) AS BIGINT) AS s FROM e2 GROUP BY 1, 2),
+       |srows AS MATERIALIZED (
+       |  SELECT j, list(CAST(s AS DOUBLE) ORDER BY k) AS srow FROM sjk GROUP BY j),
+       |r0 AS (SELECT list_transform(marr, x -> CAST(1.0 AS DOUBLE)) AS v FROM marr),
+       |$rounds
+       |SELECT CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS dim,
+       |  unnest(v) AS loading, norm AS eigval FROM r$k""".stripMargin
+  }
+
   /** The q83 PageRank oracle: the fixed-point iteration replayed as k
     * chained MATERIALIZED CTEs. `//` is DuckDB integer division = Spark's
     * `div` on the all-positive rank domain; the contribution sum is BIGINT
