@@ -410,4 +410,30 @@ object Curation {
     val clean = nearKept.join(dirty, col(idCol) === col("__dirty_id"), "left_anti")
     stratifiedSample(clean, strataCol, idCol, fractions, defaultFraction)
   }
+
+  /**
+   * Bigram language model training: conditional next-token probabilities
+   * P(w₂|w₁) = c(w₁w₂)/c(w₁·) — the n-gram LM step (and the distribution a
+   * corpus-quality report inspects for templated text). In-row adjacent
+   * pairs (the q75 pair generator), one (w₁,w₂)-keyed count, a vocab-sized
+   * re-aggregation for the conditional denominator, ONE exact double
+   * division — hash-mirrorable, no log-probs (ln differs by ULPs across
+   * engines; callers can log locally). Output: (w1, w2, c12, c1, p_next).
+   */
+  def bigramModel(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val c2 = docs
+      .select(toks.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    c2.join(c1, "w1")
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        (col("c12").cast("double") / col("c1").cast("double")).as("p_next"))
+  }
 }

@@ -579,6 +579,12 @@ object CatalogExt {
     graft.ops.Profile.numericStats(Tables.lineitem(s, dir),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey"))
 
+  /** Bigram LM training: conditional next-token probabilities over the
+    * corpus (the n-gram LM step; also the distribution a templated-text
+    * detector reads). */
+  def q97BigramLm(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.bigramModel(Tables.documents(s, dir), "text")
+
   /** PCA top principal component of the embedding corpus: fixed-point
     * centering + exact-integer scatter matrix + 8 power-iteration rounds
     * whose only floating-point folds run in fixed in-row order — the
@@ -887,6 +893,7 @@ object CatalogExt {
     "q94_grouping_sets"  -> q94GroupingSets _,
     "q95_latest_by_key"  -> q95LatestByKey _,
     "q96_pca_top"        -> q96PcaTop _,
+    "q97_bigram_lm"      -> q97BigramLm _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

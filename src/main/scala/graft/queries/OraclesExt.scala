@@ -363,6 +363,19 @@ object OraclesExt {
     // q96: PCA power iteration, fully replayed (see pcaSql)
     "q96_pca_top" -> pcaSql(8),
 
+    // q97: bigram conditional probabilities — integer counts + one double
+    // division, the q75 pair generator mirrored
+    "q97_bigram_lm" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
+        |                     for i in range(1, len(w))]) AS p FROM t),
+        |c2 AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
+        |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, c1,
+        |  CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p_next
+        |FROM c2 JOIN c1 USING (w1)""".stripMargin,
+
     // q94: GROUPING SETS + GROUPING() — both engines set one bit per
     // grouping column, leftmost most significant
     "q94_grouping_sets" ->

@@ -311,4 +311,25 @@ class CurationSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("bigramModel: handcrafted counts; conditionals sum to 1 per context") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq("a b a b c", "b c", "x").toDF("text") // "x": no bigrams
+    val got = Curation.bigramModel(docs, "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // bigrams: (a,b)x2 (b,a)x1 (b,c)x2
+    assert(got(("a", "b")) === ((2L, 2L, 1.0)))
+    assert(got(("b", "a")) === ((1L, 3L, 1.0 / 3)))
+    assert(got(("b", "c")) === ((2L, 3L, 2.0 / 3)))
+    assert(!got.keySet.exists(_._1 == "x"))
+    // per-context probabilities sum to 1 (exactly, for these denominators)
+    got.keys.map(_._1).toSeq.distinct.foreach { w1 =>
+      val tot = got.filter(_._1._1 == w1).values.map(_._3).sum
+      assert(math.abs(tot - 1.0) < 1e-12, s"context $w1 sums to $tot")
+    }
+  }
 }
