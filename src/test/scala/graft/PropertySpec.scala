@@ -282,4 +282,68 @@ class PropertySpec extends SparkSpec {
     assert(inBand <= math.max(3L, r.getLong(5) / 200),
       s"$inBand rows inside the tolerance band — the law is too loose")
   }
+
+  test("law: sortedContains = linear scan membership on random sorted long arrays") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val genCase: Gen[(Seq[Long], Long)] = for {
+      xs <- Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+      probe <- Gen.oneOf(
+        Gen.chooseNum(Long.MinValue, Long.MaxValue),
+        if (xs.nonEmpty) Gen.oneOf(xs) else Gen.const(0L))
+    } yield (xs.distinct.sorted, probe)
+    val cases = sample(genCase, 200)
+    val got = cases.toDF("arr", "probe")
+      .select(col("probe"), col("arr"),
+        graft.functions.GraftFunctions.sortedContains(col("probe"), col("arr")).as("hit"))
+      .collect().map(r => r.getBoolean(2))
+    cases.zip(got).foreach { case ((xs, p), hit) =>
+      assert(hit === xs.contains(p), s"probe $p in ${xs.take(8)}...")
+    }
+  }
+
+  test("law: stripAccents is idempotent and a no-op on its own output") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val genText: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('á', 'é', 'ö', 'ü', 'ñ', 'ç', 'à', 'ï', ' ', '☃')))
+      .map(_.mkString)
+    val texts = sample(genText, 150)
+    val once = texts.toDF("t")
+      .select(graft.functions.GraftFunctions.stripAccents(col("t")).as("o")).collect()
+      .map(_.getString(0))
+    val twice = once.toSeq.toDF("t")
+      .select(graft.functions.GraftFunctions.stripAccents(col("t")).as("o")).collect()
+      .map(_.getString(0))
+    assert(once.toSeq === twice.toSeq)
+    // folded output carries no combining marks
+    once.foreach(o => assert(!o.exists(c => Character.getType(c) == Character.NON_SPACING_MARK)))
+  }
+
+  test("law: zOrder16 is a bijection — deinterleaving recovers both inputs") {
+    val s = spark
+    import s.implicits._
+    val genXY: Gen[(Long, Long)] = for {
+      x <- Gen.chooseNum(0L, 65535L)
+      y <- Gen.chooseNum(0L, 65535L)
+    } yield (x, y)
+    val cases = sample(genXY, 300)
+    val got = cases.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.layout.Layout.zOrder16(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def deinterleave(z: Long): (Long, Long) = {
+      var (x, y) = (0L, 0L)
+      for (i <- 0 until 16) {
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    got.foreach { case (x, y, z) => assert(deinterleave(z) === ((x, y)), s"z=$z") }
+    // distinct inputs -> distinct keys over the sample (injectivity witness)
+    assert(got.map(_._3).distinct.length === cases.distinct.length)
+  }
 }
