@@ -350,6 +350,20 @@ object Dedup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
 
+  /** Lineage cut for FIXED-ITERATION loops (PageRank, PCA): the local
+    * branch defers materialization to the final action, so the whole loop
+    * runs as one job instead of one eager-checkpoint job per round
+    * (measured on q83: 20.6 s → ~4 s at sf0.1). The reliable branch stays
+    * EAGER on purpose: Spark's non-eager `checkpoint(false)` neither
+    * persists nor reliably writes intermediate marked RDDs
+    * (checkpointAllMarkedAncestors defaults to false), so a lazy reliable
+    * cut would silently skip the fault-tolerance checkpoint it claims to
+    * provide. Convergence-driven loops (connectedComponents) use
+    * [[lineageCut]] — they act every round anyway. */
+  private[graft] def lineageCutLazy(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(false)
+
   /**
    * Connected components over a near-dup pair list: labels every document
    * appearing in `pairs` with the SMALLEST doc id reachable through the

@@ -292,13 +292,16 @@ object VectorMath {
     if (ascii) return s
     val nfd = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(nfd.length)
+    // iterate CODE POINTS, not chars: supplementary-plane combining marks
+    // (e.g. U+1D167, category Mn) are surrogate pairs whose halves report
+    // type SURROGATE — a char-wise loop would keep them
     var j = 0
     while (j < nfd.length) {
-      val c = nfd.charAt(j)
-      val t = Character.getType(c)
+      val cp = nfd.codePointAt(j)
+      val t = Character.getType(cp)
       if (t != Character.NON_SPACING_MARK && t != Character.COMBINING_SPACING_MARK &&
-        t != Character.ENCLOSING_MARK) sb.append(c)
-      j += 1
+        t != Character.ENCLOSING_MARK) sb.appendCodePoint(cp)
+      j += Character.charCount(cp)
     }
     UTF8String.fromString(
       java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))

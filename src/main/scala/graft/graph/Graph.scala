@@ -25,18 +25,8 @@ import org.apache.spark.sql.functions._
  */
 object Graph {
 
-  /** LAZY lineage cut: the logical plan is cut immediately (iteration k's
-    * plan never contains iterations 1..k−1), but materialization defers to
-    * the final action — the whole fixed-iteration loop executes as ONE
-    * job instead of one eager checkpoint job per round (measured on q83:
-    * 8 eager rounds ≈ 11 s of per-job latency at sf0.1, lazy ≈ one job).
-    * connectedComponents keeps its EAGER cut because it reads a
-    * convergence count every round; a fixed-iteration loop has no
-    * per-round action, so laziness is free. Reliable `checkpoint(false)`
-    * when a checkpoint dir is set, else `localCheckpoint(false)`. */
   private def lazyCut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(false)
-    else df.localCheckpoint(false)
+    graft.dedup.Dedup.lineageCutLazy(df)
 
   /** Fixed-point damped PageRank. Output: (node, rank) with rank a BIGINT
     * in units of scale⁻¹; rank ≈ scale × pagerank. Damping 85/100; the

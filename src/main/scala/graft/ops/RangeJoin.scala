@@ -30,9 +30,14 @@ object RangeJoin {
       intervals: DataFrame, startCol: String, endCol: String,
       bucketSeconds: Long = 604800L): DataFrame = {
     require(bucketSeconds > 0, s"bucket width must be positive, got $bucketSeconds")
+    // Empty/inverted intervals (end <= start) match nothing under theta
+    // semantics — drop them BEFORE the explode: Spark's sequence(a, b)
+    // steps BACKWARDS when b < a, so a corrupted sentinel end would
+    // otherwise emit a huge descending bucket list (or exceed the array
+    // limit) instead of the theta join's empty result.
     // CAST(... AS TIMESTAMP) tolerates TIMESTAMP_NTZ inputs (parquet
     // writers without timezone metadata); the session zone is UTC
-    val iv = intervals.withColumn("__bucket",
+    val iv = intervals.filter(col(endCol) > col(startCol)).withColumn("__bucket",
       explode(sequence(
         expr(s"unix_seconds(CAST($startCol AS TIMESTAMP)) div $bucketSeconds"),
         expr(s"(unix_seconds(CAST($endCol AS TIMESTAMP)) - 1) div $bucketSeconds"))))

@@ -616,7 +616,7 @@ object CatalogExt {
       Seq("user_id", "event_type"), "ts", "event_id")
 
   /** Incremental view maintenance: a per-user aggregate materialized over
-    * pre-June history merged with the post-June delta — the refresh
+    * pre-February history merged with the post-cutoff delta — the refresh
     * touches only aggregate-sized state, and the oracle asserts it equals
     * the full recompute over everything. */
   def q92IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
@@ -717,15 +717,21 @@ object CatalogExt {
     * iterations in exact BIGINT arithmetic, every iteration replayed by
     * the oracle's chained CTEs — the mirror-the-training pattern applied
     * to iterative graph analytics. */
-  def q83PageRank(s: SparkSession, dir: String): DataFrame = {
+  def q83PageRank(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Graph.pageRankFixedPoint(
+      tradeGraphEdges(s, dir), "src", "dst", iterations = 8)
+
+  /** The q83 fixture graph (shared with the dev profiler so both always
+    * measure the same graph): an edge per distinct trading pair, both
+    * directions, node id = 2·key + side. */
+  private[graft] def tradeGraphEdges(s: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("cust"), (col("l_suppkey") * 2 + 1).as("supp"))
       .distinct()
-    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+    pairs.select(col("cust").as("src"), col("supp").as("dst"))
       .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-    graft.graph.Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 8)
   }
 
   /** Unicode normalization round trip: deterministically decorate the

@@ -39,9 +39,7 @@ object Pca {
       quantBits: Int = 20): DataFrame = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
     val scale = 1L << quantBits
-    val lazyCut = (d: DataFrame) =>
-      if (d.sparkSession.sparkContext.getCheckpointDir.isDefined) d.checkpoint(false)
-      else d.localCheckpoint(false)
+    val lazyCut = (d: DataFrame) => graft.dedup.Dedup.lineageCutLazy(d)
 
     // 1-2: quantize + per-dim integer means + centered values, exploded
     val quant = df.select(

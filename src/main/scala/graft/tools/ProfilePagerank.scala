@@ -1,8 +1,6 @@
 package graft.tools
 
-import graft.Tables
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev-only: where does q83's time go? Times the edge build, the invariant
   * materialization, and each iteration count separately. */
@@ -25,14 +23,10 @@ object ProfilePagerank {
     }
 
     time("warmup")(spark.range(1000000).count())
-    val pairs = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("cust"), (col("l_suppkey") * 2 + 1).as("supp"))
-      .distinct()
-    time("edge build count")(pairs.count())
-    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
-      .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+    // the exact q83 graph — shared builder, so the profiler can never
+    // drift from the catalog query it measures
+    val edges = graft.queries.CatalogExt.tradeGraphEdges(spark, dir)
+    time("edge build count")(edges.count())
     for (iters <- Seq(1, 2, 4, 8)) {
       time(s"pagerank $iters iters")(
         graft.graph.Graph.pageRankFixedPoint(edges, "src", "dst", iters).count())

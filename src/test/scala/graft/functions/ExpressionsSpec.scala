@@ -143,6 +143,7 @@ class ExpressionsSpec extends SparkSpec {
       "áéöüñç", // accent alphabet
       "naïve ☃ snow",    // ï folds; the snowman (So) survives
       "plain ascii stays put",
+      "a𝅧b", // U+1D167 (supplementary-plane Mn): surrogate pair
       null.asInstanceOf[String])
       .toDF("t")
     val got = rows.select(GraftFunctions.stripAccents(col("t"))).collect()
@@ -152,6 +153,7 @@ class ExpressionsSpec extends SparkSpec {
     assert(got(2) === Some("aeounc")) // áéöüñç -> aeounc
     assert(got(3) === Some("naive ☃ snow"))
     assert(got(4) === Some("plain ascii stays put"))
-    assert(got(5) === None)
+    assert(got(5) === Some("ab")) // astral combining mark dropped too
+    assert(got(6) === None)
   }
 }

@@ -20,7 +20,10 @@ class RangeJoinSpec extends SparkSpec {
       (3L, ts(8)),        // == end: excluded
       (4L, ts(20)))       // outside
       .toDF("pid", "p")
-    val intervals = Seq((100L, ts(1), ts(8))).toDF("iid", "s", "e")
+    // interval 200 is INVERTED (corrupted sentinel end): must contribute
+    // nothing — and must not blow up the bucket explode
+    val intervals = Seq((100L, ts(1), ts(8)), (200L, ts(8), ts(1)))
+      .toDF("iid", "s", "e")
     // tiny bucket (1h): the 7-day interval spans ~168 buckets — dedup-free
     // by construction even when an interval emits many buckets
     val got = RangeJoin.pointInInterval(points, "p", intervals, "s", "e",
