@@ -42,27 +42,59 @@ object Profile {
   }
 
   /**
+   * Distributed cumulative count over the value distribution: `cb` = rows
+   * strictly below `v`. TWO-LEVEL, so no single-partition global window
+   * ever sees the whole distribution: values range-bucket against their
+   * global bounds (one broadcast one-row aggregate), a per-bucket window
+   * computes the within-bucket running count, and a second window over
+   * the TINY per-bucket-totals frame (`parts` rows) supplies each
+   * bucket's starting offset. Identical output to the textbook single
+   * global window — the range bucketing is invisible in `cb` — which is
+   * why q85/q91's oracles stay the simple one-window SQL.
+   */
+  private def withCumBefore(vc: DataFrame, parts: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = vc.agg(min(col("v")).cast("double").as("__vmin"),
+      max(col("v")).cast("double").as("__vmax"))
+    val bucketed = vc.crossJoin(broadcast(b))
+      .withColumn("__rb", least(lit(parts - 1),
+        floor((col("v").cast("double") - col("__vmin")) * parts /
+          greatest(col("__vmax") - col("__vmin"), lit(java.lang.Double.MIN_NORMAL)))
+          .cast("long")))
+      .drop("__vmin", "__vmax")
+    val within = Window.partitionBy(col("__rb")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__rb")).agg(sum(col("c")).as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt"))
+        .over(Window.orderBy(col("__rb")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__rb"), col("__off"))
+    bucketed
+      .withColumn("__within", coalesce(sum(col("c")).over(within), lit(0L)))
+      .join(broadcast(offsets), "__rb")
+      .withColumn("cb", col("__off") + col("__within"))
+      .drop("__rb", "__off", "__within")
+  }
+
+  /**
    * Exact equi-depth histogram (the CBO selectivity structure): bucket k
    * holds the rows whose cumulative rank lands in [k·n/B, (k+1)·n/B).
    *
    * Scale shape: NOT a global sort of the table. Rows first collapse to
    * the (value, count) distribution (one value-keyed shuffle with map-side
-   * combine); the cumulative window then runs over the DISTINCT-VALUE
-   * frame — value-distribution-sized, orders of magnitude smaller than the
-   * data. Ties never split: a distinct value belongs to exactly one bucket
-   * (the compressed-histogram convention), so bucket depths are equal up
-   * to tie granularity. Fully deterministic ⇒ oracle-mirrorable.
+   * combine); the cumulative count then comes from the two-level
+   * [[withCumBefore]] — no single-partition window even when the
+   * distribution itself is huge. Ties never split: a distinct value
+   * belongs to exactly one bucket (the compressed-histogram convention),
+   * so bucket depths are equal up to tie granularity. Fully deterministic
+   * ⇒ oracle-mirrorable.
    */
   def equiDepthHistogram(df: DataFrame, valueCol: String,
       buckets: Int = 8): DataFrame = {
     require(buckets >= 1, s"need at least one bucket, got $buckets")
-    import org.apache.spark.sql.expressions.Window
     val vc = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     val tot = vc.agg(sum(col("c")).as("n"))
-    vc
-      .withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+    withCumBefore(vc)
       .crossJoin(broadcast(tot))
       .withColumn("bucket", expr(s"(cb * $buckets) div n"))
       .groupBy(col("bucket"))
@@ -83,11 +115,8 @@ object Profile {
   def winsorize(df: DataFrame, valueCol: String,
       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(0 <= pLo && pLo < pHi && pHi <= 1, s"bad percentile band [$pLo, $pHi]")
-    import org.apache.spark.sql.expressions.Window
     val vc = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = vc.withColumn("ct", sum(col("c")).over(w))
+    val cum = withCumBefore(vc).withColumn("ct", col("cb") + col("c"))
     val tot = vc.agg(sum(col("c")).as("n"))
     val bounds = cum.crossJoin(broadcast(tot)).agg(
       min(when(col("ct") >= ceil(lit(pLo) * col("n")), col("v"))).as("__lo"),
