@@ -420,6 +420,34 @@ object Curation {
    * division — hash-mirrorable, no log-probs (ln differs by ULPs across
    * engines; callers can log locally). Output: (w1, w2, c12, c1, p_next).
    */
+  /**
+   * TF-IDF keyword extraction, rational form: score = tf · n_docs / df
+   * (LINEAR inverse document frequency — the log variant differs by ULPs
+   * across engines' `ln`, the ranking it induces per document is the same
+   * monotone order for fixed tf). Integer tf/df/n plus ONE exact double
+   * division ⇒ hash-mirrorable. Top-`k` tokens per document by
+   * (score, token) — the per-doc keyword view corpus summaries read.
+   * Shapes: token-keyed df aggregate (map-side combinable), broadcastable
+   * vocab join back, per-doc rank window (WindowGroupLimit pushdown).
+   */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("dfreq"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(df_, "token").crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("dfreq").cast("double"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("dfreq"), col("score"), col("rnk"))
+  }
+
   def bigramModel(docs: DataFrame, textCol: String): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
     val c2 = docs

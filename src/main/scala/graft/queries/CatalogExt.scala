@@ -579,6 +579,37 @@ object CatalogExt {
     graft.ops.Profile.numericStats(Tables.lineitem(s, dir),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey"))
 
+  /** TF-IDF keyword extraction (rational linear-idf form): top-3 tokens
+    * per document by tf·n_docs/df with deterministic tie-breaks. */
+  def q99TfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.tfidfKeywords(
+      Tables.documents(s, dir), "doc_id", "text", k = 3)
+
+  /** Dataset reconciliation: the added/removed/changed/same report between
+    * the customer snapshot and a deterministically perturbed next version
+    * (every 10th balance shifted, every 97th row dropped, a synthetic
+    * block appended) — the post-migration validation query. */
+  def q100ReconcileDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val next = base.filter(col("c_custkey") % 97 =!= 0)
+      .withColumn("bal_cents",
+        when(col("c_custkey") % 10 === 0, col("bal_cents") + 10000L)
+          .otherwise(col("bal_cents")))
+      .unionByName(base.filter(col("c_custkey") % 50 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_mktsegment"), col("bal_cents")))
+    graft.ops.Reconcile.diff(base, next,
+      Seq("c_custkey"), Seq("c_mktsegment", "bal_cents"))
+  }
+
+  /** PCA-projection outliers: the 20 vectors farthest from the corpus
+    * bulk along the principal axis — the drift/anomaly view that makes
+    * the trained component (q96) actionable. */
+  def q98PcaOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Pca.outlierScores(Tables.embeddings(s, dir), "vec_id", "embedding")
+
   /** Bigram LM training: conditional next-token probabilities over the
     * corpus (the n-gram LM step; also the distribution a templated-text
     * detector reads). */
@@ -900,6 +931,9 @@ object CatalogExt {
     "q95_latest_by_key"  -> q95LatestByKey _,
     "q96_pca_top"        -> q96PcaTop _,
     "q97_bigram_lm"      -> q97BigramLm _,
+    "q98_pca_outliers"   -> q98PcaOutliers _,
+    "q99_tfidf_keywords" -> q99TfidfKeywords _,
+    "q100_reconcile_diff" -> q100ReconcileDiff _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

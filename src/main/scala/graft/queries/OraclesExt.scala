@@ -363,6 +363,50 @@ object OraclesExt {
     // q96: PCA power iteration, fully replayed (see pcaSql)
     "q96_pca_top" -> pcaSql(8),
 
+    // q98: PCA-projection outliers — training replayed, then the same
+    // fixed-order projection fold (see pcaOutlierSql)
+    "q98_pca_outliers" -> pcaOutlierSql(8, 20),
+
+    // q99: rational TF-IDF — integer tf/df/n + one exact division, rank
+    // window with the same (score DESC, token ASC) tie-break
+    "q99_tfidf_keywords" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY 1, 2),
+        |df_ AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, token, tf, dfreq, score, rnk FROM (
+        |  SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+        |    CAST(df_.dfreq AS BIGINT) AS dfreq,
+        |    CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df_.dfreq AS DOUBLE) AS score,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df_.dfreq AS DOUBLE) DESC,
+        |               tf.token ASC) AS BIGINT) AS rnk
+        |  FROM tf JOIN df_ USING (token) CROSS JOIN n)
+        |WHERE rnk <= 3""".stripMargin,
+
+    // q100: the perturbed next version rebuilt, then the same null-safe
+    // full-outer diff semantics
+    "q100_reconcile_diff" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer),
+        |next AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 10 = 0 THEN bal_cents + 10000 ELSE bal_cents END AS bal_cents
+        |  FROM base WHERE c_custkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_mktsegment, bal_cents
+        |  FROM base WHERE c_custkey % 50 = 0)
+        |SELECT coalesce(b.c_custkey, x.c_custkey) AS c_custkey,
+        |  CASE WHEN b.c_custkey IS NULL THEN 'added'
+        |       WHEN x.c_custkey IS NULL THEN 'removed'
+        |       WHEN b.c_mktsegment IS DISTINCT FROM x.c_mktsegment
+        |         OR b.bal_cents IS DISTINCT FROM x.bal_cents THEN 'changed'
+        |       ELSE 'same' END AS status
+        |FROM base b FULL JOIN next x ON b.c_custkey = x.c_custkey""".stripMargin,
+
     // q97: bigram conditional probabilities — integer counts + one double
     // division, the q75 pair generator mirrored
     "q97_bigram_lm" ->
@@ -898,7 +942,10 @@ object OraclesExt {
     * element order (`list_dot_product` = the engine's zip_with/aggregate
     * fold, the equality q28 already proves), so the loadings hash-match.
     * `//` truncates toward zero in DuckDB exactly like Spark's `div`. */
-  private def pcaSql(k: Int): String = {
+  /** The shared q96/q98 WITH-body: quantize → integer center (vec_id
+    * carried through `cen` for the projection consumer) → exact-integer
+    * scatter → k power-iteration rounds ending at `r$k`. */
+  private def pcaCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       val prev = s"r${i - 1}"
       s"""w$i AS MATERIALIZED (
@@ -909,14 +956,14 @@ object OraclesExt {
          |         sqrt(list_dot_product(warr, warr)) AS norm
          |  FROM a$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS (SELECT list_transform(embedding::DOUBLE[],
+    s"""q AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
        |             x -> CAST(floor(x * 1048576) AS BIGINT)) AS q FROM embeddings),
        |ex AS (SELECT unnest(q) AS qv, generate_subscripts(q, 1) - 1 AS j FROM q),
        |m AS (SELECT j, CAST(CAST(sum(qv) AS BIGINT) // count(*) AS BIGINT) AS m
        |      FROM ex GROUP BY 1),
        |marr AS (SELECT list(m ORDER BY j) AS marr FROM m),
        |cen AS MATERIALIZED (
-       |  SELECT [q.q[i] - ma.marr[i] for i in range(1, len(q.q) + 1)] AS c
+       |  SELECT q.vec_id, [q.q[i] - ma.marr[i] for i in range(1, len(q.q) + 1)] AS c
        |  FROM q CROSS JOIN marr ma),
        |e1 AS (SELECT c, unnest(c) AS cj, generate_subscripts(c, 1) - 1 AS j FROM cen),
        |e2 AS (SELECT j, cj, unnest(c) AS ck, generate_subscripts(c, 1) - 1 AS k FROM e1),
@@ -925,10 +972,24 @@ object OraclesExt {
        |srows AS MATERIALIZED (
        |  SELECT j, list(CAST(s AS DOUBLE) ORDER BY k) AS srow FROM sjk GROUP BY j),
        |r0 AS (SELECT list_transform(marr, x -> CAST(1.0 AS DOUBLE)) AS v FROM marr),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def pcaSql(k: Int): String =
+    s"""WITH ${pcaCtes(k)}
        |SELECT CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS dim,
        |  unnest(v) AS loading, norm AS eigval FROM r$k""".stripMargin
-  }
+
+  /** q98: project every centered vector onto the fitted component (the
+    * same fixed-order fold as training) and keep the top-|proj| rows. */
+  private def pcaOutlierSql(k: Int, topN: Int): String =
+    s"""WITH ${pcaCtes(k)},
+       |projv AS (SELECT vec_id,
+       |    list_dot_product(list_transform(c, x -> CAST(x AS DOUBLE)),
+       |                     (SELECT v FROM r$k)) AS proj
+       |  FROM cen)
+       |SELECT vec_id, proj FROM projv
+       |ORDER BY abs(proj) DESC, vec_id ASC LIMIT $topN""".stripMargin
 
   /** The q83 PageRank oracle: the fixed-point iteration replayed as k
     * chained MATERIALIZED CTEs. `//` is DuckDB integer division = Spark's

@@ -32,11 +32,10 @@ object Pca {
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** (dim, loading, eigval): unit top principal component of the centered
-    * quantized scatter, plus its Rayleigh-quotient eigenvalue estimate
-    * (in scatter units). */
-  def topComponent(df: DataFrame, vecCol: String, iterations: Int = 8,
-      quantBits: Int = 20): DataFrame = {
+  /** Fitted state: the one-row per-dim integer means array and the
+    * one-row (unit vector, eigenvalue) frame after `iterations` rounds. */
+  private def fit(df: DataFrame, vecCol: String, iterations: Int,
+      quantBits: Int): (DataFrame, DataFrame) = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
     val scale = 1L << quantBits
     val lazyCut = (d: DataFrame) => graft.dedup.Dedup.lineageCutLazy(d)
@@ -77,7 +76,36 @@ object Pca {
           x => x / sqrt(dot(col("warr"), col("warr")))).as("v"),
         sqrt(dot(col("warr"), col("warr"))).as("norm")))
     }
+    (meanArr, v)
+  }
+
+  /** (dim, loading, eigval): unit top principal component of the centered
+    * quantized scatter, plus its Rayleigh-quotient eigenvalue estimate
+    * (in scatter units). */
+  def topComponent(df: DataFrame, vecCol: String, iterations: Int = 8,
+      quantBits: Int = 20): DataFrame = {
+    val (_, v) = fit(df, vecCol, iterations, quantBits)
     v.select(posexplode(col("v")).as(Seq("dim", "loading")), col("norm").as("eigval"))
       .select(col("dim").cast("long").as("dim"), col("loading"), col("eigval"))
+  }
+
+  /** Top-N outliers along the principal axis: |projection of the centered
+    * quantized vector onto the fitted component|, largest first — the
+    * drift/anomaly view a corpus report reads (what's far from the bulk
+    * along the direction of maximum variance?). The projection is the
+    * same fixed-order in-row fold as training, so scores hash-match. */
+  def outlierScores(df: DataFrame, idCol: String, vecCol: String,
+      iterations: Int = 8, quantBits: Int = 20, topN: Int = 20): DataFrame = {
+    val scale = 1L << quantBits
+    val (meanArr, v) = fit(df, vecCol, iterations, quantBits)
+    df.select(col(idCol),
+      transform(col(vecCol), x => floor(x.cast("double") * scale).cast("long")).as("q"))
+      .crossJoin(broadcast(meanArr))
+      .crossJoin(broadcast(v.select(col("v"))))
+      .select(col(idCol),
+        dot(zip_with(col("q"), col("marr"), (q, m) => (q - m).cast("double")),
+          col("v")).as("proj"))
+      .orderBy(abs(col("proj")).desc, col(idCol).asc)
+      .limit(topN)
   }
 }

@@ -19,7 +19,7 @@ class ContractSpec extends AnyFunSuite {
 
   test("query names follow the qNN_ naming scheme with no duplicates") {
     val names = SparkEntry.queries.keys.toSeq
-    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")), names.filterNot(_.matches("q\\d{2}_[a-z0-9_]+")))
+    assert(names.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")), names.filterNot(_.matches("q\\d{2,3}_[a-z0-9_]+")))
     assert(names.distinct.size === names.size)
   }
 }

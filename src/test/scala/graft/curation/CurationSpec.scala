@@ -332,4 +332,25 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(tot - 1.0) < 1e-12, s"context $w1 sums to $tot")
     }
   }
+
+  test("tfidfKeywords: rare tokens outrank common ones; k bounds per doc") {
+    val s = spark
+    import s.implicits._
+    // 'common' is in every doc (df=3); 'rare' only in doc 1 (df=1)
+    val docs = Seq(
+      (1L, "common rare common other"),
+      (2L, "common other filler words here"),
+      (3L, "common filler filler filler"))
+      .toDF("doc_id", "text")
+    val got = Curation.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(4), r.getLong(5)))
+    assert(got.count(_._1 == 1L) === 2)
+    val d1 = got.filter(_._1 == 1L).sortBy(_._4)
+    // doc 1: rare (tf=1, df=1, score 3.0) beats common (tf=2, df=3, score 2.0)
+    assert(d1.head._2 === "rare" && d1.head._3 === 3.0)
+    assert(d1(1)._2 === "common" && d1(1)._3 === 2.0)
+    // every doc has at most k keywords
+    got.groupBy(_._1).values.foreach(v => assert(v.length <= 2))
+  }
 }
