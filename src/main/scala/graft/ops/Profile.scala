@@ -56,12 +56,23 @@ object Profile {
     import org.apache.spark.sql.expressions.Window
     val b = vc.agg(min(col("v")).cast("double").as("__vmin"),
       max(col("v")).cast("double").as("__vmax"))
-    val bucketed = vc.crossJoin(broadcast(b))
-      .withColumn("__rb", least(lit(parts - 1),
-        floor((col("v").cast("double") - col("__vmin")) * parts /
-          greatest(col("__vmax") - col("__vmin"), lit(java.lang.Double.MIN_NORMAL)))
-          .cast("long")))
-      .drop("__vmin", "__vmax")
+    // Bucket assignment must be MONOTONE in the window's sort order or the
+    // offsets are wrong — hence the explicit rails for the two values that
+    // break the arithmetic bucket formula: NULL sorts FIRST under Spark's
+    // ascending order (reserved bucket -1) and NaN sorts LAST among
+    // doubles (reserved bucket `parts`; min/max ignore NaN inputs only
+    // when none exist — the NaN rail keeps the formula's inputs clean).
+    // Callers restrict the operator to NUMERIC columns, where the
+    // double cast used for bucketing is order-preserving.
+    val raw = floor((col("v").cast("double") - col("__vmin")) * parts /
+      greatest(col("__vmax") - col("__vmin"), lit(java.lang.Double.MIN_NORMAL)))
+      .cast("long")
+    val bucketed = graft.dedup.Dedup.lineageCutLazy(vc.crossJoin(broadcast(b))
+      .withColumn("__rb",
+        when(col("v").isNull, lit(-1L))
+          .when(col("v").cast("double").isNaN, lit(parts.toLong))
+          .otherwise(greatest(lit(0L), least(lit(parts - 1L), raw))))
+      .drop("__vmin", "__vmax"))
     val within = Window.partitionBy(col("__rb")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = bucketed.groupBy(col("__rb")).agg(sum(col("c")).as("__bt"))
@@ -92,7 +103,13 @@ object Profile {
   def equiDepthHistogram(df: DataFrame, valueCol: String,
       buckets: Int = 8): DataFrame = {
     require(buckets >= 1, s"need at least one bucket, got $buckets")
-    val vc = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+    require(df.schema(valueCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"equiDepthHistogram needs a numeric column, got ${df.schema(valueCol).dataType}")
+    // cut the distribution once: tot, the bounds aggregate, the bucketing,
+    // and the offsets frame all consume it — without the cut each pays a
+    // full base-table scan + shuffle (PLANS.md showed q85 at 5 FileScans)
+    val vc = graft.dedup.Dedup.lineageCutLazy(
+      df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c")))
     val tot = vc.agg(sum(col("c")).as("n"))
     withCumBefore(vc)
       .crossJoin(broadcast(tot))
@@ -115,7 +132,10 @@ object Profile {
   def winsorize(df: DataFrame, valueCol: String,
       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(0 <= pLo && pLo < pHi && pHi <= 1, s"bad percentile band [$pLo, $pHi]")
-    val vc = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+    require(df.schema(valueCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"winsorize needs a numeric column, got ${df.schema(valueCol).dataType}")
+    val vc = graft.dedup.Dedup.lineageCutLazy(
+      df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c")))
     val cum = withCumBefore(vc).withColumn("ct", col("cb") + col("c"))
     val tot = vc.agg(sum(col("c")).as("n"))
     val bounds = cum.crossJoin(broadcast(tot)).agg(

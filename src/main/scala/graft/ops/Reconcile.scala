@@ -21,17 +21,24 @@ object Reconcile {
   def diff(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       compareCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && compareCols.nonEmpty, "need key and compare columns")
-    val l = left.select((keyCols ++ compareCols).map(c => col(c).as(s"l_$c")): _*)
-    val r = right.select((keyCols ++ compareCols).map(c => col(c).as(s"r_$c")): _*)
+    // explicit presence flags, NOT key-nullness: a genuinely-null key
+    // (exactly the dirty data a reconciliation exists to catch) must not
+    // read as "this side was absent from the join"
+    val l = left.select((keyCols ++ compareCols).map(c => col(c).as(s"l_$c")) :+
+      lit(true).as("__l_present"): _*)
+    val r = right.select((keyCols ++ compareCols).map(c => col(c).as(s"r_$c")) :+
+      lit(true).as("__r_present"): _*)
     val joinCond = keyCols.map(c => col(s"l_$c") <=> col(s"r_$c")).reduce(_ && _)
     val anyDiff = compareCols
       .map(c => !(col(s"l_$c") <=> col(s"r_$c")))
       .reduce(_ || _)
-    val leftMissing = keyCols.map(c => col(s"l_$c").isNull).reduce(_ && _)
-    val rightMissing = keyCols.map(c => col(s"r_$c").isNull).reduce(_ && _)
+    val leftMissing = col("__l_present").isNull
+    val rightMissing = col("__r_present").isNull
     l.join(r, joinCond, "full_outer")
       .select(
-        keyCols.map(c => coalesce(col(s"l_$c"), col(s"r_$c")).as(c)) :+
+        keyCols.map(c =>
+          when(col("__l_present").isNotNull, col(s"l_$c"))
+            .otherwise(col(s"r_$c")).as(c)) :+
           when(leftMissing, lit("added"))
             .when(rightMissing, lit("removed"))
             .when(anyDiff, lit("changed"))

@@ -597,8 +597,12 @@ object CatalogExt {
       .withColumn("bal_cents",
         when(col("c_custkey") % 10 === 0, col("bal_cents") + 10000L)
           .otherwise(col("bal_cents")))
+      // synthetic adds use STRICTLY NEGATIVE keys (-(k+1)) — disjoint from
+      // TPC-H's non-negative key space at every scale factor (a fixed
+      // offset would collide with real keys once custkey exceeds it, and
+      // bare negation would map key 0 onto itself)
       .unionByName(base.filter(col("c_custkey") % 50 === 0)
-        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        .select((-(col("c_custkey") + 1L)).as("c_custkey"),
           col("c_mktsegment"), col("bal_cents")))
     graft.ops.Reconcile.diff(base, next,
       Seq("c_custkey"), Seq("c_mktsegment", "bal_cents"))

@@ -397,7 +397,7 @@ object OraclesExt {
         |    CASE WHEN c_custkey % 10 = 0 THEN bal_cents + 10000 ELSE bal_cents END AS bal_cents
         |  FROM base WHERE c_custkey % 97 <> 0
         |  UNION ALL
-        |  SELECT c_custkey + 1000000, c_mktsegment, bal_cents
+        |  SELECT -(c_custkey + 1), c_mktsegment, bal_cents
         |  FROM base WHERE c_custkey % 50 = 0)
         |SELECT coalesce(b.c_custkey, x.c_custkey) AS c_custkey,
         |  CASE WHEN b.c_custkey IS NULL THEN 'added'

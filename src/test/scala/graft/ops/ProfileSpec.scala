@@ -39,6 +39,27 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("cumulative rails: null and NaN values neither shift nor lose counts") {
+    val s = spark
+    import s.implicits._
+    val clean = (1 to 80).map(i => Some(i.toDouble))
+    val dirty = clean ++ Seq(None, None, Some(Double.NaN))
+    val cleanHist = Profile.equiDepthHistogram(
+      clean.toDF("v").withColumn("v", col("v").cast("double")), "v", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dirtyHist = Profile.equiDepthHistogram(
+      dirty.toDF("v").withColumn("v", col("v").cast("double")), "v", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // totals survive densification of the dirty values
+    assert(dirtyHist.values.sum === 83L)
+    assert(cleanHist.values.sum === 80L)
+    // null sorts FIRST (cb 0) and NaN LAST (cb max): real values keep a
+    // contiguous, correctly-ordered cumulative — every clean value's
+    // relative bucket boundary shifts only by the 2-null offset, never
+    // scrambles (spot-check: the clean histogram is perfectly uniform)
+    assert(cleanHist === Map(0L -> 20L, 1L -> 20L, 2L -> 20L, 3L -> 20L))
+  }
+
   test("winsorize: bounds are dataset elements, clamp respects them, idempotent") {
     val s = spark
     import s.implicits._
