@@ -22,12 +22,14 @@ import org.apache.spark.sql.SparkSession
   *     if the sentinel is slow, the host was loaded and every number in the
   *     file carries that caveat.
   *
-  * Output layout (round 5): TWO lines — the bulky per-run "samples" JSON
-  * first, then the compact {"metric":"total",...} summary LAST. The driver
-  * captures only the trailing bytes of stdout, and BENCH_r04.json lost its
-  * headline total because everything sat on one very long line with the total
-  * at the front. Last-line placement makes the number the 2x-of-baseline gate
-  * needs survive any tail truncation.
+  * Output layout (round 7): THREE stdout lines — bulky "samples", the full
+  * per-query "detail", then a compact {"metric":"total",...} summary LAST —
+  * plus the samples+detail lines duplicated into a detail FILE
+  * (SPARK_GRAFT_BENCH_DETAIL, default ./BENCH_DETAIL.json, committed per
+  * round). The driver captures only the trailing ~2 kB of stdout; a
+  * 100-query map alone overflows that window (BENCH_r06 parsed as null), so
+  * the last line now carries no per-query map — just the totals the
+  * 2x-of-baseline gate needs — and the full history lives in the file.
   *
   * Failure policy (round 5): a run that throws is recorded in "samples" as the
   * NEGATIVE of its elapsed seconds (a visible error marker that still shows
@@ -106,13 +108,25 @@ object Bench {
     val total = sampled.flatMap(r => minOk(r._2)).sum
     val sentinelJson =
       "[" + sentinelSamples.map(fmt).mkString(",") + "]"
-    // Bulky line first, compact headline line LAST (tail-truncation safety).
-    // Within the last line the bulky "queries" map leads and the headline
-    // "value" trails: JSON key order is irrelevant to a parser, but if the
-    // capture boundary ever lands inside this line, the trailing bytes are
-    // the ones that survive — so the gate's number lives at the line's end.
-    println(s"""{"metric":"samples","sf":"$sfDir","sentinel_samples":$sentinelJson,"samples":$samplesJson}""")
-    println(s"""{"metric":"total","queries":$qs,"sf":"$sfDir","errors":$errorsJson,"unit":"sec","sentinel_sec":${fmt(sentinelSamples.min)},"value":${fmt(total)}}""")
+    // Round 7: the driver captures only the trailing ~2 kB of stdout, and a
+    // 100-entry "queries" map alone overflows that (BENCH_r06 lost q01–q26
+    // and parsed as null). So the FULL record — samples, per-query mins,
+    // total — is written to a detail FILE (committed per round as
+    // BENCH_DETAIL_r{N}.json), and stdout's LAST line carries only the
+    // compact summary the driver's gate needs: guaranteed to fit the tail
+    // window and parse whole.
+    val samplesLine =
+      s"""{"metric":"samples","sf":"$sfDir","sentinel_samples":$sentinelJson,"samples":$samplesJson}"""
+    val detailLine =
+      s"""{"metric":"detail","queries":$qs,"sf":"$sfDir","errors":$errorsJson,"unit":"sec","sentinel_sec":${fmt(sentinelSamples.min)},"value":${fmt(total)}}"""
+    val summaryLine =
+      s"""{"metric":"total","sf":"$sfDir","n_queries":${queries.size},"errors":$errorsJson,"unit":"sec","sentinel_sec":${fmt(sentinelSamples.min)},"value":${fmt(total)}}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (samplesLine + "\n" + detailLine + "\n").getBytes("UTF-8"))
+    println(samplesLine)
+    println(detailLine)
+    println(summaryLine)
     spark.stop()
   }
 }

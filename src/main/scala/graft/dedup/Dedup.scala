@@ -27,6 +27,22 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** Driver-safety cap on the hot-label fallback's per-round collect
+    * (mirrors decontaminateGate's 131k shingle cap): pigeonhole bounds hot
+    * labels at nodes/threshold, so hitting this means the threshold was
+    * chosen far too small, not that the graph is big. */
+  val HotLabelCollectCap: Int = 131072
+
+  /** The guard itself, factored out so the boundary is law-testable without
+    * planting 131k+ hot labels in a spec graph. */
+  private[dedup] def requireHotLabelBound(collected: Int, t: Long,
+      cap: Int = HotLabelCollectCap): Unit =
+    require(collected <= cap,
+      s"hot-label fallback collected $collected labels above " +
+        s"threshold=$t (cap $cap): the threshold is too " +
+        "small for this graph - raise hotLabelThreshold (hot labels " +
+        "are bounded by nodes/threshold) or rely on AQE skew handling")
+
   /** Word n-gram shingles (distinct) of a token array — the native
     * [[graft.functions.WordShingles]] kernel (one codegen'd static call per
     * row). PRECONDITION: the session must have run
@@ -462,6 +478,12 @@ object Dedup {
           val hotKeys = mid.groupBy(col("mid_component")).agg(count(lit(1)).as("__n"))
             .filter(col("__n") > t).select(col("mid_component"))
             .collect().map(_.get(0)).toSeq
+          // driver-safety cap, mirroring decontaminateGate's discipline: a
+          // label counts as hot only above t members, so #hot ≤ nodes/t by
+          // pigeonhole — a collect beyond the cap means the threshold is
+          // far too small for this graph (and the isin()/broadcast built
+          // from it would be the real scale hazard). Fail loudly.
+          requireHotLabelBound(hotKeys.size, t)
           if (hotKeys.isEmpty) jumped(mid, jump)
           else {
             val isHot = col("mid_component").isin(hotKeys: _*)

@@ -105,11 +105,17 @@ object Profile {
     require(buckets >= 1, s"need at least one bucket, got $buckets")
     require(df.schema(valueCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"equiDepthHistogram needs a numeric column, got ${df.schema(valueCol).dataType}")
+    // NULLs are excluded from the distribution (the ANALYZE convention:
+    // null_frac is a separate statistic, histograms describe the non-null
+    // values). This also pins the cross-engine contract: Spark sorts NULL
+    // first ascending, DuckDB's default is NULLS LAST — with NULLs out of
+    // the frame the q85 oracle's plain ORDER BY v agrees exactly.
     // cut the distribution once: tot, the bounds aggregate, the bucketing,
     // and the offsets frame all consume it — without the cut each pays a
     // full base-table scan + shuffle (PLANS.md showed q85 at 5 FileScans)
     val vc = graft.dedup.Dedup.lineageCutLazy(
-      df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c")))
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c")))
     val tot = vc.agg(sum(col("c")).as("n"))
     withCumBefore(vc)
       .crossJoin(broadcast(tot))
@@ -134,16 +140,24 @@ object Profile {
     require(0 <= pLo && pLo < pHi && pHi <= 1, s"bad percentile band [$pLo, $pHi]")
     require(df.schema(valueCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"winsorize needs a numeric column, got ${df.schema(valueCol).dataType}")
+    // percentile ranks are over the NON-NULL population (NULL is not an
+    // ordered value, and `n` counting NULLs would shift every rank)
     val vc = graft.dedup.Dedup.lineageCutLazy(
-      df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c")))
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c")))
     val cum = withCumBefore(vc).withColumn("ct", col("cb") + col("c"))
     val tot = vc.agg(sum(col("c")).as("n"))
     val bounds = cum.crossJoin(broadcast(tot)).agg(
       min(when(col("ct") >= ceil(lit(pLo) * col("n")), col("v"))).as("__lo"),
       min(when(col("ct") >= ceil(lit(pHi) * col("n")), col("v"))).as("__hi"))
+    // NULL and NaN pass through unclamped: least/greatest SKIP nulls, so a
+    // bare clamp would fabricate __lo for NULL inputs and __hi for NaN —
+    // corruption, not winsorization, on nullable columns
+    val v = col(valueCol).cast("double")
     df.crossJoin(broadcast(bounds))
       .withColumn(s"${valueCol}_wins",
-        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+        when(col(valueCol).isNull.or(isnan(v)), col(valueCol))
+          .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
 }

@@ -43,7 +43,8 @@ object TimeSeries {
 
   /**
    * Batch sessionization: the gaps-and-islands assignment (a new session
-   * starts when the gap since the previous event exceeds `gapSeconds`) —
+   * starts when the gap since the previous event REACHES `gapSeconds`,
+   * i.e. gap >= gapSeconds breaks the session — matching the q88 oracle) —
    * the batch twin of the streaming session window (q32), but emitting a
    * session id PER EVENT so downstream joins can attribute rows to
    * sessions. One per-key window; `tieCol` breaks equal-timestamp ties so

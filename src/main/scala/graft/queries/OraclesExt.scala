@@ -507,9 +507,14 @@ object OraclesExt {
         |FROM obs WINDOW w AS (PARTITION BY c_custkey ORDER BY eff)""".stripMargin,
 
     // q91: winsorization bounds are dataset ELEMENTS at ceil(p*n) rank —
-    // same distribution-first construction as q85, then a broadcast clamp
+    // same distribution-first construction as q85, then a broadcast clamp.
+    // The explicit IS NOT NULL mirrors the engine's NULL exclusion (ranks
+    // are over the non-null population; NULL/NaN inputs pass through the
+    // clamp) — no-op on lineitem, but it keeps both constructions
+    // textually agreed on nullable columns.
     "q91_winsorize" ->
-      """WITH vc AS (SELECT l_extendedprice AS v, count(*) AS c FROM lineitem GROUP BY 1),
+      """WITH vc AS (SELECT l_extendedprice AS v, count(*) AS c FROM lineitem
+        |            WHERE l_extendedprice IS NOT NULL GROUP BY 1),
         |cum AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ct FROM vc),
         |tot AS (SELECT sum(c) AS n FROM vc),
         |b AS (SELECT
@@ -546,10 +551,11 @@ object OraclesExt {
         |FROM grid g LEFT JOIN h ON h.user_id = g.user_id AND h.hour = g.hour""".stripMargin,
 
     // q85: the same distribution-first construction — cumulative count
-    // over distinct values, bucket = (cum_before * B) // n
+    // over distinct values, bucket = (cum_before * B) // n. IS NOT NULL
+    // mirrors the engine's ANALYZE-style NULL exclusion (see q91 note).
     "q85_equidepth_hist" ->
       """WITH vc AS (SELECT l_extendedprice AS v, count(*) AS c
-        |            FROM lineitem GROUP BY 1),
+        |            FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
         |cum AS (SELECT v, c,
         |          coalesce(sum(c) OVER (ORDER BY v
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,

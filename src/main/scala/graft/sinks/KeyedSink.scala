@@ -57,6 +57,15 @@ final class KeyedParquetSink(path: String, keyCol: String, numBuckets: Int = 64,
   require(retainManifests >= 2,
     "retention below 2 manifests would break the concurrent-reader window")
 
+  /** Fault-injection point for crash-recovery verification: runs after the
+    * staged data dirs are renamed into place but BEFORE the manifest commit
+    * — the widest window in which a process crash leaves orphaned version
+    * dirs. A hook that throws models `kill -9` at that instant: the commit
+    * never happens, `read` still resolves the previous manifest, and the
+    * epoch's replay (after restart) re-merges and re-commits identically.
+    * Production code leaves this as the no-op default. */
+  @volatile var beforeCommitHook: () => Unit = () => ()
+
   private def fs(spark: SparkSession) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -175,6 +184,8 @@ final class KeyedParquetSink(path: String, keyCol: String, numBuckets: Int = 64,
       hfs.rename(new Path(staging, s"__bucket=$b"), dst)
     }
     hfs.delete(staging, true)
+
+    beforeCommitHook() // crash window: staged data visible, nothing committed
 
     // 2. COMMIT: atomically create the next manifest. Buckets whose keys all
     //    disappeared from the merge (not staged) keep no version = empty.

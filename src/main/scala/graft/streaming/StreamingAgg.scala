@@ -33,17 +33,21 @@ object StreamingAgg {
     val prev = sink.read(spark) match {
       case Some(st) =>
         st.select(col(keyCol), col("n"), col("total"))
-          // only the keys this batch touches participate in the merge
-          .join(delta.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+          // only the keys this batch touches participate in the merge;
+          // null-safe (<=>) so a NULL key's prior state still merges (plain
+          // equality would drop it and the upsert would overwrite instead)
+          .join(delta.select(col(keyCol).as("__dk")).distinct(),
+            col(keyCol) <=> col("__dk"), "left_semi")
       case None =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField(keyCol,
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("n",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("total",
-              org.apache.spark.sql.types.LongType))))
+        // first batch: zero-row state with the MERGED shape derived from
+        // the delta itself (key type from the stream, n/total from the
+        // aggregate) — no hardcoded (Long,Long,Long) that a string key or
+        // fractional valueCol would silently union-coerce against
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          delta.groupBy(col(keyCol))
+            .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+            .schema)
     }
     sink.upsert(Incremental.mergeCountSum(prev, delta, keyCol, valueCol), epochId)
   }

@@ -219,6 +219,33 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 5, s"star graph (diameter 2) took $rounds rounds")
   }
 
+  test("hot-label collect guard: cap trips loudly, in-bound sizes pass (law)") {
+    // boundary law on the factored-out guard (tripping the real cap would
+    // need >131k distinct hot labels — the guard's arithmetic is what's
+    // under test, and connectedComponents routes every hot collect here)
+    Dedup.requireHotLabelBound(0, 100)
+    Dedup.requireHotLabelBound(Dedup.HotLabelCollectCap, 100) // == cap: allowed
+    Dedup.requireHotLabelBound(7, 3, cap = 7)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.requireHotLabelBound(8, 3, cap = 7)
+    }
+    assert(ex.getMessage.contains("raise hotLabelThreshold"),
+      "guard must tell the caller the fix, not just fail")
+    intercept[IllegalArgumentException] {
+      Dedup.requireHotLabelBound(Dedup.HotLabelCollectCap + 1, 1)
+    }
+    // and the live path still works with the guard in place: a threshold
+    // that collects a nonzero (but tiny) hot set converges to the default
+    val s = spark
+    import s.implicits._
+    val pairs = ((1 to 50).map(i => (0L, i.toLong)) :+ (900L, 901L)).toDF("a_id", "b_id")
+    val expected = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hot = Dedup.connectedComponents(pairs, hotLabelThreshold = Some(5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hot === expected)
+  }
+
   test("connectedComponents: reliable-checkpoint path (checkpoint dir configured)") {
     val s = spark
     import s.implicits._

@@ -39,7 +39,7 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
-  test("cumulative rails: null and NaN values neither shift nor lose counts") {
+  test("cumulative rails: NULLs are excluded (ANALYZE convention), NaN keeps its count") {
     val s = spark
     import s.implicits._
     val clean = (1 to 80).map(i => Some(i.toDouble))
@@ -50,14 +50,38 @@ class ProfileSpec extends SparkSpec {
     val dirtyHist = Profile.equiDepthHistogram(
       dirty.toDF("v").withColumn("v", col("v").cast("double")), "v", 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // totals survive densification of the dirty values
-    assert(dirtyHist.values.sum === 83L)
+    // NULLs are not values: the histogram describes the non-null population
+    // (null_frac is numericStats' job), so only the NaN row joins the 80 —
+    // and the NULL-ordering question (Spark NULLS FIRST vs DuckDB NULLS
+    // LAST) can never reach the cumulative
+    assert(dirtyHist.values.sum === 81L)
     assert(cleanHist.values.sum === 80L)
-    // null sorts FIRST (cb 0) and NaN LAST (cb max): real values keep a
-    // contiguous, correctly-ordered cumulative — every clean value's
-    // relative bucket boundary shifts only by the 2-null offset, never
-    // scrambles (spot-check: the clean histogram is perfectly uniform)
     assert(cleanHist === Map(0L -> 20L, 1L -> 20L, 2L -> 20L, 3L -> 20L))
+    // NaN sorts LAST among doubles in both engines: it lands in the top
+    // bucket and shifts nothing below it
+    assert(dirtyHist === Map(0L -> 21L, 1L -> 20L, 2L -> 20L, 3L -> 20L))
+  }
+
+  test("winsorize: NULL and NaN pass through unclamped; ranks use the non-null population") {
+    val s = spark
+    import s.implicits._
+    val df = ((1 to 100).map(i => Some(i.toDouble)) ++ Seq(None, Some(Double.NaN)))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Profile.winsorize(df, "v", pLo = 0.05, pHi = 0.95)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    val byId = got.map(t => t._1 -> (t._2, t._3)).toMap
+    // NULL stays NULL (not fabricated to the p05 bound) and NaN stays NaN
+    // (not clamped to the p95 bound)
+    assert(byId(100L) === ((null, null)))
+    assert(byId(101L)._2.asInstanceOf[Double].isNaN)
+    // bounds come from the non-null, non-NaN ranked population: NaN sorts
+    // last so pHi=0.95 over n=101 non-null rows → ceil = 96th element = 96.0
+    got.collect { case (id, v: java.lang.Double, w: java.lang.Double)
+        if !v.isNaN => (id, v, w) }
+      .foreach { case (_, v, w) =>
+        assert(w === math.min(math.max(v, 6.0), 96.0), s"v=$v w=$w") }
   }
 
   test("winsorize: bounds are dataset elements, clamp respects them, idempotent") {

@@ -127,4 +127,27 @@ class KeyedSinkSpec extends SparkSpec {
     sink.upsert(df("b" -> 2), epochId = 2)
     assert(state(sink) === Map("a" -> 1, "b" -> 2))
   }
+
+  test("fault injection: crash BETWEEN data staging and manifest commit, then replay recovers") {
+    val dir = tmpDir("ks-faultpoint")
+    val sink = new KeyedParquetSink(dir, "data_key", numBuckets = 8)
+    sink.upsert(df("a" -> 1, "b" -> 2), epochId = 0)
+    // the widest crash window: version dirs already renamed into the bucket
+    // tree (NOT just a leftover _staging dir), manifest not yet written
+    sink.beforeCommitHook = () => throw new RuntimeException("injected crash")
+    val batch = df("a" -> 10, "c" -> 3)
+    intercept[RuntimeException] { sink.upsert(batch, epochId = 1) }
+    // old state fully intact — the orphaned version dirs are invisible
+    assert(state(sink) === Map("a" -> 1, "b" -> 2))
+    // restart: Spark replays the failed epoch; the replay re-merges against
+    // the OLD state and commits — equal to a crash-free run of epoch 1
+    sink.beforeCommitHook = () => ()
+    sink.upsert(batch, epochId = 1)
+    assert(state(sink) === Map("a" -> 10, "b" -> 2, "c" -> 3))
+    // the crashed attempt's orphan version dirs are GC'd once their buckets
+    // commit again (retention keeps only manifest-referenced versions)
+    sink.upsert(df("a" -> 11, "c" -> 4), epochId = 2)
+    sink.upsert(df("a" -> 12, "c" -> 5), epochId = 3)
+    assert(state(sink) === Map("a" -> 12, "b" -> 2, "c" -> 5))
+  }
 }

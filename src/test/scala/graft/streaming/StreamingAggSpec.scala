@@ -55,6 +55,73 @@ class StreamingAggSpec extends SparkSpec {
     assert(stateOf(sink) === Map(1L -> ((2L, 12L)), 2L -> ((1L, 6L))))
   }
 
+  test("NULL keys merge (null-safe semi-join), string keys + double values keep their types") {
+    val s = spark
+    import s.implicits._
+    // string key + fractional value: the empty first-batch state must take
+    // THIS schema (derived from the delta), not a hardcoded (Long,Long,Long)
+    val sink = new KeyedParquetSink(tmpDir("stream-agg-nullkey"), "k")
+    val handler = StreamingAgg.mergeBatch(sink, "k", "x") _
+    val b1 = Seq((Some("a"), 1.5), (None, 2.0), (None, 3.0))
+      .map { case (k, v) => (k.orNull, v) }.toDF("k", "x")
+    handler(b1, 0L)
+    def state(): Map[Option[String], (Long, Double)] =
+      sink.read(spark).get.collect()
+        .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(state() === Map(Some("a") -> ((1L, 1.5)), None -> ((2L, 5.0))))
+    // second batch touches the NULL key again: plain-equality semi-join
+    // would drop the prior NULL-key state and overwrite (1, 4.0); the
+    // null-safe join must MERGE to (3, 9.0)
+    val b2 = Seq((null.asInstanceOf[String], 4.0)).toDF("k", "x")
+    handler(b2, 1L)
+    assert(state() === Map(Some("a") -> ((1L, 1.5)), None -> ((3L, 9.0))))
+  }
+
+  test("crash-recovery e2e: query killed between sink write and manifest commit, " +
+      "restarted from checkpoint, state equals full recompute") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val sinkPath = tmpDir("stream-agg-crash")
+    val ckpt = tmpDir("stream-agg-crash-ckpt")
+    val sink = new KeyedParquetSink(sinkPath, "user_id")
+    def startQuery() = input.toDF().toDF("user_id", "cents").writeStream
+      .queryName("graft-crash-recovery")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(StreamingAgg.mergeBatch(sink, "user_id", "cents") _)
+      .start()
+
+    // epoch 0 commits normally
+    val q1 = startQuery()
+    try {
+      input.addData((1L, 100L), (2L, 10L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(stateOf(sink) === Map(1L -> ((1L, 100L)), 2L -> ((1L, 10L))))
+
+    // epoch 1 "crashes" in the widest window: staged data renamed into the
+    // bucket tree, manifest NOT committed — the query dies exactly as a
+    // process kill at that instant would leave the disk
+    sink.beforeCommitHook = () => throw new RuntimeException("injected kill")
+    val q2 = startQuery()
+    input.addData((1L, 1L), (3L, 7L))
+    intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    // committed state is still exactly epoch 0's
+    assert(stateOf(sink) === Map(1L -> ((1L, 100L)), 2L -> ((1L, 10L))))
+
+    // restart from the SAME checkpoint: Spark replays the failed batch, the
+    // handler re-reads the (old) committed state, and the re-merge commits
+    sink.beforeCommitHook = () => ()
+    val q3 = startQuery()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(stateOf(sink) === Map(
+      1L -> ((2L, 101L)), 2L -> ((1L, 10L)), 3L -> ((1L, 7L))),
+      "post-recovery state must equal the full recompute over all ingested data")
+  }
+
   test("real-data law: replaying the events table in 4 chunks equals one group-by") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("cents", round(col("value") * 100).cast("long"))
