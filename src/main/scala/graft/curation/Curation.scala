@@ -266,11 +266,36 @@ object Curation {
    *
    * Scale shape: after the vocabulary aggregate, every round works on the
    * vocabulary table (rows = |vocab|, symbols ≤ word length) — pair
-   * counting is an explode + combinable sum, and only the single best
-   * pair (one row) ever reaches the driver per round, mirroring how
+   * counting is an explode + combinable sum, and only top-`batchK`
+   * candidate rows ever reach the driver per round, mirroring how
    * production BPE trainers operate on word-count tables, not the corpus.
+   *
+   * Batched rounds (round 7, exactness-preserving): one merge per driver
+   * round trip made q75 pay 2 Spark jobs per merge, so each round now
+   * collects the top-`batchK` pairs plus a per-candidate bound on the
+   * count of any pair that merging it could CREATE (from the adjacent
+   * TRIPLE counts of the same snapshot: a created pair (x,ab)'s count is
+   * ≤ the count of triple (x,a,b)), and applies the longest prefix of
+   * candidates that provably replays the sequential loop:
+   *
+   *  - candidate j's symbols are disjoint from every earlier accepted
+   *    candidate's {left, right, merged} — so no accepted count changes;
+   *  - cnt(j) is STRICTLY above every earlier accepted candidate's
+   *    created-pair bound — so no created pair can outrank (or lex-tie) j;
+   *  - no earlier accepted candidate's merged symbol pre-exists in the
+   *    alphabet — so no EXISTING pair's count can grow invisibly. The
+   *    alphabet only ever gains symbols through merges, so it is tracked
+   *    on the driver from one upfront distinct-symbols job (symbols that
+   *    die out only make this guard conservative).
+   *
+   *  The first rejection ends the batch (skipping would reorder), and the
+   *  next round recounts — identical merge table, ~batch-size× fewer
+   *  driver round trips (law: CurationSpec holds batchK=16 equal to the
+   *  batchK=1 sequential path; the q75 oracle replays the loop in SQL).
    */
-  def bpeMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, textCol: String, nMerges: Int,
+      batchK: Int = 16): DataFrame = {
+    require(batchK >= 1, s"batchK must be >= 1, got $batchK")
     val s = docs.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -282,15 +307,24 @@ object Curation {
     // per-round lineage cut: each round's repr derives from the last —
     // without it round k replays all k-1 predecessors
     vocab = graft.dedup.Dedup.lineageCut(vocab)
+    def symsCol = split(trim(col("repr"), "|"), "\\|\\|")
+    // driver-tracked alphabet for the no-invisible-growth guard (merged
+    // symbols are appended as they are accepted below)
+    val alphabet = scala.collection.mutable.Set[String]()
+    if (batchK > 1)
+      alphabet ++= vocab.select(explode(symsCol).as("sym"))
+        .distinct().collect().map(_.getString(0))
     val merges = Seq.newBuilder[Row]
+    var rank = 1
     var done = false
-    for (r <- 1 to nMerges if !done) {
-      val syms = split(trim(col("repr"), "|"), "\\|\\|")
-      val best = vocab
-        .select(col("n"), syms.as("s"))
+    while (rank <= nMerges && !done) {
+      val symFrame = vocab
+        .select(col("n"), symsCol.as("s"))
         // single-symbol words contribute no pairs (guard: Spark's
         // sequence(1, 0) DESCENDS instead of being empty)
         .filter(size(col("s")) >= 2)
+      val k = math.min(batchK, nMerges - rank + 1)
+      val top = symFrame
         .select(col("n"), explode(
           transform(sequence(lit(1), size(col("s")) - 1),
             i => struct(element_at(col("s"), i).as("l"),
@@ -298,13 +332,83 @@ object Curation {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (best.isEmpty) done = true // every word is a single symbol
+        .limit(k).collect()
+        .map(b => (b.getString(0), b.getString(1), b.getLong(2)))
+      if (top.isEmpty) done = true // every word is a single symbol
       else {
-        val (l, rr, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += Row(r.toLong, l, rr, l + rr, cnt)
-        vocab = graft.dedup.Dedup.lineageCut(vocab.select(
-          replace(col("repr"), lit(s"|$l||$rr|"), lit(s"|$l$rr|")).as("repr"), col("n")))
+        // accept the provably-sequential prefix. bounds = None is the
+        // OPTIMISTIC pre-scan (symbol/growth guards only, created-pair
+        // bound assumed passing) used to decide whether the triple job is
+        // worth running at all — early BPE rounds on natural text rarely
+        // have disjoint top pairs (every candidate shares a common letter),
+        // and there the batch machinery must cost zero extra jobs.
+        def acceptPrefix(bounds: Option[Map[(String, String), Long]]): Seq[(String, String, Long)] = {
+          val accepted = Seq.newBuilder[(String, String, Long)]
+          var nAccepted = 0
+          var conflictSyms = Set.empty[String]
+          var createdBound = 0L // counts are >= 1, so 0 = "creates nothing"
+          var growthPossible = false
+          var stop = false
+          top.foreach { case (l, r, cnt) =>
+            if (!stop) {
+              val ok = nAccepted == 0 ||
+                (!growthPossible && !conflictSyms(l) && !conflictSyms(r) &&
+                  bounds.forall(_ => cnt > createdBound))
+              if (!ok) stop = true
+              else {
+                accepted += ((l, r, cnt))
+                nAccepted += 1
+                // growth guard: the merged symbol must not pre-exist — in
+                // the round-start alphabet OR as a symbol/output of an
+                // earlier accepted candidate in this same batch
+                // (conflictSyms holds both) — else existing (x,merged)
+                // pairs could grow invisibly
+                growthPossible = growthPossible ||
+                  alphabet.contains(l + r) || conflictSyms(l + r)
+                conflictSyms = conflictSyms + l + r + (l + r)
+                bounds.foreach(bm =>
+                  createdBound = math.max(createdBound, bm.getOrElse((l, r), 0L)))
+              }
+            }
+          }
+          accepted.result()
+        }
+        val optimistic = acceptPrefix(None)
+        val accepted =
+          if (optimistic.length <= 1) optimistic.take(1)
+          else {
+            // a batch is symbol-possible: pay one triple-count job for the
+            // created-pair bounds, then re-scan with them enforced
+            val sess = s
+            import sess.implicits._
+            val cand = broadcast(
+              top.map { case (l, r, _) => (l, r) }.toSeq.toDF("bl", "br"))
+            val t3 = symFrame.filter(size(col("s")) >= 3)
+              .select(col("n"), explode(
+                transform(sequence(lit(1), size(col("s")) - 2),
+                  i => struct(element_at(col("s"), i).as("t1"),
+                    element_at(col("s"), i + 1).as("t2"),
+                    element_at(col("s"), i + 2).as("t3")))).as("t"))
+              .groupBy(col("t.t1").as("t1"), col("t.t2").as("t2"), col("t.t3").as("t3"))
+              .agg(sum(col("n")).as("tcnt"))
+            val bounds = t3
+              .select(col("tcnt"), col("t1").as("bl"), col("t2").as("br"))
+              .unionByName(t3.select(col("tcnt"), col("t2").as("bl"), col("t3").as("br")))
+              .join(cand, Seq("bl", "br"))
+              .groupBy(col("bl"), col("br")).agg(max(col("tcnt")).as("bound"))
+              .collect()
+              .map(b => (b.getString(0), b.getString(1)) -> b.getLong(2)).toMap
+            acceptPrefix(Some(bounds))
+          }
+        var repr = col("repr")
+        accepted.foreach { case (l, r, cnt) =>
+          merges += Row(rank.toLong, l, r, l + r, cnt)
+          rank += 1
+          alphabet += (l + r)
+          repr = replace(repr, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+        }
+        vocab = graft.dedup.Dedup.lineageCut(
+          vocab.select(repr.as("repr"), col("n")))
       }
     }
     val schema = StructType(Seq(

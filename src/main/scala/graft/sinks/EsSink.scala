@@ -40,7 +40,12 @@ final case class EsSinkConfig(
     mappingId: String,
     /** route via publicly reachable nodes only (managed/VPC ES domains —
       * reference :515 hardcodes "true" for its AWS domain). */
-    wanOnly: Boolean = true) {
+    wanOnly: Boolean = true,
+    /** `es.mapping.date.rich` — the reference's inline prototype (:544)
+      * sets "false" so timestamp-ish fields index as plain values instead
+      * of connector-parsed rich dates. None omits the option and keeps the
+      * connector default (true). */
+    dateRich: Option[Boolean] = None) {
 
   /** Case-class toString would print the credentials verbatim into any log
     * interpolation — redact them (same discipline as SecretsLoader: secret
@@ -48,10 +53,11 @@ final case class EsSinkConfig(
     * fields and [[options]]). */
   override def toString: String = {
     def red(o: Option[String]) = o.map(_ => "***")
-    s"EsSinkConfig($nodes,$port,${red(user)},${red(password)},$resource,$mappingId,$wanOnly)"
+    s"EsSinkConfig($nodes,$port,${red(user)},${red(password)},$resource,$mappingId,$wanOnly,$dateRich)"
   }
 
-  /** The es-hadoop option map, mirroring reference :510-518 line for line. */
+  /** The es-hadoop option map, mirroring reference :510-518 line for line
+    * (plus the prototype-only date.rich knob, :544, when set). */
   def options: Map[String, String] =
     Map(
       "es.nodes" -> nodes,
@@ -60,7 +66,8 @@ final case class EsSinkConfig(
       "es.mapping.id" -> mappingId,
       "es.resource" -> resource) ++
       user.map("es.net.http.auth.user" -> _) ++
-      password.map("es.net.http.auth.pass" -> _)
+      password.map("es.net.http.auth.pass" -> _) ++
+      dateRich.map(b => "es.mapping.date.rich" -> b.toString)
 }
 
 object EsSink {

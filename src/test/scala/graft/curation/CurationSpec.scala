@@ -312,6 +312,66 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("bpeMerges batching law: batchK=16 equals the batchK=1 sequential loop exactly") {
+    val s = spark
+    import s.implicits._
+    def table(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String, String, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    // adversarial fixture 1: the second-ranked ORIGINAL pair shares a
+    // symbol with the best — naive batching would merge (b,c) before the
+    // created (ab,c) that sequential training actually takes next
+    val chain = Seq.fill(10)("abc").toDF("text")
+    val chainBatched = table(Curation.bpeMerges(chain, "text", 3))
+    assert(chainBatched === table(Curation.bpeMerges(chain, "text", 3, batchK = 1)))
+    assert(chainBatched.map(m => (m._2, m._3)) === Seq(("a", "b"), ("ab", "c")),
+      "sequential order is merge (a,b) then the CREATED pair (ab,c) - never (b,c)")
+    // adversarial fixture 2: a created pair ((z,ab), count 10) ties a
+    // disjoint original pair ((c,d), count 10) and the strict bound must
+    // stop the batch so the lex tiebreak replays sequentially
+    val tie = (Seq.fill(10)("zab") ++ Seq.fill(10)("cd")).toDF("text")
+    assert(table(Curation.bpeMerges(tie, "text", 4)) ===
+      table(Curation.bpeMerges(tie, "text", 4, batchK = 1)))
+    // batchable fixture: fully disjoint pairs with no triples — one round
+    // takes them all, still equal to sequential
+    val flat = (Seq.fill(10)("ab") ++ Seq.fill(9)("cd") ++ Seq.fill(8)("ef")).toDF("text")
+    assert(table(Curation.bpeMerges(flat, "text", 3)) ===
+      table(Curation.bpeMerges(flat, "text", 3, batchK = 1)))
+    // the real corpus, the q75 shape (8 merges), plus a deeper run
+    val corpus = docs
+    assert(table(Curation.bpeMerges(corpus, "text", 8)) ===
+      table(Curation.bpeMerges(corpus, "text", 8, batchK = 1)))
+    assert(table(Curation.bpeMerges(corpus, "text", 16)) ===
+      table(Curation.bpeMerges(corpus, "text", 16, batchK = 1)))
+  }
+
+  test("bpeMerges batching: measurably fewer Spark jobs than one-merge rounds") {
+    // job ids are globally monotone, so the id delta over a body IS its job
+    // count (tests run single-threaded; no listener-bus race to wait out)
+    def maxJobId(): Int = {
+      val ids = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+      if (ids.isEmpty) -1 else ids.max
+    }
+    def countJobs(body: => Unit): Int = {
+      val before = maxJobId(); body; maxJobId() - before
+    }
+    val s = spark
+    import s.implicits._
+    // disjoint-pair corpus: the whole merge table fits one batched round
+    val flat = (Seq.fill(10)("ab") ++ Seq.fill(9)("cd") ++ Seq.fill(8)("ef")
+      ++ Seq.fill(7)("gh") ++ Seq.fill(6)("ij") ++ Seq.fill(5)("kl")).toDF("text")
+    val seqJobs = countJobs(Curation.bpeMerges(flat, "text", 6, batchK = 1).collect())
+    val batJobs = countJobs(Curation.bpeMerges(flat, "text", 6).collect())
+    assert(batJobs < seqJobs,
+      s"batched rounds must cut driver round trips: $batJobs vs sequential $seqJobs")
+    // natural text rarely batches in early rounds (candidates share common
+    // letters): the optimistic pre-scan must keep the machinery near-free
+    val seqReal = countJobs(Curation.bpeMerges(docs, "text", 8, batchK = 1).collect())
+    val batReal = countJobs(Curation.bpeMerges(docs, "text", 8).collect())
+    assert(batReal <= seqReal + 2,
+      s"non-batchable corpus must not pay for batching: $batReal vs $seqReal")
+  }
+
   test("bigramModel: handcrafted counts; conditionals sum to 1 per context") {
     val s = spark
     import s.implicits._

@@ -71,6 +71,36 @@ class EsSinkSpec extends SparkSpec {
     assert(!anon.options.keySet.exists(_.startsWith("es.net.http.auth")))
   }
 
+  test("options golden: the inline-prototype surface (reference :536-546) incl. date.rich") {
+    // the reference's commented-out prototype writer is the fullest option
+    // surface in the file — https nodes on 443, auth, wan-only, mapping id,
+    // es.mapping.date.rich=false, resource. Snapshot it EXACTLY (minus the
+    // same checkpointLocation misplacement corrected above).
+    val cfg = EsSinkConfig(
+      nodes = "search-shopping.example.eu-west-2.example-es.com",
+      port = 443,
+      user = Some("es_user"),
+      password = Some("es_password"),
+      resource = "bexley_orders_01",
+      mappingId = "data_key",
+      wanOnly = true,
+      dateRich = Some(false))
+    assert(cfg.options === Map(
+      "es.nodes" -> "search-shopping.example.eu-west-2.example-es.com",
+      "es.port" -> "443",
+      "es.net.http.auth.user" -> "es_user",
+      "es.net.http.auth.pass" -> "es_password",
+      "es.nodes.wan.only" -> "true",
+      "es.mapping.id" -> "data_key",
+      "es.mapping.date.rich" -> "false",
+      "es.resource" -> "bexley_orders_01"))
+    // unset ⇒ the option is ABSENT (connector default rich-date parsing),
+    // not rendered as "true" — the adapter only ever writes what a user set
+    assert(!cfg.copy(dateRich = None).options.contains("es.mapping.date.rich"))
+    // the knob renders its value, not a constant
+    assert(cfg.copy(dateRich = Some(true)).options("es.mapping.date.rich") === "true")
+  }
+
   test("writeBatchBulk: real bulk protocol into the stub — keyed idempotency across replay") {
     val s = spark
     import s.implicits._
