@@ -269,6 +269,63 @@ object Dedup {
       .filter(col("n_shared_spans") >= minShared)
   }
 
+  /**
+   * Exact duplicated-substring spans, the ExactSubstr upgrade of
+   * [[sharedSpans]] (Lee et al. 2022, ACL, "Deduplicating training data
+   * makes language models better" — their suffix-array pass dedups by
+   * EXCISING any substring that appears twice anywhere in the corpus;
+   * `/root/reference` has no analogue, this is §2.12 extension surface).
+   *
+   * Token-array formulation of the suffix-array criterion: a duplicated
+   * substring of ≥ `minLen` tokens exists exactly where two suffixes share
+   * a `minLen`-token prefix, and grouping suffixes BY that prefix (the
+   * sorted-suffix prefix group) is a hash aggregate — no global suffix
+   * sort. Every suffix emits its first-`minLen`-token gram with its
+   * position; grams occurring ≥ 2 times corpus-wide (same doc or not —
+   * the suffix-array adjacency makes no distinction) mark their token
+   * interval [pos, pos+minLen-1] as duplicated, and per doc the
+   * overlapping/touching intervals merge (gaps-and-islands) into MAXIMAL
+   * spans — the excision list a dedup pass consumes.
+   *
+   * Scale shape: one narrow gram projection (no corpus self-join ever);
+   * one gram-keyed shuffle for the occurrence count (window count, no
+   * sort frame); one doc-keyed window for the island merge. Output:
+   * (id, span_start, span_end, span_len, n_dup_grams), positions 1-based.
+   * Fully deterministic ⇒ the DuckDB oracle replays it verbatim (q101).
+   */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2 tokens, got $minLen")
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.text.TextOps.tokens(col(textCol))
+    val grams = docs
+      .filter(size(toks) >= minLen)
+      .select(col(idCol).as("id"),
+        posexplode(transform(
+          sequence(lit(1), size(toks) - (minLen - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(minLen))))).as(Seq("p0", "gram")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("gram"))
+    val dup = grams
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("occ") >= 2)
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    // fixed-length intervals sorted by start: a gap strictly wider than
+    // minLen means the previous interval [p_prev, p_prev+minLen-1] cannot
+    // overlap or touch [p, ...] — island break (first row: NULL lag -> 0)
+    val brk = when(col("pos") - lag(col("pos"), 1).over(byDoc) > minLen, 1L)
+      .otherwise(0L)
+    dup
+      .withColumn("island",
+        sum(brk).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (minLen - 1)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"),
+        col("n_dup_grams"))
+  }
+
   // ------------------------------------------------------------- minhash ----
 
   /**

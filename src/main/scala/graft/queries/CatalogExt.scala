@@ -608,6 +608,15 @@ object CatalogExt {
       Seq("c_custkey"), Seq("c_mktsegment", "bal_cents"))
   }
 
+  /** Exact duplicated-substring spans (ExactSubstr, Lee et al. 2022):
+    * maximal ≥20-token spans whose text appears at least twice anywhere in
+    * the corpus — the excision list character-level dedup consumes. The
+    * suffix-prefix grouping and island merge are fully deterministic, so
+    * the oracle replays them verbatim. */
+  def q101DuplicatedSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", minLen = 20)
+      .withColumnRenamed("id", "doc_id")
+
   /** PCA-projection outliers: the 20 vectors farthest from the corpus
     * bulk along the principal axis — the drift/anomaly view that makes
     * the trained component (q96) actionable. */
@@ -938,6 +947,7 @@ object CatalogExt {
     "q98_pca_outliers"   -> q98PcaOutliers _,
     "q99_tfidf_keywords" -> q99TfidfKeywords _,
     "q100_reconcile_diff" -> q100ReconcileDiff _,
+    "q101_duplicated_spans" -> q101DuplicatedSpans _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -221,6 +221,35 @@ object OraclesExt {
 
     // long-span duplication: shared distinct 20-gram counts (count per
     // pair == intersection size because shingle sets are per-doc distinct)
+    // q101: verbatim replay of the suffix-prefix-group ExactSubstr pass —
+    // positioned 20-grams, corpus-wide occurrence >= 2 via a window count,
+    // then the same gaps-and-islands merge per doc (NULL lag -> ELSE 0,
+    // matching Spark's when().otherwise())
+    "q101_duplicated_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    [struct_pack(pos := i,
+        |       gram := list_aggregate(w[i:i+19], 'string_agg', ' '))
+        |     for i in range(1, len(w) - 18)] AS gs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 20),
+        |g AS (SELECT doc_id, unnest(gs, recursive := true) FROM t),
+        |d AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |        count(*) OVER (PARTITION BY gram) AS occ
+        |      FROM g QUALIFY occ >= 2),
+        |brks AS (SELECT doc_id, pos,
+        |           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+        |                THEN 1 ELSE 0 END AS brk
+        |         FROM d),
+        |isl AS (SELECT doc_id, pos,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS UNBOUNDED PRECEDING) AS island
+        |        FROM brks)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 19 AS span_end,
+        |  max(pos) + 19 - min(pos) + 1 AS span_len,
+        |  count(*) AS n_dup_grams
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
+
     "q64_shared_spans" ->
       """WITH t AS (
         |  SELECT doc_id,

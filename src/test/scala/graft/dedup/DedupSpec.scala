@@ -219,6 +219,40 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 5, s"star graph (diameter 2) took $rounds rounds")
   }
 
+  test("duplicatedSpans: planted cross-doc substring recovered as ONE maximal span; " +
+      "within-doc repeats count; unique text yields nothing") {
+    val s = spark
+    import s.implicits._
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val planted = words("dup", 25) // 25 shared tokens -> spans of >= 25
+    val docs = Seq(
+      (1L, words("a", 30) + " " + planted + " " + words("b", 30)),
+      (2L, words("c", 10) + " " + planted + " " + words("d", 40)),
+      (3L, words("e", 60)),                             // unique: no spans
+      (4L, planted + " " + words("f", 22) + " " + planted) // self-repeat
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", minLen = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    // doc 1: tokens 31..55 hold the planted run -> exactly one maximal span
+    assert(got(1L).toSeq === Seq((1L, 31L, 55L, 25L)))
+    // doc 2: tokens 11..35
+    assert(got(2L).toSeq === Seq((2L, 11L, 35L, 25L)))
+    // doc 3 has no duplicated 20-gram anywhere
+    assert(!got.contains(3L))
+    // doc 4 repeats the run WITHIN itself at tokens 1..25 and 48..72 —
+    // the suffix-array criterion counts same-doc occurrences too, and the
+    // two islands are far enough apart to stay separate maximal spans
+    assert(got(4L).toSeq.sortBy(_._2) ===
+      Seq((4L, 1L, 25L, 25L), (4L, 48L, 72L, 25L)))
+    // law vs q64's pair view: every doc carrying a span shares its grams
+    // with SOME other occurrence, so sharedSpans on docs 1/2 finds the pair
+    val pairs = Dedup.sharedSpans(docs, "doc_id", "text", n = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
   test("hot-label collect guard: cap trips loudly, in-bound sizes pass (law)") {
     // boundary law on the factored-out guard (tripping the real cap would
     // need >131k distinct hot labels — the guard's arithmetic is what's
