@@ -33,6 +33,79 @@ import org.apache.spark.sql.functions._
   * shingle corpora), with MinHash-LSH as the sub-quadratic escape hatch
   * when even prefix-filtered exact verification is too hot. */
 object ScaleProbe {
+
+  /** Round-7 probe: wall-time scaling exponents for the iterative heavies
+    * (q53/q59/q61/q75/q83/q96) at sf0.1 × {1,4,10} — ×10 is the sf1.0
+    * stand-in (no sf1.0 testdata ships in this environment). Copies are
+    * made DISJOINT (every token SUFFIXED with the copy id, ids offset per
+    * copy) so replication grows n without fusing near-dup families across
+    * copies — measuring the ALGORITHM's growth, not the planted-duplication
+    * blowup the pair probe below stresses. Suffixing keeps each copy's
+    * token/shingle/df structure exactly isomorphic to the original corpus
+    * (an interleaved salt TOKEN would collapse trigram df to unigram df —
+    * (salt, w, salt) grams — and blow Σdf² up ~50×, measured); the k=1
+    * baseline gets the same treatment so per-doc cost is identical across
+    * scales. α = ln(t_10/t_4)/ln(10/4) from the two largest scales (k=1 is
+    * JVM-overhead-dominated); sub-quadratic = α < 2. */
+  def heavies(spark: SparkSession): Boolean = {
+    import graft.curation.Curation
+    val docsBase = Tables.documents(spark, "/root/testdata/sf0.1")
+    val embBase = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val edgeBase = graft.queries.CatalogExt.tradeGraphEdges(spark, "/root/testdata/sf0.1")
+    def docs(k: Int): DataFrame = (0 until k).map { i =>
+      docsBase.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1z$i").as("text"),
+        col("lang"), col("source"))
+    }.reduce(_ unionByName _)
+    def embs(k: Int): DataFrame = (0 until k).map { i =>
+      embBase.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        col("label"), col("embedding"))
+    }.reduce(_ unionByName _)
+    def edges(k: Int): DataFrame = (0 until k).map { i =>
+      edgeBase.select((col("src") + lit(i * 10000000L)).as("src"),
+        (col("dst") + lit(i * 10000000L)).as("dst"))
+    }.reduce(_ unionByName _)
+    val heavies: Seq[(String, Int => Long)] = Seq(
+      "q53_dedup_clusters" -> { k: Int =>
+        Dedup.connectedComponents(
+          Dedup.jaccardPairsAuto(docs(k), "doc_id", "text")).count() },
+      "q59_drop_neardups" -> { k: Int =>
+        Dedup.dropNearDups(docs(k), "doc_id", "text").count() },
+      "q61_curate_corpus" -> { k: Int =>
+        val d = docs(k)
+        // minQuality 0: suffixed tokens match no stopword list, so q61's
+        // real 0.5 gate would drop ~everything and starve the later stages
+        // of scaling input — the probe measures the full dataflow instead
+        Curation.curateCorpus(d, d.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", "lang", Map("en" -> 0.5, "de" -> 0.2),
+          defaultFraction = 0.1, minQuality = 0.0,
+          dedupN = 3, dedupThreshold = 0.6, contamN = 8).count() },
+      "q75_bpe_merges" -> { k: Int =>
+        Curation.bpeMerges(docs(k), "text", nMerges = 8).count() },
+      "q83_pagerank" -> { k: Int =>
+        graft.graph.Graph.pageRankFixedPoint(edges(k), "src", "dst",
+          iterations = 8).count() },
+      "q96_pca_top" -> { k: Int =>
+        graft.sim.Pca.topComponent(embs(k), "embedding").count() })
+    val ks = Seq(1, 4, 10)
+    var allSub = true
+    heavies.foreach { case (name, run) =>
+      val ts = ks.map { k =>
+        val t0 = System.nanoTime(); val n = run(k)
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"[heavy] $name%-20s x$k%-3d $t%7.1f s rows=$n")
+        t
+      }
+      val alpha = math.log(ts(2) / ts(1)) / math.log(10.0 / 4.0)
+      val ok = alpha < 2.0
+      allSub &= ok
+      println(f"[heavy] $name%-20s alpha=$alpha%5.2f " +
+        (if (ok) "SUB-QUADRATIC" else "SUPER-QUADRATIC (FAIL)"))
+    }
+    allSub
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -40,6 +113,26 @@ object ScaleProbe {
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("heavies")) {
+      spark.range(1000000).count() // JVM/codegen warmup
+      val ok = heavies(spark)
+      // sf1.0-scale giant component: the degenerate dedup graph at ~2M
+      // nodes, both CC paths (AQE skew split vs explicit hot-label routing)
+      Seq(2000000).foreach { n =>
+        val star = spark.range(1, n)
+          .select(lit(0L).as("a_id"), col("id").as("b_id"))
+        Seq("default" -> None, "hot-label" -> Some(10000L)).foreach { case (tag, t) =>
+          val t0 = System.nanoTime()
+          val (labels, rounds) =
+            Dedup.connectedComponentsWithRounds(star, maxIter = 20, hotLabelThreshold = t)
+          val comps = labels.select("component").distinct().count()
+          println(f"[heavy] star-$n $tag%-10s ${(System.nanoTime() - t0) / 1e9}%7.1f s " +
+            s"rounds=$rounds comps=$comps")
+        }
+      }
+      if (!ok) sys.exit(1)
+      return
+    }
     val base = Tables.documents(spark, "/root/testdata/sf0.1")
     def corpus(k: Int): DataFrame =
       (0 until k).map { i =>

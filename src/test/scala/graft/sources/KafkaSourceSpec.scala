@@ -4,24 +4,41 @@ import graft.SparkSpec
 import org.apache.spark.sql.AnalysisException
 
 /** The Kafka source builder is config-only until `load()`; this environment
-  * ships no spark-sql-kafka connector jar (zero egress), so the assertable
-  * contract here is that the builder produces a well-formed plan that fails
+  * ships no spark-sql-kafka connector jar anywhere (zero egress — verified:
+  * no kafka artifact under /opt/spark/jars or any resolvable cache, so an
+  * embedded in-process broker is not constructible either). The assertable
+  * contract HERE is that the builder produces a well-formed plan that fails
   * ONLY at provider lookup — i.e. every option was accepted and the failure
-  * is the documented deploy-time dependency, not our wiring. With the
-  * connector on the classpath the same call binds the fixed Kafka schema
-  * (key, value, topic, partition, offset, timestamp, timestampType,
-  * headers) without any broker connectivity. */
+  * is the documented deploy-time dependency, not our wiring. The spec is
+  * environment-ADAPTIVE: on any classpath that does carry the connector it
+  * flips to the real assertion instead — `load()` must bind Kafka's fixed
+  * source schema (key, value, topic, partition, offset, timestamp,
+  * timestampType, headers) with NO broker connectivity (the schema is
+  * static; nothing connects until `start()`). KafkaWireFormatSpec covers
+  * payload fidelity through decode→curate on wire-identical frames. */
 class KafkaSourceSpec extends SparkSpec {
 
-  test("readStream reaches provider lookup with well-formed options (connector absent here)") {
-    val e = intercept[AnalysisException] {
-      KafkaSource.readStream(spark, KafkaSourceConfig(
-        bootstrapServers = "unreachable:9092",
-        topic = "orders",
-        saslUsername = Some("u"), saslPassword = Some("p"),
-        maxOffsetsPerTrigger = Some(100L)))
+  private def connectorPresent: Boolean =
+    try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  test("readStream: well-formed options; binds the fixed Kafka schema where the " +
+      "connector exists, fails only at provider lookup where it does not") {
+    def build() = KafkaSource.readStream(spark, KafkaSourceConfig(
+      bootstrapServers = "unreachable:9092",
+      topic = "orders",
+      saslUsername = Some("u"), saslPassword = Some("p"),
+      maxOffsetsPerTrigger = Some(100L)))
+    if (connectorPresent) {
+      // no broker at unreachable:9092 — schema binding must not connect
+      val df = build()
+      assert(df.isStreaming)
+      assert(df.schema.fieldNames.toSet === Set("key", "value", "topic",
+        "partition", "offset", "timestamp", "timestampType", "headers"))
+    } else {
+      val e = intercept[AnalysisException] { build() }
+      assert(e.getMessage.contains("Failed to find data source: kafka"),
+        s"expected the deploy-time connector-missing error, got: ${e.getMessage}")
     }
-    assert(e.getMessage.contains("Failed to find data source: kafka"),
-      s"expected the deploy-time connector-missing error, got: ${e.getMessage}")
   }
 }
