@@ -293,37 +293,141 @@ object Dedup {
    * (id, span_start, span_end, span_len, n_dup_grams), positions 1-based.
    * Fully deterministic ⇒ the DuckDB oracle replays it verbatim (q101).
    */
-  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 20): DataFrame = {
-    require(minLen >= 2, s"minLen must be >= 2 tokens, got $minLen")
-    import org.apache.spark.sql.expressions.Window
+  /** (id, pos, gram): every suffix's first-`minLen`-token prefix with its
+    * 1-based start position — the shared front end of [[duplicatedSpans]]
+    * and [[exciseDuplicatedSpans]]. */
+  private def positionedGrams(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
     val toks = graft.text.TextOps.tokens(col(textCol))
-    val grams = docs
+    docs
       .filter(size(toks) >= minLen)
       .select(col(idCol).as("id"),
         posexplode(transform(
           sequence(lit(1), size(toks) - (minLen - 1)),
           i => concat_ws(" ", slice(toks, i, lit(minLen))))).as(Seq("p0", "gram")))
       .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("gram"))
-    val dup = grams
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gram"))))
-      .filter(col("occ") >= 2)
+  }
+
+  /** Merge a (id, pos) frame of fixed-length-`minLen` interval starts into
+    * maximal per-doc intervals (gaps-and-islands): a gap strictly wider
+    * than minLen means the previous interval [p_prev, p_prev+minLen-1]
+    * cannot overlap or touch [p, ...] — island break (first row: NULL lag
+    * -> 0). Output: (id, island, span_start, span_end, n_dup_grams). */
+  private def mergeSpanIslands(marks: DataFrame, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
-    // fixed-length intervals sorted by start: a gap strictly wider than
-    // minLen means the previous interval [p_prev, p_prev+minLen-1] cannot
-    // overlap or touch [p, ...] — island break (first row: NULL lag -> 0)
     val brk = when(col("pos") - lag(col("pos"), 1).over(byDoc) > minLen, 1L)
       .otherwise(0L)
-    dup
+    marks
       .withColumn("island",
         sum(brk).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("id"), col("island"))
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + (minLen - 1)).as("span_end"),
         count(lit(1)).as("n_dup_grams"))
+  }
+
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2 tokens, got $minLen")
+    import org.apache.spark.sql.expressions.Window
+    val dup = positionedGrams(docs, idCol, textCol, minLen)
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("occ") >= 2)
+    mergeSpanIslands(dup, minLen)
       .select(col("id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"),
         col("n_dup_grams"))
+  }
+
+  /**
+   * Dedup by EXCISION — the application of [[duplicatedSpans]], completing
+   * the ExactSubstr pass (Lee et al. 2022 remove each duplicated substring
+   * from all but one occurrence, keeping the documents): every occurrence
+   * of a duplicated `minLen`-gram EXCEPT the globally first (smallest
+   * (id, pos) — the deterministic stand-in for suffix-array order) marks
+   * its token interval; marked intervals merge per doc into maximal spans,
+   * and the covered tokens are cut out of the document. The first
+   * occurrence of every span survives verbatim, so no content is lost from
+   * the corpus — only repetition.
+   *
+   * Scale shape: one gram-keyed window (rank within gram), one doc-keyed
+   * island window, then a per-doc range anti-join of tokens against the
+   * doc's own intervals and an order-preserving rebuild — no corpus
+   * self-join, state bounded by token count. Output: (id, clean_text,
+   * n_removed); docs shorter than `minLen` tokens pass through untouched.
+   */
+  def exciseDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2 tokens, got $minLen")
+    import org.apache.spark.sql.expressions.Window
+    // rn >= 2 implies the gram occurs >= 2 times: no separate occurrence
+    // count needed, and the rn = 1 occurrence is exactly the retained one
+    val marks = positionedGrams(docs, idCol, textCol, minLen)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("gram")).orderBy(col("id"), col("pos"))))
+      .filter(col("rn") >= 2)
+      .select(col("id"), col("pos"))
+    val intervals = mergeSpanIslands(marks, minLen)
+      .select(col("id").as("iid"), col("span_start"), col("span_end"))
+    val toks = graft.text.TextOps.tokens(col(textCol))
+    val tok = docs.select(col(idCol).as("id"),
+        posexplode(toks).as(Seq("t0", "token")))
+      .select(col("id"), (col("t0") + 1).cast("long").as("tp"), col("token"))
+    val kept = tok.join(intervals,
+      col("id") === col("iid") &&
+        col("tp") >= col("span_start") && col("tp") <= col("span_end"),
+      "left_anti")
+    val rebuilt = kept
+      .groupBy(col("id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tp"), col("token")))),
+          x => x.getField("token"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs
+      .select(col(idCol).as("id"), size(toks).cast("long").as("n_toks"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /**
+   * Asymmetric shingle CONTAINMENT pairs: C(src→dst) = |S_src ∩ S_dst| /
+   * |S_src| — the sub-document duplication detector Jaccard misses. A
+   * short document quoted wholesale inside a long one has tiny Jaccard
+   * (the union is dominated by the long doc) but containment ≈ 1 from the
+   * short side; it is the signal for quote/boilerplate inclusion and
+   * near-superset version detection (Broder 1997's "containment", the
+   * other resemblance measure alongside Jaccard).
+   *
+   * Same inverted-index scale shape as [[jaccardPairs]] (one shingle
+   * explode, candidate pairs from the index, count-based intersection —
+   * no array materialization), emitting BOTH directed rows per unordered
+   * candidate since C is asymmetric. The ratio is one IEEE division of
+   * two exact longs ⇒ bit-deterministic cross-engine.
+   */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"bad containment threshold $threshold")
+    val t = shingled(docs, idCol, textCol, n)
+    val inv = t.select(col("id"), explode(col("s")).as("sh"))
+    val a = inv.alias("a"); val b = inv.alias("b")
+    val inter = a
+      .join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("x_id"), col("b.id").as("y_id"))
+      .agg(count(lit(1)).as("c"))
+    val szs = t.select(col("id"), col("sz"))
+    val both = inter
+      .select(col("x_id").as("src_id"), col("y_id").as("dst_id"), col("c"))
+      .unionByName(inter
+        .select(col("y_id").as("src_id"), col("x_id").as("dst_id"), col("c")))
+    both
+      .join(szs.withColumnRenamed("id", "src_id").withColumnRenamed("sz", "src_sz"), "src_id")
+      .withColumn("containment", col("c").cast("double") / col("src_sz").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("src_id"), col("dst_id"), col("containment"))
   }
 
   // ------------------------------------------------------------- minhash ----

@@ -617,6 +617,20 @@ object CatalogExt {
     Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", minLen = 20)
       .withColumnRenamed("id", "doc_id")
 
+  /** Dedup by excision (the ExactSubstr application, completing q101):
+    * every duplicated ≥20-token span is cut from all but its globally
+    * first occurrence — documents survive, repetition does not. */
+  def q102ExciseDupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.exciseDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text", minLen = 20)
+      .withColumnRenamed("id", "doc_id")
+
+  /** Asymmetric shingle containment: the sub-document duplication signal
+    * Jaccard misses (a short doc quoted wholesale inside a long one has
+    * tiny Jaccard but containment ≈ 1 from the short side). */
+  def q103ContainmentPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.7)
+
   /** PCA-projection outliers: the 20 vectors farthest from the corpus
     * bulk along the principal axis — the drift/anomaly view that makes
     * the trained component (q96) actionable. */
@@ -948,6 +962,8 @@ object CatalogExt {
     "q99_tfidf_keywords" -> q99TfidfKeywords _,
     "q100_reconcile_diff" -> q100ReconcileDiff _,
     "q101_duplicated_spans" -> q101DuplicatedSpans _,
+    "q102_excise_dup_spans" -> q102ExciseDupSpans _,
+    "q103_containment_pairs" -> q103ContainmentPairs _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

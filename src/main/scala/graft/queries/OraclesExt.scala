@@ -250,6 +250,67 @@ object OraclesExt {
         |  count(*) AS n_dup_grams
         |FROM isl GROUP BY doc_id, island""".stripMargin,
 
+    // q102: the excision replay — every non-first occurrence (row_number
+    // over (gram ORDER BY doc_id, pos) >= 2) marks its interval, islands
+    // merge as in q101, kept tokens rebuild in position order. Docs with
+    // every token excised keep a row with clean_text = ''.
+    "q102_excise_dup_spans" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    [struct_pack(pos := i,
+        |       gram := list_aggregate(w[i:i+19], 'string_agg', ' '))
+        |     for i in range(1, len(w) - 18)] AS gs
+        |  FROM base WHERE len(w) >= 20),
+        |g AS (SELECT doc_id, unnest(gs, recursive := true) FROM t),
+        |m AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |      FROM g QUALIFY rn >= 2),
+        |brks AS (SELECT doc_id, pos,
+        |           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+        |                THEN 1 ELSE 0 END AS brk
+        |         FROM m),
+        |isl AS (SELECT doc_id, pos,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS UNBOUNDED PRECEDING) AS island
+        |        FROM brks),
+        |iv AS (SELECT doc_id, min(pos) AS s, max(pos) + 19 AS e
+        |       FROM isl GROUP BY doc_id, island),
+        |tokl AS (SELECT doc_id,
+        |           [struct_pack(p := i, token := w[i]) for i in range(1, len(w) + 1)] AS ts
+        |         FROM base),
+        |tok AS (SELECT doc_id, unnest(ts, recursive := true) FROM tokl),
+        |kept AS (SELECT tok.doc_id, tok.p, tok.token FROM tok
+        |         WHERE NOT EXISTS (SELECT 1 FROM iv
+        |           WHERE iv.doc_id = tok.doc_id AND tok.p BETWEEN iv.s AND iv.e)),
+        |reb AS (SELECT doc_id, string_agg(token, ' ' ORDER BY p) AS clean_text,
+        |          count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT base.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+        |  CAST(len(base.w) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM base LEFT JOIN reb USING (doc_id)""".stripMargin,
+
+    // q103: asymmetric containment — the unordered intersection computed
+    // once, both directed ratios emitted (|A∩B|/|src|), one IEEE division
+    // of two exact longs per row
+    "q103_containment_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS x, b.doc_id AS y,
+        |        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS c,
+        |        CAST(len(a.s) AS BIGINT) AS xs, CAST(len(b.s) AS BIGINT) AS ys
+        |      FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        |d AS (SELECT x AS src_id, y AS dst_id,
+        |        CAST(c AS DOUBLE) / CAST(xs AS DOUBLE) AS containment FROM p
+        |      UNION ALL
+        |      SELECT y AS src_id, x AS dst_id,
+        |        CAST(c AS DOUBLE) / CAST(ys AS DOUBLE) AS containment FROM p)
+        |SELECT src_id, dst_id, containment FROM d WHERE containment >= 0.7""".stripMargin,
+
     "q64_shared_spans" ->
       """WITH t AS (
         |  SELECT doc_id,

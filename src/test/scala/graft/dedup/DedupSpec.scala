@@ -253,6 +253,53 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("exciseDuplicatedSpans: first occurrence survives verbatim, every other is cut; " +
+      "re-running the detector on the excised corpus finds nothing") {
+    val s = spark
+    import s.implicits._
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val planted = words("dup", 25)
+    val d1 = words("a", 30) + " " + planted + " " + words("b", 30)
+    val d3 = words("e", 60)
+    val docs = Seq(
+      (1L, d1),
+      (2L, words("c", 10) + " " + planted + " " + words("d", 40)),
+      (3L, d3),
+      (4L, planted + " " + words("f", 22) + " " + planted)
+    ).toDF("doc_id", "text")
+    val got = Dedup.exciseDuplicatedSpans(docs, "doc_id", "text", minLen = 20)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 1 holds the globally-first occurrence (smallest (id, pos)): kept whole
+    assert(got(1L) === ((d1, 0L)))
+    // doc 2's copy is excised: 25 tokens gone, surroundings rejoined in order
+    assert(got(2L) === ((words("c", 10) + " " + words("d", 40), 25L)))
+    // doc 3 never duplicated anything
+    assert(got(3L) === ((d3, 0L)))
+    // doc 4 repeats the run twice, both later than doc 1's: both cut
+    assert(got(4L) === ((words("f", 22), 50L)))
+    // fixpoint law: the excised corpus has no duplicated >=20-token span left
+    val clean = got.toSeq.map { case (id, (t, _)) => (id, t) }.toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(clean, "doc_id", "text", minLen = 20).count() === 0L)
+  }
+
+  test("containmentPairs: quoted-inside detection that Jaccard misses (asymmetric)") {
+    val s = spark
+    import s.implicits._
+    val short = (1 to 10).map(i => s"q$i").mkString(" ")         // 8 distinct 3-grams
+    val long = (1 to 60).map(i => s"x$i").mkString(" ") + " " + short +
+      " " + (61 to 120).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, (1 to 50).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // Jaccard misses the inclusion: the union is dominated by the long doc
+    assert(Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.6).count() === 0L)
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every one of the short doc's 3-grams appears in the long doc -> C = 1.0
+    // from the short side ONLY (the reverse ratio is tiny); doc 3 unrelated
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
   test("hot-label collect guard: cap trips loudly, in-bound sizes pass (law)") {
     // boundary law on the factored-out guard (tripping the real cap would
     // need >131k distinct hot labels — the guard's arithmetic is what's
