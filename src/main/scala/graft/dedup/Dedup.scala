@@ -371,9 +371,13 @@ object Dedup {
     val intervals = mergeSpanIslands(marks, minLen)
       .select(col("id").as("iid"), col("span_start"), col("span_end"))
     val toks = graft.text.TextOps.tokens(col(textCol))
-    val tok = docs.select(col(idCol).as("id"),
+    // cut the positioned-token frame: the anti-join and the per-doc totals
+    // both consume it — one text scan for the token side instead of two
+    // (at 100 TB the raw-text column is the expensive read)
+    val tok = lineageCutLazy(docs.select(col(idCol).as("id"),
         posexplode(toks).as(Seq("t0", "token")))
-      .select(col("id"), (col("t0") + 1).cast("long").as("tp"), col("token"))
+      .select(col("id"), (col("t0") + 1).cast("long").as("tp"), col("token")))
+    val totals = tok.groupBy(col("id")).agg(count(lit(1)).as("n_toks"))
     val kept = tok.join(intervals,
       col("id") === col("iid") &&
         col("tp") >= col("span_start") && col("tp") <= col("span_end"),
@@ -385,8 +389,7 @@ object Dedup {
           array_sort(collect_list(struct(col("tp"), col("token")))),
           x => x.getField("token"))).as("clean_text"),
         count(lit(1)).as("n_kept"))
-    docs
-      .select(col(idCol).as("id"), size(toks).cast("long").as("n_toks"))
+    totals
       .join(rebuilt, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
@@ -411,13 +414,18 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"bad containment threshold $threshold")
-    val t = shingled(docs, idCol, textCol, n)
+    // cut the shingle frame once: both self-join sides and the size lookup
+    // consume it — without the cut each pays a corpus scan + shingle pass
+    // (the q64 lesson; the naive plan showed 5 FileScans / 4 Generates)
+    val t = lineageCutLazy(shingled(docs, idCol, textCol, n))
     val inv = t.select(col("id"), explode(col("s")).as("sh"))
     val a = inv.alias("a"); val b = inv.alias("b")
-    val inter = a
+    // cut the candidate aggregate too: BOTH directed union branches read it,
+    // and its recompute would replay the whole self-join
+    val inter = lineageCutLazy(a
       .join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("x_id"), col("b.id").as("y_id"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
     val szs = t.select(col("id"), col("sz"))
     val both = inter
       .select(col("x_id").as("src_id"), col("y_id").as("dst_id"), col("c"))
