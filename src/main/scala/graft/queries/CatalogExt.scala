@@ -631,6 +631,20 @@ object CatalogExt {
     Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
       n = 3, threshold = 0.7)
 
+  /** Cross-split leakage audit (the governance question q69's splitter
+    * raises: are the splits actually clean?): every TEST-split document
+    * scored for 8-gram overlap against the TRAIN split's shingle set —
+    * the q62 contamination measure pointed across the split boundary.
+    * Pure composition of assignSplits + contaminationScores. */
+  def q104SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val split = graft.curation.Curation.assignSplits(
+      Tables.documents(s, dir), "doc_id")
+    graft.curation.Curation.contaminationScores(
+      split.filter(col("split") === "test"),
+      split.filter(col("split") === "train"),
+      "doc_id", "text", n = 8)
+  }
+
   /** PCA-projection outliers: the 20 vectors farthest from the corpus
     * bulk along the principal axis — the drift/anomaly view that makes
     * the trained component (q96) actionable. */
@@ -964,6 +978,7 @@ object CatalogExt {
     "q101_duplicated_spans" -> q101DuplicatedSpans _,
     "q102_excise_dup_spans" -> q102ExciseDupSpans _,
     "q103_containment_pairs" -> q103ContainmentPairs _,
+    "q104_split_leakage"    -> q104SplitLeakage _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

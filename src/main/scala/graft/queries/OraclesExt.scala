@@ -250,6 +250,43 @@ object OraclesExt {
         |  count(*) AS n_dup_grams
         |FROM isl GROUP BY doc_id, island""".stripMargin,
 
+    // q104: the q69 split expression + the q62 contamination construction
+    // pointed across the boundary — test docs' 8-grams vs the TRAIN set
+    "q104_split_leakage" ->
+      """WITH sp AS (SELECT doc_id, text,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90.0
+        |           THEN 'train'
+        |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 95.0
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_aggregate(w[i:i+7], 'string_agg', ' ')
+        |                   for i in range(1, len(w) - 6)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM sp WHERE split = 'test')
+        |  WHERE len(w) >= 8),
+        |bt AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_aggregate(w[i:i+7], 'string_agg', ' ')
+        |                   for i in range(1, len(w) - 6)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM sp WHERE split = 'train')
+        |  WHERE len(w) >= 8),
+        |bsh AS (SELECT DISTINCT unnest(s) AS sh FROM bt),
+        |h AS (
+        |  SELECT doc_id, count(*) AS n_hits
+        |  FROM (SELECT doc_id, unnest(s) AS sh FROM t)
+        |  WHERE sh IN (SELECT sh FROM bsh) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(len(t.s), 0) AS BIGINT) AS n_ngrams,
+        |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CASE WHEN COALESCE(len(t.s), 0) > 0
+        |       THEN CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(len(t.s) AS DOUBLE)
+        |       ELSE 0.0 END AS overlap
+        |FROM (SELECT doc_id FROM sp WHERE split = 'test') d
+        |LEFT JOIN t ON d.doc_id = t.doc_id
+        |LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin,
+
     // q102: the excision replay — every non-first occurrence (row_number
     // over (gram ORDER BY doc_id, pos) >= 2) marks its interval, islands
     // merge as in q101, kept tokens rebuild in position order. Docs with

@@ -372,6 +372,21 @@ class CurationSpec extends SparkSpec {
       s"non-batchable corpus must not pay for batching: $batReal vs $seqReal")
   }
 
+  test("split-leakage audit composition: exactly the test split is audited, overlap in [0,1]") {
+    val split = Curation.assignSplits(docs, "doc_id")
+    val testIds = split.filter(col("split") === "test")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = Curation.contaminationScores(
+      split.filter(col("split") === "test"),
+      split.filter(col("split") === "train"), "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet === testIds, "one audit row per test doc, none extra")
+    got.foreach { case (id, n, hits, ov) =>
+      assert(hits <= n, s"doc $id: hits $hits > n_ngrams $n")
+      assert(ov >= 0.0 && ov <= 1.0, s"doc $id: overlap $ov out of range")
+    }
+  }
+
   test("bigramModel: handcrafted counts; conditionals sum to 1 per context") {
     val s = spark
     import s.implicits._
