@@ -2,6 +2,7 @@ package graft.curation
 
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -550,6 +551,53 @@ object Curation {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col(idCol), col("token"), col("tf"), col("dfreq"), col("score"), col("rnk"))
+  }
+
+  /**
+   * LM-based quality gate (the CCNet recipe, Wenzek et al. 2020, made
+   * exact): a document is low-quality when too much of its text is
+   * IMPROBABLE under a language model trained on the corpus itself. The
+   * perplexity proxy here is the rare-bigram ratio — the fraction of a
+   * document's bigram occurrences whose CORPUS frequency (the [[bigramModel]]
+   * `c12` statistic) falls below `minCount`. Templated/boilerplate text
+   * scores near 0 (all bigrams common); gibberish, OCR noise and
+   * wrong-language fragments score near 1. Keeping the score as the exact
+   * integer pair (n_rare, n_bigrams) and gating by the rational comparison
+   * n_rare·den <= n_bigrams·num makes the whole gate hash-checkable —
+   * no float perplexity whose log-sum order could diverge across engines.
+   *
+   * One corpus scan: per-(doc, bigram) counts roll up to corpus counts via
+   * a window over the bigram key (one shuffle on the bigram), then back to
+   * per-doc totals (one shuffle on the doc id). Documents with fewer than
+   * two tokens carry zero bigrams and pass the gate (0 <= 0).
+   */
+  def rareBigramGate(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long, maxRareNum: Int = 1, maxRareDen: Int = 10): DataFrame = {
+    require(minCount >= 1 && maxRareDen > 0 && maxRareNum >= 0,
+      s"need minCount >= 1, den > 0, num >= 0; got $minCount $maxRareNum/$maxRareDen")
+    val toks = TextOps.tokens(col(textCol))
+    val perDoc = docs
+      .select(col(idCol).as("id"), toks.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("id"), explode(
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("p"))
+      .groupBy(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val wBigram = Window.partitionBy(col("w1"), col("w2"))
+    val scored = perDoc
+      .withColumn("gcnt", sum(col("cnt")).over(wBigram))
+      .groupBy(col("id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(when(col("gcnt") < minCount, col("cnt")).otherwise(lit(0L))).as("n_rare"))
+    docs.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      .withColumn("kept",
+        col("n_rare") * maxRareDen <= col("n_bigrams") * maxRareNum)
   }
 
   def bigramModel(docs: DataFrame, textCol: String): DataFrame = {

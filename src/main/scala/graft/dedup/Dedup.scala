@@ -862,4 +862,43 @@ object Dedup {
       .select(col("l_id").as("__dirty_id")).distinct()
     corpus.join(dirty, col(idCol) === col("__dirty_id"), "left_anti")
   }
+
+  /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+   * by clustering, the production recipe for pruning paraphrase-level
+   * duplicates from web-scale pre-training corpora. Spherical k-means
+   * ([[graft.sim.Similarity.kmeansCentroids]] — fixed-point update, so the
+   * whole training loop is oracle-replayable) partitions the corpus into k
+   * cells; exact pairwise cosine is then paid ONLY within each cell, and a
+   * vector is marked a semantic duplicate when some LOWER-id vector in its
+   * cell sits at cosine >= tau (the paper's keep-one-per-epsilon-ball
+   * policy with the deterministic min-id representative).
+   *
+   * Output: one row per input vector — (id, cent_id, dup_of), `dup_of`
+   * NULL for kept representatives, else the least same-cell witness id.
+   * All-integer output: the hash law never touches a float.
+   *
+   * Scale shape: this is exactly why SemDeDup clusters first — the
+   * within-cell self-join shuffles on cent_id and costs O(Σ|cell|²)
+   * instead of O(n²); k is chosen so cells stay bounded (the paper runs
+   * 50k clusters over 5B embeddings ≈ 100k-row cells). Assignment itself
+   * is the NARROW broadcast-array argmax — the fact side never shuffles to
+   * be assigned. No driver collect anywhere.
+   */
+  def semDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, tau: Double): DataFrame = {
+    GraftFunctions.ensureRegistered(embeddings.sparkSession)
+    val cents = graft.sim.Similarity.kmeansCentroids(embeddings, idCol, vecCol, k, iters)
+    val cells = graft.sim.Similarity
+      .assignToCentroids(embeddings, cents, idCol, vecCol, 1)
+    val a = cells.select(col("cent_id"), col("x_id").as("a_id"), col("x_v").as("a_v"))
+    val b = cells.select(col("cent_id"), col("x_id").as("b_id"), col("x_v").as("b_v"))
+    val witness = a.join(b, Seq("cent_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(GraftFunctions.cosine(col("a_v"), col("b_v")) >= tau)
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
+    cells.select(col("x_id").as("id"), col("cent_id"))
+      .join(witness, col("id") === col("b_id"), "left")
+      .select(col("id"), col("cent_id"), col("dup_of"))
+  }
 }

@@ -35,4 +35,72 @@ object Prefilter {
       .filter(GraftFunctions.sortedContains(col(factKey).cast("long"), col("__keys")))
       .drop("__keys")
   }
+
+  /** The Bloom bit positions of a key: `kHashes` independent md5-derived
+    * hashes (the h-th salts the key with `h:`), each mod `mBits` — the
+    * md5-prefix idiom every mirrored oracle replays
+    * (`('0x'||substr(md5(h||':'||key),1,8))::BIGINT % m` in DuckDB). */
+  private def bloomPositions(key: org.apache.spark.sql.Column,
+      mBits: Int, kHashes: Int): Seq[org.apache.spark.sql.Column] =
+    (0 until kHashes).map { h =>
+      conv(substring(md5(concat_ws(":", lit(h), key.cast("string"))), 1, 8), 16, 10)
+        .cast("long") % mBits
+    }
+
+  /**
+   * Bloom-filter runtime pruning — [[semiJoinBySortedKeys]]'s sketch-side
+   * sibling for when the key side outgrows an exact array. The build side
+   * collapses to the SET BITS of an `mBits`-slot Bloom filter (at most
+   * min(kHashes·|keys|, mBits) longs — bounded by the filter geometry, not
+   * the key count, which is the whole point at 100 TB: a 1M-bit filter is a
+   * fixed ~8 MB broadcast whatever the build cardinality). The probe side
+   * pays `kHashes` codegen'd binary searches per row, scan-side, with NO
+   * shuffle and NO join build. One-sided error: every true match passes
+   * (no false negatives — the law the spec and the audit assert); a
+   * tunable sliver of non-matches leaks through and must be re-verified
+   * downstream if exactness is required.
+   */
+  def bloomPrune(fact: DataFrame, factKey: String,
+      keys: DataFrame, keyCol: String, mBits: Int, kHashes: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(fact.sparkSession)
+    fact.crossJoin(broadcast(bloomBits(keys, keyCol, mBits, kHashes)))
+      .filter(bloomPass(col(factKey), mBits, kHashes))
+      .drop("__bits")
+  }
+
+  /** The set-bit array of the build side's Bloom filter, collapsed to one
+    * sorted-array row for broadcast. */
+  private def bloomBits(keys: DataFrame, keyCol: String,
+      mBits: Int, kHashes: Int): DataFrame =
+    keys.select(explode(array(bloomPositions(col(keyCol), mBits, kHashes): _*))
+        .as("__pos"))
+      .agg(sort_array(collect_set(col("__pos"))).as("__bits"))
+
+  /** All-positions-set predicate over the broadcast `__bits` column. */
+  private def bloomPass(key: org.apache.spark.sql.Column,
+      mBits: Int, kHashes: Int): org.apache.spark.sql.Column =
+    bloomPositions(key, mBits, kHashes)
+      .map(p => GraftFunctions.sortedContains(p, col("__bits")))
+      .reduce(_ && _)
+
+  /** The measured-error audit of [[bloomPrune]]: every fact row flagged by
+    * both the Bloom predicate and the exact key set, rolled up to
+    * (bloom_pass, is_match, n) — three rows at most, since
+    * (bloom_pass=false, is_match=true) is impossible by the no-false-
+    * negative law. Both flags are broadcast scan-side predicates, so the
+    * only shuffle is the 4-group final aggregate. */
+  def bloomAudit(fact: DataFrame, factKey: String,
+      keys: DataFrame, keyCol: String, mBits: Int, kHashes: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(fact.sparkSession)
+    val exact = keys.agg(
+      sort_array(collect_set(col(keyCol).cast("long"))).as("__keys"))
+    fact.crossJoin(broadcast(bloomBits(keys, keyCol, mBits, kHashes)))
+      .crossJoin(broadcast(exact))
+      .select(
+        bloomPass(col(factKey), mBits, kHashes).as("bloom_pass"),
+        GraftFunctions.sortedContains(col(factKey).cast("long"), col("__keys"))
+          .as("is_match"))
+      .groupBy(col("bloom_pass"), col("is_match"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

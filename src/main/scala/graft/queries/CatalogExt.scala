@@ -645,6 +645,58 @@ object CatalogExt {
       "doc_id", "text", n = 8)
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup via the q57-trained
+    * spherical k-means cells + within-cell cosine pruning. dup_of is NULL
+    * on kept representatives, else the least same-cell witness id. tau is
+    * tuned to this corpus's near-random embeddings (real paraphrase dups
+    * sit at >= 0.9); the dataflow is threshold-independent. */
+  def q105SemDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = 16, iters = 2, tau = 0.3)
+      .withColumnRenamed("id", "vec_id")
+
+  /** LM-based quality gate (CCNet made exact): rare-bigram ratio against
+    * the corpus-trained bigram statistic, gated by rational comparison. */
+  def q106RareBigramGate(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.rareBigramGate(
+      Tables.documents(s, dir), "doc_id", "text",
+      minCount = 5, maxRareNum = 1, maxRareDen = 100)
+      .withColumnRenamed("id", "doc_id")
+
+  /** Bloom-filter runtime pruning audit: lineitem probed against a Bloom
+    * filter built from the high-value-order keys, rolled up to
+    * (bloom_pass, is_match) counts — (false, true) can never appear (the
+    * no-false-negative law), the (true, false) row measures the FP leak
+    * the filter geometry predicts. */
+  def q107BloomAudit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Prefilter.bloomAudit(
+      Tables.lineitem(s, dir), "l_orderkey",
+      Tables.orders(s, dir).filter(col("o_totalprice") > 450000.0), "o_orderkey",
+      mBits = 16384, kHashes = 3)
+
+  /** Two-stage retrieval: int8-quantized shortlist (top-40 by the
+    * scale-free integer score) -> full-precision rerank (top-10). */
+  def q108RerankKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.rerankKnn(
+      emb.filter(col("vec_id") % 25 === 0), emb, "vec_id", "embedding",
+      k1 = 40, k2 = 10)
+  }
+
+  /** Hard-negative mining over the q57-trained k-means cells: for each
+    * query, the top-10 most-similar candidates drawn ONLY from its 3
+    * nearest foreign cells (own cell excluded — that's where positives
+    * live). */
+  def q109HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 16, iters = 2)
+    Similarity.hardNegatives(
+      emb.filter(col("vec_id") % 25 === 0), emb, cents,
+      "vec_id", "embedding", j = 10, nProbe = 3)
+      .withColumnRenamed("neg_id", "neg_vec_id")
+  }
+
   /** PCA-projection outliers: the 20 vectors farthest from the corpus
     * bulk along the principal axis — the drift/anomaly view that makes
     * the trained component (q96) actionable. */
@@ -979,6 +1031,11 @@ object CatalogExt {
     "q102_excise_dup_spans" -> q102ExciseDupSpans _,
     "q103_containment_pairs" -> q103ContainmentPairs _,
     "q104_split_leakage"    -> q104SplitLeakage _,
+    "q105_semdedup"         -> q105SemDedup _,
+    "q106_rare_bigram_gate" -> q106RareBigramGate _,
+    "q107_bloom_audit"      -> q107BloomAudit _,
+    "q108_rerank_knn"       -> q108RerankKnn _,
+    "q109_hard_negatives"   -> q109HardNegatives _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

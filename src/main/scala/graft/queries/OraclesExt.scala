@@ -287,6 +287,47 @@ object OraclesExt {
         |LEFT JOIN t ON d.doc_id = t.doc_id
         |LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin,
 
+    // q105: SemDeDup — the q57 k-means CTEs verbatim, then the within-cell
+    // min-id witness join. All-integer output; the only floats live inside
+    // the (bit-identical) cosine threshold compare.
+    "q105_semdedup" -> semDedupSql,
+
+    // q106: rare-bigram gate — per-(doc,bigram) counts, corpus counts via
+    // the same window-over-bigram construction, rational-compare gate.
+    "q106_rare_bigram_gate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pd AS (
+        |  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT doc_id, w[u.i] AS w1, w[u.i + 1] AS w2
+        |    FROM tok, LATERAL (SELECT unnest(range(1, len(w))) AS i) u
+        |    WHERE len(w) >= 2)
+        |  GROUP BY doc_id, w1, w2),
+        |g AS (SELECT doc_id, cnt,
+        |        CAST(sum(cnt) OVER (PARTITION BY w1, w2) AS BIGINT) AS gcnt
+        |      FROM pd),
+        |sc AS (SELECT doc_id,
+        |         CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(CASE WHEN gcnt < 5 THEN cnt ELSE 0 END) AS BIGINT) AS n_rare
+        |       FROM g GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(sc.n_rare, 0) AS n_rare,
+        |  COALESCE(sc.n_rare, 0) * 100 <= COALESCE(sc.n_bigrams, 0) * 1 AS kept
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    // q107: Bloom audit — the identical salted-md5 bit positions
+    // (h || ':' || key idiom), set-bit membership per hash, exact-set flag,
+    // 2x2 rollup. (bloom_pass=false, is_match=true) never appears.
+    "q107_bloom_audit" -> bloomAuditSql,
+
+    // q108: two-stage retrieval — q63's quantization verbatim per side,
+    // integer-sum stage-1 score (scales cancel), exact-cosine rerank.
+    "q108_rerank_knn" -> rerankSql,
+
+    // q109: hard negatives — the q57 k-means CTEs, probes restricted to
+    // foreign cells (crnk 2..nProbe+1), exact cosine, per-query top-j.
+    "q109_hard_negatives" -> hardNegativesSql,
+
     // q102: the excision replay — every non-first occurrence (row_number
     // over (gram ORDER BY doc_id, pos) >= 2) marks its interval, islands
     // merge as in q101, kept tokens rebuild in position order. Docs with
@@ -1368,18 +1409,25 @@ object OraclesExt {
     * ASC — the engine's struct-sort order), per-(cluster,dim) fixed-point
     * mean, then normalize in double and store through a FLOAT cast exactly
     * like the engine's `.cast("float")` centroid column. */
-  private lazy val kmeansIvfSql: String = {
-    val k = 16; val iters = 2; val nProbe = 3; val topK = 10
+  /** The mirrored cosine expression every embedding oracle shares. */
+  private def cosSqlOf(a: String, b: String) =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** The shared k-means training CTE chain (`e`, `cents0` .. `cents$iters`)
+    * — the full fixed-point Lloyd loop of
+    * [[graft.sim.Similarity.kmeansCentroids]] in SQL, reused verbatim by
+    * every oracle that consumes the trained quantizer (q57 IVF, q105
+    * SemDeDup, q109 hard negatives). Replayable because the engine's init
+    * is the md5-prefix stride and its mean update is exact fixed-point. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     val scale = 1L << 24; val dim = 64
-    def cos(a: String, b: String) =
-      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
     val rounds = (1 to iters).map { i =>
       val prev = s"cents${i - 1}"
       s"""assign$i AS (
          |  SELECT vec_id, v, cent_id FROM (
          |    SELECT x.vec_id, x.v, c.cent_id,
          |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
-         |        ${cos("x.v", "c.cent_v")} DESC, c.cent_id ASC) AS crnk
+         |        ${cosSqlOf("x.v", "c.cent_v")} DESC, c.cent_id ASC) AS crnk
          |    FROM e x CROSS JOIN $prev c)
          |  WHERE crnk = 1),
          |sums$i AS (
@@ -1399,12 +1447,18 @@ object OraclesExt {
          |        list_transform(mv, x -> x * x)), (acc, x) -> acc + x)) AS nrm
          |    FROM (SELECT cid, list(m ORDER BY pos) AS mv FROM sums$i GROUP BY cid)))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cents0 AS (
        |  SELECT vec_id AS cent_id, v AS cent_v FROM e
        |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
        |        % greatest(1, (SELECT count(*) FROM e) // $k) = 0),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  private lazy val kmeansIvfSql: String = {
+    val k = 16; val iters = 2; val nProbe = 3; val topK = 10
+    def cos(a: String, b: String) = cosSqlOf(a, b)
+    s"""WITH ${kmeansCtes(k, iters)},
        |assignF AS (
        |  SELECT x.vec_id AS x_id, x.v AS x_v, c.cent_id,
        |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
@@ -1420,6 +1474,114 @@ object OraclesExt {
        |  SELECT q_id, c_id, cosine,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS BIGINT) AS rnk
        |  FROM scored) WHERE rnk <= $topK""".stripMargin
+  }
+
+  /** q105's mirror: the [[kmeansCtes]] training chain, final crnk=1
+    * assignment, then the within-cell (a_id < b_id, cosine >= tau) min-id
+    * witness — [[graft.dedup.Dedup.semDedup]] replayed end to end. */
+  private lazy val semDedupSql: String = {
+    val k = 16; val iters = 2; val tau = 0.3
+    s"""WITH ${kmeansCtes(k, iters)},
+       |assignF AS (
+       |  SELECT x.vec_id, x.v, c.cent_id,
+       |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |      ${cosSqlOf("x.v", "c.cent_v")} DESC, c.cent_id ASC) AS crnk
+       |  FROM e x CROSS JOIN cents$iters c),
+       |cells AS (SELECT vec_id, v, cent_id FROM assignF WHERE crnk = 1),
+       |w AS (
+       |  SELECT b.vec_id AS b_id, min(a.vec_id) AS dup_of
+       |  FROM cells a JOIN cells b
+       |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       |  WHERE ${cosSqlOf("a.v", "b.v")} >= $tau
+       |  GROUP BY b.vec_id)
+       |SELECT c.vec_id, c.cent_id, w.dup_of
+       |FROM cells c LEFT JOIN w ON c.vec_id = w.b_id""".stripMargin
+  }
+
+  /** q107's mirror: salted-md5 Bloom positions, the distinct set-bit
+    * table, per-hash membership conjunction, exact-set flag, 2x2 rollup. */
+  private lazy val bloomAuditSql: String = {
+    val m = 16384; val kHashes = 3
+    def pos(salt: String, key: String) =
+      s"('0x' || substr(md5('$salt:' || CAST($key AS VARCHAR)), 1, 8))::BIGINT % $m"
+    val passes = (0 until kHashes)
+      .map(h => s"${pos(h.toString, "l_orderkey")} IN (SELECT p FROM pos)")
+      .mkString("\n        AND ")
+    val buildPos = (0 until kHashes)
+      .map(h => s"SELECT ${pos(h.toString, "key")} AS p FROM k")
+      .mkString("\n    UNION\n    ")
+    s"""WITH k AS (
+       |  SELECT o_orderkey AS key FROM orders WHERE o_totalprice > 450000.0),
+       |pos AS (
+       |    $buildPos),
+       |f AS (
+       |  SELECT
+       |    ($passes) AS bloom_pass,
+       |    l_orderkey IN (SELECT key FROM k) AS is_match
+       |  FROM lineitem)
+       |SELECT bloom_pass, is_match, CAST(count(*) AS BIGINT) AS n
+       |FROM f GROUP BY bloom_pass, is_match""".stripMargin
+  }
+
+  /** q108's mirror: q63's quantization per side (round-half-away codes,
+    * zero-vector guard), stage-1 rank by the scale-free integer score
+    * dotq/sqrt(nqa*nqb) (exact longs under one IEEE divide), stage-2
+    * exact-cosine rerank over the kept k1. */
+  private lazy val rerankSql: String = {
+    val k1 = 40; val k2 = 10
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qz AS (
+       |  SELECT vec_id, v,
+       |    CASE WHEN scale = 0 THEN [CAST(0 AS BIGINT) for i in range(1, len(v) + 1)]
+       |         ELSE [CAST(round(v[i] / scale) AS BIGINT) for i in range(1, len(v) + 1)]
+       |    END AS qv
+       |  FROM (SELECT vec_id, v,
+       |          list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       |        FROM e)),
+       |qn AS (SELECT vec_id, v, qv,
+       |         CAST(list_dot_product(qv, qv) AS BIGINT) AS nq FROM qz),
+       |s1 AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        CASE WHEN q.nq > 0 AND c.nq > 0
+       |             THEN CAST(list_dot_product(q.qv, c.qv) AS DOUBLE)
+       |                  / sqrt(CAST(q.nq * c.nq AS DOUBLE))
+       |             ELSE 0.0 END DESC, c.vec_id ASC) AS rnk1
+       |    FROM qn q JOIN qn c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id % 25 = 0)
+       |  WHERE rnk1 <= $k1)
+       |SELECT q_id, c_id, rnk, cosine FROM (
+       |  SELECT s1.q_id, s1.c_id, ${cosSqlOf("q.v", "c.v")} AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY s1.q_id ORDER BY
+       |      ${cosSqlOf("q.v", "c.v")} DESC, s1.c_id ASC) AS BIGINT) AS rnk
+       |  FROM s1 JOIN e q ON s1.q_id = q.vec_id
+       |          JOIN e c ON s1.c_id = c.vec_id)
+       |WHERE rnk <= $k2""".stripMargin
+  }
+
+  /** q109's mirror: [[kmeansCtes]] + final assignment, probes = the
+    * query's crnk 2..nProbe+1 (foreign) cells, exact cosine, top-j. */
+  private lazy val hardNegativesSql: String = {
+    val k = 16; val iters = 2; val nProbe = 3; val j = 10
+    s"""WITH ${kmeansCtes(k, iters)},
+       |assignF AS (
+       |  SELECT x.vec_id, x.v, c.cent_id,
+       |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |      ${cosSqlOf("x.v", "c.cent_v")} DESC, c.cent_id ASC) AS crnk
+       |  FROM e x CROSS JOIN cents$iters c),
+       |cells AS (SELECT vec_id AS neg_id, v AS c_v, cent_id
+       |          FROM assignF WHERE crnk = 1),
+       |probes AS (SELECT vec_id AS q_id, v AS q_v, cent_id FROM assignF
+       |           WHERE crnk BETWEEN 2 AND ${nProbe + 1} AND vec_id % 25 = 0),
+       |scored AS (
+       |  SELECT p.q_id, s.neg_id, ${cosSqlOf("p.q_v", "s.c_v")} AS cosine
+       |  FROM probes p JOIN cells s USING (cent_id))
+       |SELECT q_id, neg_vec_id, rnk, cosine FROM (
+       |  SELECT q_id, neg_id AS neg_vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY
+       |      cosine DESC, neg_id ASC) AS BIGINT) AS rnk
+       |  FROM scored) WHERE rnk <= $j""".stripMargin
   }
 
   /** q53/q59's shared mirror: transitive closure over the Jaccard near-dup

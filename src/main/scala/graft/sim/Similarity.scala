@@ -113,28 +113,40 @@ object Similarity {
       (-GraftFunctions.cosine(vec, c("cent_v"))).as("neg_cos"),
       c("cent_id").as("cent_id")))), 1, n)
 
-  /** [[ivfKnn]] against an explicit centroid table (`cent_id`, `cent_v`) —
-    * e.g. one trained by [[kmeansCentroids]]. */
-  def ivfKnnWith(queries: DataFrame, candidates: DataFrame, cents: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    GraftFunctions.ensureRegistered(queries.sparkSession)
-    // One row holding every centroid, sorted by id for a deterministic array.
-    // Broadcast-joined below, this keeps assignment pipelined: no exchange,
-    // no per-row fan-out to |centroids| rows, no argmin sort — the top-n
-    // centroids fall out of an in-row array_sort. Struct comparison is
-    // lexicographic, so (-cos, cent_id) ascending == (cos desc, id asc),
-    // exactly the old row_number ordering. Ceiling: the collapsed row must
-    // fit a single Spark row (~2 GB) — fine for any sane coarse quantizer
-    // (even 2^16 centroids x 1k dims x 4 B ~ 256 MB).
+  /** Nearest-centroid assignment against the collapsed broadcast centroid
+    * array: one output row per (vector, probe) — `(x_id, x_v, cent_id)`,
+    * the vector's `n` nearest centroids by (cosine desc, cent_id asc).
+    *
+    * One row holds every centroid, sorted by id for a deterministic array.
+    * Broadcast-joined, this keeps assignment pipelined: no exchange on the
+    * fact side, no per-row fan-out to |centroids| rows, no argmin sort —
+    * the top-n centroids fall out of an in-row array_sort. Struct
+    * comparison is lexicographic, so (-cos, cent_id) ascending == (cos
+    * desc, id asc), exactly a row_number ordering. Ceiling: the collapsed
+    * row must fit a single Spark row (~2 GB) — fine for any sane coarse
+    * quantizer (even 2^16 centroids x 1k dims x 4 B ~ 256 MB). Shared by
+    * [[ivfKnnWith]], [[graft.dedup.Dedup.semDedup]] and the hard-negative
+    * miner. */
+  def assignToCentroids(df: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String, n: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
     val centArr = cents
       .agg(sort_array(collect_list(struct(col("cent_id"), col("cent_v")))).as("__cents"))
-    def assign(df: DataFrame, n: Int): DataFrame = df
-      .select(col(idCol).as("x_id"), col(vecCol).as("x_v"))
+    df.select(col(idCol).as("x_id"), col(vecCol).as("x_v"))
       .crossJoin(broadcast(centArr))
       .select(col("x_id"), col("x_v"),
         topCentroids(col("x_v"), col("__cents"), n).as("__top"))
       .select(col("x_id"), col("x_v"), explode(col("__top")).as("__tc"))
       .select(col("x_id"), col("x_v"), col("__tc.cent_id").as("cent_id"))
+  }
+
+  /** [[ivfKnn]] against an explicit centroid table (`cent_id`, `cent_v`) —
+    * e.g. one trained by [[kmeansCentroids]]. */
+  def ivfKnnWith(queries: DataFrame, candidates: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    def assign(df: DataFrame, n: Int): DataFrame =
+      assignToCentroids(df, cents, idCol, vecCol, n)
     val cells = assign(candidates, 1)
       .select(col("x_id").as("c_id"), col("x_v").as("c_v"), col("cent_id"))
     val probes = assign(queries, nProbe)
@@ -264,6 +276,100 @@ object Similarity {
           .otherwise(transform(col("v"),
             x => round(x.cast("double") / col("scale")).cast("tinyint")))
           .as("qv"))
+
+  /**
+   * Two-stage retrieval: int8-quantized shortlist, full-precision rerank —
+   * the standard SQ8-scan serving pattern (FAISS's `SQ8` flat index;
+   * IVFADC's refine step, Jégou et al. 2011). Stage 1 scores EVERY
+   * candidate against each query using only the [[quantizeInt8]] codes —
+   * a quarter of the float32 scan bandwidth, which is the dominant cost of
+   * a brute-force pass at corpus scale — and keeps the top `k1`. Stage 2
+   * pays the exact float cosine ONLY on those k1 rows per query and
+   * returns the top `k2`.
+   *
+   * The quantized score needs no scales at all: cosine of the dequantized
+   * vectors is (Σqa·qb·sa·sb)/(√(Σqa²·sa²)·√(Σqb²·sb²)) and the per-vector
+   * scales cancel, leaving dotq/√(Σqa²·Σqb²) — integer sums (exact longs)
+   * under one IEEE divide/sqrt, so the stage-1 ranking is deterministic
+   * and the oracle replays it bit-for-bit. Zero-vector guard: a vector
+   * with an all-zero code scores 0 against everything.
+   *
+   * Scale shape: stage 1 is the narrow broadcast pattern of [[cosineKnn]]
+   * (quantized queries broadcast into the candidate scan; only the
+   * per-query top-k1 window shuffles, and it carries ids + one long, not
+   * vectors); stage 2's shortlist is k1 rows per query — it broadcasts
+   * back into the full-precision candidate scan, so the expensive column
+   * is touched once, for a vanishing fraction of rows.
+   */
+  def rerankKnn(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k1: Int, k2: Int): DataFrame = {
+    require(k1 >= k2 && k2 > 0, s"need k1 >= k2 > 0, got k1=$k1 k2=$k2")
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    def codes(df: DataFrame, prefix: String): DataFrame =
+      quantizeInt8(df, idCol, vecCol)
+        .select(col("id").as(s"${prefix}_id"), col("qv").as(s"${prefix}_qv"),
+          aggregate(col("qv"), lit(0L),
+            (acc, x) => acc + x.cast("long") * x.cast("long")).as(s"${prefix}_nq"))
+    val dotq = aggregate(
+      zip_with(col("q_qv"), col("c_qv"), (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val w1 = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx").desc, col("c_id").asc)
+    val shortlist = codes(candidates, "c")
+      .crossJoin(broadcast(codes(queries, "q")))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        when(col("q_nq") > 0 && col("c_nq") > 0,
+          dotq.cast("double") / sqrt((col("q_nq") * col("c_nq")).cast("double")))
+          .otherwise(lit(0.0)).as("approx"))
+      .withColumn("rnk1", row_number().over(w1))
+      .filter(col("rnk1") <= k1)
+      .select(col("q_id"), col("c_id"))
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id").asc)
+    shortlist
+      .join(broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))),
+        "q_id")
+      .join(candidates.select(col(idCol).as("c_id"), col(vecCol).as("c_v")), "c_id")
+      .select(col("q_id"), col("c_id"),
+        GraftFunctions.cosine(col("q_v"), col("c_v")).as("cosine"))
+      .withColumn("rnk", row_number().over(w2).cast("long"))
+      .filter(col("rnk") <= k2)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("cosine"))
+  }
+
+  /**
+   * Hard-negative mining for contrastive training (the DPR/ANCE recipe:
+   * negatives that are SIMILAR but from a DIFFERENT semantic region make
+   * embedding models learn; random negatives teach nothing). For each
+   * query: rank candidates from the `nProbe` nearest FOREIGN k-means cells
+   * (the query's own cell — where the positives live — is excluded) by
+   * exact cosine, keep the top `j`.
+   *
+   * Scale shape: both assignments are the narrow broadcast-array argmax of
+   * [[assignToCentroids]]; the probe side joins cells on cent_id exactly
+   * like [[ivfKnnWith]], so cost tracks probed-cell occupancy, never n².
+   */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String, j: Int, nProbe: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    val own = assignToCentroids(queries, cents, idCol, vecCol, 1)
+      .select(col("x_id").as("q_id"), col("cent_id").as("own_cent"))
+    val probes = assignToCentroids(queries, cents, idCol, vecCol, nProbe + 1)
+      .select(col("x_id").as("q_id"), col("x_v").as("q_v"), col("cent_id"))
+      .join(own, "q_id")
+      .filter(col("cent_id") =!= col("own_cent"))
+    val cells = assignToCentroids(candidates, cents, idCol, vecCol, 1)
+      .select(col("x_id").as("neg_id"), col("x_v").as("c_v"), col("cent_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neg_id").asc)
+    probes.join(cells, "cent_id")
+      .select(col("q_id"), col("neg_id"),
+        GraftFunctions.cosine(col("q_v"), col("c_v")).as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= j)
+      .select(col("q_id"), col("neg_id"), col("rnk"), col("cosine"))
+  }
 
   /** Dequantized view of a [[quantizeInt8]] frame: v̂_i = code_i * scale
     * (float array, same shape as the source column). */

@@ -428,4 +428,26 @@ class CurationSpec extends SparkSpec {
     // every doc has at most k keywords
     got.groupBy(_._1).values.foreach(v => assert(v.length <= 2))
   }
+
+  test("rareBigramGate: gibberish rejected, templated text kept, short docs pass") {
+    val s = spark
+    import s.implicits._
+    val template = (1L to 20L).map(i => (i, "the quick brown fox jumps"))
+    val corpus = (template ++ Seq(
+      (100L, "zxq wvu poi lkj mnb"), // every bigram unique in the corpus
+      (101L, "hello")))              // no bigrams at all
+      .toDF("doc_id", "text")
+    val out = Curation.rareBigramGate(corpus, "doc_id", "text",
+      minCount = 2, maxRareNum = 1, maxRareDen = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // the template's bigrams appear 20x -> zero rare, kept
+    (1L to 20L).foreach { i =>
+      assert(out(i) === ((4L, 0L, true)), s"doc $i: ${out(i)}")
+    }
+    // gibberish: all 4 bigrams have corpus count 1 < 2 -> ratio 1 > 1/10
+    assert(out(100L) === ((4L, 4L, false)))
+    // a doc with fewer than two tokens carries no bigrams and passes
+    assert(out(101L) === ((0L, 0L, true)))
+  }
 }

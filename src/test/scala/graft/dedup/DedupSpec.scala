@@ -451,4 +451,51 @@ class DedupSpec extends SparkSpec {
     assert(out.length === 1)
     assert((out.head.getLong(0), out.head.getLong(1)) === (1L, 2L))
   }
+
+  test("semDedup: exact copies collapse to the min-id witness; kept set pairwise below tau") {
+    val s = spark
+    import s.implicits._
+    // orthogonal basis directions + exact copies with higher ids: the only
+    // >= tau pairs are the copy families, whatever the trained cells are
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), // copy of 0
+      (11L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), // copy of 0
+      (12L, Seq(0.0f, 1.0f, 0.0f, 0.0f))) // copy of 1
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(e, "vec_id", "embedding", k = 2, iters = 1, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    // one row per input
+    assert(out.keySet === Set(0L, 1L, 2L, 10L, 11L, 12L))
+    // copies always share their original's cell (identical vectors ->
+    // identical argmax), so the min-id witness is the original
+    assert(out(10L) === Some(0L) && out(11L) === Some(0L) && out(12L) === Some(1L))
+    assert(out(0L).isEmpty && out(1L).isEmpty && out(2L).isEmpty)
+  }
+
+  test("semDedup on the fixture corpus: kept representatives are pairwise below tau within each cell") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val tau = 0.3
+    val out = Dedup.semDedup(emb, "vec_id", "embedding", k = 4, iters = 1, tau = tau)
+    val kept = out.filter(col("dup_of").isNull)
+      .select(col("id"), col("cent_id"))
+    // brute-force check: no same-cell kept pair at >= tau (the greedy
+    // min-id policy guarantees it: if cos(a,b) >= tau and a < b then b
+    // carries a witness)
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byCell = kept.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).values
+    byCell.foreach { members =>
+      val ids = members.map(_._1).sorted
+      for (i <- ids.indices; jj <- i + 1 until ids.size)
+        assert(!pairs.contains((ids(i), ids(jj))),
+          s"kept pair ${ids(i)},${ids(jj)} above tau in one cell")
+    }
+    // dup_of is always a lower id
+    out.filter(col("dup_of").isNotNull).collect()
+      .foreach(r => assert(r.getLong(2) < r.getLong(0)))
+  }
 }

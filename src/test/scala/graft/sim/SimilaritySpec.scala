@@ -238,4 +238,67 @@ class SimilaritySpec extends SparkSpec {
     // every input id survives the outer join (topN larger than the union)
     assert(got.map(_._1).toSet === Set(1L, 2L, 3L, 4L))
   }
+
+  test("rerankKnn with a full shortlist equals exact cosineKnn (law)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val n = emb.count().toInt
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val exact = Similarity.cosineKnn(queries, emb, "vec_id", "embedding", 10)
+      .collect().map(key).toSet
+    // k1 = n-1 shortlists every candidate, so stage 2 IS the exact scan
+    val rr = Similarity.rerankKnn(queries, emb, "vec_id", "embedding",
+      k1 = n - 1, k2 = 10).collect().map(key).toSet
+    assert(rr === exact)
+  }
+
+  test("rerankKnn: int8 shortlist at k1 = 4*k2 keeps high recall vs exact") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.cosineKnn(queries, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rr = Similarity.rerankKnn(queries, emb, "vec_id", "embedding",
+      k1 = 40, k2 = 10).collect()
+    // per-query output shape: exactly k2 rows, ranks 1..k2
+    rr.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq === (1L to 10L))
+    }
+    val recall = exact.intersect(rr.map(r => (r.getLong(0), r.getLong(1))).toSet)
+      .size.toDouble / exact.size
+    // int8 codes rank nearly as well as float32: a 4x shortlist recovers
+    // the exact top-10 almost always
+    assert(recall >= 0.9, s"rerank recall@10 = $recall")
+  }
+
+  test("hardNegatives: only foreign cells, exact cosines, per-query shape") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val out = Similarity.hardNegatives(queries, emb, cents,
+      "vec_id", "embedding", j = 5, nProbe = 2).collect()
+    assert(out.nonEmpty)
+    // cell of every id under the same trained quantizer
+    val cell = Similarity.assignToCentroids(emb, cents, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach { r =>
+      val (q, neg) = (r.getLong(0), r.getLong(1))
+      assert(cell(neg) !== cell(q), s"negative $neg shares query $q's cell")
+    }
+    // reported cosines are the exact pair cosines
+    val exactCos = Similarity.cosineKnn(queries, emb, "vec_id", "embedding", 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    out.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(1)))
+        .foreach(c => assert(c === r.getDouble(3)))
+    }
+    // shape: at most j rows per query, ranks contiguous from 1
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val rnks = rows.map(_.getLong(2)).sorted.toSeq
+      assert(rnks === (1L to rnks.size))
+      assert(rnks.size <= 5)
+    }
+  }
 }
