@@ -889,8 +889,11 @@ object Dedup {
       k: Int, iters: Int, tau: Double): DataFrame = {
     GraftFunctions.ensureRegistered(embeddings.sparkSession)
     val cents = graft.sim.Similarity.kmeansCentroids(embeddings, idCol, vecCol, k, iters)
-    val cells = graft.sim.Similarity
-      .assignToCentroids(embeddings, cents, idCol, vecCol, 1)
+    // one materialized assignment: the self-join below references cells on
+    // BOTH sides (plus the output base) — without the cut each reference
+    // re-scans and re-assigns the full corpus
+    val cells = lineageCut(graft.sim.Similarity
+      .assignToCentroids(embeddings, cents, idCol, vecCol, 1))
     val a = cells.select(col("cent_id"), col("x_id").as("a_id"), col("x_v").as("a_v"))
     val b = cells.select(col("cent_id"), col("x_id").as("b_id"), col("x_v").as("b_v"))
     val witness = a.join(b, Seq("cent_id"))

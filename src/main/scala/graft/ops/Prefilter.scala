@@ -36,16 +36,21 @@ object Prefilter {
       .drop("__keys")
   }
 
-  /** The Bloom bit positions of a key: `kHashes` independent md5-derived
-    * hashes (the h-th salts the key with `h:`), each mod `mBits` — the
-    * md5-prefix idiom every mirrored oracle replays
-    * (`('0x'||substr(md5(h||':'||key),1,8))::BIGINT % m` in DuckDB). */
+  /** The Bloom bit positions of a key: ONE md5 digest per key, split into
+    * `kHashes` disjoint 8-hex (32-bit) windows, each mod `mBits` — digest
+    * splitting (the Kirsch-Mitzenmacher observation: independent windows of
+    * one strong hash behave like independent hashes) costs one digest per
+    * probe instead of k, and stays the md5-prefix idiom every mirrored
+    * oracle replays (`('0x'||substr(md5(key),1+8h,8))::BIGINT % m`).
+    * Ceiling: 32 hex chars / 8 ⇒ kHashes <= 4. */
   private def bloomPositions(key: org.apache.spark.sql.Column,
-      mBits: Int, kHashes: Int): Seq[org.apache.spark.sql.Column] =
+      mBits: Int, kHashes: Int): Seq[org.apache.spark.sql.Column] = {
+    require(kHashes >= 1 && kHashes <= 4, s"digest has 4 windows, got k=$kHashes")
+    val digest = md5(key.cast("string"))
     (0 until kHashes).map { h =>
-      conv(substring(md5(concat_ws(":", lit(h), key.cast("string"))), 1, 8), 16, 10)
-        .cast("long") % mBits
+      conv(substring(digest, 1 + 8 * h, 8), 16, 10).cast("long") % mBits
     }
+  }
 
   /**
    * Bloom-filter runtime pruning — [[semiJoinBySortedKeys]]'s sketch-side

@@ -1498,17 +1498,18 @@ object OraclesExt {
        |FROM cells c LEFT JOIN w ON c.vec_id = w.b_id""".stripMargin
   }
 
-  /** q107's mirror: salted-md5 Bloom positions, the distinct set-bit
-    * table, per-hash membership conjunction, exact-set flag, 2x2 rollup. */
+  /** q107's mirror: one md5 digest per key split into 8-hex windows (the
+    * engine's digest-splitting), the distinct set-bit table, per-window
+    * membership conjunction, exact-set flag, 2x2 rollup. */
   private lazy val bloomAuditSql: String = {
     val m = 16384; val kHashes = 3
-    def pos(salt: String, key: String) =
-      s"('0x' || substr(md5('$salt:' || CAST($key AS VARCHAR)), 1, 8))::BIGINT % $m"
+    def pos(h: Int, key: String) =
+      s"('0x' || substr(md5(CAST($key AS VARCHAR)), ${1 + 8 * h}, 8))::BIGINT % $m"
     val passes = (0 until kHashes)
-      .map(h => s"${pos(h.toString, "l_orderkey")} IN (SELECT p FROM pos)")
+      .map(h => s"${pos(h, "l_orderkey")} IN (SELECT p FROM pos)")
       .mkString("\n        AND ")
     val buildPos = (0 until kHashes)
-      .map(h => s"SELECT ${pos(h.toString, "key")} AS p FROM k")
+      .map(h => s"SELECT ${pos(h, "key")} AS p FROM k")
       .mkString("\n    UNION\n    ")
     s"""WITH k AS (
        |  SELECT o_orderkey AS key FROM orders WHERE o_totalprice > 450000.0),
