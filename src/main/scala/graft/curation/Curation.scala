@@ -422,6 +422,49 @@ object Curation {
   }
 
   /**
+   * BPE ENCODE — the apply side of [[bpeMerges]]: segment every document
+   * with a trained merge table, exactly as a tokenizer would before id
+   * lookup. Same word-internal representation as training (`|s1||s2|…`),
+   * and the same greedy semantics: merges applied in rank order, each one
+   * a literal left-to-right non-overlapping `replace` per word — which is
+   * BPE inference by merge priority.
+   *
+   * The merge table is collected to the driver (it is VOCABULARY-sized by
+   * construction — `nMerges` rows, the same object a production tokenizer
+   * ships as a file) and folded into ONE per-row column expression: k
+   * chained codegen'd string replaces inside a `transform` over the token
+   * array. No shuffle, no join, no UDF — encoding is a map over the scan,
+   * which is what lets it run on 100 TB as a single pass.
+   *
+   * Output per document: the encoded piece sequence (space-joined), raw
+   * token count, piece count, and pieces-per-token (one IEEE division) —
+   * the length statistic packing and cost estimation consume.
+   */
+  def bpeEncode(docs: DataFrame, textCol: String, idCol: String,
+      mergeTable: DataFrame): DataFrame = {
+    val merges = mergeTable
+      .select(col("merge_rank"), col("l_sym"), col("r_sym"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val bars = (t: Column) => concat(lit("|"),
+      array_join(filter(split(t, ""), c => length(c) > 0), "||"), lit("|"))
+    val encodeWord = (t: Column) =>
+      merges.foldLeft(bars(t)) { case (repr, (l, r)) =>
+        replace(repr, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+      }
+    val pieces = flatten(transform(TextOps.tokens(col(textCol)),
+      t => split(trim(encodeWord(t), "|"), "\\|\\|")))
+    docs.select(
+      col(idCol),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+      size(pieces).cast("long").as("n_pieces"),
+      array_join(pieces, " ").as("encoded"))
+      .withColumn("pieces_per_token",
+        col("n_pieces").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /**
    * Sequence packing for pretraining batches: the PER-DOCUMENT bin
    * assignment `(id, shard, bin_in_shard, n_tokens)` a batch assembler
    * actually consumes. Documents are sharded by id range (`shardSize` docs

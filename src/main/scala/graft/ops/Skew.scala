@@ -41,4 +41,39 @@ object Skew {
       .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
       .groupBy(col(keyCol))
       .agg(sum(col("__n")).as("n"), sum(col("__s")).as("total"))
+
+  /**
+   * Salted replicate join: the shuffle-join rewrite for a fact side whose
+   * join key is too skewed for one reducer AND a dim side too large to
+   * broadcast (the case AQE's skew split handles only per-detected
+   * partition, and `broadcast()` can't handle at all).
+   *
+   * Fact rows get a deterministic salt in [0, salts); every dim row is
+   * replicated to ALL `salts` values (one `explode(sequence(...))` — no
+   * shuffle on the dim side beyond the join's own). The equi-join then runs
+   * on (key, salt), so a key with 10⁹ fact rows spreads over `salts`
+   * reducers instead of one. Inner-join semantics are untouched: each fact
+   * row meets exactly the dim rows of its key, at its own salt (law-tested
+   * against the plain join in SkewSpec).
+   *
+   * At 100 TB: cost = dim side inflated `salts`× through the shuffle —
+   * pick `salts` ≈ hot-key partition count, not hundreds. Dim-side
+   * duplicate keys are fine (each fact row still sees every match once);
+   * use left/right variants only after thinking through null-extension
+   * (unmatched FACT rows never duplicate — their salt is single — so
+   * `left_outer` is also safe; unmatched DIM rows would appear `salts`
+   * times, so right/full outer are deliberately not offered).
+   */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"saltedJoin supports inner/left joins only, got $joinType")
+    val saltedFact = fact.withColumn("__fsalt", rowSalt(fact, salts))
+    val saltedDim = dim.withColumn("__dsalt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim,
+        saltedFact(factKey) === saltedDim(dimKey) &&
+          col("__fsalt") === col("__dsalt"), joinType)
+      .drop("__fsalt", "__dsalt")
+  }
 }

@@ -697,6 +697,31 @@ object CatalogExt {
       .withColumnRenamed("neg_id", "neg_vec_id")
   }
 
+  /** Salted replicate join as a catalog verb: lineitem ⋈ supplier forced
+    * through the (key, salt) rewrite — the shuffle shape for a fact key
+    * too skewed for one reducer over a dim too large to broadcast — then
+    * rolled up per nation. SkewSpec proves row-equality with the plain
+    * join; the oracle IS the plain join, so the hash-match re-proves it
+    * on real data every round. */
+  def q110SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_suppkey"), col("l_quantity"))
+    val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    graft.ops.Skew.saltedJoin(li, sup, "l_suppkey", "s_suppkey", salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+  }
+
+  /** BPE encode — the apply side of q75: train the 8-merge table, then
+    * segment every document with it in one shuffle-free pass (the merge
+    * chain folded into per-row codegen'd replaces). The oracle replays
+    * training AND encoding end to end. */
+  def q111BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.curation.Curation.bpeEncode(docs, "text", "doc_id",
+      graft.curation.Curation.bpeMerges(docs, "text", nMerges = 8))
+  }
+
   /** PCA-projection outliers: the 20 vectors farthest from the corpus
     * bulk along the principal axis — the drift/anomaly view that makes
     * the trained component (q96) actionable. */
@@ -1036,6 +1061,8 @@ object CatalogExt {
     "q107_bloom_audit"      -> q107BloomAudit _,
     "q108_rerank_knn"       -> q108RerankKnn _,
     "q109_hard_negatives"   -> q109HardNegatives _,
+    "q110_salted_join"      -> q110SaltedJoin _,
+    "q111_bpe_encode"       -> q111BpeEncode _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

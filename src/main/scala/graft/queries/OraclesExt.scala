@@ -328,6 +328,19 @@ object OraclesExt {
     // foreign cells (crnk 2..nProbe+1), exact cosine, per-query top-j.
     "q109_hard_negatives" -> hardNegativesSql,
 
+    // q110: the salted replicate join's contract IS the plain join — the
+    // oracle states it directly, so the hash-match is the equality law on
+    // real data
+    "q110_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
+
+    // q111: BPE training replayed, then the encode chain applied per word
+    // inside each document (see bpeEncodeSql)
+    "q111_bpe_encode" -> bpeEncodeSql(8),
+
     // q102: the excision replay — every non-first occurrence (row_number
     // over (gram ORDER BY doc_id, pos) >= 2) marks its interval, islands
     // merge as in q101, kept tokens rebuild in position order. Docs with
@@ -1194,10 +1207,12 @@ object OraclesExt {
        |SELECT node, rank FROM r$k""".stripMargin
   }
 
-  private def bpeSql(k: Int): String = {
-    // MATERIALIZED is load-bearing: each round references its predecessor
-    // several times (pair CTE + argmax scalar subqueries + the replace),
-    // so default CTE inlining would expand the plan exponentially in k
+  /** The shared BPE training replay: `tok`, `v0`, and the k chained
+    * (pair-count → argmax → replace) rounds, ending at `b1..bk`/`vk`.
+    * MATERIALIZED is load-bearing: each round references its predecessor
+    * several times (pair CTE + argmax scalar subqueries + the replace),
+    * so default CTE inlining would expand the plan exponentially in k. */
+  private def bpeRoundCtes(k: Int): String = {
     val rounds = (1 to k).map { r =>
       s"""p$r AS MATERIALIZED (
          |  SELECT pr.l AS l, pr.r AS r, sum(n) AS cnt FROM (
@@ -1211,17 +1226,55 @@ object OraclesExt {
          |           '|' || (SELECT l FROM b$r) || (SELECT r FROM b$r) || '|') AS repr, n
          |  FROM v${r - 1})""".stripMargin
     }.mkString(",\n")
-    val out = (1 to k).map { r =>
-      s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS l_sym, r AS r_sym, " +
-        s"l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b$r"
-    }.mkString("\nUNION ALL\n")
-    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    s"""tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
        |v0 AS MATERIALIZED (
        |  SELECT '|' || list_aggregate(regexp_split_to_array(w, ''), 'string_agg', '||') || '|' AS repr,
        |         count(*) AS n
        |  FROM tok GROUP BY w),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeSql(k: Int): String = {
+    val out = (1 to k).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS l_sym, r AS r_sym, " +
+        s"l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeRoundCtes(k)}
        |$out""".stripMargin
+  }
+
+  /** q111: training replayed (bpeRoundCtes), then every document encoded
+    * with the learned chain — the same per-word bar representation and the
+    * same k literal replaces in rank order, applied inside a list
+    * comprehension so word order (and thus the joined piece sequence) is
+    * the document's own. */
+  private def bpeEncodeSql(k: Int): String = {
+    // DuckDB forbids subqueries inside lambdas, so the k merge pairs are
+    // hoisted into one cross-joined row (m) and the chain references its
+    // columns — plain outer-column capture, which lambdas do allow
+    val mergeRow = (1 to k).map { r =>
+      s"(SELECT l FROM b$r) AS l$r, (SELECT r FROM b$r) AS r$r"
+    }.mkString(",\n    ")
+    val wordRepr =
+      "'|' || list_aggregate(regexp_split_to_array(w, ''), 'string_agg', '||') || '|'"
+    val chain = (1 to k).foldLeft(wordRepr) { (prev, r) =>
+      s"""replace($prev,
+         |  '|' || m.l$r || '||' || m.r$r || '|',
+         |  '|' || m.l$r || m.r$r || '|')""".stripMargin
+    }
+    s"""WITH ${bpeRoundCtes(k)},
+       |m AS MATERIALIZED (SELECT
+       |    $mergeRow),
+       |enc AS MATERIALIZED (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |    flatten([string_split(trim($chain, '|'), '||')
+       |             for w in string_split(text, ' ')]) AS ps
+       |  FROM documents CROSS JOIN m)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(len(ps) AS BIGINT) AS n_pieces,
+       |  list_aggregate(ps, 'string_agg', ' ') AS encoded,
+       |  CAST(len(ps) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS pieces_per_token
+       |FROM enc""".stripMargin
   }
 
   private lazy val packAssignSql: String =

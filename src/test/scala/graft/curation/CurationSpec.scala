@@ -345,6 +345,38 @@ class CurationSpec extends SparkSpec {
       table(Curation.bpeMerges(corpus, "text", 16, batchK = 1)))
   }
 
+  test("bpeEncode: greedy segmentation by merge rank, edge words, corpus bounds") {
+    val s = spark
+    import s.implicits._
+    val train = Seq("aa aa ab").toDF("text").withColumn("doc_id", lit(1L))
+    // training learns exactly [(a,a)] (count 2 beats (a,b) count 1 — and
+    // after merging (a,a), no pair reaches count 2)
+    val merges = Curation.bpeMerges(train, "text", nMerges = 1)
+    val enc = Curation.bpeEncode(train, "text", "doc_id", merges).collect().head
+    // "aa"→[aa], "aa"→[aa], "ab"→[a,b] in document order
+    assert(enc.getAs[String]("encoded") === "aa aa a b")
+    assert(enc.getAs[Long]("n_tokens") === 3L)
+    assert(enc.getAs[Long]("n_pieces") === 4L)
+    // merge RANK order is the greedy priority: with merges [(a,b),(ab,c)]
+    // the word "abc" becomes one piece; with only [(b,c)] it stays "a bc"
+    val abc = Seq("abc").toDF("text").withColumn("doc_id", lit(1L))
+    val m2 = Curation.bpeMerges(Seq.fill(10)("abc").toDF("text"), "text", 2)
+    assert(Curation.bpeEncode(abc, "text", "doc_id", m2)
+      .collect().head.getAs[String]("encoded") === "abc")
+    // empty merge table = pure character segmentation
+    val m0 = merges.filter(lit(false))
+    assert(Curation.bpeEncode(abc, "text", "doc_id", m0)
+      .collect().head.getAs[String]("encoded") === "a b c")
+    // corpus bounds: one piece per token at least, one per character at
+    // most; ratio column consistent
+    val corpus = Curation.bpeEncode(docs, "text", "doc_id",
+      Curation.bpeMerges(docs, "text", 8))
+    assert(corpus.filter(col("n_pieces") < col("n_tokens")).count() === 0L)
+    assert(corpus.filter(
+      col("pieces_per_token") =!=
+        col("n_pieces").cast("double") / col("n_tokens").cast("double")).count() === 0L)
+  }
+
   test("bpeMerges batching: measurably fewer Spark jobs than one-merge rounds") {
     // job ids are globally monotone, so the id delta over a body IS its job
     // count (tests run single-threaded; no listener-bus race to wait out)
