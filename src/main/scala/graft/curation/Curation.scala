@@ -465,6 +465,74 @@ object Curation {
   }
 
   /**
+   * DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+   * Models via Importance Resampling"): score every document by how much
+   * more likely its hashed-unigram features are under the TARGET
+   * distribution (here: the [[ruleGate]]-passing subset) than under the
+   * RAW corpus distribution — the data-selection statistic that resamples
+   * a raw crawl toward a quality domain. Laplace-smoothed bucket models:
+   * weight(doc) = Σ_tokens [lg(ct+1) - lg(tot_t+B) - lg(cr+1) + lg(tot_r+B)].
+   *
+   * Exactness stance (the engine's no-transcendentals discipline): true
+   * DSIR sums natural logs, but cross-engine `ln` is not bit-reproducible,
+   * so `lg` here is the EXACT-ARITHMETIC piecewise-linear log2 —
+   * lg(x) = (L-1) + (x - 2^(L-1)) / 2^(L-1), L = bitlength(x) via
+   * `length(bin(x))` — every term an integer op, one IEEE divide, one IEEE
+   * add, all exactly specified, so the weight is bit-identical in any
+   * IEEE-754 engine and the DuckDB oracle replays it to the hash. Within
+   * an octave lg is linear and at octave boundaries continuous, so it is
+   * strictly monotone with max |lg - log2| = 0.0861 bits: probability
+   * ORDER is exact, magnitudes are within 9% of true log2 — the trade a
+   * deterministic pipeline makes, with the `ln` variant one expression
+   * swap away.
+   *
+   * Scale shape (DSIR's own): training = two geometry-bounded aggregates
+   * (B hashed-bucket counts over target tokens and raw tokens); the B
+   * per-bucket contribution doubles are collected — bounded by FILTER
+   * GEOMETRY like the Bloom builder's bit array, never by data size — and
+   * embedded as one array literal. Scoring = a pure map over the scan:
+   * per document, a FIXED-ORDER fold (Spark `aggregate` ≡ DuckDB
+   * `list_reduce`) of per-token array lookups. No join, no shuffle on the
+   * apply side — selection runs as a single pass over 100 TB.
+   */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20] (the contribution table is collected), got $buckets")
+    def bucket(t: Column): Column =
+      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+    // piecewise-linear log2 of a positive integral column, exact arithmetic
+    def lg(x: Column): Column = {
+      val len = length(bin(x))
+      val p = call_function("shiftleft", lit(1L), len - 1)
+      (len - 1).cast("double") + (x - p).cast("double") / p.cast("double")
+    }
+    val tgtIds = ruleGate(docs, idCol, textCol).filter(col("pass")).select(col(idCol))
+    def bucketCounts(d: DataFrame, name: String): DataFrame = d
+      .select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(bucket(col("tok")).as("b")).agg(count(lit(1)).as(name))
+    val dom = docs.sparkSession.range(buckets).select(col("id").as("b"))
+    val c = dom
+      .join(bucketCounts(docs.join(tgtIds, Seq(idCol), "left_semi"), "ct"),
+        Seq("b"), "left_outer")
+      .join(bucketCounts(docs, "cr"), Seq("b"), "left_outer")
+      .na.fill(0L, Seq("ct", "cr"))
+    val tot = c.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val contribs = c.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (((lg(col("ct") + 1) - lg(col("tt") + buckets))
+          - lg(col("cr") + 1)) + lg(col("tr") + buckets)).as("w"))
+      .orderBy(col("b")).collect().map(_.getDouble(1))
+    require(contribs.length == buckets, s"bucket domain must be total")
+    val ws = typedLit(contribs.toSeq)
+    docs.select(col(idCol),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+      aggregate(TextOps.tokens(col(textCol)), lit(0.0),
+        (acc, t) => acc + element_at(ws, (bucket(t) + 1).cast("int")))
+        .as("dsir_weight"))
+  }
+
+  /**
    * Sequence packing for pretraining batches: the PER-DOCUMENT bin
    * assignment `(id, shard, bin_in_shard, n_tokens)` a batch assembler
    * actually consumes. Documents are sharded by id range (`shardSize` docs

@@ -722,6 +722,15 @@ object CatalogExt {
       graft.curation.Curation.bpeMerges(docs, "text", nMerges = 8))
   }
 
+  /** DSIR importance weights: hashed-unigram likelihood ratio of every
+    * document between the rule-gate-passing target subset and the raw
+    * corpus — trained as two 64-bucket aggregates, applied as a
+    * shuffle-free fold over the scan (see Curation.dsirWeights for the
+    * exact-arithmetic log2 that makes the oracle replay bit-exact). */
+  def q112DsirWeights(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.dsirWeights(
+      Tables.documents(s, dir), "doc_id", "text", buckets = 64)
+
   /** PCA-projection outliers: the 20 vectors farthest from the corpus
     * bulk along the principal axis — the drift/anomaly view that makes
     * the trained component (q96) actionable. */
@@ -1063,6 +1072,7 @@ object CatalogExt {
     "q109_hard_negatives"   -> q109HardNegatives _,
     "q110_salted_join"      -> q110SaltedJoin _,
     "q111_bpe_encode"       -> q111BpeEncode _,
+    "q112_dsir_weights"     -> q112DsirWeights _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

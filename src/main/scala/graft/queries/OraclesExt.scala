@@ -341,6 +341,11 @@ object OraclesExt {
     // inside each document (see bpeEncodeSql)
     "q111_bpe_encode" -> bpeEncodeSql(8),
 
+    // q112: DSIR replayed end to end — target subset via the q72 gate,
+    // two bucket-count aggregates, then the per-doc fixed-order fold of
+    // piecewise-linear-log2 contributions (see dsirSql)
+    "q112_dsir_weights" -> dsirSql(64),
+
     // q102: the excision replay — every non-first occurrence (row_number
     // over (gram ORDER BY doc_id, pos) >= 2) marks its interval, islands
     // merge as in q101, kept tokens rebuild in position order. Docs with
@@ -1275,6 +1280,65 @@ object OraclesExt {
        |  list_aggregate(ps, 'string_agg', ' ') AS encoded,
        |  CAST(len(ps) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS pieces_per_token
        |FROM enc""".stripMargin
+  }
+
+  /** q112: the DSIR replay. `lg` is the engine's exact-arithmetic
+    * piecewise-linear log2 — (L-1) + (x - 2^(L-1)) / 2^(L-1) with
+    * L = length(bin(x)) — integer ops, one IEEE divide, one IEEE add, so
+    * DuckDB reproduces Spark's doubles bit-for-bit (same parenthesization
+    * on both sides, which IS the determinism contract). Target subset =
+    * the q72 gate's pass set; per-doc weight = the fixed-order
+    * `list_reduce` fold of per-token bucket contributions, mirroring the
+    * engine's `aggregate` over the token array. */
+  private def dsirSql(bk: Int): String = {
+    def bucket(x: String): String =
+      s"CAST(('0x' || substr(md5($x), 1, 8))::BIGINT % $bk AS BIGINT)"
+    def lg(x: String): String = {
+      val p = s"(CAST(1 AS BIGINT) << (length(bin($x)) - 1))"
+      s"(CAST(length(bin($x)) - 1 AS DOUBLE) + CAST(($x) - $p AS DOUBLE) / CAST($p AS DOUBLE))"
+    }
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(w, t -> CAST(length(t) AS BIGINT))),
+       |         (acc, x) -> acc + x) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_tok,
+       |    CAST(len(list_filter(w, t -> t IN $stop)) AS BIGINT) AS n_stop,
+       |    CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_ngrams,
+       |    CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                            for i in range(1, len(w) - 1)])) AS BIGINT) AS n_distinct
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |tgt AS (
+       |  SELECT d.doc_id, d.text FROM documents d JOIN s USING (doc_id)
+       |  WHERE (s.n_tokens BETWEEN 20 AND 90)
+       |    AND (s.avg_tok >= 3.0 AND s.avg_tok <= 8.0)
+       |    AND (s.n_stop >= 2)
+       |    AND ((CASE WHEN s.n_ngrams > 0
+       |               THEN 1.0 - CAST(s.n_distinct AS DOUBLE) / CAST(s.n_ngrams AS DOUBLE)
+       |               ELSE 0.0 END) <= 0.2)),
+       |tc AS (SELECT ${bucket("tok")} AS b, count(*) AS ct
+       |       FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM tgt) GROUP BY 1),
+       |rc AS (SELECT ${bucket("tok")} AS b, count(*) AS cr
+       |       FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1),
+       |c AS (
+       |  SELECT CAST(dom.b AS BIGINT) AS b,
+       |    CAST(coalesce(tc.ct, 0) AS BIGINT) AS ct,
+       |    CAST(coalesce(rc.cr, 0) AS BIGINT) AS cr
+       |  FROM (SELECT unnest(range(0, $bk)) AS b) dom
+       |  LEFT JOIN tc ON tc.b = dom.b LEFT JOIN rc ON rc.b = dom.b),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM c),
+       |wt AS (
+       |  SELECT b, ((${lg("ct + 1")} - ${lg(s"tt + $bk")}) - ${lg("cr + 1")})
+       |           + ${lg(s"tr + $bk")} AS w
+       |  FROM c CROSS JOIN tot),
+       |arr AS (SELECT list(w ORDER BY b) AS ws FROM wt)
+       |SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(string_split(text, ' '),
+       |        t -> ws[${bucket("t")} + 1])),
+       |    (a, x) -> a + x) AS dsir_weight
+       |FROM documents CROSS JOIN arr""".stripMargin
   }
 
   private lazy val packAssignSql: String =
