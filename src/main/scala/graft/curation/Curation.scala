@@ -727,4 +727,131 @@ object Curation {
       .select(col("w1"), col("w2"), col("c12"), col("c1"),
         (col("c12").cast("double") / col("c1").cast("double")).as("p_next"))
   }
+
+  /**
+   * Per-domain document cap (the "no domain dominates" curation rule —
+   * web-crawl assembly caps any single host's contribution before mixing):
+   * keep at most `cap` documents per domain, selected by the deterministic
+   * md5 order of [[hashPct]]'s idiom (uncorrelated with id order,
+   * replayable by the oracle), ties on id.
+   *
+   * Scale shape — deliberately NOT a per-domain row_number window (one
+   * task per domain: a mega-host at crawl scale serializes through a
+   * single reducer): the bounded-heap [[graft.functions.TopKAgg]] typed
+   * Aggregator instead, so partial aggregation caps every map partition
+   * at `cap` rows per domain BEFORE the exchange — the shuffle carries
+   * O(cap × partitions) rows per domain, never the domain's row count.
+   * Output: (domain, doc_id, rk) for kept docs, rk 1-based in hash order.
+   */
+  def domainCap(docs: DataFrame, idCol: String, domainCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col(domainCol).as("domain"), col(idCol).cast("long").as("id"),
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      // TopKAgg keeps (score DESC, id ASC); negate the 32-bit hash (exact
+      // in double) so "top" = smallest hash first — the sample order
+      .mapValues(r => (-r._3.toDouble, r._2))
+      .agg(graft.functions.TopKAgg.topK(cap).toColumn.name("top"))
+      .toDF("domain", "top")
+      .select(col("domain"), posexplode(col("top")))
+      .select(col("domain"), col("col._2").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
+  /** Piecewise-linear log2 of a positive integral column — the engine's
+    * exact-arithmetic `lg` (see [[dsirWeights]] for the error analysis:
+    * strictly monotone, max 0.0861 bits off true log2, bit-identical in
+    * any IEEE-754 engine). Shared by DSIR, [[domainDivergence]] and
+    * [[weightedSample]]. */
+  private[graft] def lg(x: Column): Column = {
+    val len = length(bin(x))
+    val p = call_function("shiftleft", lit(1L), len - 1)
+    (len - 1).cast("double") + (x - p).cast("double") / p.cast("double")
+  }
+
+  /**
+   * Per-domain distribution drift: KL(domain ‖ corpus) in bits over
+   * hashed-unigram buckets — the monitoring statistic that flags a source
+   * whose token distribution diverges from the corpus (templated spam, a
+   * language mix-up, a scraper gone wrong) without materializing
+   * vocabularies. KL_d = Σ_b (ct_db/tot_d)·(lg ct_db − lg tot_d − lg cr_b
+   * + lg tot), summed over the domain's NON-EMPTY buckets (p_b = 0 terms
+   * vanish; q_b ≥ p_b > 0 there, so no smoothing is needed).
+   *
+   * Exactness: `lg` is the piecewise-linear log2 of [[dsirWeights]]; the
+   * p-weight is one exact IEEE divide; and the per-domain sum is a
+   * FIXED-ORDER fold over buckets ascending (collect → sort → aggregate ≡
+   * DuckDB list_reduce), so q115 hash-matches. lg's strict monotonicity
+   * keeps the divergence ORDER of domains faithful; magnitudes sit within
+   * 9% of true bits. Gibbs' inequality survives piecewise-lg only
+   * approximately, so tiny true-KL values can dip a hair below zero —
+   * exactly-identical distributions give exactly 0 (lg(2x) = lg(x)+1 is
+   * an identity of the scheme).
+   *
+   * Scale shape: one (domain, bucket) map-side-combinable count — at most
+   * |domains|×B rows ever shuffle — a B-row broadcast for the corpus
+   * margins, and a per-domain fold. The 100 TB corpus is read once.
+   */
+  def domainDivergence(docs: DataFrame, textCol: String, domainCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20] (corpus margins broadcast), got $buckets")
+    def bucket(t: Column): Column =
+      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+    val dc = docs
+      .select(col(domainCol).as("domain"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(col("domain"), bucket(col("tok")).as("b"))
+      .agg(count(lit(1)).as("ct"))
+    val cc = dc.groupBy(col("b")).agg(sum(col("ct")).as("cr"))
+    val td = dc.groupBy(col("domain")).agg(sum(col("ct")).as("totd"))
+    val tr = cc.agg(sum(col("cr")).as("totr"))
+    dc.join(broadcast(cc), "b")
+      .join(td, "domain")
+      .crossJoin(broadcast(tr))
+      .select(col("domain"), col("b"), col("totd"),
+        ((col("ct").cast("double") / col("totd").cast("double")) *
+          (((lg(col("ct")) - lg(col("totd"))) - lg(col("cr"))) + lg(col("totr"))))
+          .as("contrib"))
+      .groupBy(col("domain"))
+      .agg(first(col("totd")).as("n_tokens"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("b"), col("contrib")))),
+            e => e("contrib")),
+          lit(0.0), (acc, x) => acc + x).as("kl_bits"))
+      .select(col("domain"), col("n_tokens"), col("kl_bits"))
+  }
+
+  /**
+   * Weighted sampling without replacement, top-N form (Efraimidis &
+   * Spirakis 2006, IPL: rank by u^(1/w) ⟺ by log(u)/w) — the curation
+   * move that samples a corpus proportional to a quality weight in ONE
+   * pass with no state. Randomness is the deterministic md5-prefix
+   * integer u ∈ [1, 2³²] (replayable, auditable), the log is the
+   * exact-arithmetic [[lg]], so key = (lg(u) − 32)/w is bit-identical
+   * across engines and q117 hash-matches.
+   *
+   * Scale shape: a narrow map computes keys; `orderBy(...).limit(n)`
+   * plans as TakeOrdered — per-partition bounded top-N then a single
+   * n-row merge, never a global sort shuffle. Rows with weight ≤ 0 are
+   * excluded (they cannot be sampled).
+   */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val u = conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+      .cast("long") + 1
+    docs
+      .select(col(idCol).as("id"), col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("skey", (lg(u) - 32.0) / col("w").cast("double"))
+      .orderBy(col("skey").desc, col("id").asc)
+      .limit(n)
+  }
 }

@@ -904,4 +904,50 @@ object Dedup {
       .join(witness, col("id") === col("b_id"), "left")
       .select(col("id"), col("cent_id"), col("dup_of"))
   }
+
+  /**
+   * N-gram novelty: per document, how many of its distinct n-grams make
+   * their FIRST corpus-wide appearance in it (first = smallest
+   * (doc_id, position) over all occurrences). The curation statistic
+   * behind "is this doc new text or a remix" — boilerplate-heavy and
+   * near-duplicate docs score near 0, genuinely novel text near 1; also
+   * the incremental-crawl dial (score new snapshots against the corpus
+   * so far). Docs with fewer than n tokens carry no grams and are absent.
+   *
+   * Output: (id, n_grams [distinct], n_first, novelty = n_first/n_grams).
+   *
+   * Scale shape: one shuffle keyed on the gram (min-struct argmin —
+   * map-side combinable; the Σdf cost is the corpus' token count, same as
+   * any inverted-index pass), one count keyed on the doc, one
+   * broadcast-sized... no — both reductions are plain hash aggregates;
+   * nothing driver-side, no window. Hot grams cost one combiner cell
+   * each, not a reducer's worth of rows.
+   */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val toks = graft.text.TextOps.tokens(col(textCol))
+    val grams = lineageCutLazy(docs
+      .select(col(idCol).as("id"), toks.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("id"), explode(
+        transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => struct((i - 1).cast("long").as("pos"),
+            concat_ws(" ", (0 until n).map(j => element_at(col("w"), i + j)): _*)
+              .as("gram")))).as("g"))
+      .select(col("id"), col("g.pos").as("pos"), col("g.gram").as("gram")))
+    val firsts = grams
+      .groupBy(col("gram"))
+      .agg(min(struct(col("id"), col("pos"))).as("f"))
+      .groupBy(col("f.id").as("id"))
+      .agg(count(lit(1)).as("n_first"))
+    grams
+      .groupBy(col("id"))
+      .agg(count_distinct(col("gram")).as("n_grams"))
+      .join(firsts, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"))
+      .withColumn("novelty",
+        col("n_first").cast("double") / col("n_grams").cast("double"))
+  }
 }

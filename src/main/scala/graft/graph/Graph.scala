@@ -69,4 +69,66 @@ object Graph {
     }
     ranks
   }
+
+  /**
+   * HITS hubs & authorities (Kleinberg, JACM 1999 — the other classic
+   * link-analysis fixed point; reference analogue: ranking entities of a
+   * bipartite interaction graph) in the same fixed-point discipline as
+   * [[pageRankFixedPoint]]: scores are BIGINT multiples of scale⁻¹ and
+   * every update is an integer sum plus integer division, so the result
+   * is a pure function of the edge set — partition-order independent —
+   * and an external SQL engine replays the identical iterations (q113
+   * hash-matches the chained-CTE mirror).
+   *
+   * Per round: auth ← Σ_{j→i} hub(j), hub ← Σ_{i→j} auth(j), each
+   * L1-normalized back to column-sum ≈ scale (the textbook normalization
+   * swapped from L2 to L1 so it stays in integer arithmetic — same
+   * eigenvector directions at convergence, different constant).
+   *
+   * Overflow ceiling, by construction: scores start at `scale div n` (so
+   * the column sum starts ≤ scale) and every normalization re-caps it at
+   * ≤ scale, hence any raw score ≤ scale and the normalize multiply is
+   * ≤ scale² = 2⁶⁰ < 2⁶³ at the default 2³⁰ scale, for ANY graph shape;
+   * the raw-total sum needs max-degree ≤ 2³³. n ≤ scale nodes (a billion)
+   * keeps the start nonzero.
+   *
+   * Scale posture: per round two equi-joins of edges against node-sized
+   * score frames and two map-side-combinable sums; the one-row totals
+   * broadcast; per-round lineage cut exactly like PageRank.
+   */
+  def hitsFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 8, scale: Long = 1L << 30): DataFrame = {
+    require(iterations >= 1, s"need at least one iteration, got $iterations")
+    val e = lazyCut(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src")))
+    val nodes = lazyCut(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    val nTotal = nodes.agg(count(lit(1)).as("n_nodes"))
+    // raw score -> L1-normalized fixed-point score over the full node set
+    def normalized(raw: DataFrame, joinKey: String, outCol: String): DataFrame = {
+      val full = nodes.join(raw, col("node") === col(joinKey), "left")
+        .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+      val tot = full.agg(greatest(sum(col("raw")), lit(1L)).as("tot"))
+      lazyCut(full.crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"(raw * CAST($scale AS BIGINT)) div tot").as(outCol)))
+    }
+    var hubs = lazyCut(nodes.crossJoin(broadcast(nTotal))
+      .select(col("node"), expr(s"CAST($scale AS BIGINT) div n_nodes").as("hub")))
+    var auths: DataFrame = hubs.select(col("node"), col("hub").as("auth"))
+    for (_ <- 1 to iterations) {
+      auths = normalized(
+        e.join(hubs.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst")).agg(sum(col("hub")).as("raw")),
+        "dst", "auth")
+      hubs = normalized(
+        e.join(auths.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src")).agg(sum(col("auth")).as("raw")),
+        "src", "hub")
+    }
+    hubs.join(auths, "node").select(col("node"), col("hub"), col("auth"))
+  }
 }

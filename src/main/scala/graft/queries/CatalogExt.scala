@@ -980,6 +980,63 @@ object CatalogExt {
         "min_x" -> "min_pk", "max_x" -> "max_pk",
         "min_y" -> "min_sk", "max_y" -> "max_sk"))
 
+
+  /** HITS hubs & authorities over the DIRECTED customer→supplier trade
+    * graph (the one-direction half of q83's fixture: hubs = customers
+    * spreading orders across strong suppliers, authorities = suppliers
+    * drawing orders from strong customers), 8 fixed-point rounds — the
+    * oracle replays every round as chained CTEs, the mirror-the-training
+    * pattern applied to a second eigenvector recursion. */
+  def q113Hits(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    graft.graph.Graph.hitsFixedPoint(e, "src", "dst", iterations = 8)
+  }
+
+  /** Per-domain cap: at most 15 docs per source, picked by deterministic
+    * md5 order through the bounded-heap aggregator (never a per-domain
+    * window — see Curation.domainCap for the mega-host argument). The
+    * oracle states the contract as the row_number form, so the hash-match
+    * IS the heap≡window equivalence law on real data. */
+  def q114DomainCap(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.domainCap(
+      Tables.documents(s, dir), "doc_id", "source", cap = 15)
+
+  /** Per-domain KL divergence from the corpus unigram distribution over
+    * 64 hashed buckets — the drift statistic that flags a templated or
+    * mis-scraped source (see Curation.domainDivergence). */
+  def q115DomainKl(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.domainDivergence(
+      Tables.documents(s, dir), "text", "source", buckets = 64)
+
+  /** 3-gram novelty: the share of each doc's distinct 3-grams whose first
+    * corpus occurrence is in that doc (near-dups ≈ 0, novel text ≈ 1). */
+  def q116NgramNovelty(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.ngramNovelty(
+      Tables.documents(s, dir), "doc_id", "text", n = 3)
+      .withColumnRenamed("id", "doc_id")
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis), 100
+    * docs proportional-ish to n_chars, md5-deterministic and exact-log2
+    * keyed so the oracle replays the draw bit-for-bit. */
+  def q117WeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.weightedSample(
+      Tables.documents(s, dir), "doc_id", "n_chars", n = 100)
+      .withColumnRenamed("id", "doc_id")
+
+  /** PQ-ADC approximate nearest neighbors: 4 subspaces, id-stride
+    * sub-codebooks, asymmetric distance tables — the compressed-domain
+    * scan that never touches a float vector per candidate (see
+    * Similarity.pqAdcKnn; PqSpec pins the stride=1 ≡ exact-L2 law). */
+  def q118PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.pqAdcKnn(
+      emb.filter(col("vec_id") % 25 === 0), emb, "vec_id", "embedding",
+      k = 10, m = 4, stride = 40)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1073,6 +1130,12 @@ object CatalogExt {
     "q110_salted_join"      -> q110SaltedJoin _,
     "q111_bpe_encode"       -> q111BpeEncode _,
     "q112_dsir_weights"     -> q112DsirWeights _,
+    "q113_hits"             -> q113Hits _,
+    "q114_domain_cap"       -> q114DomainCap _,
+    "q115_domain_kl"        -> q115DomainKl _,
+    "q116_ngram_novelty"    -> q116NgramNovelty _,
+    "q117_weighted_sample"  -> q117WeightedSample _,
+    "q118_pq_adc"           -> q118PqAdc _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

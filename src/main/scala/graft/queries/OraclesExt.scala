@@ -346,6 +346,57 @@ object OraclesExt {
     // piecewise-linear-log2 contributions (see dsirSql)
     "q112_dsir_weights" -> dsirSql(64),
 
+    // q113: HITS — every fixed-point round replayed (see hitsSql)
+    "q113_hits" -> hitsSql(8),
+
+    // q114: the cap's contract stated as the per-domain row_number over
+    // the same md5 order — hash-match = the bounded-heap ≡ window law
+    "q114_domain_cap" ->
+      """SELECT domain, doc_id, rk FROM (
+        |  SELECT source AS domain, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+        |               doc_id ASC) AS BIGINT) AS rk
+        |  FROM documents) WHERE rk <= 15""".stripMargin,
+
+    // q115: KL(domain ‖ corpus) with the exact-lg fold (see domainKlSql)
+    "q115_domain_kl" -> domainKlSql(64),
+
+    // q116: first-occurrence novelty — row_number over (gram ORDER BY
+    // doc_id, pos) = 1 mirrors the engine's min-struct argmin
+    "q116_ngram_novelty" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(gs, recursive := true) FROM (
+        |  SELECT doc_id,
+        |    [struct_pack(pos := CAST(i - 1 AS BIGINT),
+        |       gram := w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |     for i in range(1, len(w) - 1)] AS gs
+        |  FROM base WHERE len(w) >= 3)),
+        |f AS (SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY gram
+        |      ORDER BY doc_id, pos) AS rn FROM g) WHERE rn = 1),
+        |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_first FROM f GROUP BY 1),
+        |ng AS (SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_grams
+        |       FROM g GROUP BY 1)
+        |SELECT ng.doc_id, ng.n_grams,
+        |  CAST(coalesce(nf.n_first, 0) AS BIGINT) AS n_first,
+        |  CAST(coalesce(nf.n_first, 0) AS DOUBLE) / CAST(ng.n_grams AS DOUBLE) AS novelty
+        |FROM ng LEFT JOIN nf USING (doc_id)""".stripMargin,
+
+    // q117: the A-ES draw replayed — same md5 integer, same exact-lg key,
+    // same (key DESC, id ASC) order and cut
+    "q117_weighted_sample" ->
+      s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         |  (${lgSqlOf("u")} - 32.0) / CAST(n_chars AS DOUBLE) AS skey
+         |FROM (SELECT doc_id, n_chars,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1 AS u
+         |  FROM documents WHERE n_chars > 0)
+         |ORDER BY skey DESC, doc_id ASC LIMIT 100""".stripMargin,
+
+    // q118: PQ-ADC replayed end to end (see pqAdcSql)
+    "q118_pq_adc" -> pqAdcSql,
+
+
     // q102: the excision replay — every non-first occurrence (row_number
     // over (gram ORDER BY doc_id, pos) >= 2) marks its interval, islands
     // merge as in q101, kept tokens rebuild in position order. Docs with
@@ -1290,6 +1341,113 @@ object OraclesExt {
     * the q72 gate's pass set; per-doc weight = the fixed-order
     * `list_reduce` fold of per-token bucket contributions, mirroring the
     * engine's `aggregate` over the token array. */
+  /** Exact-arithmetic piecewise-linear log2 (the engine's `lg` — see
+    * Curation.lg): (L-1) + (x - 2^(L-1)) / 2^(L-1), L = bitlength. */
+  private def lgSqlOf(x: String): String = {
+    val p = s"(CAST(1 AS BIGINT) << (length(bin($x)) - 1))"
+    s"(CAST(length(bin($x)) - 1 AS DOUBLE) + CAST(($x) - $p AS DOUBLE) / CAST($p AS DOUBLE))"
+  }
+
+  /** q113: HITS replayed round by round — raw sums, L1 totals, integer
+    * normalize — exactly the engine's fixed-point update chain. */
+  private def hitsSql(k: Int): String = {
+    val scale = 1L << 30
+    val rounds = (1 to k).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT nodes.node, CAST(coalesce(s.raw, 0) AS BIGINT) AS raw
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst, CAST(sum(h.hub) AS BIGINT) AS raw
+         |    FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst) s
+         |  ON s.dst = nodes.node),
+         |at$i AS (SELECT greatest(CAST(sum(raw) AS BIGINT), 1) AS tot FROM ar$i),
+         |a$i AS MATERIALIZED (
+         |  SELECT node, CAST((raw * CAST($scale AS BIGINT)) // tot AS BIGINT) AS auth
+         |  FROM ar$i CROSS JOIN at$i),
+         |hr$i AS MATERIALIZED (
+         |  SELECT nodes.node, CAST(coalesce(s.raw, 0) AS BIGINT) AS raw
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.src, CAST(sum(a.auth) AS BIGINT) AS raw
+         |    FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src) s
+         |  ON s.src = nodes.node),
+         |ht$i AS (SELECT greatest(CAST(sum(raw) AS BIGINT), 1) AS tot FROM hr$i),
+         |h$i AS MATERIALIZED (
+         |  SELECT node, CAST((raw * CAST($scale AS BIGINT)) // tot AS BIGINT) AS hub
+         |  FROM hr$i CROSS JOIN ht$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |e AS (SELECT 2 * ck AS src, 2 * sk + 1 AS dst FROM p),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |h0 AS (SELECT node, CAST(CAST($scale AS BIGINT) // nn.n AS BIGINT) AS hub
+       |       FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT h$k.node, h$k.hub, a$k.auth
+       |FROM h$k JOIN a$k ON h$k.node = a$k.node""".stripMargin
+  }
+
+  /** q115: the (domain, bucket) counts, corpus margins, exact-lg
+    * contributions, and the same bucket-ascending fixed-order fold. */
+  private def domainKlSql(bk: Int): String = {
+    def bucket(x: String): String =
+      s"CAST(('0x' || substr(md5($x), 1, 8))::BIGINT % $bk AS BIGINT)"
+    s"""WITH tk AS (
+       |  SELECT source AS domain, ${bucket("tok")} AS b
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |dc AS (SELECT domain, b, count(*) AS ct FROM tk GROUP BY 1, 2),
+       |cc AS (SELECT b, CAST(sum(ct) AS BIGINT) AS cr FROM dc GROUP BY 1),
+       |td AS (SELECT domain, CAST(sum(ct) AS BIGINT) AS totd FROM dc GROUP BY 1),
+       |tr AS (SELECT CAST(sum(cr) AS BIGINT) AS totr FROM cc),
+       |c AS (
+       |  SELECT domain, b,
+       |    (CAST(ct AS DOUBLE) / CAST(totd AS DOUBLE)) *
+       |    (((${lgSqlOf("ct")} - ${lgSqlOf("totd")}) - ${lgSqlOf("cr")})
+       |      + ${lgSqlOf("totr")}) AS contrib
+       |  FROM dc JOIN cc USING (b) JOIN td USING (domain) CROSS JOIN tr)
+       |SELECT c.domain, td.totd AS n_tokens,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(contrib ORDER BY b)),
+       |    (a, x) -> a + x) AS kl_bits
+       |FROM c JOIN td ON c.domain = td.domain
+       |GROUP BY c.domain, td.totd""".stripMargin
+  }
+
+  /** q118: PQ-ADC replayed — the sorted strided codebook, per-subspace
+    * argmin encode (list_sort on (d, j) structs = the engine's
+    * array_sort tie-break), per-query distance tables, and the
+    * fixed-order 4-lookup ADC fold. Sub-dim 16 = 64 / 4. */
+  private lazy val pqAdcSql: String = {
+    val m = 4; val sd = 16; val stride = 40; val k = 10
+    def d2(s: String, j: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      [(e.v[p] - cb.cb[$j].cv[p]) * (e.v[p] - cb.cb[$j].cv[p])
+         |       for p in range(($s) * $sd + 1, (($s) + 1) * $sd + 1)]),
+         |    (a, x) -> a + x)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cb AS (SELECT list(struct_pack(cid := vec_id, cv := v) ORDER BY vec_id) AS cb
+       |       FROM e WHERE vec_id % $stride = 0),
+       |enc AS (
+       |  SELECT e.vec_id AS c_id,
+       |    [list_sort([struct_pack(d := ${d2("s", "j")}, j := j)
+       |       for j in range(1, len(cb.cb) + 1)])[1].j
+       |     for s in range(0, $m)] AS code
+       |  FROM e CROSS JOIN cb),
+       |qt AS (
+       |  SELECT e.vec_id AS q_id,
+       |    [[${d2("s", "j")} for j in range(1, len(cb.cb) + 1)]
+       |     for s in range(0, $m)] AS dt
+       |  FROM e CROSS JOIN cb WHERE e.vec_id % 25 = 0),
+       |sc AS (
+       |  SELECT qt.q_id, enc.c_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [dt[s][code[s]] for s in range(1, $m + 1)]), (a, x) -> a + x) AS dist2
+       |  FROM enc CROSS JOIN qt WHERE qt.q_id <> enc.c_id)
+       |SELECT q_id, c_id, rnk, dist2 FROM (
+       |  SELECT q_id, c_id, dist2,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY dist2 ASC, c_id ASC) AS BIGINT) AS rnk
+       |  FROM sc) WHERE rnk <= $k""".stripMargin
+  }
+
   private def dsirSql(bk: Int): String = {
     def bucket(x: String): String =
       s"CAST(('0x' || substr(md5($x), 1, 8))::BIGINT % $bk AS BIGINT)"

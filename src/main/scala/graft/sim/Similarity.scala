@@ -1,7 +1,7 @@
 package graft.sim
 
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -458,5 +458,91 @@ object Similarity {
           coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("r_b")), lit(0.0))).as("rrf"))
       .orderBy(col("rrf").desc, col("id").asc)
       .limit(topN)
+  }
+
+  /**
+   * Product-quantization ANN with asymmetric distance computation (Jégou,
+   * Douze & Schmid, TPAMI 2011, "Product quantization for nearest
+   * neighbor search"): the vector space splits into `m` subspaces; each
+   * candidate stores only its nearest sub-codeword INDEX per subspace
+   * (m small ints — at m=4 that is ~64× less than a 64-dim float32
+   * vector, the compression that lets a 100 TB embedding corpus fit a
+   * scan budget); each query precomputes one distance TABLE per subspace
+   * (squared L2 to every sub-codeword) and a candidate's approximate
+   * distance is m table lookups summed — no float vector is touched at
+   * scan time (that is the "asymmetric" in ADC: only the candidate is
+   * quantized).
+   *
+   * Codebooks here are the deterministic id-stride sample of the corpus
+   * (the [[ivfKnn]] stance: identical plumbing and plan shape to trained
+   * codebooks, SQL-replayable — swap in k-means sub-codebooks for recall).
+   *
+   * Determinism/oracle: sub-distances are fixed-order folds of exact
+   * float-in-double products; encode argmin breaks ties by codeword
+   * position ascending (array_sort on (dist, idx) structs); the ADC sum
+   * folds subspaces in fixed order — q118 replays all of it to the hash.
+   * With stride=1 the codebook IS the corpus, every candidate encodes to
+   * itself exactly (all-zero sub-distances), and ADC degenerates to exact
+   * squared-L2 search — the law PqSpec pins.
+   *
+   * Scale shape: the collapsed codebook row broadcasts (m·k_sub·dim
+   * floats — tiny); candidate encoding is a NARROW projection over the
+   * scan (zero shuffle, the PQ-code column is what a real deployment
+   * materializes once); queries broadcast with their tables; the only
+   * shuffle of scored rows is the per-query top-k window carrying ids +
+   * one double.
+   */
+  def pqAdcKnn(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 4, stride: Int = 40): DataFrame = {
+    require(m >= 1 && stride >= 1 && k >= 1,
+      s"need m, stride, k >= 1; got m=$m stride=$stride k=$k")
+    val cb = candidates.filter(col(idCol) % stride === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+      .agg(sort_array(collect_list(struct(col("cent_id"), col("cent_v"))))
+        .as("__cb"))
+    // squared L2 between subspace s (0-based) of x and codeword j (1-based
+    // position in the sorted codebook): fixed-order fold, exact
+    // float-in-double differences, one IEEE product+add per element
+    def subDist(x: Column, cbArr: Column, j: Column, s: Column,
+        subDim: Column): Column =
+      aggregate(
+        zip_with(
+          slice(x, s * subDim + 1, subDim),
+          slice(element_at(cbArr, j)("cent_v"), s * subDim + 1, subDim),
+          (a, b) => (a.cast("double") - b.cast("double")) *
+            (a.cast("double") - b.cast("double"))),
+        lit(0.0), (acc, d) => acc + d)
+    val subDimC = (size(element_at(col("__cb"), 1)("cent_v")) / lit(m)).cast("int")
+    // candidates -> m codeword positions (argmin per subspace, ties to
+    // the smaller position = smaller cent_id)
+    val enc = candidates
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
+      .crossJoin(broadcast(cb))
+      .select(col("c_id"),
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          element_at(
+            array_sort(transform(sequence(lit(1), size(col("__cb"))), j =>
+              struct(subDist(col("c_v"), col("__cb"), j, s, subDimC).as("d"),
+                j.as("j")))), 1)("j")).as("code"))
+    // queries -> per-subspace distance tables (position-aligned with code)
+    val qt = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+      .crossJoin(broadcast(cb))
+      .select(col("q_id"),
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          transform(sequence(lit(1), size(col("__cb"))), j =>
+            subDist(col("q_v"), col("__cb"), j, s, subDimC))).as("dt"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist2").asc, col("c_id").asc)
+    enc.crossJoin(broadcast(qt))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        aggregate(sequence(lit(1), lit(m)), lit(0.0), (acc, s) =>
+          acc + element_at(element_at(col("dt"), s),
+            element_at(col("code"), s))).as("dist2"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("dist2"))
   }
 }
