@@ -950,4 +950,48 @@ object Dedup {
       .withColumn("novelty",
         col("n_first").cast("double") / col("n_grams").cast("double"))
   }
+
+  /**
+   * Blocked fuzzy record linkage over a title/prefix column: candidate
+   * pairs form ONLY within a blocking key (the classic blocking design —
+   * at crawl scale the all-pairs comparison is the thing you never do),
+   * and each pair is scored by Sørensen–Dice over character bigrams,
+   * dice = 2·|A∩B| / (|A|+|B|) on bigram MULTISETS — computed by the
+   * native codegen'd [[graft.functions.BigramOverlap]] kernel (sort +
+   * two-pointer per pair; the explode/groupBy/join composition the
+   * oracle uses would shuffle per gram).
+   *
+   * The threshold test is EXACT-RATIONAL — keep iff 2·inter·den ≥
+   * num·(n_a+n_b) in long arithmetic — so membership never hinges on a
+   * float ULP; the reported dice is one IEEE divide of exact longs.
+   * Output: (a_id, b_id, inter, na, nb, dice), a_id < b_id.
+   *
+   * Scale shape: one equi-join shuffle keyed on the block; cost is
+   * Σ_block |block|² like every blocking scheme — block-key choice (and
+   * salting a hot block) is the knob, the engine never pays n².
+   */
+  def fuzzyBlockedPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, prefixLen: Int = 40,
+      thresholdNum: Int = 3, thresholdDen: Int = 4): DataFrame = {
+    require(prefixLen >= 2 && thresholdNum >= 0 && thresholdDen > 0,
+      s"need prefixLen >= 2 and a valid threshold, got $prefixLen, $thresholdNum/$thresholdDen")
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    val t = docs
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        substring(col(textCol), 1, prefixLen).as("s"))
+      .filter(length(col("s")) >= 2)
+      .withColumn("nbg", (length(col("s")) - 1).cast("long"))
+    val a = t.select(col("id").as("a_id"), col("blk"),
+      col("s").as("sa"), col("nbg").as("na"))
+    val b = t.select(col("id").as("b_id"), col("blk"),
+      col("s").as("sb"), col("nbg").as("nb"))
+    a.join(b, Seq("blk"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("inter", GraftFunctions.bigramOverlap(col("sa"), col("sb")))
+      .filter(col("inter") * (2L * thresholdDen) >=
+        lit(thresholdNum.toLong) * (col("na") + col("nb")))
+      .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"),
+        ((col("inter") * 2L).cast("double") /
+          (col("na") + col("nb")).cast("double")).as("dice"))
+  }
 }

@@ -306,4 +306,29 @@ object VectorMath {
     UTF8String.fromString(
       java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))
   }
+
+  /** Multiset character-bigram intersection count of two strings —
+    * Σ_g min(count_a(g), count_b(g)) over UTF-16 bigrams (= code-point
+    * bigrams for all BMP text, matching SQL substr semantics). Sort +
+    * two-pointer; O((|a|+|b|) log) per row, zero allocation beyond the
+    * two int arrays. The Sørensen–Dice numerator of the fuzzy-linkage
+    * family. */
+  def bigramOverlap(a: UTF8String, b: UTF8String): Long = {
+    val s = a.toString; val t = b.toString
+    if (s.length < 2 || t.length < 2) return 0L
+    val x = new Array[Int](s.length - 1)
+    var i = 0
+    while (i < x.length) { x(i) = (s.charAt(i) << 16) | s.charAt(i + 1); i += 1 }
+    val y = new Array[Int](t.length - 1)
+    i = 0
+    while (i < y.length) { y(i) = (t.charAt(i) << 16) | t.charAt(i + 1); i += 1 }
+    java.util.Arrays.sort(x); java.util.Arrays.sort(y)
+    var j = 0; var k = 0; var cnt = 0L
+    while (j < x.length && k < y.length) {
+      if (x(j) == y(k)) { cnt += 1L; j += 1; k += 1 }
+      else if (x(j) < y(k)) j += 1
+      else k += 1
+    }
+    cnt
+  }
 }

@@ -183,6 +183,30 @@ case class SignBucket(child: Expression, planes: Int)
     copy(child = c)
 }
 
+/** bigram_overlap(string, string) -> bigint — multiset character-bigram
+  * intersection (the Sørensen–Dice numerator; fuzzy record-linkage's hot
+  * kernel: sort + two-pointer inside whole-stage codegen, where the
+  * equivalent explode/groupBy/join composition would shuffle per gram). */
+case class BigramOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bigram_overlap"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.bigramOverlap(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.bigramOverlap($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BigramOverlap =
+    copy(left = l, right = r)
+}
+
 /**
  * Session-level registration + Column API for the native expressions.
  *
@@ -209,7 +233,8 @@ object GraftFunctions {
     "graft_strip_accents" -> { args => StripAccents(args(0)) },
     "graft_sorted_contains" -> { args => SortedContains(args(0), args(1)) },
     "graft_shingle_hash_overlap" -> { args =>
-      ShingleHashOverlap(args(0), args(1), intArg(args(2), "n")) })
+      ShingleHashOverlap(args(0), args(1), intArg(args(2), "n")) },
+    "graft_bigram_overlap" -> { args => BigramOverlap(args(0), args(1)) })
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -236,6 +261,8 @@ object GraftFunctions {
   def stripAccents(text: Column): Column = call_function("graft_strip_accents", text)
   def sortedContains(v: Column, sortedArr: Column): Column =
     call_function("graft_sorted_contains", v, sortedArr)
+  def bigramOverlap(a: Column, b: Column): Column =
+    call_function("graft_bigram_overlap", a, b)
   def shingleHashOverlap(tokens: Column, sortedHashes: Column, n: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("graft_shingle_hash_overlap", tokens, sortedHashes, lit(n))

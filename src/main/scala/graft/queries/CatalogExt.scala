@@ -1037,6 +1037,17 @@ object CatalogExt {
       k = 10, m = 4, stride = 40)
   }
 
+
+  /** Blocked fuzzy linkage: 40-char title prefixes, lang-blocked pairs,
+    * Sørensen–Dice ≥ 3/4 over character bigrams via the native
+    * graft_bigram_overlap kernel; exact-rational threshold (see
+    * Dedup.fuzzyBlockedPairs). Surfaces the planted near-dup documents
+    * as linkage candidates without any n² comparison. */
+  def q119FuzzyPairs(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.fuzzyBlockedPairs(
+      Tables.documents(s, dir), "doc_id", "text", "lang",
+      prefixLen = 40, thresholdNum = 3, thresholdDen = 4)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1136,6 +1147,7 @@ object CatalogExt {
     "q116_ngram_novelty"    -> q116NgramNovelty _,
     "q117_weighted_sample"  -> q117WeightedSample _,
     "q118_pq_adc"           -> q118PqAdc _,
+    "q119_fuzzy_pairs"      -> q119FuzzyPairs _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

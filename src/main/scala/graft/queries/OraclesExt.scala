@@ -396,6 +396,28 @@ object OraclesExt {
     // q118: PQ-ADC replayed end to end (see pqAdcSql)
     "q118_pq_adc" -> pqAdcSql,
 
+    // q119: the linkage replay — same prefixes, same blocks, the bigram
+    // multiset intersection as an explode/join/least aggregate, the same
+    // exact-rational cut and one-divide dice
+    "q119_fuzzy_pairs" ->
+      """WITH p AS (SELECT doc_id AS k, lang AS blk, substr(text, 1, 40) AS s
+        |           FROM documents WHERE len(substr(text, 1, 40)) >= 2),
+        |bg AS (SELECT k, gram, count(*) AS c FROM (
+        |  SELECT k, unnest([substr(s, i, 2) for i in range(1, len(s))]) AS gram
+        |  FROM p) GROUP BY 1, 2),
+        |n AS (SELECT k, blk, len(s) - 1 AS nbg FROM p),
+        |pairs AS (SELECT a.k AS a_id, b.k AS b_id, a.nbg AS na, b.nbg AS nb
+        |          FROM n a JOIN n b ON a.blk = b.blk AND a.k < b.k),
+        |i AS (SELECT pr.a_id, pr.b_id, pr.na, pr.nb,
+        |        CAST(sum(least(ga.c, gb.c)) AS BIGINT) AS inter
+        |      FROM pairs pr
+        |      JOIN bg ga ON ga.k = pr.a_id
+        |      JOIN bg gb ON gb.k = pr.b_id AND ga.gram = gb.gram
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT a_id, b_id, inter, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(2 * inter AS DOUBLE) / CAST(na + nb AS DOUBLE) AS dice
+        |FROM i WHERE 2 * inter * 4 >= 3 * (na + nb)""".stripMargin,
+
 
     // q102: the excision replay — every non-first occurrence (row_number
     // over (gram ORDER BY doc_id, pos) >= 2) marks its interval, islands

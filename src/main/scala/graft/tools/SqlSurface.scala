@@ -58,6 +58,10 @@ object SqlSurface {
       "SELECT graft_strip_accents('café naïve') AS f").head().getString(0)
     assert(folded == "cafe naive", s"strip_accents = $folded")
 
+    val bo = spark.sql(
+      "SELECT graft_bigram_overlap('aaaa', 'aa') AS o").head().getLong(0)
+    assert(bo == 1L, s"bigram_overlap multiset law = $bo")
+
     // registered functions are visible in the catalog listing
     val listed = spark.sql("SHOW FUNCTIONS LIKE 'graft*'").count()
     println(s"[sql-surface] graft functions listed=$listed cosine=$cos simhash=$sh PASS")
