@@ -56,7 +56,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // local iteration only (driver sets no env): comma-separated names
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
     queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }

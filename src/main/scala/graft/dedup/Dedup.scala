@@ -972,20 +972,40 @@ object Dedup {
    */
   def fuzzyBlockedPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, prefixLen: Int = 40,
-      thresholdNum: Int = 3, thresholdDen: Int = 4): DataFrame = {
-    require(prefixLen >= 2 && thresholdNum >= 0 && thresholdDen > 0,
-      s"need prefixLen >= 2 and a valid threshold, got $prefixLen, $thresholdNum/$thresholdDen")
+      thresholdNum: Int = 3, thresholdDen: Int = 4,
+      salts: Int = 16): DataFrame = {
+    require(prefixLen >= 2 && thresholdNum >= 0 && thresholdDen > 0 && salts >= 1,
+      s"need prefixLen >= 2, a valid threshold and salts >= 1, " +
+        s"got $prefixLen, $thresholdNum/$thresholdDen, $salts")
     GraftFunctions.ensureRegistered(docs.sparkSession)
     val t = docs
       .select(col(idCol).as("id"), col(blockCol).as("blk"),
         substring(col(textCol), 1, prefixLen).as("s"))
       .filter(length(col("s")) >= 2)
       .withColumn("nbg", (length(col("s")) - 1).cast("long"))
-    val a = t.select(col("id").as("a_id"), col("blk"),
+    // The (blk, salt) rewrite of the X104 replicate join: a LOW-cardinality
+    // blocking key (a handful of langs here) would otherwise hash every
+    // block through one reducer — the join runs at |blocks| parallelism no
+    // matter how many cores exist. Salting the a-side and replicating the
+    // b-side ×salts spreads each block over `salts` reducers; the pair SET
+    // is unchanged, so the oracle is oblivious. For high-cardinality
+    // blocking keys (url hosts) pass salts = 1 and skip the replication.
+    val a0 = t.select(col("id").as("a_id"), col("blk"),
       col("s").as("sa"), col("nbg").as("na"))
+      .withColumn("salt", pmod(col("a_id"), lit(salts.toLong)))
+    // the kernel runs at the PROBE side's partitioning when the b-side
+    // broadcasts (local test data is one parquet split = one task), so
+    // spread a under-partitioned probe side — same gated idiom as
+    // [[shingled]]; the explicit partition count keeps AQE from
+    // coalescing the tiny local shuffle back to one task
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val a = if (!docs.isStreaming && a0.rdd.getNumPartitions < par)
+      a0.repartition(par) else a0
     val b = t.select(col("id").as("b_id"), col("blk"),
       col("s").as("sb"), col("nbg").as("nb"))
-    a.join(b, Seq("blk"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    a.join(b, Seq("blk", "salt"))
+      .drop("salt")
       .filter(col("a_id") < col("b_id"))
       .withColumn("inter", GraftFunctions.bigramOverlap(col("sa"), col("sb")))
       .filter(col("inter") * (2L * thresholdDen) >=
