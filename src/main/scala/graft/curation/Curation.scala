@@ -854,4 +854,117 @@ object Curation {
       .orderBy(col("skey").desc, col("id").asc)
       .limit(n)
   }
+
+  /**
+   * Bigram-LM log-probability scoring — the APPLY side of [[bigramModel]]
+   * (X90), closing the train/apply pair the way [[bpeEncode]] closes X68:
+   * each document's log₂-likelihood under the corpus-trained conditional
+   * model, ll = Σ_(w1,w2)∈doc (lg c(w1,w2) − lg c(w1·)), plus the
+   * per-bigram average (the negated cross-entropy a perplexity filter
+   * thresholds on). Self-trained on the corpus, so every document bigram
+   * has c ≥ 1 and no smoothing is needed.
+   *
+   * Exactness: `lg` is the engine's piecewise-linear log2 ([[lg]]); the
+   * per-document sum folds the doc's bigrams in POSITION order (collect →
+   * sort by position → aggregate ≡ DuckDB list_reduce), so q120
+   * hash-matches. Docs with < 2 tokens carry no bigrams and are absent.
+   *
+   * Scale shape: one (w1,w2)-keyed join of doc bigrams against the model
+   * (both sides shuffle once on the bigram; the model side is the X90
+   * aggregate, Σdf-bounded), one doc-keyed fold. No window, no driver
+   * state.
+   */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val model = bigramModel(docs, textCol)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"))
+    val toks = TextOps.tokens(col(textCol))
+    val perDoc = docs
+      .select(col(idCol).as("id"), toks.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+    perDoc
+      .join(model, Seq("w1", "w2"))
+      .select(col("id"), col("pos"),
+        (lg(col("c12")) - lg(col("c1"))).as("contrib"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("pos"), col("contrib")))),
+            e => e("contrib")),
+          lit(0.0), (acc, x) => acc + x).as("ll_bits"))
+      .select(col("id"), col("n_bigrams"), col("ll_bits"),
+        (col("ll_bits") / col("n_bigrams").cast("double")).as("avg_bits"))
+  }
+
+  /**
+   * Classifier-calibration sweep: confusion counts and rates for a score
+   * column against a boolean label at `bins` equal-width thresholds — the
+   * audit a quality-filter threshold is actually chosen from (here: is
+   * the DSIR weight a good predictor of the rule gate?). Emits one row
+   * per threshold: (thr, tp, fp, fn, tn, tpr, fpr, prec).
+   *
+   * Scale posture — the bounded-geometry discipline of the q85 histogram:
+   * a global score-ordered cumulative window would serialize n rows
+   * through one task (the textbook cliff), so instead the score range
+   * [min, max] splits into `bins` equal-width thresholds (one broadcast
+   * min/max row), per-(bin, label) counts aggregate map-side — at most
+   * 2·bins rows ever shuffle — and the cumulation runs inside ONE
+   * collected struct array of `bins` cells. Exactness: bin indexing and
+   * rates are single IEEE ops on exact inputs; ties and the max-score
+   * row land in the top bin by the same floor/clamp in both engines.
+   */
+  def thresholdSweep(scored: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 32): DataFrame = {
+    require(bins >= 1 && bins <= (1 << 16),
+      s"bins must be in [1, 65536] (the sweep table is collected), got $bins")
+    val mm = scored.agg(min(col(scoreCol).cast("double")).as("lo"),
+      max(col(scoreCol).cast("double")).as("hi"))
+    val binned = scored
+      .select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("boolean").as("y"))
+      .crossJoin(broadcast(mm))
+      .select(
+        when(col("hi") === col("lo"), lit(bins - 1L))
+          .otherwise(least(greatest(
+            floor((col("s") - col("lo")) / (col("hi") - col("lo")) * bins)
+              .cast("long"), lit(0L)), lit(bins - 1L))).as("b"),
+        col("y"))
+      .groupBy(col("b"), col("y")).agg(count(lit(1)).as("n"))
+    // bins cells -> one row; cumulate from the top bin down: predicted
+    // positive at threshold t(b) = everything in bins >= b
+    val arr = binned
+      .agg(sort_array(collect_list(struct(col("b"), col("y"), col("n")))).as("cells"))
+      .crossJoin(broadcast(mm))
+    arr.select(col("lo"), col("hi"), explode(
+      transform(sequence(lit(0), lit(bins - 1)), b => struct(
+        b.cast("long").as("bin"),
+        aggregate(filter(col("cells"), c => c("b") >= b && c("y")),
+          lit(0L), (acc, c) => acc + c("n")).as("tp"),
+        aggregate(filter(col("cells"), c => c("b") >= b && !c("y")),
+          lit(0L), (acc, c) => acc + c("n")).as("fp"),
+        aggregate(filter(col("cells"), c => c("b") < b && c("y")),
+          lit(0L), (acc, c) => acc + c("n")).as("fn"),
+        aggregate(filter(col("cells"), c => c("b") < b && !c("y")),
+          lit(0L), (acc, c) => acc + c("n")).as("tn")))).as("r"))
+      .select(
+        col("r.bin").as("bin"),
+        (col("lo") + col("r.bin").cast("double") *
+          ((col("hi") - col("lo")) / bins)).as("thr"),
+        col("r.tp").as("tp"), col("r.fp").as("fp"),
+        col("r.fn").as("fn"), col("r.tn").as("tn"),
+        when(col("r.tp") + col("r.fn") > 0,
+          col("r.tp").cast("double") / (col("r.tp") + col("r.fn")).cast("double"))
+          .otherwise(lit(0.0)).as("tpr"),
+        when(col("r.fp") + col("r.tn") > 0,
+          col("r.fp").cast("double") / (col("r.fp") + col("r.tn")).cast("double"))
+          .otherwise(lit(0.0)).as("fpr"),
+        when(col("r.tp") + col("r.fp") > 0,
+          col("r.tp").cast("double") / (col("r.tp") + col("r.fp")).cast("double"))
+          .otherwise(lit(0.0)).as("prec"))
+  }
 }

@@ -1048,6 +1048,30 @@ object CatalogExt {
       Tables.documents(s, dir), "doc_id", "text", "lang",
       prefixLen = 40, thresholdNum = 3, thresholdDen = 4)
 
+
+  /** Bigram-LM log-probability scoring — the apply side of q97's trained
+    * model: per-doc log2-likelihood and per-bigram average under the
+    * corpus conditional distribution, exact-lg + position-order fold
+    * (see Curation.bigramLogProb). The perplexity filter's raw score. */
+  def q120BigramPpl(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.bigramLogProb(
+      Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+
+  /** Classifier-calibration sweep: DSIR weight scored against the rule
+    * gate at 32 equal-width thresholds — confusion counts + tpr/fpr/prec
+    * per threshold, the audit a filter cutoff is chosen from; bounded
+    * geometry, never a global ordered window (see Curation.thresholdSweep). */
+  def q121ThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scores = graft.curation.Curation.dsirWeights(docs, "doc_id", "text", buckets = 64)
+      .select(col("doc_id"), col("dsir_weight"))
+    val labels = graft.curation.Curation.ruleGate(docs, "doc_id", "text")
+      .select(col("doc_id"), col("pass"))
+    graft.curation.Curation.thresholdSweep(
+      scores.join(labels, "doc_id"), "dsir_weight", "pass", bins = 32)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1148,6 +1172,8 @@ object CatalogExt {
     "q117_weighted_sample"  -> q117WeightedSample _,
     "q118_pq_adc"           -> q118PqAdc _,
     "q119_fuzzy_pairs"      -> q119FuzzyPairs _,
+    "q120_bigram_ppl"       -> q120BigramPpl _,
+    "q121_threshold_sweep"  -> q121ThresholdSweep _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

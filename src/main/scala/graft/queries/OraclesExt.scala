@@ -399,6 +399,32 @@ object OraclesExt {
     // q119: the linkage replay — same prefixes, same blocks, the bigram
     // multiset intersection as an explode/join/least aggregate, the same
     // exact-rational cut and one-divide dice
+    // q120: the q97 model replayed, then every doc's bigrams joined and
+    // folded in position order with the exact-lg contributions
+    "q120_bigram_ppl" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(gs, recursive := true) FROM (
+         |  SELECT doc_id, [struct_pack(pos := CAST(i - 1 AS BIGINT),
+         |                              w1 := w[i], w2 := w[i+1])
+         |                  for i in range(1, len(w))] AS gs
+         |  FROM t WHERE len(w) >= 2)),
+         |c2 AS (SELECT w1, w2, count(*) AS c12 FROM g GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         |j AS (SELECT g.doc_id, g.pos,
+         |        (${lgSqlOf("c2.c12")} - ${lgSqlOf("c1.c1")}) AS contrib
+         |      FROM g JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(contrib ORDER BY pos)),
+         |    (a, x) -> a + x) AS ll_bits,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(contrib ORDER BY pos)),
+         |    (a, x) -> a + x) / CAST(count(*) AS DOUBLE) AS avg_bits
+         |FROM j GROUP BY doc_id""".stripMargin,
+
+    // q121: DSIR + gate replayed as derived tables, then the same
+    // equal-width binning, order-free conditional sums, and one-divide
+    // rates (see thresholdSweepSql)
+    "q121_threshold_sweep" -> thresholdSweepSql,
+
     "q119_fuzzy_pairs" ->
       """WITH p AS (SELECT doc_id AS k, lang AS blk, substr(text, 1, 40) AS s
         |           FROM documents WHERE len(substr(text, 1, 40)) >= 2),
@@ -573,32 +599,7 @@ object OraclesExt {
 
     // q72: q21's token stats + q54's distinct-3-gram rule, thresholded into
     // per-rule audit booleans with identical comparison semantics
-    "q72_gopher_rules" ->
-      s"""WITH s AS (
-         |  SELECT doc_id,
-         |    CAST(len(w) AS BIGINT) AS n_tokens,
-         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |           list_transform(w, t -> CAST(length(t) AS BIGINT))),
-         |         (acc, x) -> acc + x) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_tok,
-         |    CAST(len(list_filter(w, t -> t IN $stop)) AS BIGINT) AS n_stop,
-         |    CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_ngrams,
-         |    CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-         |                            for i in range(1, len(w) - 1)])) AS BIGINT) AS n_distinct
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
-         |SELECT doc_id,
-         |  n_tokens BETWEEN 20 AND 90 AS r_len,
-         |  avg_tok >= 3.0 AND avg_tok <= 8.0 AS r_tok_len,
-         |  n_stop >= 2 AS r_stop,
-         |  (CASE WHEN n_ngrams > 0
-         |        THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
-         |        ELSE 0.0 END) <= 0.2 AS r_rep,
-         |  (n_tokens BETWEEN 20 AND 90)
-         |    AND (avg_tok >= 3.0 AND avg_tok <= 8.0)
-         |    AND (n_stop >= 2)
-         |    AND ((CASE WHEN n_ngrams > 0
-         |               THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
-         |               ELSE 0.0 END) <= 0.2) AS pass
-         |FROM s""".stripMargin,
+    "q72_gopher_rules" -> gopherRulesSql,
 
     // q74: unigram corpus frequencies re-joined to the corpus tokens —
     // integer counts + one double division, no transcendentals
@@ -1368,6 +1369,64 @@ object OraclesExt {
   private def lgSqlOf(x: String): String = {
     val p = s"(CAST(1 AS BIGINT) << (length(bin($x)) - 1))"
     s"(CAST(length(bin($x)) - 1 AS DOUBLE) + CAST(($x) - $p AS DOUBLE) / CAST($p AS DOUBLE))"
+  }
+
+  /** The q72 gate replay, shared with q121's label side. */
+  private lazy val gopherRulesSql: String =
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_tokens,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(w, t -> CAST(length(t) AS BIGINT))),
+         |         (acc, x) -> acc + x) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_tok,
+         |    CAST(len(list_filter(w, t -> t IN $stop)) AS BIGINT) AS n_stop,
+         |    CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_ngrams,
+         |    CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                            for i in range(1, len(w) - 1)])) AS BIGINT) AS n_distinct
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+         |SELECT doc_id,
+         |  n_tokens BETWEEN 20 AND 90 AS r_len,
+         |  avg_tok >= 3.0 AND avg_tok <= 8.0 AS r_tok_len,
+         |  n_stop >= 2 AS r_stop,
+         |  (CASE WHEN n_ngrams > 0
+         |        THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+         |        ELSE 0.0 END) <= 0.2 AS r_rep,
+         |  (n_tokens BETWEEN 20 AND 90)
+         |    AND (avg_tok >= 3.0 AND avg_tok <= 8.0)
+         |    AND (n_stop >= 2)
+         |    AND ((CASE WHEN n_ngrams > 0
+         |               THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+         |               ELSE 0.0 END) <= 0.2) AS pass
+         |FROM s""".stripMargin
+
+  /** q121: score = dsirSql's weight, label = the q72 gate's pass bit,
+    * both embedded as derived tables; the sweep mirrors the engine's
+    * guard/clamp/threshold arithmetic exactly. */
+  private lazy val thresholdSweepSql: String = {
+    val bins = 32
+    s"""WITH sc AS (SELECT doc_id, dsir_weight AS s FROM (${dsirSql(64)})),
+       |lab AS (SELECT doc_id, pass AS y FROM (${gopherRulesSql})),
+       |j AS (SELECT sc.s, lab.y FROM sc JOIN lab USING (doc_id)),
+       |mm AS (SELECT min(s) AS lo, max(s) AS hi FROM j),
+       |bb AS (SELECT CASE WHEN hi = lo THEN ${bins - 1}
+       |              ELSE least(greatest(CAST(floor((s - lo) / (hi - lo) * $bins)
+       |                     AS BIGINT), 0), ${bins - 1}) END AS b, y
+       |       FROM j CROSS JOIN mm),
+       |cnt AS (SELECT b, y, count(*) AS n FROM bb GROUP BY 1, 2),
+       |sw AS (
+       |  SELECT bn.bin,
+       |    CAST(coalesce(sum(CASE WHEN cnt.b >= bn.bin AND cnt.y THEN cnt.n END), 0) AS BIGINT) AS tp,
+       |    CAST(coalesce(sum(CASE WHEN cnt.b >= bn.bin AND NOT cnt.y THEN cnt.n END), 0) AS BIGINT) AS fp,
+       |    CAST(coalesce(sum(CASE WHEN cnt.b < bn.bin AND cnt.y THEN cnt.n END), 0) AS BIGINT) AS fn,
+       |    CAST(coalesce(sum(CASE WHEN cnt.b < bn.bin AND NOT cnt.y THEN cnt.n END), 0) AS BIGINT) AS tn
+       |  FROM (SELECT CAST(unnest(range(0, $bins)) AS BIGINT) AS bin) bn CROSS JOIN cnt
+       |  GROUP BY 1)
+       |SELECT sw.bin, mm.lo + CAST(sw.bin AS DOUBLE) * ((mm.hi - mm.lo) / $bins) AS thr,
+       |  tp, fp, fn, tn,
+       |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) ELSE 0.0 END AS tpr,
+       |  CASE WHEN fp + tn > 0 THEN CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE) ELSE 0.0 END AS fpr,
+       |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) ELSE 0.0 END AS prec
+       |FROM sw CROSS JOIN mm""".stripMargin
   }
 
   /** q113: HITS replayed round by round — raw sums, L1 totals, integer
