@@ -87,7 +87,33 @@ object ScaleProbe {
         graft.graph.Graph.pageRankFixedPoint(edges(k), "src", "dst",
           iterations = 8).count() },
       "q96_pca_top" -> { k: Int =>
-        graft.sim.Pca.topComponent(embs(k), "embedding").count() })
+        graft.sim.Pca.topComponent(embs(k), "embedding").count() },
+      // Round-8 heavies. Probe design notes:
+      //  - q113: disjoint subgraphs -> per-round joins grow linearly.
+      //  - q118: the query BATCH stays fixed (first copy) and the codebook
+      //    stride scales with k (fixed ~125-codeword geometry) — the
+      //    serving shape: a growing corpus scanned by a constant workload;
+      //    letting queries/codebook grow with n would measure k² by
+      //    construction, which is a workload choice, not the operator.
+      //  - q119: the blocking key gets the copy id appended — block SIZE
+      //    is a design parameter (the cost is Σ|block|² at ANY scale), so
+      //    the probe holds block geometry constant and grows block count.
+      "q113_hits" -> { k: Int =>
+        graft.graph.Graph.hitsFixedPoint(edges(k), "src", "dst",
+          iterations = 8).count() },
+      "q118_pq_adc" -> { k: Int =>
+        graft.sim.Similarity.pqAdcKnn(
+          embBase.filter(col("vec_id") % 25 === 0), embs(k),
+          "vec_id", "embedding", k = 10, m = 4, stride = 40 * k).count() },
+      "q119_fuzzy_pairs" -> { k: Int =>
+        val blocked = (0 until k).map { i =>
+          docsBase.select(
+            (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("text"), concat(col("lang"), lit(s"_$i")).as("lang"),
+            col("source"))
+        }.reduce(_ unionByName _)
+        Dedup.fuzzyBlockedPairs(blocked, "doc_id", "text", "lang",
+          prefixLen = 40, thresholdNum = 3, thresholdDen = 4).count() })
     val ks = Seq(1, 4, 10)
     var allSub = true
     heavies.foreach { case (name, run) =>
