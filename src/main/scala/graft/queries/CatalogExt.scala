@@ -1072,6 +1072,23 @@ object CatalogExt {
       scores.join(labels, "doc_id"), "dsir_weight", "pass", bins = 32)
   }
 
+  /** BM25 retrieval workload shared with the oracle (literal multi-term
+    * queries over the corpus vocabulary). */
+  val Bm25Workload: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "join", "window"),
+    2L -> Seq("hash", "merge", "sort"),
+    3L -> Seq("stream", "batch", "table"),
+    4L -> Seq("filter", "scan", "agg"))
+
+  /** BM25 top-k retrieval — the ranking the reference's ES sink serves,
+    * brought into the engine: postings filtered to the query vocabulary
+    * before any shuffle, exact-lg IDF, fixed-order score fold, bounded-heap
+    * top-k (see [[graft.sim.Bm25]]; the oracle states the window form, so
+    * the hash-match is again the heap ≡ window law). */
+  def q122Bm25TopK(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Bm25.bm25TopK(
+      Tables.documents(s, dir), "doc_id", "text", Bm25Workload, k = 10)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1174,6 +1191,7 @@ object CatalogExt {
     "q119_fuzzy_pairs"      -> q119FuzzyPairs _,
     "q120_bigram_ppl"       -> q120BigramPpl _,
     "q121_threshold_sweep"  -> q121ThresholdSweep _,
+    "q122_bm25_topk"        -> q122Bm25TopK _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -425,6 +425,11 @@ object OraclesExt {
     // rates (see thresholdSweepSql)
     "q121_threshold_sweep" -> thresholdSweepSql,
 
+    // q122: BM25 replayed — same exact-lg idf, same one-divide avgdl and
+    // length norm, same fixed-order term fold; the top-k stated as the
+    // row_number window, so the hash-match is the heap ≡ window law
+    "q122_bm25_topk" -> bm25Sql,
+
     "q119_fuzzy_pairs" ->
       """WITH p AS (SELECT doc_id AS k, lang AS blk, substr(text, 1, 40) AS s
         |           FROM documents WHERE len(substr(text, 1, 40)) >= 2),
@@ -1369,6 +1374,46 @@ object OraclesExt {
   private def lgSqlOf(x: String): String = {
     val p = s"(CAST(1 AS BIGINT) << (length(bin($x)) - 1))"
     s"(CAST(length(bin($x)) - 1 AS DOUBLE) + CAST(($x) - $p AS DOUBLE) / CAST($p AS DOUBLE))"
+  }
+
+  /** q122: the BM25 replay — the workload is the shared
+    * [[CatalogExt.Bm25Workload]] literal; arithmetic mirrors
+    * [[graft.sim.Bm25]] parenthesis-for-parenthesis (exact-lg idf over
+    * integer args, one-divide avgdl, fixed-order fold over terms asc). */
+  private lazy val bm25Sql: String = {
+    val values = CatalogExt.Bm25Workload
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    val vocab = CatalogExt.Bm25Workload.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH qt(query_id, term) AS (VALUES $values),
+       |base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |               CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+       |post AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(w) AS tok FROM base)
+       |  WHERE tok IN ($vocab) GROUP BY 1, 2),
+       |dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_t FROM post GROUP BY 1),
+       |sc AS (SELECT qt.query_id, p.doc_id, p.tok,
+       |    (${lgSqlOf("n_docs + 1")} - ${lgSqlOf("df_t")}) *
+       |      ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+       |        (CAST(tf AS DOUBLE) + 1.2 *
+       |          (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+       |            (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS contrib
+       |  FROM post p JOIN qt ON qt.term = p.tok
+       |  JOIN dfc ON dfc.tok = p.tok
+       |  JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st),
+       |agg AS (SELECT query_id, doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_terms,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(contrib ORDER BY tok)),
+       |      (a, x) -> a + x) AS score
+       |  FROM sc GROUP BY 1, 2)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rk, n_terms, score
+       |FROM (SELECT query_id, doc_id, n_terms, score,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+       |      FROM agg) WHERE rk <= 10""".stripMargin
   }
 
   /** The q72 gate replay, shared with q121's label side. */
