@@ -1089,6 +1089,16 @@ object CatalogExt {
     graft.sim.Bm25.bm25TopK(
       Tables.documents(s, dir), "doc_id", "text", Bm25Workload, k = 10)
 
+  /** Trained quality classifier: 8 rounds of fixed-point batch gradient
+    * descent under a hard-sigmoid link (integer gradients → order-free),
+    * labels from the Gopher rule gate, then every doc scored — the
+    * fastText-style quality-filter stage of an LLM data pipeline with the
+    * training loop itself replayed by the oracle (see
+    * [[graft.model.QualityLr]]). */
+  def q123QualityLr(s: SparkSession, dir: String): DataFrame =
+    graft.model.QualityLr.trainAndScore(
+      Tables.documents(s, dir), "doc_id", "text", rounds = 24)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1192,6 +1202,7 @@ object CatalogExt {
     "q120_bigram_ppl"       -> q120BigramPpl _,
     "q121_threshold_sweep"  -> q121ThresholdSweep _,
     "q122_bm25_topk"        -> q122Bm25TopK _,
+    "q123_quality_lr"       -> q123QualityLr _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

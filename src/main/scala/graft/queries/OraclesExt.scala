@@ -430,6 +430,11 @@ object OraclesExt {
     // row_number window, so the hash-match is the heap ≡ window law
     "q122_bm25_topk" -> bm25Sql,
 
+    // q123: the LR training loop replayed round by round — integer
+    // gradient sums are order-free, the two floor-divides (hard sigmoid,
+    // mean-gradient step) are exact doubles (see qualityLrSql)
+    "q123_quality_lr" -> qualityLrSql(24),
+
     "q119_fuzzy_pairs" ->
       """WITH p AS (SELECT doc_id AS k, lang AS blk, substr(text, 1, 40) AS s
         |           FROM documents WHERE len(substr(text, 1, 40)) >= 2),
@@ -1414,6 +1419,56 @@ object OraclesExt {
        |        CAST(row_number() OVER (PARTITION BY query_id
        |          ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
        |      FROM agg) WHERE rk <= 10""".stripMargin
+  }
+
+  /** q123: the fixed-point LR replay. Every round is one CTE: the hard
+    * sigmoid is the same clamp+floor over exact doubles, gradients are
+    * BIGINT sums (order-free on both engines), the step is the same
+    * floor-divide — mirrors [[graft.model.QualityLr]] op for op. */
+  private def qualityLrSql(rounds: Int): String = {
+    def pSql(w: String) =
+      s"""least(greatest(CAST(floor(CAST($w.w0*x0 + $w.w1*x1 + $w.w2*x2 + $w.w3*x3
+         | AS DOUBLE) / 4.0) AS BIGINT) + 32768,
+         | CAST(0 AS BIGINT)), CAST(65536 AS BIGINT))""".stripMargin.replace("\n", "")
+    def upd(j: Int) =
+      s"""max(w$j) - CAST(floor(CAST(sum((p - y*65536) * x$j) AS DOUBLE) /
+         | (1024.0 * CAST(max(n) AS DOUBLE))) AS BIGINT) AS w$j""".stripMargin.replace("\n", "")
+    val roundCtes = (1 to rounds).map { k =>
+      val prev = if (k == 1) "w0t" else s"r${k - 1}"
+      s"""r$k AS (SELECT ${upd(0)}, ${upd(1)}, ${upd(2)}, ${upd(3)}, max(n) AS n
+         |  FROM (SELECT f.*, t.n, t.w0, t.w1, t.w2, t.w3, ${pSql("t")} AS p
+         |        FROM f CROSS JOIN $prev t))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |s AS (SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS x1,
+       |    CAST(len(list_filter(w, t -> t IN $stop)) AS BIGINT) AS x2,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(w, t -> CAST(length(t) AS BIGINT))),
+       |         (acc, x) -> acc + x) AS BIGINT) AS x3,
+       |    CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_ngrams,
+       |    CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                            for i in range(1, len(w) - 1)])) AS BIGINT) AS n_distinct
+       |  FROM b),
+       |f AS (SELECT doc_id, CAST(1 AS BIGINT) AS x0,
+       |    abs(x1 - 55) AS x1, x2, abs(x3*2 - x1*11) AS x3,
+       |    CAST((x1 BETWEEN 20 AND 90)
+       |      AND (CAST(x3 AS DOUBLE) / CAST(x1 AS DOUBLE) >= 3.0
+       |           AND CAST(x3 AS DOUBLE) / CAST(x1 AS DOUBLE) <= 8.0)
+       |      AND x2 >= 2
+       |      AND ((CASE WHEN n_ngrams > 0
+       |                 THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+       |                 ELSE 0.0 END) <= 0.2) AS BIGINT) AS y
+       |  FROM s),
+       |w0t AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |               CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+       |               CAST(count(*) AS BIGINT) AS n FROM f),
+       |$roundCtes
+       |SELECT f.doc_id, f.y,
+       |  (t.w0*x0 + t.w1*x1 + t.w2*x2 + t.w3*x3) AS z,
+       |  ${pSql("t")} AS p,
+       |  ${pSql("t")} * 2 > 65536 AS pred
+       |FROM f CROSS JOIN r$rounds t""".stripMargin
   }
 
   /** The q72 gate replay, shared with q121's label side. */
