@@ -351,6 +351,92 @@ object Multimodal {
     }.toDF("asset_id", "out_w", "out_h", "resized", "checksum")
   }
 
+  /**
+   * Perceptual average-hash (aHash) from a REAL image decode: decode via
+   * javax.imageio, nearest-neighbor-sample the band-0 raster onto an 8×8
+   * grid (source pixel (⌊c·w/8⌋, ⌊r·h/8⌋) — the classic aHash downsample),
+   * threshold each sample against the grid mean, and pack the 64 bits as
+   * EIGHT 8-bit band values (b0..b7, bit j of band b = grid cell 8b+j).
+   * The mean test is the integer comparison `64·v > Σv` — no division, so
+   * the hash is bit-exact in any engine. Non-decodable payloads are
+   * dropped (decoded=false has no pixels to hash).
+   *
+   * The band layout IS the LSH scheme of [[imageNearDupPairs]]: two hashes
+   * within Hamming distance 7 agree exactly on ≥ 1 of the 8 bands
+   * (pigeonhole), so banding finds every near-dup pair without any n²
+   * comparison — the same band-bucket argument as the MinHash/SimHash
+   * text paths (q26/q27), applied to decoded pixels.
+   */
+  def aHash(assets: Dataset[MMAsset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.flatMap { a =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.content))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          val singleBand = raster.getNumBands == 1
+          val v = Array.tabulate(64) { i =>
+            val (r, c) = (i / 8, i % 8)
+            val (sx, sy) = ((c * w) / 8, (r * h) / 8)
+            if (singleBand) raster.getSample(sx, sy, 0).toLong
+            else {
+              val rgb = img.getRGB(sx, sy)
+              (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong / 3
+            }
+          }
+          val s = v.sum
+          val bands = Array.tabulate(8) { b =>
+            (0 until 8).map(j => if (64L * v(8 * b + j) > s) 1L << j else 0L).sum
+          }
+          Some((a.asset_id, bands(0), bands(1), bands(2), bands(3),
+            bands(4), bands(5), bands(6), bands(7)))
+        }
+      }
+    }.toDF("asset_id", "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")
+  }
+
+  /**
+   * Image near-duplicate pairs over a REAL codec path: text payloads →
+   * actual PNG encode ([[encodePngGray]]) → actual decode + aHash →
+   * band-bucket join → exact Hamming verify (`bit_count(xor)` per band —
+   * codegen'd integer ops). Emits (a_id, b_id, hamming ≤ maxHamming),
+   * a_id < b_id, each pair once.
+   *
+   * Completeness: exact for maxHamming ≤ 7 (8 bands ⇒ some band has zero
+   * differing bits). Scale shape: candidate volume is Σ over buckets of
+   * |bucket|² like every LSH path here — no all-pairs join, shuffles keyed
+   * on (band, value); the 8-bit band alphabet trades bucket selectivity
+   * for the deeper Hamming radius (more candidates per bucket than q27's
+   * 16-bit simhash bands — the verify step stays cheap integer xor).
+   */
+  def imageNearDupPairs(docs: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"banding guarantees completeness only to Hamming 7, got $maxHamming")
+    val bcols = (0 to 7).map(i => col(s"b$i"))
+    val hashes = aHash(encodePngGray(assetsFromDocuments(docs)))
+    val bands = hashes.select(col("asset_id") +: bcols :+
+      posexplode(array(bcols: _*)): _*)
+      .withColumnsRenamed(Map("pos" -> "bi", "col" -> "bv"))
+    val a = bands.select(col("asset_id").as("a_id") +: col("bi") +: col("bv") +:
+      (0 to 7).map(i => col(s"b$i").as(s"a$i")): _*)
+    val b = bands.select(col("asset_id").as("b_id") +: col("bi") +: col("bv") +:
+      (0 to 7).map(i => col(s"b$i").as(s"c$i")): _*)
+    val hamming = (0 to 7)
+      .map(i => bit_count(col(s"a$i").bitwiseXOR(col(s"c$i"))))
+      .reduce(_ + _)
+    a.join(b, Seq("bi", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), hamming.cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Frame-sampling shape demo: pick every `stride`-th byte window as a
     * "frame" (stub for video frame extraction; same mapPartitions contract). */
   def sampleFrames(assets: Dataset[MMAsset], stride: Int): DataFrame = {

@@ -1099,6 +1099,16 @@ object CatalogExt {
     graft.model.QualityLr.trainAndScore(
       Tables.documents(s, dir), "doc_id", "text", rounds = 24)
 
+  /** Image near-dup pairs through a REAL codec path: text payloads → real
+    * PNG encode → real javax.imageio decode → perceptual average-hash →
+    * band-bucket LSH → exact bit_count(xor) Hamming verify. The oracle
+    * replays the pixels from the byte-resample formula (the q60 trick), so
+    * an actual encoder/decoder round trip sits inside a hash-checked
+    * dedup operator (see [[graft.multimodal.Multimodal.imageNearDupPairs]]). */
+  def q124ImageNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.imageNearDupPairs(
+      Tables.documents(s, dir), maxHamming = 7)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1203,6 +1213,7 @@ object CatalogExt {
     "q121_threshold_sweep"  -> q121ThresholdSweep _,
     "q122_bm25_topk"        -> q122Bm25TopK _,
     "q123_quality_lr"       -> q123QualityLr _,
+    "q124_image_neardup"    -> q124ImageNearDup _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

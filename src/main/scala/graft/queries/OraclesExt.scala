@@ -435,6 +435,11 @@ object OraclesExt {
     // mean-gradient step) are exact doubles (see qualityLrSql)
     "q123_quality_lr" -> qualityLrSql(24),
 
+    // q124: the real PNG encode→decode→aHash path replayed from the byte
+    // grid (the q60 trick: written pixels are a pure function of the
+    // bytes), then the same band join and bit_count(xor) Hamming verify
+    "q124_image_neardup" -> aHashNearDupSql,
+
     "q119_fuzzy_pairs" ->
       """WITH p AS (SELECT doc_id AS k, lang AS blk, substr(text, 1, 40) AS s
         |           FROM documents WHERE len(substr(text, 1, 40)) >= 2),
@@ -1469,6 +1474,49 @@ object OraclesExt {
        |  ${pSql("t")} AS p,
        |  ${pSql("t")} * 2 > 65536 AS pred
        |FROM f CROSS JOIN r$rounds t""".stripMargin
+  }
+
+  /** q124: aHash near-dup replay — pixels from the byte-resample grid
+    * (shared with q60), the 8×8 nearest-neighbor downsample, the
+    * no-divide mean test (64·v > Σv), 16-bit bands, band-bucket join,
+    * bit_count(xor) Hamming — mirroring
+    * [[graft.multimodal.Multimodal.imageNearDupPairs]]. */
+  private lazy val aHashNearDupSql: String = {
+    def band(b: Int) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CASE WHEN 64 * v[${8 * b} + j + 1] > s THEN CAST(1 AS BIGINT) << j
+         |            ELSE CAST(0 AS BIGINT) END for j in range(0, 8)]),
+         |    (a, x) -> a + x) AS b$b""".stripMargin
+    val ham = (0 to 7).map(i => s"bit_count(xor(a$i, c$i))").mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, octet_length(encode(text)) AS n,
+       |    4 + octet_length(encode(text)) % 13 AS w,
+       |    4 + (octet_length(encode(text)) * 7) % 11 AS h
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, w, h,
+       |    [CASE WHEN n = 0 THEN 0
+       |          ELSE ord(substr(text, CAST((i * n) // (w * h) AS INT) + 1, 1)) END
+       |     for i in range(0, w * h)] AS px
+       |  FROM t),
+       |sv AS (SELECT doc_id,
+       |    [CAST(px[((i // 8) * h // 8) * w + ((i % 8) * w // 8) + 1] AS BIGINT)
+       |     for i in range(0, 64)] AS v
+       |  FROM p),
+       |hh AS (SELECT doc_id, v,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), v), (a, x) -> a + x) AS s
+       |  FROM sv),
+       |bands AS (SELECT doc_id, ${(0 to 7).map(band).mkString(", ")} FROM hh),
+       |e AS (SELECT doc_id, b0, b1, b2, b3, b4, b5, b6, b7, bi,
+       |        [b0, b1, b2, b3, b4, b5, b6, b7][bi + 1] AS bv
+       |      FROM bands CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS bi)),
+       |pr AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         ${(0 to 7).map(i => s"a.b$i AS a$i").mkString(", ")},
+       |         ${(0 to 7).map(i => s"b.b$i AS c$i").mkString(", ")}
+       |       FROM e a JOIN e b ON a.bi = b.bi AND a.bv = b.bv
+       |         AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, CAST($ham AS BIGINT) AS hamming
+       |FROM pr WHERE $ham <= 7""".stripMargin
   }
 
   /** The q72 gate replay, shared with q121's label side. */
