@@ -1109,6 +1109,14 @@ object CatalogExt {
     graft.multimodal.Multimodal.imageNearDupPairs(
       Tables.documents(s, dir), maxHamming = 7)
 
+  /** Johnson–Lindenstrauss reduction of the embedding table: 64 → 16 dims
+    * through a deterministic Rademacher sign matrix baked into the plan as
+    * literals; pure narrow projection, fixed-order folds, flattened
+    * (vec_id, dim, val) output (see [[Similarity.randomProject]]). */
+  def q125RandomProject(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(
+      Tables.embeddings(s, dir), "vec_id", "embedding", inDims = 64, outDims = 16)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1214,6 +1222,7 @@ object CatalogExt {
     "q122_bm25_topk"        -> q122Bm25TopK _,
     "q123_quality_lr"       -> q123QualityLr _,
     "q124_image_neardup"    -> q124ImageNearDup _,
+    "q125_random_project"   -> q125RandomProject _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

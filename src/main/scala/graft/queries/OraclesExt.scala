@@ -440,6 +440,10 @@ object OraclesExt {
     // bytes), then the same band join and bit_count(xor) Hamming verify
     "q124_image_neardup" -> aHashNearDupSql,
 
+    // q125: the same literal Rademacher matrix (generated once in Scala,
+    // embedded in both plans), the same seeded fixed-order folds
+    "q125_random_project" -> randomProjectSql(64, 16),
+
     "q119_fuzzy_pairs" ->
       """WITH p AS (SELECT doc_id AS k, lang AS blk, substr(text, 1, 40) AS s
         |           FROM documents WHERE len(substr(text, 1, 40)) >= 2),
@@ -1517,6 +1521,29 @@ object OraclesExt {
        |         AND a.doc_id < b.doc_id)
        |SELECT a_id, b_id, CAST($ham AS BIGINT) AS hamming
        |FROM pr WHERE $ham <= 7""".stripMargin
+  }
+
+  /** q125: the JL projection replay — per output dim, a seeded
+    * fixed-order list_reduce over sign·x products with the SAME literal
+    * sign matrix ([[graft.sim.Similarity.rademacherSign]], generated
+    * driver-side and printed into the SQL). */
+  private def randomProjectSql(inDims: Int, outDims: Int): String = {
+    val ys = (0 until outDims).map { j =>
+      val signs = (0 until inDims)
+        .map(i => s"${graft.sim.Similarity.rademacherSign(j, i)}.0")
+        .mkString(", ")
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      [CAST(embedding[i + 1] AS DOUBLE) * ([$signs][i + 1])
+         |       for i in range(0, $inDims)]),
+         |    (a, x) -> a + x) AS y$j""".stripMargin
+    }.mkString(",\n")
+    val ycols = (0 until outDims).map(j => s"y$j").mkString(", ")
+    val dims = (0 until outDims).mkString(", ")
+    s"""WITH ys AS (SELECT vec_id,
+       |$ys
+       |FROM embeddings)
+       |SELECT vec_id, CAST(d.j AS BIGINT) AS dim, [$ycols][d.j + 1] AS val
+       |FROM ys CROSS JOIN (SELECT unnest([$dims]) AS j) d""".stripMargin
   }
 
   /** The q72 gate replay, shared with q121's label side. */

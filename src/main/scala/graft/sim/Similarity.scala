@@ -545,4 +545,51 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("c_id"), col("rnk"), col("dist2"))
   }
+
+  /** The deterministic Rademacher (±1) projection matrix entry for output
+    * dim `j`, input dim `i`: sign = parity of the first hex digit of
+    * md5("rp:j:i"). Computed ONCE driver-side and baked into the plan (and
+    * into the oracle SQL) as literals — both engines then share the exact
+    * matrix without per-row hashing. */
+  private[graft] def rademacherSign(j: Int, i: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$j:$i".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) % 2 == 0) 1 else -1
+  }
+
+  /**
+   * Johnson–Lindenstrauss dimensionality reduction by a deterministic
+   * Rademacher random projection (Achlioptas 2003, JCSS: ±1 entries
+   * preserve pairwise geometry like Gaussian projections): y_j = Σ_i
+   * s_ji·x_i over the literal sign matrix of [[rademacherSign]]. The JL
+   * guarantee makes the 16-dim sketch a drop-in pre-filter for the
+   * cosine operators — distances are preserved within (1±ε) w.h.p., at
+   * 1/4 the bytes per vector.
+   *
+   * Exactness: each output coordinate is a FIXED-ORDER fold (seeded 0.0,
+   * input dims ascending) of exact ±x products, so DuckDB's list_reduce
+   * reproduces Spark's doubles bit-for-bit. Output is flattened to
+   * (vec_id, dim, val) — narrow rows, no array-hash ambiguity.
+   *
+   * Scale shape: a pure NARROW projection — zero shuffles, zero joins; the
+   * sign matrix lives in the plan (16×64 literals), never in state. The
+   * expression tree is outDims independent folds, each codegen-friendly.
+   */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      inDims: Int = 64, outDims: Int = 16): DataFrame = {
+    require(outDims >= 1 && outDims <= 64 && inDims >= outDims,
+      s"need 1 <= outDims <= 64 <= inDims, got in=$inDims out=$outDims")
+    val v = col(vecCol)
+    val ys = (0 until outDims).map { j =>
+      (0 until inDims).foldLeft(lit(0.0)) { (acc, i) =>
+        acc + element_at(v, i + 1).cast("double") *
+          lit(rademacherSign(j, i).toDouble)
+      }.as(s"y$j")
+    }
+    df.select(col(idCol).as("vec_id") +: ys: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until outDims).map(j => col(s"y$j")): _*)))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        col("col").as("val"))
+  }
 }
