@@ -1117,6 +1117,15 @@ object CatalogExt {
     Similarity.randomProject(
       Tables.embeddings(s, dir), "vec_id", "embedding", inDims = 64, outDims = 16)
 
+  /** Greedy k-center coreset over the embedding corpus: 8 farthest-point
+    * rounds, each a broadcast-centers narrow scan + TakeOrdered(1); the
+    * oracle replays every round as a chained CTE (see
+    * [[Similarity.kCenterCoreset]]). The data-pruning counterpart to the
+    * similarity operators: pick the k most mutually-distant exemplars. */
+  def q126KCenter(s: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterCoreset(
+      Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, dims = 64)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1223,6 +1232,7 @@ object CatalogExt {
     "q123_quality_lr"       -> q123QualityLr _,
     "q124_image_neardup"    -> q124ImageNearDup _,
     "q125_random_project"   -> q125RandomProject _,
+    "q126_kcenter_coreset"  -> q126KCenter _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -444,6 +444,11 @@ object OraclesExt {
     // embedded in both plans), the same seeded fixed-order folds
     "q125_random_project" -> randomProjectSql(64, 16),
 
+    // q126: every farthest-point round replayed as a chained CTE — same
+    // fixed-order distance folds, same true-min reduction, same
+    // (d2 DESC, id ASC) argmax cut
+    "q126_kcenter_coreset" -> kCenterSql(8, 64),
+
     "q119_fuzzy_pairs" ->
       """WITH p AS (SELECT doc_id AS k, lang AS blk, substr(text, 1, 40) AS s
         |           FROM documents WHERE len(substr(text, 1, 40)) >= 2),
@@ -1544,6 +1549,30 @@ object OraclesExt {
        |FROM embeddings)
        |SELECT vec_id, CAST(d.j AS BIGINT) AS dim, [$ycols][d.j + 1] AS val
        |FROM ys CROSS JOIN (SELECT unnest([$dims]) AS j) d""".stripMargin
+  }
+
+  /** q126: the greedy k-center replay — mirrors
+    * [[graft.sim.Similarity.kCenterCoreset]] round for round. */
+  private def kCenterSql(k: Int, dims: Int): String = {
+    val sq = s"(CAST(e.embedding[i] AS DOUBLE) - CAST(c.vec[i] AS DOUBLE))"
+    val d2 =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         | [$sq * $sq for i in range(1, ${dims + 1})]), (a, x) -> a + x)"""
+        .stripMargin.replace("\n", "")
+    val rounds = (1 until k).map { t =>
+      s"""m$t AS (SELECT e.vec_id, e.embedding, min($d2) AS md
+         |        FROM embeddings e CROSS JOIN u${t - 1} c GROUP BY 1, 2),
+         |u$t AS (SELECT round, vec_id, vec, d2 FROM u${t - 1}
+         |        UNION ALL
+         |        (SELECT CAST($t AS BIGINT) AS round, vec_id,
+         |                embedding AS vec, md AS d2
+         |         FROM m$t ORDER BY md DESC, vec_id ASC LIMIT 1))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH u0 AS (SELECT CAST(0 AS BIGINT) AS round, vec_id,
+       |    embedding AS vec, CAST(0.0 AS DOUBLE) AS d2
+       |  FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+       |$rounds
+       |SELECT round, vec_id, d2 FROM u${k - 1}""".stripMargin
   }
 
   /** The q72 gate replay, shared with q121's label side. */

@@ -575,6 +575,51 @@ object Similarity {
    * sign matrix lives in the plan (16×64 literals), never in state. The
    * expression tree is outDims independent folds, each codegen-friendly.
    */
+  /**
+   * Greedy k-center coreset selection (farthest-point traversal — the
+   * 2-approximation of Gonzalez 1985, TCS, and the "k-center greedy"
+   * baseline of coreset-based data selection, e.g. Sener & Savarese 2018,
+   * ICLR active learning): start from the lowest-id vector, then `k`−1
+   * times add the point FARTHEST (squared L2) from its nearest selected
+   * center. Returns (round, vec_id, d2) — d2 is the point's min-distance
+   * at selection time, a non-increasing sequence that doubles as the
+   * corpus' covering-radius profile.
+   *
+   * Exactness: distances are seeded fixed-order folds over dims (DuckDB
+   * list_reduce ≡ Spark foldLeft), the per-point nearest-center reduction
+   * is a true min (order-free), and the argmax breaks ties on ascending
+   * id — the oracle replays every round as a chained CTE.
+   *
+   * Scale shape: each round is one broadcast of the ≤k selected centers
+   * into a narrow scan + a TakeOrdered(1) — no shuffle of the corpus,
+   * ever; the loop state is k rows. Lineage is cut per round (the
+   * PageRank discipline) so the plan stays linear in k.
+   */
+  def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, dims: Int = 64): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64] (k centers broadcast), got $k")
+    val pts = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    def d2(x: Column, c: Column): Column =
+      (1 to dims).foldLeft(lit(0.0)) { (acc, i) =>
+        acc + (element_at(x, i).cast("double") - element_at(c, i).cast("double")) *
+          (element_at(x, i).cast("double") - element_at(c, i).cast("double"))
+      }
+    val seed = pts.orderBy(col("vec_id").asc).limit(1)
+      .select(lit(0L).as("round"), col("vec_id"), col("v"), lit(0.0).as("d2"))
+    var centers = seed
+    for (t <- 1 until k) {
+      val cArr = centers
+        .agg(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))).as("cs"))
+      val winner = pts.crossJoin(broadcast(cArr))
+        .select(col("vec_id"), col("v"),
+          array_min(transform(col("cs"), c => d2(col("v"), c("cv")))).as("d2"))
+        .orderBy(col("d2").desc, col("vec_id").asc).limit(1)
+        .select(lit(t.toLong).as("round"), col("vec_id"), col("v"), col("d2"))
+      centers = graft.dedup.Dedup.lineageCutLazy(centers.union(winner))
+    }
+    centers.select(col("round"), col("vec_id"), col("d2"))
+  }
+
   def randomProject(df: DataFrame, idCol: String, vecCol: String,
       inDims: Int = 64, outDims: Int = 16): DataFrame = {
     require(outDims >= 1 && outDims <= 64 && inDims >= outDims,
