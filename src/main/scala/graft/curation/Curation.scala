@@ -764,6 +764,41 @@ object Curation {
         (col("pos") + 1).cast("long").as("rk"))
   }
 
+  /**
+   * Length-bucket batching audit: group documents into token-length bands
+   * of `bucketWidth` and report, per band, the batch count at `batchSize`
+   * and the padding waste of batching within the band (every sequence in
+   * a batch pads to the band maximum) — the planning statistic behind
+   * length-bucketed training batches (pad-to-longest batching wastes
+   * tokens proportional to in-batch length spread; bucketing bounds the
+   * spread by `bucketWidth`). All integer arithmetic except the final
+   * one-divide ratio.
+   *
+   * Scale shape: ONE map-side-combinable aggregate keyed by bucket —
+   * at most (max_len / bucketWidth) groups ever shuffle.
+   */
+  def lengthBucketAudit(docs: DataFrame, textCol: String,
+      bucketWidth: Int = 16, batchSize: Int = 32): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1,
+      s"bucketWidth/batchSize must be >= 1, got $bucketWidth/$batchSize")
+    val waste = col("n_docs") * col("max_tokens") - col("sum_tokens")
+    val padded = col("n_docs") * col("max_tokens")
+    docs
+      .select(size(TextOps.tokens(col(textCol))).cast("long").as("nt"))
+      .select(expr(s"nt DIV $bucketWidth").as("bucket"), col("nt"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("nt")).as("min_tokens"),
+        max(col("nt")).as("max_tokens"),
+        sum(col("nt")).as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("min_tokens"),
+        col("max_tokens"), col("sum_tokens"),
+        expr(s"(n_docs + ${batchSize - 1}) DIV $batchSize").as("batches"),
+        waste.as("pad_waste"),
+        when(padded > 0, waste.cast("double") / padded.cast("double"))
+          .otherwise(lit(0.0)).as("waste_ratio"))
+  }
+
   /** Piecewise-linear log2 of a positive integral column — the engine's
     * exact-arithmetic `lg` (see [[dsirWeights]] for the error analysis:
     * strictly monotone, max 0.0861 bits off true log2, bit-identical in

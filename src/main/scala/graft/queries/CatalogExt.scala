@@ -1126,6 +1126,13 @@ object CatalogExt {
     Similarity.kCenterCoreset(
       Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, dims = 64)
 
+  /** Length-bucket batching audit: per 16-token band, the batch count at
+    * size 32 and the padding waste of pad-to-band-max batching — one
+    * map-side-combinable aggregate (see [[Curation.lengthBucketAudit]]). */
+  def q127LengthBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.lengthBucketAudit(
+      Tables.documents(s, dir), "text", bucketWidth = 16, batchSize = 32)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1233,6 +1240,7 @@ object CatalogExt {
     "q124_image_neardup"    -> q124ImageNearDup _,
     "q125_random_project"   -> q125RandomProject _,
     "q126_kcenter_coreset"  -> q126KCenter _,
+    "q127_length_buckets"   -> q127LengthBuckets _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -449,6 +449,23 @@ object OraclesExt {
     // (d2 DESC, id ASC) argmax cut
     "q126_kcenter_coreset" -> kCenterSql(8, 64),
 
+    // q127: pure integer bucket arithmetic + one final divide
+    "q127_length_buckets" ->
+      """WITH s AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |           FROM documents),
+        |g AS (SELECT nt // 16 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |        min(nt) AS min_tokens, max(nt) AS max_tokens,
+        |        CAST(sum(nt) AS BIGINT) AS sum_tokens
+        |      FROM s GROUP BY 1)
+        |SELECT bucket, n_docs, min_tokens, max_tokens, sum_tokens,
+        |  (n_docs + 31) // 32 AS batches,
+        |  n_docs * max_tokens - sum_tokens AS pad_waste,
+        |  CASE WHEN n_docs * max_tokens > 0
+        |       THEN CAST(n_docs * max_tokens - sum_tokens AS DOUBLE)
+        |            / CAST(n_docs * max_tokens AS DOUBLE)
+        |       ELSE 0.0 END AS waste_ratio
+        |FROM g""".stripMargin,
+
     "q119_fuzzy_pairs" ->
       """WITH p AS (SELECT doc_id AS k, lang AS blk, substr(text, 1, 40) AS s
         |           FROM documents WHERE len(substr(text, 1, 40)) >= 2),
