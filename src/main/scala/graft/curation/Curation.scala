@@ -799,6 +799,45 @@ object Curation {
           .otherwise(lit(0.0)).as("waste_ratio"))
   }
 
+  /**
+   * PMI collocation mining: the top-`k` adjacent token pairs by pointwise
+   * mutual information in exact-lg bits — PMI(w1,w2) = lg c12 − lg B −
+   * lg c1 − lg c2 + lg N + lg N (B = corpus bigram count, N = corpus
+   * token count; every lg argument is an exact integer, every subtraction
+   * in fixed textual order, so q129 hash-matches). The collocation
+   * extractor of the text-analysis family (multi-word expressions,
+   * tokenizer-merge candidates).
+   *
+   * Scale shape: bigram and unigram counts are map-side-combinable
+   * word-count aggregates; `minCount` prunes the long tail BEFORE the two
+   * vocab-keyed joins; the final top-k is a TakeOrdered (never a global
+   * sort materialization) with the (pmi DESC, w1, w2) total order.
+   */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Long = 5L, k: Int = 100): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"minCount/k must be >= 1, got $minCount/$k")
+    val toks = docs.select(TextOps.tokens(col(textCol)).as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val bi = toks
+      .select(posexplode(slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0)))),
+        col("w"))
+      .select(col("col").as("w1"), element_at(col("w"), col("pos") + 2).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val stats = uni.agg(sum(col("c")).as("n"))
+      .crossJoin(bi.agg(sum(col("c12")).as("b")))
+    val pmi = ((((lg(col("c12")) - lg(col("b"))) - lg(col("c1"))) - lg(col("c2"))) +
+      lg(col("n"))) + lg(col("n"))
+    bi.filter(col("c12") >= minCount)
+      .join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(stats))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        pmi.as("pmi_bits"))
+      .orderBy(col("pmi_bits").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** Piecewise-linear log2 of a positive integral column — the engine's
     * exact-arithmetic `lg` (see [[dsirWeights]] for the error analysis:
     * strictly monotone, max 0.0861 bits off true log2, bit-identical in

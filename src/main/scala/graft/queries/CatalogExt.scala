@@ -1133,6 +1133,24 @@ object CatalogExt {
     graft.curation.Curation.lengthBucketAudit(
       Tables.documents(s, dir), "text", bucketWidth = 16, batchSize = 32)
 
+  /** Character-level Shannon entropy per doc in exact-lg bits — the
+    * gibberish/padding detector (see [[graft.text.TextOps.charEntropy]]). */
+  def q128CharEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.charEntropy(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Top-100 PMI collocations (adjacent-pair pointwise mutual information
+    * in exact-lg bits, count ≥ 5) — see [[Curation.pmiCollocations]]. */
+  def q129PmiCollocations(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.pmiCollocations(
+      Tables.documents(s, dir), "text", minCount = 5L, k = 100)
+
+  /** Dataset content fingerprints: per-source + corpus-total ('*') XOR of
+    * 60-bit row digests in one rollup pass — O(1) snapshot comparison,
+    * incrementally maintainable (see [[graft.ops.Fingerprint]]). */
+  def q130Fingerprint(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Fingerprint.datasetFingerprint(
+      Tables.documents(s, dir), "doc_id", "text", "source")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1241,6 +1259,9 @@ object CatalogExt {
     "q125_random_project"   -> q125RandomProject _,
     "q126_kcenter_coreset"  -> q126KCenter _,
     "q127_length_buckets"   -> q127LengthBuckets _,
+    "q128_char_entropy"     -> q128CharEntropy _,
+    "q129_pmi_collocations" -> q129PmiCollocations _,
+    "q130_fingerprint"      -> q130Fingerprint _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -449,6 +449,52 @@ object OraclesExt {
     // (d2 DESC, id ASC) argmax cut
     "q126_kcenter_coreset" -> kCenterSql(8, 64),
 
+    // q128: per-char-class one-divide probabilities, exact-lg bits,
+    // fixed-order fold over characters ascending
+    "q128_char_entropy" ->
+      s"""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+         |            FROM documents),
+         |ct AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM ch GROUP BY 1, 2),
+         |n AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n
+         |      FROM ct GROUP BY 1)
+         |SELECT ct.doc_id, n.n AS n_chars_counted,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |         (${lgSqlOf("n")} - ${lgSqlOf("cnt")}) ORDER BY c)),
+         |    (a, x) -> a + x) AS entropy_bits
+         |FROM ct JOIN n ON ct.doc_id = n.doc_id GROUP BY 1, 2""".stripMargin,
+
+    // q129: PMI replayed — integer unigram/bigram counts, the same
+    // fixed-order exact-lg difference chain, same (pmi, w1, w2) cut
+    "q129_pmi_collocations" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |uc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM (
+         |         SELECT unnest(w) AS t FROM t) GROUP BY 1),
+         |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+         |         SELECT w[i] AS w1, w[i + 1] AS w2
+         |         FROM (SELECT w, unnest(range(1, len(w))) AS i FROM t))
+         |       GROUP BY 1, 2),
+         |st AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uc) AS n,
+         |              (SELECT CAST(sum(c12) AS BIGINT) FROM bc) AS b)
+         |SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+         |  ((((${lgSqlOf("c12")} - ${lgSqlOf("b")}) - ${lgSqlOf("u1.c")}) -
+         |    ${lgSqlOf("u2.c")}) + ${lgSqlOf("n")}) + ${lgSqlOf("n")} AS pmi_bits
+         |FROM bc JOIN uc u1 ON u1.t = bc.w1
+         |JOIN uc u2 ON u2.t = bc.w2 CROSS JOIN st
+         |WHERE c12 >= 5
+         |ORDER BY pmi_bits DESC, w1 ASC, w2 ASC LIMIT 100""".stripMargin,
+
+    // q130: same row digest (15-hex md5 prefix -> positive BIGINT), same
+    // order-free bit_xor rollup with the coalesced total row
+    "q130_fingerprint" ->
+      """SELECT coalesce(source, '*') AS source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+        |    1, 15))::BIGINT) AS xor_fp,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY ROLLUP(source)""".stripMargin,
+
     // q127: pure integer bucket arithmetic + one final divide
     "q127_length_buckets" ->
       """WITH s AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt

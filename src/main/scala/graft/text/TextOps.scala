@@ -197,4 +197,36 @@ object TextOps {
         least(lit(window), size(col("__w")) - col("start")).cast("long").as("n_tokens"),
         concat_ws(" ", slice(col("__w"), col("start") + 1, lit(window))).as("chunk"))
   }
+
+  /**
+   * Character-level Shannon entropy per document, in bits (under the
+   * engine's exact-arithmetic piecewise-linear lg — see Curation.lg):
+   * H = Σ_c (cnt_c/n)·(lg n − lg cnt_c). The gibberish/boilerplate
+   * detector of the quality family: natural language sits ~4 bits/char,
+   * repeated padding near 0, uniform noise near lg(alphabet).
+   *
+   * Exactness: one IEEE divide per character class, and the per-doc sum
+   * is a FIXED-ORDER fold over characters ascending (sort_array →
+   * aggregate ≡ DuckDB list(... ORDER BY c) → list_reduce).
+   *
+   * Scale shape: (doc, char) counts are map-side combinable and the
+   * alphabet is tiny, so the shuffle carries ≤ |alphabet| rows per doc;
+   * the fold is per-doc local. Output: (doc_id, n_chars_counted,
+   * entropy_bits).
+   */
+  def charEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val lg = graft.curation.Curation.lg _
+    df
+      .select(col(idCol), explode(split(col(textCol), "")).as("c"))
+      .groupBy(col(idCol), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_chars_counted"),
+        sort_array(collect_list(struct(col("c"), col("cnt")))).as("__cs"))
+      .select(col(idCol), col("n_chars_counted"),
+        aggregate(col("__cs"), lit(0.0), (acc, e) =>
+          acc + (e("cnt").cast("double") / col("n_chars_counted").cast("double")) *
+            (lg(col("n_chars_counted")) - lg(e("cnt")))).as("entropy_bits"))
+  }
 }
