@@ -1151,6 +1151,15 @@ object CatalogExt {
     graft.ops.Fingerprint.datasetFingerprint(
       Tables.documents(s, dir), "doc_id", "text", "source")
 
+  /** MMR diverse top-5 per query (λ = 0.5): greedy relevance-vs-redundancy
+    * re-ranking over the exact cosine kernel, every round replayed by the
+    * oracle (see [[Similarity.mmrTopK]]). */
+  def q131MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.mmrTopK(emb.filter(col("vec_id") % 50 === 0), emb,
+      "vec_id", "embedding", k = 5, lambda = 0.5)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1262,6 +1271,7 @@ object CatalogExt {
     "q128_char_entropy"     -> q128CharEntropy _,
     "q129_pmi_collocations" -> q129PmiCollocations _,
     "q130_fingerprint"      -> q130Fingerprint _,
+    "q131_mmr_rerank"       -> q131MmrRerank _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

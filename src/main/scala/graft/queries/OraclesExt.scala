@@ -485,6 +485,10 @@ object OraclesExt {
          |WHERE c12 >= 5
          |ORDER BY pmi_bits DESC, w1 ASC, w2 ASC LIMIT 100""".stripMargin,
 
+    // q131: every MMR greedy round replayed — shared bit-equal cosine
+    // kernel, true-max redundancy term, (mmr DESC, c_id ASC) argmax
+    "q131_mmr_rerank" -> mmrSql(5, 0.5),
+
     // q130: same row digest (15-hex md5 prefix -> positive BIGINT), same
     // order-free bit_xor rollup with the coalesced total row
     "q130_fingerprint" ->
@@ -1636,6 +1640,40 @@ object OraclesExt {
        |  FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
        |$rounds
        |SELECT round, vec_id, d2 FROM u${k - 1}""".stripMargin
+  }
+
+  /** q131: the MMR replay — mirrors [[graft.sim.Similarity.mmrTopK]]
+    * round for round (λ·rel − (1−λ)·maxSim with the engine's exact
+    * parenthesization; round 1's redundancy term is the coalesced 0.0). */
+  private def mmrSql(k: Int, lambda: Double): String = {
+    def cos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+        s"sqrt(list_dot_product($b, $b)))"
+    def mmr(ms: String) = s"$lambda * rel - (1.0 - $lambda) * $ms"
+    def winner(t: Int, from: String, ms: String) =
+      s"""w$t AS (SELECT q_id, CAST($t AS BIGINT) AS round, c_id, cv, mmr FROM (
+         |  SELECT q_id, c_id, cv, ${mmr(ms)} AS mmr,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${mmr(ms)} DESC, c_id ASC) AS rn
+         |  FROM $from) WHERE rn = 1)""".stripMargin
+    val rounds = (2 to k).map { t =>
+      s"""m$t AS (SELECT r.q_id, r.c_id, r.cv, r.rel,
+         |    max(${cos("r.cv", "s.cv")}) AS ms
+         |  FROM rel r JOIN u${t - 1} s USING (q_id)
+         |  LEFT JOIN u${t - 1} x ON x.q_id = r.q_id AND x.c_id = r.c_id
+         |  WHERE x.c_id IS NULL GROUP BY 1, 2, 3, 4),
+         |${winner(t, s"m$t", "ms")},
+         |u$t AS (SELECT * FROM u${t - 1} UNION ALL SELECT * FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       |rel AS (SELECT q_id, c_id, cv, ${cos("qv", "cv")} AS rel
+       |  FROM c JOIN q ON q.q_id <> c.c_id),
+       |${winner(1, "rel", "0.0")},
+       |u1 AS (SELECT * FROM w1),
+       |$rounds
+       |SELECT q_id, round, c_id, mmr FROM u$k""".stripMargin
   }
 
   /** The q72 gate replay, shared with q121's label side. */

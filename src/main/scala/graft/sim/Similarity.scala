@@ -620,6 +620,62 @@ object Similarity {
     centers.select(col("round"), col("vec_id"), col("d2"))
   }
 
+  /**
+   * Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998,
+   * SIGIR): greedily pick `k` results per query balancing relevance
+   * against redundancy — round t selects argmax over unpicked candidates
+   * of λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s). The
+   * diversity-aware retrieval verb (RAG context selection, dedup-aware
+   * serving) on top of the exact cosine kernel.
+   *
+   * Exactness: cosines are the shared bit-equal kernel (GraftFunctions
+   * .cosine ≡ DuckDB list_dot_product/sqrt-product, the q28/q29
+   * contract); the redundancy term is a true max (order-free); the
+   * argmax breaks ties on ascending candidate id; the oracle replays
+   * every greedy round as a chained CTE.
+   *
+   * Scale shape: the relevance table is computed ONCE (broadcast query
+   * side) and lineage-cut; each round broadcasts the ≤ k·|queries|
+   * selected rows back into it — no corpus reshuffle per round; the
+   * per-round argmax is one map-side-combinable max(struct) aggregate.
+   */
+  def mmrTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int = 5,
+      lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val s = queries.sparkSession
+    GraftFunctions.ensureRegistered(s)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+    val c = candidates.select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
+    val rel = graft.dedup.Dedup.lineageCutLazy(
+      c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"), col("c_v"),
+          GraftFunctions.cosine(col("q_v"), col("c_v")).as("rel")))
+    var selected = rel
+      .select(col("q_id"), lit(0L).as("round"), col("c_id"), col("c_v"),
+        lit(0.0).as("mmr"))
+      .filter(lit(false))
+    for (t <- 1 to k) {
+      val selArr = selected.groupBy(col("q_id"))
+        .agg(collect_list(col("c_id")).as("sel_ids"),
+          collect_list(col("c_v")).as("sel_vs"))
+      val winner = rel
+        .join(broadcast(selArr), Seq("q_id"), "left")
+        .filter(coalesce(!array_contains(col("sel_ids"), col("c_id")), lit(true)))
+        .select(col("q_id"), col("c_id"), col("c_v"),
+          (lit(lambda) * col("rel") - (lit(1.0) - lit(lambda)) *
+            coalesce(array_max(transform(col("sel_vs"),
+              sv => GraftFunctions.cosine(col("c_v"), sv))), lit(0.0))).as("mmr"))
+        .groupBy(col("q_id"))
+        .agg(max(struct(col("mmr").as("m"), (-col("c_id")).as("nid"),
+          col("c_v").as("v"))).as("w"))
+        .select(col("q_id"), lit(t.toLong).as("round"),
+          (-col("w.nid")).as("c_id"), col("w.v").as("c_v"), col("w.m").as("mmr"))
+      selected = graft.dedup.Dedup.lineageCutLazy(selected.union(winner))
+    }
+    selected.select(col("q_id"), col("round"), col("c_id"), col("mmr"))
+  }
+
   def randomProject(df: DataFrame, idCol: String, vecCol: String,
       inDims: Int = 64, outDims: Int = 16): DataFrame = {
     require(outDims >= 1 && outDims <= 64 && inDims >= outDims,
