@@ -138,4 +138,56 @@ object Graph {
         coalesce(col("hub"), lit(0L)).as("hub"),
         coalesce(col("auth"), lit(0L)).as("auth"))
   }
+
+  /**
+   * Community label propagation (Raghavan et al. 2007, Phys. Rev. E,
+   * synchronous variant with clamped seeds — the semi-supervised
+   * label-spreading shape of Zhu & Ghahramani 2002): seeded nodes keep
+   * their label forever; every round, each unseeded node adopts the
+   * MAJORITY label among its labeled neighbors (count DESC, label ASC on
+   * ties — a total order, so rounds are deterministic and the oracle
+   * replays them as chained CTEs). Unlabeled nodes with no labeled
+   * neighbor stay unlabeled.
+   *
+   * Exactness: votes are integer counts (order-free); the argmax is
+   * max(struct(count, −label)); updates are SYNCHRONOUS (round t reads
+   * only round t−1), which is what makes the fixed round count
+   * replayable.
+   *
+   * Scale shape: per round, one join of the undirected edge list against
+   * the current labels (both keyed by node — co-partitioned after the
+   * first shuffle) + one map-side-combinable (node, label) count + one
+   * argmax aggregate; lineage cut per round. Wall-clock is
+   * O(rounds) edge-sized shuffles like the PageRank loop.
+   *
+   * @param nodes (id, seed) — seed NULL for unlabeled nodes
+   * @param edges undirected pair list (a_id, b_id), each pair once
+   * @return (id, seeded, label) after `rounds` synchronous rounds
+   */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"rounds must be in [1, 32], got $rounds")
+    val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+    var labels = nodes.select(col("id"), col("seed").as("lab"),
+      col("seed").isNotNull.as("seeded"))
+    for (_ <- 1 to rounds) {
+      val votes = und
+        .join(labels.filter(col("lab").isNotNull)
+          .select(col("id").as("src"), col("lab")), "src")
+        .groupBy(col("dst"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val winner = votes
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("w"))
+        .select(col("dst"), (-col("w.nl")).as("wlab"))
+      labels = graft.dedup.Dedup.lineageCutLazy(
+        labels.join(winner, col("id") === col("dst"), "left")
+          .select(col("id"),
+            when(col("seeded"), col("lab"))
+              .otherwise(coalesce(col("wlab"), col("lab"))).as("lab"),
+            col("seeded")))
+    }
+    labels.select(col("id"), col("seeded"), col("lab").as("label"))
+  }
 }

@@ -1160,6 +1160,26 @@ object CatalogExt {
       "vec_id", "embedding", k = 5, lambda = 0.5)
   }
 
+  /** Semi-supervised label propagation over the sign-LSH near-dup graph:
+    * 20% seeded with their true embedding label, 4 synchronous majority
+    * rounds with clamped seeds, output audited against ground truth (see
+    * [[graft.graph.Graph.labelPropagation]]; edges = q49's operator).
+    * NOTE the fixture's embeddings are label-uncorrelated noise, so the
+    * `correct` audit column reads ~chance here by construction — the
+    * recovery law (planted communities fully relabel) lives in GraphSpec;
+    * this query is the oracle + scale gate for the round machinery. */
+  def q132LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val nodes = emb.select(col("vec_id").as("id"),
+      when(col("vec_id") % 5 === 0, col("label").cast("long")).as("seed"))
+    val edges = Dedup.embeddingNearDupPairsLsh(emb, "vec_id", "embedding",
+      0.45, planes = 16, maxHamming = 3).select(col("a_id"), col("b_id"))
+    graft.graph.Graph.labelPropagation(nodes, edges, rounds = 4)
+      .join(emb.select(col("vec_id").as("id"), col("label").cast("long").as("__t")), "id")
+      .select(col("id").as("vec_id"), col("seeded"), col("label"),
+        (col("label") === col("__t")).as("correct"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1272,6 +1292,7 @@ object CatalogExt {
     "q129_pmi_collocations" -> q129PmiCollocations _,
     "q130_fingerprint"      -> q130Fingerprint _,
     "q131_mmr_rerank"       -> q131MmrRerank _,
+    "q132_label_prop"       -> q132LabelProp _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

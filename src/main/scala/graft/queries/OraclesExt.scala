@@ -489,6 +489,11 @@ object OraclesExt {
     // kernel, true-max redundancy term, (mmr DESC, c_id ASC) argmax
     "q131_mmr_rerank" -> mmrSql(5, 0.5),
 
+    // q132: the q49 edge oracle inlined as the graph, then every
+    // synchronous majority round replayed (integer votes, (count DESC,
+    // label ASC) argmax, clamped seeds)
+    "q132_label_prop" -> labelPropSql(4),
+
     // q130: same row digest (15-hex md5 prefix -> positive BIGINT), same
     // order-free bit_xor rollup with the coalesced total row
     "q130_fingerprint" ->
@@ -1674,6 +1679,35 @@ object OraclesExt {
        |u1 AS (SELECT * FROM w1),
        |$rounds
        |SELECT q_id, round, c_id, mmr FROM u$k""".stripMargin
+  }
+
+  /** q132: the label-propagation replay — edges from [[embedLshSql]]
+    * (inlined as a derived table), then `rounds` chained synchronous
+    * majority CTEs mirroring [[graft.graph.Graph.labelPropagation]]. */
+  private def labelPropSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { t =>
+      s"""v$t AS (SELECT u.dst, l.lab, CAST(count(*) AS BIGINT) AS c
+         |  FROM und u JOIN l${t - 1} l ON l.id = u.src
+         |  WHERE l.lab IS NOT NULL GROUP BY 1, 2),
+         |w$t AS (SELECT dst, lab AS wlab FROM (
+         |  SELECT dst, lab, row_number() OVER (PARTITION BY dst
+         |    ORDER BY c DESC, lab ASC) AS rn FROM v$t) WHERE rn = 1),
+         |l$t AS (SELECT l.id,
+         |    CASE WHEN l.seeded THEN l.lab ELSE coalesce(w.wlab, l.lab) END AS lab,
+         |    l.seeded
+         |  FROM l${t - 1} l LEFT JOIN w$t w ON w.dst = l.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT a_id, b_id FROM ($embedLshSql)),
+       |und AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |        UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+       |l0 AS (SELECT vec_id AS id,
+       |    CASE WHEN vec_id % 5 = 0 THEN CAST(label AS BIGINT) END AS lab,
+       |    vec_id % 5 = 0 AS seeded
+       |  FROM embeddings),
+       |$roundCtes
+       |SELECT l.id AS vec_id, l.seeded, l.lab AS label,
+       |  l.lab = CAST(e.label AS BIGINT) AS correct
+       |FROM l$rounds l JOIN embeddings e ON e.vec_id = l.id""".stripMargin
   }
 
   /** The q72 gate replay, shared with q121's label side. */
