@@ -838,6 +838,22 @@ object Curation {
       .limit(k)
   }
 
+  /**
+   * Group-integrity split (the GroupShuffleSplit of data curation): the
+   * train/val/test assignment is a pure function of the GROUP key
+   * (md5-hash of the domain), so every document of a source lands in the
+   * same split and cross-split near-dup/contamination leakage through
+   * sibling pages of one site is impossible by construction (the failure
+   * mode q104's cross-split audit measures). Cuts: 80/10/10 over the
+   * hash's first 32 bits mod 100. Stateless, deterministic, one narrow
+   * projection.
+   */
+  def groupSplit(docs: DataFrame, idCol: String, domainCol: String): DataFrame = {
+    val u = conv(substring(md5(col(domainCol)), 1, 8), 16, 10).cast("long") % 100
+    docs.select(col(idCol), col(domainCol).as("domain"),
+      when(u < 80, "train").when(u < 90, "val").otherwise("test").as("split"))
+  }
+
   /** Piecewise-linear log2 of a positive integral column — the engine's
     * exact-arithmetic `lg` (see [[dsirWeights]] for the error analysis:
     * strictly monotone, max 0.0861 bits off true log2, bit-identical in

@@ -160,4 +160,35 @@ object Profile {
           .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
+
+  /**
+   * Robust per-group outlier flags via the modified z-score (Iglewicz &
+   * Hoaglin 1993): M = 0.6745·(x − median)/MAD with MAD = median(|x −
+   * median|); |M| > 3.5 flags. Median/MAD resist the very outliers they
+   * hunt (unlike q98's mean/variance scores — 50% breakdown point vs 0),
+   * which is why ANALYZE-style profiling uses them on dirty columns.
+   *
+   * Exactness: the two medians are Spark `percentile` ≡ DuckDB
+   * `quantile_cont` (the q40 contract), the score is one multiply + one
+   * divide in fixed parenthesization; MAD = 0 groups yield NULL score and
+   * NULL flag on both engines.
+   *
+   * Scale shape: two grouped aggregates and two dimension-sized broadcast
+   * joins — the fact table is scanned, never reshuffled by value.
+   */
+  def robustOutliers(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(x, lit(0.5)).as("med"))
+    val j = df.select(col(idCol), col(groupCol), col(valueCol))
+      .join(broadcast(med), groupCol)
+    val mad = j.groupBy(col(groupCol))
+      .agg(percentile(abs(x - col("med")), lit(0.5)).as("mad"))
+    val z = (lit(0.6745) * (x - col("med"))) / col("mad")
+    j.join(broadcast(mad), groupCol)
+      .select(col(idCol), col(groupCol), col(valueCol), col("med"), col("mad"),
+        when(col("mad") =!= 0.0, z).as("robust_z"),
+        when(col("mad") =!= 0.0, abs(z) > 3.5).as("outlier"))
+  }
 }

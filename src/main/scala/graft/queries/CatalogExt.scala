@@ -1180,6 +1180,24 @@ object CatalogExt {
         (col("label") === col("__t")).as("correct"))
   }
 
+  /** Group-integrity 80/10/10 split keyed on the DOMAIN hash — no source
+    * ever spans splits, closing the q104 leakage channel by construction
+    * (see [[Curation.groupSplit]]). */
+  def q133GroupSplit(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.groupSplit(Tables.documents(s, dir), "doc_id", "source")
+
+  /** Robust per-source outlier flags on n_chars via median/MAD modified
+    * z-scores (see [[graft.ops.Profile.robustOutliers]]). */
+  def q134RobustOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.robustOutliers(
+      Tables.documents(s, dir), "doc_id", "source", "n_chars")
+
+  /** Mergeable HLL vocabulary sketches per source + the '*' union row,
+    * graded by the q14 tolerance-law form (see [[graft.sketch.Sketch
+    * .hllVocabulary]]). */
+  def q135HllVocab(s: SparkSession, dir: String): DataFrame =
+    graft.sketch.Sketch.hllVocabulary(Tables.documents(s, dir), "text", "source")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1293,6 +1311,9 @@ object CatalogExt {
     "q130_fingerprint"      -> q130Fingerprint _,
     "q131_mmr_rerank"       -> q131MmrRerank _,
     "q132_label_prop"       -> q132LabelProp _,
+    "q133_group_split"      -> q133GroupSplit _,
+    "q134_robust_outliers"  -> q134RobustOutliers _,
+    "q135_hll_vocab"        -> q135HllVocab _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

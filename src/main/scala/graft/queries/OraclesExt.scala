@@ -494,6 +494,45 @@ object OraclesExt {
     // label ASC) argmax, clamped seeds)
     "q132_label_prop" -> labelPropSql(4),
 
+    // q133: the split is a pure function of the domain hash — replayed
+    "q133_group_split" ->
+      """SELECT doc_id, source AS domain,
+        |  CASE WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 100 < 80
+        |       THEN 'train'
+        |       WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 100 < 90
+        |       THEN 'val' ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    // q134: medians via quantile_cont (the q40 contract), one
+    // multiply+divide score, NULL score/flag where MAD = 0
+    "q134_robust_outliers" ->
+      """WITH m AS (SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+        |           FROM documents GROUP BY 1),
+        |j AS (SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+        |        CAST(d.n_chars AS DOUBLE) AS x, m.med
+        |      FROM documents d JOIN m USING (source)),
+        |md AS (SELECT source, quantile_cont(abs(x - med), 0.5) AS mad
+        |       FROM j GROUP BY 1)
+        |SELECT j.doc_id, j.source, j.n_chars, j.med, md.mad,
+        |  CASE WHEN md.mad <> 0.0
+        |       THEN 0.6745 * (x - j.med) / md.mad END AS robust_z,
+        |  CASE WHEN md.mad <> 0.0
+        |       THEN abs(0.6745 * (x - j.med) / md.mad) > 3.5 END AS outlier
+        |FROM j JOIN md USING (source)""".stripMargin,
+
+    // q135: the q14 form — exact distinct counts per source + the merged
+    // '*' row, tolerance verdict stated as the constant-TRUE boolean
+    "q135_hll_vocab" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents)
+        |SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact,
+        |       TRUE AS within_tol
+        |FROM t GROUP BY source
+        |UNION ALL
+        |SELECT '*' AS source, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact,
+        |       TRUE AS within_tol
+        |FROM t""".stripMargin,
+
     // q130: same row digest (15-hex md5 prefix -> positive BIGINT), same
     // order-free bit_xor rollup with the coalesced total row
     "q130_fingerprint" ->

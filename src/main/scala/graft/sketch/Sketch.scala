@@ -55,4 +55,36 @@ object Sketch {
       .groupBy(col(tokenCol))
       .agg(first(col("tf")).as("tf"), min(col("cnt")).as("est"))
   }
+
+  /**
+   * Mergeable distinct-count sketches: per-domain HyperLogLog sketches of
+   * the token vocabulary (Spark's Apache DataSketches `hll_sketch_agg`)
+   * UNIONED into the corpus estimate with `hll_union_agg` — the pattern
+   * that makes distributed distinct-count O(sketch bytes) per partition
+   * instead of a vocabulary-sized shuffle: partial sketches merge
+   * associatively like any semigroup, so a 1000-executor fleet ships
+   * kilobytes upward. Output: one row per domain plus the merged '*' row,
+   * each carrying the exact distinct count (for the oracle) and the
+   * q14-style tolerance verdict `within_tol` (HLL lgK=12 has σ ≈ 1.04/64
+   * ≈ 1.6%; the law allows `tol`). The estimate itself is
+   * implementation-specific (DataSketches ≠ DuckDB's HLL), hence the
+   * constant-TRUE-boolean oracle form, exactly like q14.
+   */
+  def hllVocabulary(docs: DataFrame, textCol: String, domainCol: String,
+      tol: Double = 0.1): DataFrame = {
+    val toks = docs.select(col(domainCol).as("source"),
+      explode(graft.text.TextOps.tokens(col(textCol))).as("t"))
+    val per = toks.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("t")).as("sk"),
+        countDistinct(col("t")).as("n_exact"))
+    val glob = per.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .crossJoin(toks.agg(countDistinct(col("t")).as("n_exact")))
+      .select(lit("*").as("source"), col("n_exact"), col("est"))
+    per.select(col("source"), col("n_exact"),
+        hll_sketch_estimate(col("sk")).as("est"))
+      .unionByName(glob)
+      .select(col("source"), col("n_exact"),
+        (abs(col("est").cast("double") - col("n_exact").cast("double")) <=
+          lit(tol) * col("n_exact").cast("double")).as("within_tol"))
+  }
 }
