@@ -437,6 +437,26 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /**
+   * Shot-boundary detection over the sampled frame stream: consecutive
+   * "frames" (the [[sampleFrames]] stride samples — a real decoder would
+   * supply per-frame luma here; the plumbing is identical) whose
+   * intensity jumps by more than `threshold` mark a cut. One lag window
+   * per asset — integer arithmetic end to end, no shuffle beyond the
+   * asset-keyed window. First frame of each asset has no predecessor:
+   * delta/is_cut are NULL there, not false.
+   */
+  def shotBoundaries(assets: Dataset[MMAsset], stride: Int = 16,
+      threshold: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id")).orderBy(col("frame_off"))
+    sampleFrames(assets, stride)
+      .withColumn("__prev", lag(col("frame_byte"), 1).over(w))
+      .select(col("asset_id"), col("frame_off"), col("frame_byte"),
+        abs(col("frame_byte") - col("__prev")).as("delta"),
+        (abs(col("frame_byte") - col("__prev")) > threshold).as("is_cut"))
+  }
+
   /** Frame-sampling shape demo: pick every `stride`-th byte window as a
     * "frame" (stub for video frame extraction; same mapPartitions contract). */
   def sampleFrames(assets: Dataset[MMAsset], stride: Int): DataFrame = {

@@ -84,4 +84,45 @@ object TimeSeries {
           .as("week_offset"))
       .agg(countDistinct(col(keyCol)).as("n_users"))
   }
+
+  /**
+   * CUSUM level-shift detection per series (Page 1954, Biometrika): for
+   * each event type's hourly counts in time order, the one-sided CUSUM
+   * s_t = max(0, s_{t-1} + (c_t − μ)) with μ = the series' mean hourly
+   * count; `alarm` when s_t > μ (one sustained extra mean-hour of
+   * volume). The ingest-monitoring statistic that catches a scraper gone
+   * hot or a stuck producer — a level shift — where per-hour outlier
+   * tests miss slow drifts.
+   *
+   * Exactness: the recurrence is rewritten as the WINDOW identity
+   * s_t = P_t − min(0, min_{j≤t} P_j) with P the running sum of the
+   * deviations — and the deviations are SCALED TO INTEGERS
+   * (x_t = c_t·n − total, i.e. n·(c_t − μ)) so the running windows are
+   * exact regardless of each engine's internal aggregation tree (DuckDB's
+   * segment-tree window association would diverge on doubles); the two
+   * reported doubles (μ, cusum in mean-hours… er, hours of drift) each
+   * come from ONE final divide.
+   *
+   * Scale shape: an hour-bucketed count (map-side combinable), a
+   * series-keyed broadcast of per-series totals, and two running windows
+   * PARTITIONED BY series — no global sort, state bounded by series
+   * count.
+   */
+  def cusumDrift(events: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
+    val hourly = events
+      .groupBy(col(seriesCol).as("series"),
+        date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val tot = hourly.groupBy(col("series"))
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("nh"))
+    val w = Window.partitionBy(col("series")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly.join(broadcast(tot), "series")
+      .withColumn("p", sum(col("c") * col("nh") - col("total")).over(w))
+      .withColumn("cs", col("p") - least(min(col("p")).over(w), lit(0L)))
+      .select(col("series"), col("hour"), col("c"),
+        (col("total").cast("double") / col("nh").cast("double")).as("mu"),
+        (col("cs").cast("double") / col("nh").cast("double")).as("cusum"),
+        (col("cs") > col("total")).as("alarm"))
+  }
 }

@@ -1198,6 +1198,18 @@ object CatalogExt {
   def q135HllVocab(s: SparkSession, dir: String): DataFrame =
     graft.sketch.Sketch.hllVocabulary(Tables.documents(s, dir), "text", "source")
 
+  /** CUSUM level-shift alarms per event type over hourly counts — the
+    * running-window identity form (see [[graft.ops.TimeSeries.cusumDrift]]). */
+  def q136CusumDrift(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.cusumDrift(Tables.events(s, dir), "event_type", "ts")
+
+  /** Shot-boundary detection on the sampled frame stream (lag window,
+    * integer deltas — see [[graft.multimodal.Multimodal.shotBoundaries]]). */
+  def q137ShotBounds(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.shotBoundaries(
+      graft.multimodal.Multimodal.assetsFromDocuments(Tables.documents(s, dir)),
+      stride = 16, threshold = 64)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1314,6 +1326,8 @@ object CatalogExt {
     "q133_group_split"      -> q133GroupSplit _,
     "q134_robust_outliers"  -> q134RobustOutliers _,
     "q135_hll_vocab"        -> q135HllVocab _,
+    "q136_cusum_drift"      -> q136CusumDrift _,
+    "q137_shot_bounds"      -> q137ShotBounds _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

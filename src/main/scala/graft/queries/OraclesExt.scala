@@ -533,6 +533,47 @@ object OraclesExt {
         |       TRUE AS within_tol
         |FROM t""".stripMargin,
 
+    // q136: the CUSUM recurrence as its running-window identity over
+    // INTEGER-scaled deviations (c·n − total), so each engine's window
+    // aggregation tree is irrelevant; μ and the reported cusum are one
+    // divide each
+    "q136_cusum_drift" ->
+      """WITH h AS (SELECT event_type AS series, date_trunc('hour', ts) AS hour,
+        |             CAST(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |m AS (SELECT series, CAST(sum(c) AS BIGINT) AS total,
+        |             CAST(count(*) AS BIGINT) AS nh
+        |      FROM h GROUP BY 1),
+        |p AS (SELECT h.series, h.hour, h.c, m.total, m.nh,
+        |        CAST(sum(c * nh - total) OVER (PARTITION BY h.series
+        |          ORDER BY h.hour ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+        |      FROM h JOIN m USING (series)),
+        |q AS (SELECT series, hour, c, total, nh, p,
+        |        min(p) OVER (PARTITION BY series ORDER BY hour
+        |          ROWS UNBOUNDED PRECEDING) AS mp
+        |      FROM p)
+        |SELECT series, hour, c,
+        |  CAST(total AS DOUBLE) / CAST(nh AS DOUBLE) AS mu,
+        |  CAST(p - least(mp, 0) AS DOUBLE) / CAST(nh AS DOUBLE) AS cusum,
+        |  p - least(mp, 0) > total AS alarm
+        |FROM q""".stripMargin,
+
+    // q137: frames replayed from the byte stride (ord ≡ content byte for
+    // the fixture's ascii), the same lag window and integer threshold
+    "q137_shot_bounds" ->
+      """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+        |           FROM documents),
+        |f AS (SELECT doc_id AS asset_id, CAST(off AS BIGINT) AS frame_off,
+        |        CAST(ord(substr(text, CAST(off AS INT) + 1, 1)) AS BIGINT) AS frame_byte
+        |      FROM t, LATERAL (SELECT unnest(range(0, n, 16)) AS off) u),
+        |l AS (SELECT asset_id, frame_off, frame_byte,
+        |        lag(frame_byte) OVER (PARTITION BY asset_id ORDER BY frame_off) AS prev
+        |      FROM f)
+        |SELECT asset_id, frame_off, frame_byte,
+        |  abs(frame_byte - prev) AS delta,
+        |  abs(frame_byte - prev) > 64 AS is_cut
+        |FROM l""".stripMargin,
+
     // q130: same row digest (15-hex md5 prefix -> positive BIGINT), same
     // order-free bit_xor rollup with the coalesced total row
     "q130_fingerprint" ->
