@@ -90,6 +90,36 @@ object Dedup {
       .withColumn("sz", size(col("s")))
   }
 
+  /**
+   * Incremental near-dup admission: probe a DELTA batch against the
+   * standing corpus without touching corpus-internal pairs — the daily
+   * ingest shape (a new crawl lands; only new-vs-existing similarity
+   * matters, so the join is delta-postings × corpus-postings, never
+   * corpus²). Emits (delta_id, corpus_id, jaccard ≥ threshold): the
+   * delta docs to REJECT as near-dups of something already held.
+   *
+   * Scale shape: the inverted index shuffles on shingles like
+   * [[jaccardPairs]], but one side is delta-sized — candidate volume is
+   * Σ_sh df_delta·df_corpus, linear in the delta for stable corpora. The
+   * corpus postings would be a MATERIALIZED index in production (write
+   * once, probe every batch); the dataflow is identical.
+   */
+  def incrementalNearDup(corpus: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    def inv(df: DataFrame) = shingled(df, idCol, textCol, n)
+      .select(col("id"), col("sz"), explode(col("s")).as("sh"))
+    inv(delta).alias("d")
+      .join(inv(corpus).alias("c"), col("d.sh") === col("c.sh"))
+      .groupBy(col("d.id").as("delta_id"), col("c.id").as("corpus_id"),
+        col("d.sz").as("d_sz"), col("c.sz").as("c_sz"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("d_sz") + col("c_sz") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("delta_id"), col("corpus_id"), col("jaccard"))
+  }
+
   // --------------------------------------------------------------- exact ----
 
   /** Exact dedup by normalized-content hash: one row per distinct content

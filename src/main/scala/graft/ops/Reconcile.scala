@@ -44,4 +44,28 @@ object Reconcile {
             .when(anyDiff, lit("changed"))
             .otherwise(lit("same")).as("status"): _*)
   }
+
+  /**
+   * Referential-integrity audit: for each declared (child, fk) → (parent,
+   * pk) relationship, the child row count and the orphan count (child
+   * rows whose fk matches no parent pk; NULL fks count as orphans — a
+   * null reference is unresolvable). The load-validation twin of
+   * [[diff]]: run after every ingest, alert on non-zero orphans.
+   *
+   * Scale shape: per relationship, one join of the child against the
+   * parent's DISTINCT key projection (dimension-sized → broadcastable)
+   * folded into a single count/conditional-count aggregate; the
+   * relationships union into one report frame.
+   */
+  def fkOrphans(rels: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(rels.nonEmpty, "no relationships declared")
+    rels.map { case (name, child, fk, parent, pk) =>
+      child.select(col(fk).as("__fk"))
+        .join(broadcast(parent.select(col(pk).as("__fk"), lit(true).as("__p"))
+          .distinct()), Seq("__fk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          count(when(col("__p").isNull, lit(1))).as("n_orphans"))
+        .select(lit(name).as("relationship"), col("n_child"), col("n_orphans"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -1210,6 +1210,35 @@ object CatalogExt {
       graft.multimodal.Multimodal.assetsFromDocuments(Tables.documents(s, dir)),
       stride = 16, threshold = 64)
 
+  /** Referential-integrity audit over the full TPC-H FK graph — child
+    * counts + orphan counts per declared relationship (see
+    * [[graft.ops.Reconcile.fkOrphans]]); zero everywhere = the fixture's
+    * integrity proof, non-zero = the post-ingest alert. */
+  def q138FkOrphans(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+    val cu = Tables.customer(s, dir); val p = Tables.part(s, dir)
+    val su = Tables.supplier(s, dir); val na = Tables.nation(s, dir)
+    val re = Tables.region(s, dir)
+    graft.ops.Reconcile.fkOrphans(Seq(
+      ("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+      ("orders.o_custkey->customer", o, "o_custkey", cu, "c_custkey"),
+      ("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+      ("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"),
+      ("customer.c_nationkey->nation", cu, "c_nationkey", na, "n_nationkey"),
+      ("supplier.s_nationkey->nation", su, "s_nationkey", na, "n_nationkey"),
+      ("nation.n_regionkey->region", na, "n_regionkey", re, "r_regionkey")))
+  }
+
+  /** Incremental ingest dedup: the 1-in-10 delta probed against the
+    * standing 9-in-10 corpus — delta-vs-corpus near-dup pairs only,
+    * never corpus² (see [[Dedup.incrementalNearDup]]). */
+  def q139IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    Dedup.incrementalNearDup(
+      d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 3, threshold = 0.5)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1328,6 +1357,8 @@ object CatalogExt {
     "q135_hll_vocab"        -> q135HllVocab _,
     "q136_cusum_drift"      -> q136CusumDrift _,
     "q137_shot_bounds"      -> q137ShotBounds _,
+    "q138_fk_orphans"       -> q138FkOrphans _,
+    "q139_incremental_dedup" -> q139IncrementalDedup _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

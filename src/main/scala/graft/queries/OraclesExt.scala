@@ -574,6 +574,29 @@ object OraclesExt {
         |  abs(frame_byte - prev) > 64 AS is_cut
         |FROM l""".stripMargin,
 
+    // q138: each relationship as a LEFT JOIN against the distinct parent
+    // keys; NULL fks are orphans on both engines (equality join misses)
+    "q138_fk_orphans" -> fkOrphansSql,
+
+    // q139: the delta-vs-corpus all-pairs statement of the inverted-index
+    // probe (same shingle sets, same one-divide jaccard, same cut)
+    "q139_incremental_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |d AS (SELECT * FROM t WHERE doc_id % 10 = 0),
+        |c AS (SELECT * FROM t WHERE doc_id % 10 <> 0)
+        |SELECT delta_id, corpus_id, jaccard FROM (
+        |  SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id,
+        |    CAST(len(list_intersect(d.s, c.s)) AS DOUBLE)
+        |      / CAST(len(d.s) + len(c.s) - len(list_intersect(d.s, c.s)) AS DOUBLE)
+        |      AS jaccard
+        |  FROM d CROSS JOIN c)
+        |WHERE jaccard >= 0.5""".stripMargin,
+
     // q130: same row digest (15-hex md5 prefix -> positive BIGINT), same
     // order-free bit_xor rollup with the coalesced total row
     "q130_fingerprint" ->
@@ -1788,6 +1811,25 @@ object OraclesExt {
        |SELECT l.id AS vec_id, l.seeded, l.lab AS label,
        |  l.lab = CAST(e.label AS BIGINT) AS correct
        |FROM l$rounds l JOIN embeddings e ON e.vec_id = l.id""".stripMargin
+  }
+
+  /** q138: one LEFT-JOIN audit block per declared FK relationship. */
+  private lazy val fkOrphansSql: String = {
+    val rels = Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+    rels.map { case (name, child, fk, parent, pk) =>
+      s"""SELECT '$name' AS relationship,
+         |  CAST(count(*) AS BIGINT) AS n_child,
+         |  CAST(count(CASE WHEN p.$pk IS NULL THEN 1 END) AS BIGINT) AS n_orphans
+         |FROM $child ch LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
+         |  ON ch.$fk = p.$pk""".stripMargin
+    }.mkString("\nUNION ALL\n")
   }
 
   /** The q72 gate replay, shared with q121's label side. */
