@@ -1239,6 +1239,30 @@ object CatalogExt {
       "doc_id", "text", n = 3, threshold = 0.5)
   }
 
+  /** Unpivot/melt (the long-form inverse of q42's pivot): lineitem's four
+    * measures to (measure, value) rows via the native `Dataset.unpivot` —
+    * a Generate, zero shuffles. */
+  def q140Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "measure", "value")
+
+  /** Spark 4 VARIANT ingestion: parse the semi-structured props payload
+    * once into a variant and extract typed paths — the schema-on-read
+    * path for evolving JSON (vs q02's declared-schema `from_json`). */
+  def q141VariantJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.k", "bigint").as("k"),
+        variant_get(col("v"), "$.missing", "bigint").as("missing"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1359,6 +1383,8 @@ object CatalogExt {
     "q137_shot_bounds"      -> q137ShotBounds _,
     "q138_fk_orphans"       -> q138FkOrphans _,
     "q139_incremental_dedup" -> q139IncrementalDedup _,
+    "q140_unpivot"          -> q140Unpivot _,
+    "q141_variant_json"     -> q141VariantJson _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -597,6 +597,29 @@ object OraclesExt {
         |  FROM d CROSS JOIN c)
         |WHERE jaccard >= 0.5""".stripMargin,
 
+    // q140: melt stated as the UNION ALL it desugars to
+    "q140_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, m AS measure, v AS value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS m,
+        |    CAST(l_quantity AS DOUBLE) AS v FROM lineitem WHERE l_orderkey % 50 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |    CAST(l_extendedprice AS DOUBLE) FROM lineitem WHERE l_orderkey % 50 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount',
+        |    CAST(l_discount AS DOUBLE) FROM lineitem WHERE l_orderkey % 50 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax',
+        |    CAST(l_tax AS DOUBLE) FROM lineitem WHERE l_orderkey % 50 = 0)""".stripMargin,
+
+    // q141: typed path extraction — DuckDB's JSON operators express the
+    // same semantics (missing path -> NULL)
+    "q141_variant_json" ->
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS BIGINT) AS k,
+        |  CAST(props->>'$.missing' AS BIGINT) AS missing
+        |FROM events""".stripMargin,
+
     // q130: same row digest (15-hex md5 prefix -> positive BIGINT), same
     // order-free bit_xor rollup with the coalesced total row
     "q130_fingerprint" ->
