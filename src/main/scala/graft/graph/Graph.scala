@@ -164,6 +164,40 @@ object Graph {
    * @param edges undirected pair list (a_id, b_id), each pair once
    * @return (id, seeded, label) after `rounds` synchronous rounds
    */
+  /**
+   * Exact triangle counting per node over an undirected edge list — the
+   * clustering-coefficient numerator (community density, spam-farm
+   * detection). Canonical-order formulation: edges normalized to u < v,
+   * triangles enumerated ONCE as the three-way join E(a,b) ⋈ E(b,c) ⋈
+   * E(a,c) with a < b < c, then each triangle credits its three corners.
+   *
+   * Scale shape: two shuffle joins keyed on node ids over the deduped
+   * edge list; the classic skew refinement (orient by ascending degree so
+   * wedge fan-out is bounded by √m per node — Schank & Wagner 2005) drops
+   * in by replacing the (u,v) comparator with a (degree,id) one; the
+   * id order keeps the plan oracle-identical here.
+   *
+   * @param edges undirected pairs (a_id, b_id), any orientation, dups ok
+   * @return (id, n_triangles) for every node appearing in `edges`
+   */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val tri = e.select(col("u").as("a"), col("v").as("b"))
+      .join(e.select(col("u").as("b"), col("v").as("c")), "b")
+      .join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+    val corners = tri.select(col("a").as("id"))
+      .union(tri.select(col("b").as("id")))
+      .union(tri.select(col("c").as("id")))
+    val nodes = e.select(col("u").as("id")).union(e.select(col("v").as("id"))).distinct()
+    nodes.join(corners.groupBy(col("id")).agg(count(lit(1)).as("n_triangles")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 32, s"rounds must be in [1, 32], got $rounds")

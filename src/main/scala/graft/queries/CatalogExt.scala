@@ -1263,6 +1263,20 @@ object CatalogExt {
         variant_get(col("v"), "$.k", "bigint").as("k"),
         variant_get(col("v"), "$.missing", "bigint").as("missing"))
 
+  /** Per-supplier triangle counts over the co-order graph (suppliers
+    * sharing an order are adjacent) — the clustering-coefficient
+    * numerator via the canonical a<b<c three-way join (see
+    * [[graft.graph.Graph.triangleCounts]]). */
+  def q142Triangles(s: SparkSession, dir: String): DataFrame = {
+    val so = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val edges = so.select(col("ok"), col("sk").as("a_id"))
+      .join(so.select(col("ok"), col("sk").as("b_id")), "ok")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    graft.graph.Graph.triangleCounts(edges)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1385,6 +1399,7 @@ object CatalogExt {
     "q139_incremental_dedup" -> q139IncrementalDedup _,
     "q140_unpivot"          -> q140Unpivot _,
     "q141_variant_json"     -> q141VariantJson _,
+    "q142_triangles"        -> q142Triangles _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

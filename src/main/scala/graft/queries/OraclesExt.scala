@@ -620,6 +620,25 @@ object OraclesExt {
         |  CAST(props->>'$.missing' AS BIGINT) AS missing
         |FROM events""".stripMargin,
 
+    // q142: the same canonical a<b<c three-way join + corner credits
+    "q142_triangles" ->
+      """WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+        |      FROM so a JOIN so b ON a.ok = b.ok AND a.sk < b.sk),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (SELECT a AS id FROM tri
+        |            UNION ALL SELECT b FROM tri
+        |            UNION ALL SELECT c FROM tri),
+        |nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e)
+        |SELECT n.id,
+        |  CAST(coalesce(t.ct, 0) AS BIGINT) AS n_triangles
+        |FROM nodes n LEFT JOIN (
+        |  SELECT id, count(*) AS ct FROM corners GROUP BY 1) t
+        |  ON t.id = n.id""".stripMargin,
+
     // q130: same row digest (15-hex md5 prefix -> positive BIGINT), same
     // order-free bit_xor rollup with the coalesced total row
     "q130_fingerprint" ->
