@@ -1277,6 +1277,45 @@ object CatalogExt {
     graft.graph.Graph.triangleCounts(edges)
   }
 
+  /** Last-touch attribution: each purchase as-of-joined to the user's most
+    * recent click (the X15 operator on the events table), then the 1-hour
+    * attribution-window verdict; NULL click ⇒ NULL verdict. */
+  def q143Attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    graft.ops.AsofJoin.asof(purchases, clicks,
+        ("user_id", "user_id"), ("ts", "click_ts"), "click_id",
+        Seq("click_id", "click_ts"))
+      .select(col("purchase_id"), col("user_id"), col("ts"),
+        col("click_id"), col("click_ts"),
+        (col("click_ts") >= col("ts") - expr("INTERVAL 1 HOUR")).as("attributed"))
+  }
+
+  /** Behavioral motif mining: top-20 per-user event-type trigrams in time
+    * order — the funnel-pattern counterpart of q129's textual PMI. */
+  def q144EventTrigrams(s: SparkSession, dir: String): DataFrame = {
+    val arr = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("__es"))
+      .select(transform(col("__es"), e => e("event_type")).as("t"))
+    arr
+      .filter(size(col("t")) >= 3) // sequence(1, n) needs n >= 1
+      .select(explode(transform(
+        sequence(lit(1), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i).as("t1"),
+          element_at(col("t"), i + 1).as("t2"),
+          element_at(col("t"), i + 2).as("t3")))).as("g"))
+      .groupBy(col("g.t1").as("t1"), col("g.t2").as("t2"), col("g.t3").as("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1").asc, col("t2").asc, col("t3").asc)
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1400,6 +1439,8 @@ object CatalogExt {
     "q140_unpivot"          -> q140Unpivot _,
     "q141_variant_json"     -> q141VariantJson _,
     "q142_triangles"        -> q142Triangles _,
+    "q143_attribution"      -> q143Attribution _,
+    "q144_event_trigrams"   -> q144EventTrigrams _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

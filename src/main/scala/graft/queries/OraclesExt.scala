@@ -639,6 +639,33 @@ object OraclesExt {
         |  SELECT id, count(*) AS ct FROM corners GROUP BY 1) t
         |  ON t.id = n.id""".stripMargin,
 
+    // q143: the carried-last-click contract stated as a correlated
+    // (click_ts DESC, click_id DESC) top-1; inclusive at equal ts
+    "q143_attribution" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events
+        |      WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id, p.ts, w.click_id, w.click_ts,
+        |  w.click_ts >= p.ts - INTERVAL 1 HOUR AS attributed
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT click_id, click_ts FROM c
+        |  WHERE c.user_id = p.user_id AND c.click_ts <= p.ts
+        |  ORDER BY c.click_ts DESC, c.click_id DESC LIMIT 1) w ON true""".stripMargin,
+
+    // q144: per-user type sequences in (ts, event_id) order, trigram
+    // comprehension, (n DESC, t1, t2, t3) cut
+    "q144_event_trigrams" ->
+      """WITH sq AS (SELECT user_id, list(event_type ORDER BY ts, event_id) AS t
+        |            FROM events GROUP BY 1),
+        |g AS (SELECT unnest(gs, recursive := true) FROM (
+        |  SELECT [struct_pack(t1 := t[i], t2 := t[i+1], t3 := t[i+2])
+        |          for i in range(1, len(t) - 1)] AS gs
+        |  FROM sq WHERE len(t) >= 3))
+        |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+        |FROM g GROUP BY 1, 2, 3
+        |ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC LIMIT 20""".stripMargin,
+
     // q130: same row digest (15-hex md5 prefix -> positive BIGINT), same
     // order-free bit_xor rollup with the coalesced total row
     "q130_fingerprint" ->
