@@ -113,7 +113,25 @@ object ScaleProbe {
             col("source"))
         }.reduce(_ unionByName _)
         Dedup.fuzzyBlockedPairs(blocked, "doc_id", "text", "lang",
-          prefixLen = 40, thresholdNum = 3, thresholdDen = 4).count() })
+          prefixLen = 40, thresholdNum = 3, thresholdDen = 4).count() },
+      // Round-8b heavies:
+      //  - q123: 24 fixed GD rounds, each one 4-sum aggregate over the
+      //    (lineage-cut) feature table — expect ~linear in corpus size.
+      //  - q131: fixed query batch (first copy) over a growing candidate
+      //    corpus — the serving shape, like q118.
+      //  - q142: disjoint edge copies — triangle volume and join fan-out
+      //    grow linearly by construction.
+      "q123_quality_lr" -> { k: Int =>
+        graft.model.QualityLr.trainAndScore(docs(k), "doc_id", "text",
+          rounds = 24).count() },
+      "q131_mmr_rerank" -> { k: Int =>
+        graft.sim.Similarity.mmrTopK(
+          embBase.filter(col("vec_id") % 50 === 0), embs(k),
+          "vec_id", "embedding", k = 5).count() },
+      "q142_triangles" -> { k: Int =>
+        graft.graph.Graph.triangleCounts(
+          edges(k).select(col("src").as("a_id"), col("dst").as("b_id")))
+          .count() })
     val ks = Seq(1, 4, 10)
     var allSub = true
     heavies.foreach { case (name, run) =>
