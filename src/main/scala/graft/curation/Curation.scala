@@ -854,6 +854,53 @@ object Curation {
       when(u < 80, "train").when(u < 90, "val").otherwise("test").as("split"))
   }
 
+  /**
+   * Population stability index between two cohorts of a numeric column —
+   * the distribution-drift statistic of model monitoring (PSI > 0.25 =
+   * "the population changed, recalibrate"), here in exact-`lg` BITS:
+   * PSI = Σ_bins (p_i − q_i)·(lg cnt_a − lg n_a − lg cnt_b + lg n_b),
+   * equal-width bins over the pooled min/max (the q121 binning
+   * arithmetic), zero-count bins dropped on either side (the q115
+   * convention — no smoothing constants to disagree about). Four exact
+   * divides per bin, fold over bins ascending. Output is ONE row:
+   * (n_a, n_b, n_bins_used, psi_bits).
+   *
+   * Scale shape: one broadcast min/max row, one (bin, cohort)
+   * map-combinable count (≤ 2·bins rows shuffle), one bounded fold.
+   */
+  def psiDrift(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, bins: Int = 16): DataFrame = {
+    require(bins >= 2 && bins <= 4096, s"bins must be in [2, 4096], got $bins")
+    val v = col(valueCol).cast("double")
+    val base = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(v.as("v"), (col(groupCol) === groupA).as("is_a"))
+    val mm = base.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val b = when(col("hi") === col("lo"), lit(bins - 1))
+      .otherwise(least(greatest(
+        floor((col("v") - col("lo")) / (col("hi") - col("lo")) * bins)
+          .cast("long"), lit(0L)), lit(bins - 1L)))
+    val counts = base.crossJoin(broadcast(mm))
+      .groupBy(b.as("b"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val contrib =
+      (col("ca").cast("double") / col("na").cast("double") -
+        col("cb").cast("double") / col("nb").cast("double")) *
+        (((lg(col("ca")) - lg(col("na"))) - lg(col("cb"))) + lg(col("nb")))
+    counts.filter(col("ca") > 0 && col("cb") > 0)
+      .crossJoin(broadcast(tot))
+      .select(col("b"), col("na"), col("nb"), contrib.as("contrib"))
+      .groupBy(col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_bins_used"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("b"), col("contrib")))),
+            e => e("contrib")),
+          lit(0.0), (acc: Column, x: Column) => acc + x).as("psi_bits"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("n_bins_used"), col("psi_bits"))
+  }
+
   /** Piecewise-linear log2 of a positive integral column — the engine's
     * exact-arithmetic `lg` (see [[dsirWeights]] for the error analysis:
     * strictly monotone, max 0.0861 bits off true log2, bit-identical in

@@ -120,6 +120,40 @@ object Dedup {
       .select(col("delta_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /**
+   * Cross-source content-overlap matrix (mirror/repost detection): for
+   * every ordered source pair, how many of src's DISTINCT `n`-gram
+   * shingles also appear in dst, and the containment share
+   * |src ∩ dst| / |src| — the report that catches one source mirroring or
+   * boiler-plating another (containment is directional: a small mirror is
+   * ~fully contained in the original, not vice versa; shingle granularity
+   * catches partial/edited mirrors that whole-document hashing misses).
+   *
+   * Scale shape: distinct (source, shingle) rows, one shingle-keyed
+   * self-join whose fan-out per shingle is bounded by |sources| (≤ that,
+   * since rows are per-source distinct), and a |sources|²-bounded
+   * aggregate. The corpus shuffles once on the shingle.
+   */
+  def sourceOverlap(docs: DataFrame, textCol: String,
+      domainCol: String, n: Int = 3): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    val h = docs
+      .select(col(domainCol).as("source"), TextOps.tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("source"), explode(shingles(col("w"), n)).as("h"))
+      .distinct()
+    val sizes = h.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    h.alias("a")
+      .join(h.alias("b"),
+        col("a.h") === col("b.h") && col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("src"), col("b.source").as("dst"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.select(col("source").as("src"), col("n_src"))), "src")
+      .select(col("src"), col("dst"), col("n_src"), col("common"),
+        (col("common").cast("double") / col("n_src").cast("double"))
+          .as("containment"))
+  }
+
   // --------------------------------------------------------------- exact ----
 
   /** Exact dedup by normalized-content hash: one row per distinct content

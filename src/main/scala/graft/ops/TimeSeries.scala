@@ -108,6 +108,34 @@ object TimeSeries {
    * PARTITIONED BY series — no global sort, state bounded by series
    * count.
    */
+  /**
+   * Seasonal profile + residuals per series: each (series, hour) count
+   * against the series' hour-of-day seasonal mean — the calendar
+   * complement of [[cusumDrift]] (CUSUM finds level SHIFTS; this removes
+   * the daily rhythm so what remains is anomaly, not breakfast). Same
+   * integer-scaling discipline: residual_scaled = c·n_hod − total_hod is
+   * BIGINT-exact; the reported seasonal mean and residual are one divide
+   * each.
+   *
+   * Scale shape: two hour-keyed map-combinable counts and one
+   * (series, hod)-keyed broadcastable join — 24·|series| profile rows.
+   */
+  def seasonalResiduals(events: DataFrame, seriesCol: String,
+      tsCol: String): DataFrame = {
+    val hourly = events
+      .groupBy(col(seriesCol).as("series"),
+        date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("hod", hour(col("hour")).cast("long"))
+    val prof = hourly.groupBy(col("series"), col("hod"))
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("nh"))
+    hourly.join(broadcast(prof), Seq("series", "hod"))
+      .select(col("series"), col("hour"), col("hod"), col("c"),
+        (col("total").cast("double") / col("nh").cast("double")).as("seasonal_mu"),
+        ((col("c") * col("nh") - col("total")).cast("double") /
+          col("nh").cast("double")).as("residual"))
+  }
+
   def cusumDrift(events: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
     val hourly = events
       .groupBy(col(seriesCol).as("series"),

@@ -1316,6 +1316,28 @@ object CatalogExt {
       .limit(20)
   }
 
+  /** Seasonal hour-of-day profiles + integer-exact residuals per event
+    * series (see [[graft.ops.TimeSeries.seasonalResiduals]]). */
+  def q145Seasonal(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.seasonalResiduals(Tables.events(s, dir), "event_type", "ts")
+
+  /** Cross-source content-overlap matrix (directional containment —
+    * mirror detection; see [[Dedup.sourceOverlap]]). */
+  def q146SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(Tables.documents(s, dir), "text", "source")
+
+  /** PSI drift of n_chars between the group-integrity train and test
+    * splits — the q133 splitter composed into the monitoring statistic
+    * (see [[Curation.psiDrift]]). */
+  def q147PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val withSplit = d.join(
+      graft.curation.Curation.groupSplit(d, "doc_id", "source")
+        .select(col("doc_id"), col("split")), "doc_id")
+    graft.curation.Curation.psiDrift(withSplit, "n_chars", "split",
+      "train", "test", bins = 16)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1441,6 +1463,9 @@ object CatalogExt {
     "q142_triangles"        -> q142Triangles _,
     "q143_attribution"      -> q143Attribution _,
     "q144_event_trigrams"   -> q144EventTrigrams _,
+    "q145_seasonal"         -> q145Seasonal _,
+    "q146_source_overlap"   -> q146SourceOverlap _,
+    "q147_psi_drift"        -> q147PsiDrift _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

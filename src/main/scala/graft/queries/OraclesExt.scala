@@ -666,6 +666,70 @@ object OraclesExt {
         |FROM g GROUP BY 1, 2, 3
         |ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC LIMIT 20""".stripMargin,
 
+    // q145: integer-exact seasonal residuals (the q136 scaling trick on
+    // the hour-of-day profile)
+    "q145_seasonal" ->
+      """WITH h AS (SELECT event_type AS series, date_trunc('hour', ts) AS hour,
+        |             CAST(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |h2 AS (SELECT series, hour, CAST(hour(hour) AS BIGINT) AS hod, c FROM h),
+        |p AS (SELECT series, hod, CAST(sum(c) AS BIGINT) AS total,
+        |             CAST(count(*) AS BIGINT) AS nh
+        |      FROM h2 GROUP BY 1, 2)
+        |SELECT h2.series, h2.hour, h2.hod, h2.c,
+        |  CAST(total AS DOUBLE) / CAST(nh AS DOUBLE) AS seasonal_mu,
+        |  CAST(c * nh - total AS DOUBLE) / CAST(nh AS DOUBLE) AS residual
+        |FROM h2 JOIN p USING (series, hod)""".stripMargin,
+
+    // q146: distinct (source, 3-shingle) rows, shingle-keyed self-join,
+    // one-divide directional containment
+    "q146_source_overlap" ->
+      """WITH h AS (SELECT DISTINCT source, sh FROM (
+        |    SELECT source, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                           for i in range(1, len(w) - 1)]) AS sh
+        |    FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+        |    WHERE len(w) >= 3)),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM h GROUP BY 1),
+        |o AS (SELECT a.source AS src, b.source AS dst,
+        |             CAST(count(*) AS BIGINT) AS common
+        |      FROM h a JOIN h b ON a.sh = b.sh AND a.source <> b.source
+        |      GROUP BY 1, 2)
+        |SELECT o.src, o.dst, s.n_src, o.common,
+        |  CAST(common AS DOUBLE) / CAST(n_src AS DOUBLE) AS containment
+        |FROM o JOIN s ON s.source = o.src""".stripMargin,
+
+    // q147: q133's split replayed, q121's binning arithmetic, exact-lg
+    // ratio bits, zero-count bins dropped, fold over bins ascending
+    "q147_psi_drift" ->
+      s"""WITH sp AS (SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 100 < 80
+         |         THEN 'train'
+         |         WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 100 < 90
+         |         THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         |b0 AS (SELECT CAST(d.n_chars AS DOUBLE) AS v, sp.split = 'train' AS is_a
+         |       FROM documents d JOIN sp USING (doc_id)
+         |       WHERE sp.split IN ('train', 'test')),
+         |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM b0),
+         |bb AS (SELECT CASE WHEN hi = lo THEN 15
+         |         ELSE least(greatest(CAST(floor((v - lo) / (hi - lo) * 16)
+         |           AS BIGINT), 0), 15) END AS b, is_a
+         |       FROM b0 CROSS JOIN mm),
+         |ct AS (SELECT b,
+         |         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+         |       FROM bb GROUP BY 1),
+         |tt AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+         |              CAST(sum(cb) AS BIGINT) AS nb FROM ct)
+         |SELECT na AS n_a, nb AS n_b, CAST(count(*) AS BIGINT) AS n_bins_used,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+         |          - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) *
+         |         (((${lgSqlOf("ca")} - ${lgSqlOf("na")}) - ${lgSqlOf("cb")})
+         |          + ${lgSqlOf("nb")}) ORDER BY b)),
+         |    (a, x) -> a + x) AS psi_bits
+         |FROM ct CROSS JOIN tt WHERE ca > 0 AND cb > 0 GROUP BY na, nb""".stripMargin,
+
     // q130: same row digest (15-hex md5 prefix -> positive BIGINT), same
     // order-free bit_xor rollup with the coalesced total row
     "q130_fingerprint" ->
