@@ -198,6 +198,40 @@ object Graph {
       .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /**
+   * k-core peeling (Seidman 1983; the standard iterative reduction): drop
+   * every node with degree < k, recompute degrees, repeat `rounds` times —
+   * the surviving subgraph approaches the k-core (it IS the k-core once a
+   * round removes nothing; fixed rounds keep the oracle replay exact,
+   * like the PageRank/HITS loops). The density filter of graph curation:
+   * spam cliques and tightly-coupled communities survive, tendrils fall
+   * away.
+   *
+   * Scale shape: per round, one map-combinable degree count + one
+   * broadcastable semi-join of edges against surviving nodes; lineage cut
+   * per round. Output: surviving (id, degree) after `rounds` peels.
+   */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 32,
+      s"need k >= 1 and rounds in [1, 32], got k=$k rounds=$rounds")
+    var e = edges
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    def degrees(ed: DataFrame) = ed.select(col("u").as("id"))
+      .union(ed.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("degree") >= k).select(col("id"))
+      e = graft.dedup.Dedup.lineageCutLazy(
+        e.join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v")))
+    }
+    degrees(e)
+  }
+
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 32, s"rounds must be in [1, 32], got $rounds")

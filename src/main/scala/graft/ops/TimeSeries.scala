@@ -136,6 +136,42 @@ object TimeSeries {
           col("nh").cast("double")).as("residual"))
   }
 
+  /**
+   * Conversion-latency curve: for users whose first `toType` event follows
+   * their first `fromType` event, the distribution of first-touch →
+   * conversion latency in hour buckets plus the cumulative conversion
+   * share — the survival-curve summary of product analytics ("x% convert
+   * within n hours"), built on exact integer arithmetic: latencies in
+   * microseconds (unix_micros ≡ epoch_us), hour buckets by integer DIV,
+   * the cumulative count an integer running window (tree-association
+   * proof like [[cusumDrift]]), and ONE divide for the share.
+   *
+   * Scale shape: two user-keyed min aggregates, one join, one bucket
+   * count, one bounded running window over ≤ max-latency-hours rows.
+   */
+  def conversionLatency(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, fromType: String, toType: String): DataFrame = {
+    def firstOf(t: String, as: String) = events
+      .filter(col(typeCol) === t)
+      .groupBy(col(userCol).as("u"))
+      .agg(min(col(tsCol)).as(as))
+    val base = firstOf(fromType, "t_from")
+    val joined = base
+      .join(firstOf(toType, "t_to"), "u")
+      .filter(col("t_to") >= col("t_from"))
+      .select(expr("(unix_micros(t_to) - unix_micros(t_from)) DIV 3600000000")
+        .as("hours"))
+    val nBase = base.agg(count(lit(1)).as("n_base"))
+    val w = Window.orderBy(col("hours"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.groupBy(col("hours")).agg(count(lit(1)).as("n_converted"))
+      .withColumn("cum_converted", sum(col("n_converted")).over(w))
+      .crossJoin(broadcast(nBase))
+      .select(col("hours"), col("n_converted"), col("cum_converted"),
+        (col("cum_converted").cast("double") / col("n_base").cast("double"))
+          .as("cum_share"))
+  }
+
   def cusumDrift(events: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
     val hourly = events
       .groupBy(col(seriesCol).as("series"),

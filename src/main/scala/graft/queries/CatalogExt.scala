@@ -1338,6 +1338,22 @@ object CatalogExt {
       "train", "test", bins = 16)
   }
 
+  /** First-view → first-purchase conversion-latency curve in hour buckets
+    * with the cumulative share (see [[graft.ops.TimeSeries
+    * .conversionLatency]]). */
+  def q148ConversionLatency(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.conversionLatency(
+      Tables.events(s, dir), "user_id", "ts", "event_type", "view", "purchase")
+
+  /** 40-core peel of the bipartite trade graph (8 rounds — the fixture's
+    * uniform degrees make the cascade shallow; the cascade law lives in
+    * the spec's crafted graph; see [[graft.graph.Graph.kCore]]). */
+  def q149KCore(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Graph.kCore(
+      tradeGraphEdges(s, dir)
+        .select(col("src").as("a_id"), col("dst").as("b_id")),
+      k = 40, rounds = 8)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1466,6 +1482,8 @@ object CatalogExt {
     "q145_seasonal"         -> q145Seasonal _,
     "q146_source_overlap"   -> q146SourceOverlap _,
     "q147_psi_drift"        -> q147PsiDrift _,
+    "q148_conversion_curve" -> q148ConversionLatency _,
+    "q149_kcore"            -> q149KCore _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -730,6 +730,29 @@ object OraclesExt {
          |    (a, x) -> a + x) AS psi_bits
          |FROM ct CROSS JOIN tt WHERE ca > 0 AND cb > 0 GROUP BY na, nb""".stripMargin,
 
+    // q148: exact-microsecond latencies, integer hour buckets, integer
+    // running cumulation, one-divide share
+    "q148_conversion_curve" ->
+      """WITH fv AS (SELECT user_id AS u, min(ts) AS t_from FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (SELECT user_id AS u, min(ts) AS t_to FROM events
+        |       WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (SELECT (epoch_us(t_to) - epoch_us(t_from)) // 3600000000 AS hours
+        |      FROM fv JOIN fp USING (u) WHERE t_to >= t_from),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_base FROM fv),
+        |g AS (SELECT CAST(hours AS BIGINT) AS hours,
+        |             CAST(count(*) AS BIGINT) AS n_converted FROM j GROUP BY 1),
+        |c AS (SELECT hours, n_converted,
+        |        CAST(sum(n_converted) OVER (ORDER BY hours
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_converted
+        |      FROM g)
+        |SELECT hours, n_converted, cum_converted,
+        |  CAST(cum_converted AS DOUBLE) / CAST(n_base AS DOUBLE) AS cum_share
+        |FROM c CROSS JOIN nb""".stripMargin,
+
+    // q149: the 8 peel rounds replayed
+    "q149_kcore" -> kCoreSql(40, 8),
+
     // q130: same row digest (15-hex md5 prefix -> positive BIGINT), same
     // order-free bit_xor rollup with the coalesced total row
     "q130_fingerprint" ->
@@ -1963,6 +1986,30 @@ object OraclesExt {
          |FROM $child ch LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
          |  ON ch.$fk = p.$pk""".stripMargin
     }.mkString("\nUNION ALL\n")
+  }
+
+  /** q149: the k-core peel replay — mirrors
+    * [[graft.graph.Graph.kCore]] round for round. */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    // every e_t is referenced three times by round t+1 — without
+    // MATERIALIZED DuckDB inlines the chain 3^rounds times and runs out
+    // of file handles on the base scans
+    val roundCtes = (1 to rounds).map { t =>
+      s"""d$t AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+         |    SELECT u AS id FROM e${t - 1} UNION ALL SELECT v FROM e${t - 1})
+         |  GROUP BY 1),
+         |k$t AS MATERIALIZED (SELECT id FROM d$t WHERE degree >= $k),
+         |e$t AS MATERIALIZED (SELECT u, v FROM e${t - 1}
+         |        WHERE u IN (SELECT id FROM k$t)
+         |          AND v IN (SELECT id FROM k$t))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+       |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(c, s) AS u, greatest(c, s) AS v FROM p),
+       |$roundCtes
+       |SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+       |  SELECT u AS id FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+       |GROUP BY 1""".stripMargin
   }
 
   /** The q72 gate replay, shared with q121's label side. */
