@@ -901,6 +901,64 @@ object Curation {
         col("n_bins_used"), col("psi_bits"))
   }
 
+  /**
+   * One-call corpus report card: the health metrics an ingest run is
+   * accepted or rejected on, as (metric, value) rows — corpus size,
+   * source count, exact-duplicate rate, mean tokens, mean quality score,
+   * rule-gate pass share, and the language-distribution entropy in
+   * exact-`lg` bits. Composition discipline: every metric reuses an
+   * existing operator's arithmetic (q21 quality, q72 gate, q128-style
+   * entropy); the one floating mean (quality) accumulates through
+   * DECIMAL(25,6) so the sum is order-free, then divides once.
+   *
+   * Scale shape: ~two corpus scans (one tokenized, one distinct-hash),
+   * all aggregates map-side combinable, result is a handful of rows.
+   */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String, langCol: String): DataFrame = {
+    import graft.text.TextOps
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val toks = TextOps.tokens(col(textCol))
+    val gate = ruleGate(docs, idCol, textCol).select(col("pass"))
+    val main = docs.select(
+      col(domainCol).as("src"), col(langCol).as("lang"),
+      size(toks).cast("long").as("nt"),
+      TextOps.qualityScoreOf(col(textCol)).cast("decimal(25,6)").as("q"),
+      md5(col(textCol)).as("h"))
+    val agg = main.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("src")).as("n_src"),
+      countDistinct(col("h")).as("n_distinct"),
+      sum(col("nt")).as("tok_total"),
+      sum(col("q")).as("q_total"))
+    val gateAgg = gate.agg(
+      sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+    val langEnt = docs.groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .select(col("lang"),
+        ((col("c").cast("double") / col("n").cast("double")) *
+          (lg(col("n")) - lg(col("c")))).as("contrib"))
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("lang"), col("contrib")))),
+          e => e("contrib")),
+        lit(0.0), (acc: Column, x: Column) => acc + x).as("lang_entropy_bits"))
+    val one = agg.crossJoin(broadcast(gateAgg)).crossJoin(broadcast(langEnt))
+    def row(name: String, v: Column) =
+      one.select(lit(name).as("metric"), v.cast("double").as("value"))
+    row("n_docs", col("n"))
+      .unionByName(row("n_sources", col("n_src")))
+      .unionByName(row("exact_dup_rate",
+        lit(1.0) - col("n_distinct").cast("double") / col("n").cast("double")))
+      .unionByName(row("mean_tokens",
+        col("tok_total").cast("double") / col("n").cast("double")))
+      .unionByName(row("mean_quality",
+        col("q_total").cast("double") / col("n").cast("double")))
+      .unionByName(row("gate_pass_share",
+        col("n_pass").cast("double") / col("n").cast("double")))
+      .unionByName(row("lang_entropy_bits", col("lang_entropy_bits")))
+  }
+
   /** Piecewise-linear log2 of a positive integral column — the engine's
     * exact-arithmetic `lg` (see [[dsirWeights]] for the error analysis:
     * strictly monotone, max 0.0861 bits off true log2, bit-identical in

@@ -1354,6 +1354,13 @@ object CatalogExt {
         .select(col("src").as("a_id"), col("dst").as("b_id")),
       k = 40, rounds = 8)
 
+  /** The one-call corpus report card (see [[Curation.corpusReport]]) —
+    * ingest-acceptance metrics as (metric, value) rows, every metric
+    * reusing an existing operator's exact arithmetic. */
+  def q150CorpusReport(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.corpusReport(
+      Tables.documents(s, dir), "doc_id", "text", "source", "lang")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1484,6 +1491,7 @@ object CatalogExt {
     "q147_psi_drift"        -> q147PsiDrift _,
     "q148_conversion_curve" -> q148ConversionLatency _,
     "q149_kcore"            -> q149KCore _,
+    "q150_corpus_report"    -> q150CorpusReport _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

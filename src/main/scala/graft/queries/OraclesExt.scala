@@ -753,6 +753,11 @@ object OraclesExt {
     // q149: the 8 peel rounds replayed
     "q149_kcore" -> kCoreSql(40, 8),
 
+    // q150: every metric is an existing oracle's arithmetic — q21 quality
+    // through a DECIMAL(25,6) sum, the q72 gate share, exact-lg language
+    // entropy folded over langs ascending
+    "q150_corpus_report" -> corpusReportSql,
+
     // q130: same row digest (15-hex md5 prefix -> positive BIGINT), same
     // order-free bit_xor rollup with the coalesced total row
     "q130_fingerprint" ->
@@ -2011,6 +2016,34 @@ object OraclesExt {
        |  SELECT u AS id FROM e$rounds UNION ALL SELECT v FROM e$rounds)
        |GROUP BY 1""".stripMargin
   }
+
+  /** q150: the report-card replay. */
+  private lazy val corpusReportSql: String =
+    s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count(DISTINCT source) AS BIGINT) AS n_src,
+       |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_total,
+       |    sum(CAST(${qualitySqlOf("text")} AS DECIMAL(25,6))) AS q_total
+       |  FROM documents),
+       |g AS (SELECT CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+       |      FROM ($gopherRulesSql)),
+       |le AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |         (${lgSqlOf("n")} - ${lgSqlOf("c")}) ORDER BY lang)),
+       |    (a, x) -> a + x) AS lang_entropy_bits
+       |  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1)
+       |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM documents))
+       |SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM a
+       |UNION ALL SELECT 'n_sources', CAST(n_src AS DOUBLE) FROM a
+       |UNION ALL SELECT 'exact_dup_rate',
+       |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE) FROM a
+       |UNION ALL SELECT 'mean_tokens',
+       |  CAST(tok_total AS DOUBLE) / CAST(n AS DOUBLE) FROM a
+       |UNION ALL SELECT 'mean_quality',
+       |  CAST(q_total AS DOUBLE) / CAST(n AS DOUBLE) FROM a
+       |UNION ALL SELECT 'gate_pass_share',
+       |  CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE) FROM g CROSS JOIN a
+       |UNION ALL SELECT 'lang_entropy_bits', lang_entropy_bits FROM le""".stripMargin
 
   /** The q72 gate replay, shared with q121's label side. */
   private lazy val gopherRulesSql: String =
