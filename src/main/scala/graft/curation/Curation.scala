@@ -908,8 +908,11 @@ object Curation {
    * rule-gate pass share, and the language-distribution entropy in
    * exact-`lg` bits. Composition discipline: every metric reuses an
    * existing operator's arithmetic (q21 quality, q72 gate, q128-style
-   * entropy); the one floating mean (quality) accumulates through
-   * DECIMAL(25,6) so the sum is order-free, then divides once.
+   * entropy); the one floating mean (quality) accumulates as
+   * FLOOR-truncated integer micro-units — floor is unambiguous where
+   * double→DECIMAL rounding is not (Spark HALF_UP vs DuckDB's banker's
+   * rounding diverged on ~10 of 5000 docs at sf0.1), and integer sums
+   * are order-free.
    *
    * Scale shape: ~two corpus scans (one tokenized, one distinct-hash),
    * all aggregates map-side combinable, result is a handful of rows.
@@ -923,7 +926,8 @@ object Curation {
     val main = docs.select(
       col(domainCol).as("src"), col(langCol).as("lang"),
       size(toks).cast("long").as("nt"),
-      TextOps.qualityScoreOf(col(textCol)).cast("decimal(25,6)").as("q"),
+      floor(TextOps.qualityScoreOf(col(textCol)) * lit(1000000.0))
+        .cast("long").as("q"),
       md5(col(textCol)).as("h"))
     val agg = main.agg(
       count(lit(1)).as("n"),
@@ -953,7 +957,8 @@ object Curation {
       .unionByName(row("mean_tokens",
         col("tok_total").cast("double") / col("n").cast("double")))
       .unionByName(row("mean_quality",
-        col("q_total").cast("double") / col("n").cast("double")))
+        (col("q_total").cast("double") / lit(1000000.0)) /
+          col("n").cast("double")))
       .unionByName(row("gate_pass_share",
         col("n_pass").cast("double") / col("n").cast("double")))
       .unionByName(row("lang_entropy_bits", col("lang_entropy_bits")))

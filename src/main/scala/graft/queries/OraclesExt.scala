@@ -2023,7 +2023,8 @@ object OraclesExt {
        |    CAST(count(DISTINCT source) AS BIGINT) AS n_src,
        |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_total,
-       |    sum(CAST(${qualitySqlOf("text")} AS DECIMAL(25,6))) AS q_total
+       |    CAST(sum(CAST(floor(${qualitySqlOf("text")} * 1000000.0) AS BIGINT))
+       |      AS BIGINT) AS q_total
        |  FROM documents),
        |g AS (SELECT CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
        |      FROM ($gopherRulesSql)),
@@ -2040,7 +2041,7 @@ object OraclesExt {
        |UNION ALL SELECT 'mean_tokens',
        |  CAST(tok_total AS DOUBLE) / CAST(n AS DOUBLE) FROM a
        |UNION ALL SELECT 'mean_quality',
-       |  CAST(q_total AS DOUBLE) / CAST(n AS DOUBLE) FROM a
+       |  (CAST(q_total AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) FROM a
        |UNION ALL SELECT 'gate_pass_share',
        |  CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE) FROM g CROSS JOIN a
        |UNION ALL SELECT 'lang_entropy_bits', lang_entropy_bits FROM le""".stripMargin
