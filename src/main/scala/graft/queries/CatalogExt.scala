@@ -1361,6 +1361,62 @@ object CatalogExt {
     graft.curation.Curation.corpusReport(
       Tables.documents(s, dir), "doc_id", "text", "source", "lang")
 
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(25, 6))).cast("double")
+
+  /** TPC-H Q3 (shipping-priority) with the full date predicates — the
+    * classic segment ⋈ open-orders ⋈ late-shipments top-k; broadcast dim,
+    * decimal-stabilized revenue, TakeOrdered cut. */
+  def q151TpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-03-15"))
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-03-15"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5 (local-supplier volume): six-table star with the
+    * customer-and-supplier-same-nation condition, one year of orders,
+    * per-nation decimal-stabilized revenue. */
+  def q152TpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+    Tables.lineitem(s, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  /** TPC-H Q10 (returned-item reporting): one quarter of orders whose
+    * lineitems were returned, revenue per customer, top 20. */
+  def q153TpchQ10(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-07-01") &&
+        col("o_orderdate") < lit("1996-10-01"))
+    Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1492,6 +1548,9 @@ object CatalogExt {
     "q148_conversion_curve" -> q148ConversionLatency _,
     "q149_kcore"            -> q149KCore _,
     "q150_corpus_report"    -> q150CorpusReport _,
+    "q151_tpch_q3"          -> q151TpchQ3 _,
+    "q152_tpch_q5"          -> q152TpchQ5 _,
+    "q153_tpch_q10"         -> q153TpchQ10 _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed
