@@ -1417,6 +1417,24 @@ object CatalogExt {
       .limit(20)
   }
 
+  /** Hashing-trick TF vectors flattened to (doc_id, dim, cnt) rows (see
+    * [[graft.text.TextOps.hashedTfVectors]]). */
+  def q154HashedTf(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.hashedTfVectors(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), posexplode(col("vector")))
+      .select(col("doc_id"), col("pos").cast("long").as("dim"),
+        col("col").cast("long").as("cnt"))
+
+  /** Exact cosine top-5 over the hashed-TF vectors — the text→vector
+    * bridge: the q28 machinery on REAL text-derived features (integer
+    * dot products, order-free on any engine). */
+  def q155HashedTfKnn(s: SparkSession, dir: String): DataFrame = {
+    val v = graft.text.TextOps.hashedTfVectors(Tables.documents(s, dir),
+      "doc_id", "text")
+    Similarity.cosineKnn(v.filter(col("doc_id") % 100 === 0), v,
+      "doc_id", "vector", k = 5)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1551,6 +1569,8 @@ object CatalogExt {
     "q151_tpch_q3"          -> q151TpchQ3 _,
     "q152_tpch_q5"          -> q152TpchQ5 _,
     "q153_tpch_q10"         -> q153TpchQ10 _,
+    "q154_hashed_tf"        -> q154HashedTf _,
+    "q155_hashed_tf_knn"    -> q155HashedTfKnn _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -802,6 +802,33 @@ object OraclesExt {
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
 
+    // q154/q155: the hashing-trick histogram replayed per bucket; the knn
+    // reuses the q28 cosine contract (integer-valued dots -> order-free)
+    "q154_hashed_tf" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS dim,
+        |  CAST(len(list_filter(w, t ->
+        |    ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 = i)) AS BIGINT) AS cnt
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |CROSS JOIN (SELECT unnest(range(0, 64)) AS i)""".stripMargin,
+
+    "q155_hashed_tf_knn" ->
+      """WITH v AS (SELECT doc_id,
+        |    [CAST(len(list_filter(w, t ->
+        |       ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 = i)) AS DOUBLE)
+        |     for i in range(0, 64)] AS v
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |q AS (SELECT doc_id AS q_id, v AS qv FROM v WHERE doc_id % 100 = 0),
+        |sc AS (SELECT q.q_id, c.doc_id AS c_id,
+        |    list_dot_product(qv, c.v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+        |      AS cosine
+        |  FROM v c CROSS JOIN q WHERE q.q_id <> c.doc_id)
+        |SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, cosine FROM (
+        |  SELECT q_id, c_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cosine DESC, c_id ASC) AS rnk
+        |  FROM sc) WHERE rnk <= 5""".stripMargin,
+
     // q130: same row digest (15-hex md5 prefix -> positive BIGINT), same
     // order-free bit_xor rollup with the coalesced total row
     "q130_fingerprint" ->

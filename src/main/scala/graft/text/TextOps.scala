@@ -254,6 +254,40 @@ object TextOps {
       .toDF(idCol, "n_bytes", "n_deflate", "deflate_ratio")
   }
 
+  /**
+   * Feature-hashing TF vectors (the hashing trick — Weinberger et al.
+   * 2009, ICML): each token hashes to one of `dim` buckets (md5 mod dim,
+   * replayable randomness) and the document's vector is the bucket-count
+   * histogram, emitted as `Array[Float]` so the whole cosine/ANN family
+   * (q28/q30/q49/q105…) applies to REAL text-derived vectors with no
+   * vocabulary state at all — the property that makes the hashing trick
+   * the streaming/distributed featurizer (no fit step, no dictionary to
+   * broadcast, collisions bounded by dim).
+   *
+   * Exactness: counts are integers (exactly representable in float and
+   * double), so downstream dot products are integer-valued and
+   * order-free on any engine.
+   *
+   * Scale shape: one (doc, bucket) map-combinable count + a per-doc
+   * dense-ify over the fixed `dim` — no shuffle wider than doc keys.
+   */
+  def hashedTfVectors(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dim: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"dim must be in [2, 4096], got $dim")
+    val bucket = (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long") %
+      dim).cast("int")
+    df
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .groupBy(col(idCol), bucket.as("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("__m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0L)).cast("float"))
+          .as("vector"))
+  }
+
   def charEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val lg = graft.curation.Curation.lg _
