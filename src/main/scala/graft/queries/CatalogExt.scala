@@ -1435,6 +1435,39 @@ object CatalogExt {
       "doc_id", "vector", k = 5)
   }
 
+  /** Item co-visitation with exact-lg lift — the "users who touched X
+    * also touched Y" recommender primitive: distinct (user, item) rows
+    * (item = the VARIANT-extracted props key), per-user item pairs i<j,
+    * co-user counts, and lift(i,j) = lg c_ij + lg n_users − lg c_i −
+    * lg c_j in bits; top-50 by (c_ij DESC, i, j) as a TakeOrdered.
+    * Scale note: candidate volume is Σ_user |items_u|² — bounded by the
+    * per-user activity cap a production pipeline enforces upstream (the
+    * X108/X116 quota operators exist for exactly that). */
+  def q156Covisitation(s: SparkSession, dir: String): DataFrame = {
+    val ui = Tables.events(s, dir)
+      .select(col("user_id").as("u"),
+        variant_get(parse_json(col("props")), "$.k", "bigint").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+    val nUsers = ui.agg(countDistinct(col("u")).as("n_users"))
+    val ic = ui.groupBy(col("item")).agg(count(lit(1)).as("c"))
+    val pairs = ui.alias("a")
+      .join(ui.alias("b"), col("a.u") === col("b.u") &&
+        col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+      .agg(count(lit(1)).as("c_ij"))
+    val lg = graft.curation.Curation.lg _
+    pairs
+      .join(broadcast(ic.select(col("item").as("i"), col("c").as("c_i"))), "i")
+      .join(broadcast(ic.select(col("item").as("j"), col("c").as("c_j"))), "j")
+      .crossJoin(broadcast(nUsers))
+      .select(col("i"), col("j"), col("c_ij"), col("c_i"), col("c_j"),
+        (((lg(col("c_ij")) + lg(col("n_users"))) - lg(col("c_i"))) -
+          lg(col("c_j"))).as("lift_bits"))
+      .orderBy(col("c_ij").desc, col("i").asc, col("j").asc)
+      .limit(50)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"     -> q21TextStats _,
     "q22_lang_id"        -> q22LangId _,
@@ -1571,6 +1604,7 @@ object CatalogExt {
     "q153_tpch_q10"         -> q153TpchQ10 _,
     "q154_hashed_tf"        -> q154HashedTf _,
     "q155_hashed_tf_knn"    -> q155HashedTfKnn _,
+    "q156_covisitation"     -> q156Covisitation _,
   )
 
   /** q28's exact KNN re-planned through the bounded-heap TopKAgg typed

@@ -829,6 +829,24 @@ object OraclesExt {
         |      ORDER BY cosine DESC, c_id ASC) AS rnk
         |  FROM sc) WHERE rnk <= 5""".stripMargin,
 
+    // q156: same distinct (user, item) base, same pair counts, the same
+    // exact-lg lift chain, same (c DESC, i, j) cut
+    "q156_covisitation" ->
+      s"""WITH ui AS (SELECT DISTINCT user_id AS u,
+         |    CAST(props->>'$$.k' AS BIGINT) AS item
+         |  FROM events WHERE CAST(props->>'$$.k' AS BIGINT) IS NOT NULL),
+         |nu AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users FROM ui),
+         |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM ui GROUP BY 1),
+         |p AS (SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS c_ij
+         |      FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+         |      GROUP BY 1, 2)
+         |SELECT i, j, c_ij, ci.c AS c_i, cj.c AS c_j,
+         |  ((${lgSqlOf("c_ij")} + ${lgSqlOf("n_users")}) - ${lgSqlOf("ci.c")})
+         |   - ${lgSqlOf("cj.c")} AS lift_bits
+         |FROM p JOIN ic ci ON ci.item = p.i JOIN ic cj ON cj.item = p.j
+         |CROSS JOIN nu
+         |ORDER BY c_ij DESC, i ASC, j ASC LIMIT 50""".stripMargin,
+
     // q130: same row digest (15-hex md5 prefix -> positive BIGINT), same
     // order-free bit_xor rollup with the coalesced total row
     "q130_fingerprint" ->
