@@ -337,6 +337,31 @@ object CatalogTpch {
       .orderBy(col("value").desc, col("p_partkey"))
   }
 
+  /** TPC-H Q20 (potential part promotion, adapted: no partsupp/availqty →
+    * "supplier shipped more than half its lifetime quantity of a red part
+    * during 1996"): the nested IN-IN-with-correlated-HAVING classic as one
+    * per-(part, supplier) aggregate + semi join; the half compare is
+    * integer-exact (2·qty_1996 > qty_life, quantities integral). */
+  def q174TpchQ20(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val promo = li
+      .join(broadcast(Tables.part(s, dir).filter(col("p_name").startsWith("red"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey").as("sk"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty_life"),
+        sum(when(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01"),
+          col("l_quantity").cast("long")).otherwise(0L)).as("qty_96"))
+      .filter(lit(2) * col("qty_96") > col("qty_life"))
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_1")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(promo.select(col("sk")).distinct(),
+        col("s_suppkey") === col("sk"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_tpch_q6"  -> q157TpchQ6 _,
     "q158_tpch_q7"  -> q158TpchQ7 _,
@@ -354,5 +379,6 @@ object CatalogTpch {
     "q170_tpch_q2"  -> q170TpchQ2 _,
     "q171_tpch_q11" -> q171TpchQ11 _,
     "q172_tpch_q16" -> q172TpchQ16 _,
-    "q173_tpch_q12" -> q173TpchQ12 _)
+    "q173_tpch_q12" -> q173TpchQ12 _,
+    "q174_tpch_q20" -> q174TpchQ20 _)
 }

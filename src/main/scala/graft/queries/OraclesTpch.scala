@@ -227,5 +227,22 @@ object OraclesTpch {
         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Engine is aggregate + semi join; the oracle keeps the classic
+    // nested IN / correlated-HAVING form — the match proves the rewrite.
+    "q174_tpch_q20" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN
+        |      (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |    GROUP BY l_partkey, l_suppkey
+        |    HAVING 2 * sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+        |        AND l_shipdate < TIMESTAMP '1997-01-01'
+        |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+        |      > sum(CAST(l_quantity AS BIGINT)))
+        |ORDER BY s_name""".stripMargin)
 }
