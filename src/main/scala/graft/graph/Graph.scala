@@ -232,6 +232,48 @@ object Graph {
     degrees(e)
   }
 
+  /**
+   * Multi-source BFS shortest-path hop counts, bounded at `rounds` hops —
+   * the reachability/radius primitive (influence spheres, broken-link
+   * blast radius, "how far is every node from the seed set").
+   *
+   * Delta-frontier formulation: round r joins only the NEWLY discovered
+   * frontier against the (pre-partitioned, lineage-cut) edge list, then
+   * anti-joins the visited set, so each round's shuffle is frontier-sized
+   * — never node- or edge-sized rework. Because expansion is level-order,
+   * the first round that reaches a node IS its shortest distance; nodes
+   * beyond `rounds` hops are absent (the oracle's `WHERE hops < rounds`
+   * recursive CTE mirrors that cutoff exactly, with min() collapsing its
+   * non-shortest walks).
+   *
+   * @param edges directed (srcCol, dstCol); pass both orientations for an
+   *              undirected graph
+   * @param seeds one column `id` — the distance-0 node set
+   * @return (id, hops) for every node within `rounds` hops of a seed
+   */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"rounds must be in [1, 32], got $rounds")
+    val e = lazyCut(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src")))
+    var dist = lazyCut(
+      seeds.select(col("id").cast("long").as("id")).distinct()
+        .select(col("id"), lit(0L).as("hops")))
+    var frontier = dist
+    for (r <- 1 to rounds) {
+      val next = lazyCut(frontier
+        .join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id"), lit(r.toLong).as("hops"))
+        .distinct()
+        .join(dist, Seq("id"), "left_anti"))
+      dist = lazyCut(dist.union(next))
+      frontier = next
+    }
+    dist
+  }
+
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 32, s"rounds must be in [1, 32], got $rounds")

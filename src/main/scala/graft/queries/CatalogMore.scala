@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Late round-8 extension wave: graph reachability, behavioral Markov
+ * models, multi-objective curation (Pareto frontier), and optimizer-style
+ * statistics (join-size estimation from per-key histograms). Same
+ * determinism rules as [[CatalogExt]]: integer arithmetic wherever the
+ * engine pair could disagree on association, one shared division at the
+ * very end where a ratio is surfaced.
+ */
+object CatalogMore {
+
+  /** Multi-source BFS hop counts on the customer⇄supplier trade graph
+    * from every 50th supplier, 6 hop levels (see
+    * [[graft.graph.Graph.bfsHops]]) — delta-frontier expansion, one
+    * frontier-sized shuffle per level; the oracle replays it as a
+    * recursive CTE with min() over walk lengths. */
+  def q175BfsHops(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.supplier(s, dir)
+      .filter(col("s_suppkey") % 50 === 0)
+      .select((col("s_suppkey") * 2 + 1).as("id"))
+    graft.graph.Graph.bfsHops(
+        CatalogExt.tradeGraphEdges(s, dir), "src", "dst", seeds, rounds = 6)
+      .orderBy(col("hops"), col("id"))
+  }
+
+  /** First-order Markov transition model over per-user event sequences:
+    * lag() in (ts, event_id) order → transition counts → row-normalized
+    * probabilities (one divide of two exact longs, identical
+    * parenthesization in the oracle). The behavioral-model counterpart
+    * of q97's textual bigram LM. */
+  def q176MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val t = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("to_type"),
+        lag(col("event_type"), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val wf = Window.partitionBy(col("from_type"))
+    t.select(col("from_type"), col("to_type"), col("cnt"),
+        (col("cnt").cast("double") /
+          sum(col("cnt")).over(wf).cast("double")).as("prob"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** 2-D Pareto frontier (skyline) over documents — maximize distinct
+    * tokens, minimize length: the multi-objective curation verb ("the
+    * densest doc at every length budget"). NOT the O(n²) dominance
+    * anti-join: per-length bucket maxima (one map-combinable aggregate)
+    * feed a running cummax over the DISTINCT-length frame (domain-sized,
+    * the only single-partition window), broadcast back. A doc survives
+    * iff it attains its bucket max and strictly beats every shorter
+    * bucket's best. */
+  def q177ParetoFrontier(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("dt"))
+    val buckets = d.groupBy(col("n_chars")).agg(max(col("dt")).as("bucket_max"))
+    val wCum = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = buckets.withColumn("best_smaller", max(col("bucket_max")).over(wCum))
+    d.join(broadcast(cum), "n_chars")
+      .filter((col("best_smaller").isNull || col("best_smaller") < col("dt")) &&
+        col("dt") === col("bucket_max"))
+      .select(col("doc_id"), col("n_chars"), col("dt").as("distinct_tokens"))
+      .orderBy(col("n_chars"), col("doc_id"))
+  }
+
+  /** Join-size estimation from per-key count histograms — the
+    * optimizer-statistics primitive: |A ⋈_k B| = Σ_k cntA(k)·cntB(k),
+    * computed WITHOUT executing the join (two map-combinable counts +
+    * one key-sized join), audited against the actual join count. Exact
+    * for equi-joins by definition; at 100 TB the same arithmetic runs
+    * over sampled or sketched histograms. */
+  def q178JoinSizeEstimate(s: SparkSession, dir: String): DataFrame = {
+    def estimate(name: String, a: DataFrame, ka: String,
+        b: DataFrame, kb: String): DataFrame = {
+      val ca = a.groupBy(col(ka).as("k")).agg(count(lit(1)).as("ca"))
+      val cb = b.groupBy(col(kb).as("k")).agg(count(lit(1)).as("cb"))
+      val pred = ca.join(cb, "k")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("predicted_rows"))
+      val actual = a.join(b, col(ka) === col(kb))
+        .agg(count(lit(1)).as("actual_rows"))
+      pred.crossJoin(actual).select(lit(name).as("join_name"),
+        col("predicted_rows"), col("actual_rows"))
+    }
+    estimate("customer_orders", Tables.customer(s, dir), "c_custkey",
+        Tables.orders(s, dir), "o_custkey")
+      .unionByName(estimate("orders_lineitem", Tables.orders(s, dir), "o_orderkey",
+        Tables.lineitem(s, dir), "l_orderkey"))
+      .orderBy(col("join_name"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_bfs_hops"       -> q175BfsHops _,
+    "q176_markov"         -> q176MarkovTransitions _,
+    "q177_pareto"         -> q177ParetoFrontier _,
+    "q178_join_estimate"  -> q178JoinSizeEstimate _)
+}

@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Laws for the CatalogMore wave (q174-q178): brute-force dominance check
+  * for the Pareto frontier, row-normalization for the Markov model, the
+  * exact-equality identity for the join-size estimator, and Q20's
+  * subset/threshold laws. */
+class MoreWaveSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("Q20: every reported supplier is in NATION_1 and shipped a red part") {
+    val out = CatalogTpch.q174TpchQ20(spark, sf).collect()
+    val n1Supps = graft.Tables.supplier(spark, sf)
+      .join(graft.Tables.nation(spark, sf).filter(col("n_name") === "NATION_1"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name")).collect().map(_.getString(0)).toSet
+    assert(out.map(_.getString(0)).toSet.subsetOf(n1Supps))
+    assert(out.map(_.getString(0)).toSeq === out.map(_.getString(0)).toSeq.sorted)
+  }
+
+  test("markov: probabilities row-normalize to 1 per from_type") {
+    val out = CatalogMore.q176MarkovTransitions(spark, sf)
+      .groupBy(col("from_type")).agg(sum(col("prob")).as("p")).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9, r))
+  }
+
+  test("markov: transition counts conserve total adjacent pairs") {
+    val total = CatalogMore.q176MarkovTransitions(spark, sf)
+      .agg(sum(col("cnt"))).collect().head.getLong(0)
+    val ev = graft.Tables.events(spark, sf)
+    val nEvents = ev.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    assert(total === nEvents - nUsers) // each user contributes |seq|-1 pairs
+  }
+
+  test("pareto: frontier is exactly the brute-force non-dominated set") {
+    val d = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("dt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = d.filter { case (_, c, t) =>
+      !d.exists { case (_, c2, t2) =>
+        c2 <= c && t2 >= t && (c2 < c || t2 > t)
+      }
+    }.map(_._1).toSet
+    val got = CatalogMore.q177ParetoFrontier(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === want)
+  }
+
+  test("join estimate: predicted equals actual for both equi-joins") {
+    val out = CatalogMore.q178JoinSizeEstimate(spark, sf).collect()
+    assert(out.length === 2)
+    out.foreach(r => assert(r.getLong(1) === r.getLong(2), r))
+    assert(out.exists(r => r.getLong(1) > 0L))
+  }
+
+  test("bfs on trade graph: seeds at 0 hops, neighbors alternate parity") {
+    // the trade graph is bipartite (even=customer, odd=supplier nodes):
+    // distance parity must match node parity relative to odd seeds
+    val out = CatalogMore.q175BfsHops(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, h) = (r.getLong(0), r.getLong(1))
+      assert((id % 2 === 1) === (h % 2 === 0), s"parity broken at $id hops=$h")
+    }
+  }
+}
