@@ -120,6 +120,63 @@ object TimeSeries {
    * Scale shape: two hour-keyed map-combinable counts and one
    * (series, hod)-keyed broadcastable join — 24·|series| profile rows.
    */
+  /**
+   * Truncated EWMA (α = 1/2) over per-series hourly counts, exact by
+   * construction: weights are powers of two, so the numerator is the
+   * INTEGER Σₖ cnt_{t−k}·2^(lags−1−k) over the available lags and the
+   * denominator the matching integer weight sum — one double divide at
+   * the end, no float pow, no association ambiguity (the usual
+   * recursive-EWMA float accumulation diverges between engines; this
+   * cannot). Truncation at `lags` costs at most 2^−lags of mass.
+   * Index-based: smoothing runs over OBSERVED buckets (gaps don't decay
+   * the average — compose with [[gapFillLocf]] first when they should).
+   *
+   * Scale shape: one (series, hour) map-combinable count, one
+   * series-partitioned window with a bounded `lags`-row frame.
+   */
+  def ewmaSmooth(events: DataFrame, seriesCol: String, tsCol: String,
+      lags: Int = 8): DataFrame = {
+    require(lags >= 1 && lags <= 62, s"lags must be in [1, 62], got $lags")
+    val hourly = events
+      .groupBy(col(seriesCol).as("series"),
+        date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("series")).orderBy(col("hour"))
+    val terms = (0 until lags).map { k =>
+      (lag(col("c"), k).over(w), 1L << (lags - 1 - k))
+    }
+    val num = terms.map { case (v, wt) => coalesce(v * lit(wt), lit(0L)) }
+      .reduce(_ + _)
+    val den = terms.map { case (v, wt) =>
+      when(v.isNotNull, lit(wt)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hourly.select(col("series"), col("hour"), col("c"),
+      (num.cast("double") / den.cast("double")).as("ewma"))
+  }
+
+  /**
+   * Run-length encoding of per-key event streams (gaps-and-islands):
+   * maximal runs of consecutive identical `typeCol` values in (ts, id)
+   * order, via the row_number-difference grouping key. The repetition
+   * profile of behavioral data — bot detection (absurd run lengths),
+   * session monotony, retry storms.
+   *
+   * Scale shape: two windows over the same (key, ts, id) sort order (one
+   * partition-wide, one sub-partitioned by type — same exchange), then a
+   * map-combinable aggregate on (key, type, island).
+   */
+  def eventRuns(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val wAll = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val wTyp = Window.partitionBy(col(keyCol), col(typeCol))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(keyCol), col(typeCol), col(tsCol), col(idCol),
+        (row_number().over(wAll) - row_number().over(wTyp)).as("island"))
+      .groupBy(col(keyCol), col(typeCol), col("island"))
+      .agg(count(lit(1)).as("run_len"), min(col(tsCol)).as("run_start"))
+  }
+
   def seasonalResiduals(events: DataFrame, seriesCol: String,
       tsCol: String): DataFrame = {
     val hourly = events

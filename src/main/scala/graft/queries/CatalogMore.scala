@@ -97,9 +97,81 @@ object CatalogMore {
       .orderBy(col("join_name"))
   }
 
+  /** Truncated integer-exact EWMA (α = 1/2, 8 lags) over per-event-type
+    * hourly counts (see [[graft.ops.TimeSeries.ewmaSmooth]]) — the float
+    * recursion EWMA is usually computed with cannot hash-match across
+    * engines; the powers-of-two formulation must. */
+  def q179Ewma(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.ewmaSmooth(Tables.events(s, dir), "event_type", "ts",
+        lags = 8)
+      .orderBy(col("series"), col("hour"))
+
+  /** Run-length distribution of per-user event streams (gaps-and-islands
+    * RLE, see [[graft.ops.TimeSeries.eventRuns]]): how long do users
+    * repeat the same action consecutively — summarized as (event_type,
+    * run_len, n_runs) so the output is domain-sized. */
+  def q180EventRuns(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.eventRuns(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type")
+      .groupBy(col("event_type"), col("run_len"))
+      .agg(count(lit(1)).as("n_runs"))
+      .orderBy(col("event_type"), col("run_len"))
+
+  /** Retrieval evaluation — hit-rate@5 and MRR of the hashed-TF cosine
+    * knn (q155) against same-language relevance, in EXACT rational
+    * arithmetic: reciprocal ranks are summed as integers scaled by
+    * lcm(1..5) = 60 (1/3 is not float-representable; 60/3 is an integer),
+    * with the two divides at the very end. */
+  def q181RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val v = graft.text.TextOps.hashedTfVectors(docs, "doc_id", "text")
+    val knn = graft.sim.Similarity.cosineKnn(
+      v.filter(col("doc_id") % 100 === 0), v, "doc_id", "vector", k = 5)
+    val lang = docs.select(col("doc_id"), col("lang"))
+    val judged = knn
+      .join(broadcast(lang.select(col("doc_id").as("q_id"),
+        col("lang").as("q_lang"))), "q_id")
+      .join(broadcast(lang.select(col("doc_id").as("c_id"),
+        col("lang").as("c_lang"))), "c_id")
+      .withColumn("rel", col("q_lang") === col("c_lang"))
+    val perQuery = judged.groupBy(col("q_id"))
+      .agg(min(when(col("rel"), col("rnk"))).as("first_rel"))
+    perQuery.agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("first_rel").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(when(col("first_rel").isNotNull, expr("60 div first_rel"))
+          .otherwise(lit(0L))).as("mrr_x60"))
+      .select(col("n_queries"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_queries").cast("double"))
+          .as("hit_rate"),
+        (col("mrr_x60").cast("double") /
+          (lit(60.0) * col("n_queries").cast("double"))).as("mrr"))
+  }
+
+  /** Bloom-filter membership over the corpus vocabulary (see
+    * [[graft.sketch.Sketch.bloomMembership]]): probes are every-97th
+    * document's tokens plus their '~zz'-mangled (near-certainly absent)
+    * twins; `present` is computed exactly, so the output shows real
+    * false-positive mechanics while the no-false-negative law holds. */
+  def q182Bloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(graft.text.TextOps.tokens(col("text"))).as("t"))
+    val base = toks.filter(col("doc_id") % 97 === 0).select(col("t")).distinct()
+    val probes = base.select(col("t"))
+      .unionByName(base.select(concat(col("t"), lit("~zz")).as("t")))
+    graft.sketch.Sketch.bloomMembership(toks, "t", probes, "t",
+        bits = 512, hashes = 3)
+      .orderBy(col("probe"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_bfs_hops"       -> q175BfsHops _,
     "q176_markov"         -> q176MarkovTransitions _,
     "q177_pareto"         -> q177ParetoFrontier _,
-    "q178_join_estimate"  -> q178JoinSizeEstimate _)
+    "q178_join_estimate"  -> q178JoinSizeEstimate _,
+    "q179_ewma"           -> q179Ewma _,
+    "q180_event_runs"     -> q180EventRuns _,
+    "q181_retrieval_eval" -> q181RetrievalEval _,
+    "q182_bloom"          -> q182Bloom _)
 }

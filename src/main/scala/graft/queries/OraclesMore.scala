@@ -10,6 +10,35 @@ package graft.queries
  */
 object OraclesMore {
 
+  /** The 64-bucket hashed-TF vector + cosine-knn CTE prefix shared with
+    * the q155 oracle (rebuilt here so each oracle stays self-contained). */
+  private val knnPrefix =
+    """WITH v AS (SELECT doc_id,
+      |    [CAST(len(list_filter(w, t ->
+      |       ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 = i)) AS DOUBLE)
+      |     for i in range(0, 64)] AS v
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |q AS (SELECT doc_id AS q_id, v AS qv FROM v WHERE doc_id % 100 = 0),
+      |sc AS (SELECT q.q_id, c.doc_id AS c_id,
+      |    list_dot_product(qv, c.v)
+      |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+      |      AS cosine
+      |  FROM v c CROSS JOIN q WHERE q.q_id <> c.doc_id),
+      |knn AS (SELECT q_id, c_id, rnk FROM (
+      |  SELECT q_id, c_id,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cosine DESC, c_id ASC) AS rnk
+      |  FROM sc) WHERE rnk <= 5)""".stripMargin
+
+  private val ewmaLags = 8
+  private val ewmaSelects = (0 until ewmaLags)
+    .map(k => s"lag(c, $k) OVER w AS l$k").mkString(",\n  ")
+  private val ewmaNum = (0 until ewmaLags)
+    .map(k => s"coalesce(l$k * ${1L << (ewmaLags - 1 - k)}, 0)").mkString(" + ")
+  private val ewmaDen = (0 until ewmaLags)
+    .map(k => s"(CASE WHEN l$k IS NOT NULL THEN ${1L << (ewmaLags - 1 - k)} ELSE 0 END)")
+    .mkString(" + ")
+
   val all: Map[String, String] = Map(
     "q175_bfs_hops" ->
       """WITH RECURSIVE
@@ -73,5 +102,65 @@ object OraclesMore {
         |    USING (k)) AS predicted_rows,
         |  (SELECT CAST(count(*) AS BIGINT) FROM orders
         |   JOIN lineitem ON o_orderkey = l_orderkey) AS actual_rows
-        |ORDER BY join_name""".stripMargin)
+        |ORDER BY join_name""".stripMargin,
+
+    "q179_ewma" ->
+      s"""WITH h AS (SELECT event_type AS series, date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT series, hour, c,
+        |  $ewmaSelects
+        |  FROM h WINDOW w AS (PARTITION BY series ORDER BY hour))
+        |SELECT series, hour, c,
+        |  CAST($ewmaNum AS DOUBLE) / CAST($ewmaDen AS DOUBLE) AS ewma
+        |FROM l
+        |ORDER BY series, hour""".stripMargin,
+
+    "q180_event_runs" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |  - row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS island
+        |  FROM events),
+        |runs AS (SELECT user_id, event_type, island,
+        |    CAST(count(*) AS BIGINT) AS run_len
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT event_type, run_len, CAST(count(*) AS BIGINT) AS n_runs
+        |FROM runs GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q181_retrieval_eval" ->
+      s"""$knnPrefix,
+        |j AS (SELECT k.q_id, k.rnk, (dq.lang = dc.lang) AS rel
+        |  FROM knn k
+        |  JOIN documents dq ON k.q_id = dq.doc_id
+        |  JOIN documents dc ON k.c_id = dc.doc_id),
+        |pq AS (SELECT q_id, min(CASE WHEN rel THEN rnk END) AS first_rel
+        |  FROM j GROUP BY q_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS hit_rate,
+        |  CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 60 // first_rel
+        |      ELSE 0 END) AS DOUBLE)
+        |    / (60.0 * CAST(count(*) AS DOUBLE)) AS mrr
+        |FROM pq""".stripMargin,
+
+    "q182_bloom" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |vocab AS (SELECT DISTINCT t FROM toks),
+        |setbits AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(t || '#' || i), 1, 8))::BIGINT % 512 AS p
+        |  FROM vocab CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
+        |base AS (SELECT DISTINCT t FROM toks WHERE doc_id % 97 = 0),
+        |probes AS (SELECT t FROM base UNION SELECT t || '~zz' FROM base),
+        |pb AS (SELECT t AS probe,
+        |    ('0x' || substr(md5(t || '#' || i), 1, 8))::BIGINT % 512 AS p
+        |  FROM probes CROSS JOIN (SELECT unnest(range(0, 3)) AS i))
+        |SELECT probe, probe IN (SELECT t FROM vocab) AS present,
+        |  bool_and(p IN (SELECT p FROM setbits)) AS bloom_member
+        |FROM pb GROUP BY probe
+        |ORDER BY probe""".stripMargin)
 }

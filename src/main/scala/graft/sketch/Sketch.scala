@@ -87,4 +87,57 @@ object Sketch {
         (abs(col("est").cast("double") - col("n_exact").cast("double")) <=
           lit(tol) * col("n_exact").cast("double")).as("within_tol"))
   }
+
+  /** Hash-`i` Bloom bit position of a token: first 8 md5 hex chars of
+    * `token#i` mod `bits` — replayable on any engine with md5, like
+    * [[cmsBucket]]. */
+  def bloomPos(token: Column, i: Int, bits: Int): Column =
+    pmod(
+      conv(substring(md5(concat(token, lit(s"#$i"))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(bits.toLong))
+
+  /**
+   * Bloom-filter membership (Bloom, CACM 1970), completing the sketch
+   * family (CMS = frequency, HLL = cardinality, Bloom = membership):
+   * build a `bits`-position filter over the corpus vocabulary, probe it,
+   * and report the verdict NEXT TO exact membership — so the one-sided
+   * error law (no false negatives: `bloom_member` whenever `present`) and
+   * the false-positive mechanics are both visible in the output.
+   *
+   * The filter is materialized as the DISTINCT set-position table
+   * (≤ `bits` rows — semantically the bitmap, without packing words into
+   * longs, which keeps both engines integer-exact); the probe is a
+   * broadcast join of probe positions against it. Build is one
+   * vocabulary-sized distinct + a `hashes`-way explode that collapses to
+   * ≤ `bits` rows — at 100 TB the filter is still ≤ `bits` rows, and the
+   * real deployment packs those into executor-local bitsets exactly like
+   * [[graft.ops.Prefilter]] ships its sorted key array.
+   *
+   * Output: (probe, present, bloom_member).
+   */
+  def bloomMembership(tokens: DataFrame, tokenCol: String,
+      probes: DataFrame, probeCol: String,
+      bits: Int = 512, hashes: Int = 3): DataFrame = {
+    require(bits >= 8 && bits <= (1 << 20), s"bits out of range: $bits")
+    require(hashes >= 1 && hashes <= 8, s"hashes out of range: $hashes")
+    val vocab = tokens.select(col(tokenCol).as("t")).distinct()
+    val setBits = vocab
+      .select(explode(array((0 until hashes).map(i =>
+        bloomPos(col("t"), i, bits)): _*)).as("p"))
+      .distinct()
+    val probeBits = probes.select(col(probeCol).as("probe")).distinct()
+      .select(col("probe"),
+        explode(array((0 until hashes).map(i =>
+          bloomPos(col("probe"), i, bits)): _*)).as("p"))
+    val hit = probeBits
+      .join(broadcast(setBits.withColumn("set", lit(true))), Seq("p"), "left")
+      .groupBy(col("probe"))
+      .agg(min(coalesce(col("set"), lit(false))).as("bloom_member"))
+    hit
+      .join(broadcast(vocab.select(col("t").as("probe"))
+        .withColumn("in_vocab", lit(true))), Seq("probe"), "left")
+      .select(col("probe"), coalesce(col("in_vocab"), lit(false)).as("present"),
+        col("bloom_member"))
+  }
 }

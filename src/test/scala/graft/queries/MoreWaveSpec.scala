@@ -59,6 +59,14 @@ class MoreWaveSpec extends SparkSpec {
     assert(out.exists(r => r.getLong(1) > 0L))
   }
 
+  test("retrieval eval: mrr never exceeds hit rate; both are proper fractions") {
+    val r = CatalogMore.q181RetrievalEval(spark, sf).collect().head
+    val (nq, nh, hr, mrr) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    assert(nq > 0 && nh >= 0 && nh <= nq)
+    assert(hr >= 0.0 && hr <= 1.0 && mrr >= 0.0)
+    assert(mrr <= hr + 1e-12) // 1/rank <= 1 counted only on hits
+  }
+
   test("bfs on trade graph: seeds at 0 hops, neighbors alternate parity") {
     // the trade graph is bipartite (even=customer, odd=supplier nodes):
     // distance parity must match node parity relative to odd seeds
