@@ -165,6 +165,111 @@ object CatalogMore {
       .orderBy(col("probe"))
   }
 
+  /** Calibration curve (reliability diagram) for the q123 trained
+    * quality classifier: predictions bucketed into 8 probability bins,
+    * mean predicted probability vs observed positive rate per bin — the
+    * standard "is the classifier's confidence honest" audit. Integer bin
+    * arithmetic (`p·8 div S`), two divides at the end; the oracle replays
+    * the full 24-round training inside a nested CTE. */
+  def q183Calibration(s: SparkSession, dir: String): DataFrame =
+    graft.model.QualityLr.trainAndScore(
+        Tables.documents(s, dir), "doc_id", "text", rounds = 24)
+      .groupBy(expr("least(p * 8 div 65536, 7)").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("p")).as("sum_p"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("sum_p").cast("double") /
+          (lit(65536.0) * col("n").cast("double"))).as("mean_pred"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("obs_rate"))
+      .orderBy(col("bin"))
+
+  /** Frequent triple itemsets, A-priori style with a deterministic
+    * candidate bound: top-10 items by user support (TakeOrdered), all
+    * per-user triples among ONLY those items (≤ C(10,3) = 120 candidates,
+    * ≤ 120 rows per user after the semi-join prune — the A-priori insight
+    * that candidate generation must shrink before counting), top-20 by
+    * (support DESC, items ASC). */
+  def q184FrequentTriples(s: SparkSession, dir: String): DataFrame = {
+    val ui = Tables.events(s, dir)
+      .select(col("user_id").as("u"),
+        variant_get(parse_json(col("props")), "$.k", "bigint").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+    val top = ui.groupBy(col("item")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("item")).limit(10)
+    val u1 = ui.join(broadcast(top.select(col("item"))), Seq("item"), "left_semi")
+    u1.alias("a")
+      .join(u1.alias("b"), col("a.u") === col("b.u") && col("a.item") < col("b.item"))
+      .join(u1.alias("c"), col("b.u") === col("c.u") && col("b.item") < col("c.item"))
+      .groupBy(col("a.item").as("i"), col("b.item").as("j"), col("c.item").as("k"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("i"), col("j"), col("k"))
+      .limit(20)
+  }
+
+  /** Token-weighted median document length per language: cumulative
+    * integer weights over the per-language value sort, the median is the
+    * first value where 2·cumw ≥ total — no float quantile interpolation,
+    * so any engine agrees. The weighted-statistics primitive (corpus
+    * "median length per token", not per doc). */
+  def q185WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("wt"))
+    val wCum = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("lang"))
+    d.select(col("lang"), col("n_chars"),
+        sum(col("wt")).over(wCum).as("cumw"),
+        sum(col("wt")).over(wAll).as("total"))
+      .groupBy(col("lang"))
+      .agg(max(col("total")).as("total_weight"),
+        min(when(col("cumw") * 2 >= col("total"), col("n_chars")))
+          .as("weighted_median_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Data-contract expectations audit (the Deequ/dbt-tests shape):
+    * completeness, uniqueness, range, and referential checks as
+    * (check, n_checked, n_violations, pass) rows — ONE aggregate pass per
+    * table (every sum(CASE) rides the same scan) plus one anti-join for
+    * the FK probe; the ingest acceptance gate a 100 TB pipeline runs
+    * before promoting a snapshot. */
+  def q186Expectations(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uniq"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_pos"))
+    val l = Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n"),
+      sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("v_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+        .otherwise(0L)).as("v_disc"))
+    val fk = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("v_fk"))
+      .crossJoin(Tables.lineitem(s, dir).agg(count(lit(1)).as("n")))
+    val rows =
+      o.select(lit("orders.o_custkey_not_null").as("check"), col("n"),
+          col("v_null").as("n_violations"))
+        .unionByName(o.select(lit("orders.o_orderkey_unique").as("check"),
+          col("n"), col("v_uniq").as("n_violations")))
+        .unionByName(o.select(lit("orders.o_totalprice_positive").as("check"),
+          col("n"), col("v_pos").as("n_violations")))
+        .unionByName(l.select(lit("lineitem.l_quantity_in_1_50").as("check"),
+          col("n"), col("v_qty").as("n_violations")))
+        .unionByName(l.select(lit("lineitem.l_discount_in_0_1").as("check"),
+          col("n"), col("v_disc").as("n_violations")))
+        .unionByName(fk.select(lit("lineitem.fk_orders").as("check"),
+          col("n"), col("v_fk").as("n_violations")))
+    rows.select(col("check"), col("n").as("n_checked"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+      .orderBy(col("check"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_bfs_hops"       -> q175BfsHops _,
     "q176_markov"         -> q176MarkovTransitions _,
@@ -173,5 +278,9 @@ object CatalogMore {
     "q179_ewma"           -> q179Ewma _,
     "q180_event_runs"     -> q180EventRuns _,
     "q181_retrieval_eval" -> q181RetrievalEval _,
-    "q182_bloom"          -> q182Bloom _)
+    "q182_bloom"          -> q182Bloom _,
+    "q183_calibration"    -> q183Calibration _,
+    "q184_freq_triples"   -> q184FrequentTriples _,
+    "q185_weighted_median" -> q185WeightedMedian _,
+    "q186_expectations"   -> q186Expectations _)
 }

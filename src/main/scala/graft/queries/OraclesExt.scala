@@ -1864,7 +1864,7 @@ object OraclesExt {
     * sigmoid is the same clamp+floor over exact doubles, gradients are
     * BIGINT sums (order-free on both engines), the step is the same
     * floor-divide — mirrors [[graft.model.QualityLr]] op for op. */
-  private def qualityLrSql(rounds: Int): String = {
+  private[queries] def qualityLrSql(rounds: Int): String = {
     def pSql(w: String) =
       s"""least(greatest(CAST(floor(CAST($w.w0*x0 + $w.w1*x1 + $w.w2*x2 + $w.w3*x3
          | AS DOUBLE) / 4.0) AS BIGINT) + 32768,

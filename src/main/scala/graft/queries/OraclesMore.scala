@@ -162,5 +162,83 @@ object OraclesMore {
         |SELECT probe, probe IN (SELECT t FROM vocab) AS present,
         |  bool_and(p IN (SELECT p FROM setbits)) AS bloom_member
         |FROM pb GROUP BY probe
-        |ORDER BY probe""".stripMargin)
+        |ORDER BY probe""".stripMargin,
+
+    // The q123 training replay (24 exact GD rounds) nested as a CTE, then
+    // the 8-bin reliability aggregation on top.
+    "q183_calibration" ->
+      s"""WITH sc AS (
+        |${OraclesExt.qualityLrSql(24)}
+        |),
+        |g AS (SELECT least(p * 8 // 65536, 7) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(p) AS BIGINT) AS sum_p
+        |  FROM sc GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  CAST(sum_p AS DOUBLE) / (65536.0 * CAST(n AS DOUBLE)) AS mean_pred,
+        |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS obs_rate
+        |FROM g
+        |ORDER BY bin""".stripMargin,
+
+    "q184_freq_triples" ->
+      """WITH ui AS (SELECT DISTINCT user_id AS u,
+        |    json_extract(props, '$.k')::BIGINT AS item
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+        |top AS (SELECT item FROM ui GROUP BY item
+        |  ORDER BY count(*) DESC, item LIMIT 10),
+        |u1 AS (SELECT u, item FROM ui WHERE item IN (SELECT item FROM top))
+        |SELECT a.item AS i, b.item AS j, c.item AS k,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM u1 a
+        |JOIN u1 b ON a.u = b.u AND a.item < b.item
+        |JOIN u1 c ON b.u = c.u AND b.item < c.item
+        |GROUP BY 1, 2, 3
+        |ORDER BY support DESC, i, j, k
+        |LIMIT 20""".stripMargin,
+
+    "q185_weighted_median" ->
+      """WITH d AS (SELECT lang, doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wt
+        |  FROM documents),
+        |c AS (SELECT lang, n_chars,
+        |    sum(wt) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(wt) OVER (PARTITION BY lang) AS total
+        |  FROM d)
+        |SELECT lang, CAST(max(total) AS BIGINT) AS total_weight,
+        |  min(CASE WHEN cumw * 2 >= total THEN n_chars END)
+        |    AS weighted_median_chars
+        |FROM c GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q186_expectations" ->
+      """WITH o AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_null,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uniq,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_pos
+        |  FROM orders),
+        |l AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_disc
+        |  FROM lineitem),
+        |fk AS (SELECT CAST((SELECT count(*) FROM lineitem
+        |      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |    AS BIGINT) AS v_fk,
+        |    CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n),
+        |rows_ AS (
+        |  SELECT 'orders.o_custkey_not_null' AS check_, n, v_null AS v FROM o
+        |  UNION ALL SELECT 'orders.o_orderkey_unique', n, v_uniq FROM o
+        |  UNION ALL SELECT 'orders.o_totalprice_positive', n, v_pos FROM o
+        |  UNION ALL SELECT 'lineitem.l_quantity_in_1_50', n, v_qty FROM l
+        |  UNION ALL SELECT 'lineitem.l_discount_in_0_1', n, v_disc FROM l
+        |  UNION ALL SELECT 'lineitem.fk_orders', n, v_fk FROM fk)
+        |SELECT check_ AS "check", n AS n_checked, v AS n_violations,
+        |  v = 0 AS pass
+        |FROM rows_
+        |ORDER BY "check"""".stripMargin)
 }

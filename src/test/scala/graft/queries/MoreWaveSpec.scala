@@ -67,6 +67,55 @@ class MoreWaveSpec extends SparkSpec {
     assert(mrr <= hr + 1e-12) // 1/rank <= 1 counted only on hits
   }
 
+  test("calibration: bins partition the corpus; rates are proper fractions") {
+    val rows = CatalogMore.q183Calibration(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === nDocs)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 7)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("frequent triples: canonical order, support bounded by user count") {
+    val rows = CatalogMore.q184FrequentTriples(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val nUsers = graft.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1) && r.getLong(1) < r.getLong(2))
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= nUsers)
+    }
+    val supports = rows.map(_.getLong(3)).toSeq
+    assert(supports === supports.sortBy(-_))
+  }
+
+  test("weighted median: matches a driver-side brute force per language") {
+    val d = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("wt"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    val want = d.groupBy(_._1).map { case (lang, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      var cum = 0L
+      lang -> sorted.find { x => cum += x._3; cum * 2 >= total }.get._2
+    }
+    val got = CatalogMore.q185WeightedMedian(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === want)
+  }
+
+  test("expectations: the clean fixture passes every declared contract") {
+    val rows = CatalogMore.q186Expectations(spark, sf).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, s"empty check ${r.getString(0)}")
+      assert(r.getLong(2) === 0L && r.getBoolean(3), s"violated ${r.getString(0)}")
+    }
+  }
+
   test("bfs on trade graph: seeds at 0 hops, neighbors alternate parity") {
     // the trade graph is bipartite (even=customer, odd=supplier nodes):
     // distance parity must match node parity relative to odd seeds
