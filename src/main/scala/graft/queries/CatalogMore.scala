@@ -270,6 +270,99 @@ object CatalogMore {
       .orderBy(col("check"))
   }
 
+  /** Benford first-digit audit on order totals — the fraud/synthetic-data
+    * smoke test: leading digit via exact integer cents (no float log10),
+    * counts + one-divide shares. Uniform synthetic money will NOT follow
+    * Benford — the point of the audit is to SHOW the distribution, and
+    * the spec pins the conservation laws. */
+  def q187Benford(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(s, dir)
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = d.agg(sum(col("n")).as("total"))
+    d.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("total").cast("double")).as("share"))
+      .orderBy(col("digit"))
+  }
+
+  /** Weight-of-evidence encoding of token-count bands against the Gopher
+    * rule-gate label — the credit-scoring feature transform in exact-lg
+    * bits: WOE(b) = (lg n⁺_b − lg n⁻_b) − (lg N⁺ − lg N⁻); zero cells
+    * yield NULL (no smoothing lie). One doc-keyed scan + a domain-sized
+    * aggregate + a 1-row broadcast. */
+  def q188WoeEncoding(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val lg = graft.curation.Curation.lg _
+    val gate = graft.curation.Curation.ruleGate(docs, "doc_id", "text")
+      .select(col("doc_id"), col("pass"))
+    val nt = docs.select(col("doc_id"),
+      size(graft.text.TextOps.tokens(col("text"))).cast("long").as("nt"))
+    val agg = nt.join(gate, "doc_id")
+      .groupBy(expr("least(nt div 20, 7)").as("bucket"))
+      .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("pass"), 1L).otherwise(0L)).as("n_neg"))
+    val tot = agg.agg(sum(col("n_pos")).as("tp"), sum(col("n_neg")).as("tn"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0 && col("tp") > 0 && col("tn") > 0,
+          (lg(col("n_pos")) - lg(col("n_neg"))) - (lg(col("tp")) - lg(col("tn"))))
+          .as("woe_bits"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Token-budget selection: per source, greedily keep the
+    * highest-stopword-density docs (integer score ·10⁶, the q21 quality
+    * proxy) until HALF the source's tokens are spent — the data-mixing
+    * verb "best docs within a token budget". Inclusive-cumsum ≤ budget,
+    * all integers; summarized per source with a one-divide share. */
+  def q189TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.text.TextOps.tokens(col("text"))
+    val d = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+      size(toks).cast("long").as("nt"),
+      (graft.text.TextOps.stopwordCount(toks).cast("long") * 1000000L).as("sc"))
+      .select(col("source"), col("doc_id"), col("nt"),
+        expr("sc div nt").as("score"))
+    val wCum = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    d.select(col("source"), col("nt"),
+        sum(col("nt")).over(wCum).as("cumtok"),
+        sum(col("nt")).over(wAll).as("total"))
+      .filter(col("cumtok") * 2 <= col("total"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("nt")).as("tokens_kept"),
+        max(col("total")).as("tokens_total"))
+      .select(col("source"), col("n_docs_kept"), col("tokens_kept"),
+        (col("tokens_kept").cast("double") / col("tokens_total").cast("double"))
+          .as("token_share"))
+      .orderBy(col("source"))
+  }
+
+  /** Gini concentration of the corpus over sources (token mass): the
+    * inequality audit for training-data balance, in EXACT integer
+    * arithmetic — ascending-rank weighted sum identity
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ), one divide at the end.
+    * The rank window runs over the SOURCE-sized frame (domain-sized, not
+    * corpus-sized). */
+  def q190GiniConcentration(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(s, dir)
+      .select(col("source"),
+        size(graft.text.TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("x"))
+    val w = Window.orderBy(col("x"), col("source"))
+    perSource
+      .select(col("x"), row_number().over(w).cast("long").as("i"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("x")).as("total_tokens"),
+        sum(col("i") * col("x")).as("s1"))
+      .select(col("n_sources"), col("total_tokens"),
+        ((lit(2L) * col("s1") - (col("n_sources") + 1) * col("total_tokens"))
+          .cast("double") /
+          (col("n_sources") * col("total_tokens")).cast("double")).as("gini"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_bfs_hops"       -> q175BfsHops _,
     "q176_markov"         -> q176MarkovTransitions _,
@@ -282,5 +375,9 @@ object CatalogMore {
     "q183_calibration"    -> q183Calibration _,
     "q184_freq_triples"   -> q184FrequentTriples _,
     "q185_weighted_median" -> q185WeightedMedian _,
-    "q186_expectations"   -> q186Expectations _)
+    "q186_expectations"   -> q186Expectations _,
+    "q187_benford"        -> q187Benford _,
+    "q188_woe"            -> q188WoeEncoding _,
+    "q189_token_budget"   -> q189TokenBudget _,
+    "q190_gini"           -> q190GiniConcentration _)
 }

@@ -20,7 +20,7 @@ package graft.queries
  */
 object OraclesExt {
 
-  private val stop = "('the','a','data','value','key')"
+  private[queries] val stop = "('the','a','data','value','key')"
 
   val all: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -1815,7 +1815,7 @@ object OraclesExt {
     * engine's `aggregate` over the token array. */
   /** Exact-arithmetic piecewise-linear log2 (the engine's `lg` — see
     * Curation.lg): (L-1) + (x - 2^(L-1)) / 2^(L-1), L = bitlength. */
-  private def lgSqlOf(x: String): String = {
+  private[queries] def lgSqlOf(x: String): String = {
     val p = s"(CAST(1 AS BIGINT) << (length(bin($x)) - 1))"
     s"(CAST(length(bin($x)) - 1 AS DOUBLE) + CAST(($x) - $p AS DOUBLE) / CAST($p AS DOUBLE))"
   }

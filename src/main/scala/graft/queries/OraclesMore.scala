@@ -240,5 +240,83 @@ object OraclesMore {
         |SELECT check_ AS "check", n AS n_checked, v AS n_violations,
         |  v = 0 AS pass
         |FROM rows_
-        |ORDER BY "check"""".stripMargin)
+        |ORDER BY "check"""".stripMargin,
+
+    "q187_benford" ->
+      """WITH d AS (SELECT
+        |    substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+        |      1, 1) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT digit, n,
+        |  CAST(n AS DOUBLE) / CAST((SELECT sum(n) FROM d) AS DOUBLE) AS share
+        |FROM d
+        |ORDER BY digit""".stripMargin,
+
+    "q188_woe" -> {
+      val lg = OraclesExt.lgSqlOf _
+      s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(w, t -> t IN ${OraclesExt.stop})) AS BIGINT) AS ns,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(w, t -> CAST(length(t) AS BIGINT))),
+        |         (acc, x) -> acc + x) AS BIGINT) AS tl,
+        |    CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_ngrams,
+        |    CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                            for i in range(1, len(w) - 1)])) AS BIGINT)
+        |      AS n_distinct
+        |  FROM b),
+        |g AS (SELECT doc_id, nt,
+        |    (nt BETWEEN 20 AND 90)
+        |      AND (CAST(tl AS DOUBLE) / CAST(nt AS DOUBLE) >= 3.0
+        |           AND CAST(tl AS DOUBLE) / CAST(nt AS DOUBLE) <= 8.0)
+        |      AND ns >= 2
+        |      AND ((CASE WHEN n_ngrams > 0
+        |                 THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+        |                 ELSE 0.0 END) <= 0.2) AS pass
+        |  FROM s),
+        |a AS (SELECT least(nt // 20, 7) AS bucket,
+        |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN NOT pass THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        |  FROM g GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+        |    CAST(sum(n_neg) AS BIGINT) AS tn FROM a)
+        |SELECT bucket, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 AND tp > 0 AND tn > 0 THEN
+        |    ((${lg("n_pos")} - ${lg("n_neg")}) - (${lg("tp")} - ${lg("tn")}))
+        |  END AS woe_bits
+        |FROM a CROSS JOIN t
+        |ORDER BY bucket""".stripMargin
+    },
+
+    "q189_token_budget" ->
+      s"""WITH d AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    (CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ${OraclesExt.stop})) AS BIGINT) * 1000000)
+        |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+        |  FROM documents),
+        |c AS (SELECT source, nt,
+        |    sum(nt) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumtok,
+        |    sum(nt) OVER (PARTITION BY source) AS total
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+        |  CAST(sum(nt) AS BIGINT) AS tokens_kept,
+        |  CAST(sum(nt) AS DOUBLE) / CAST(max(total) AS DOUBLE) AS token_share
+        |FROM c WHERE cumtok * 2 <= total
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q190_gini" ->
+      """WITH ps AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS x
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, source) AS BIGINT)
+        |    AS i FROM ps)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |  CAST(sum(x) AS BIGINT) AS total_tokens,
+        |  CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+        |    / CAST(count(*) * sum(x) AS DOUBLE) AS gini
+        |FROM r""".stripMargin)
 }

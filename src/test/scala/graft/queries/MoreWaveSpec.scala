@@ -116,6 +116,40 @@ class MoreWaveSpec extends SparkSpec {
     }
   }
 
+  test("benford: digits 1-9 only, counts conserve orders, shares sum to 1") {
+    val rows = CatalogMore.q187Benford(spark, sf).collect()
+    assert(rows.forall(r => r.getString(0).length == 1 &&
+      r.getString(0).head >= '1' && r.getString(0).head <= '9'))
+    assert(rows.map(_.getLong(1)).sum === graft.Tables.orders(spark, sf).count())
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+  }
+
+  test("woe: cell counts conserve the corpus; zero cells yield NULL") {
+    val rows = CatalogMore.q188WoeEncoding(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === nDocs)
+    rows.foreach { r =>
+      val defined = r.getLong(1) > 0 && r.getLong(2) > 0
+      assert(r.isNullAt(3) !== defined, s"bucket ${r.getLong(0)}")
+    }
+  }
+
+  test("token budget: kept share never exceeds half, kept docs positive") {
+    val rows = CatalogMore.q189TokenBudget(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 0.5 + 1e-12, r)
+    }
+  }
+
+  test("gini: bounded in [0, 1); uniform-ish corpus scores low") {
+    val r = CatalogMore.q190GiniConcentration(spark, sf).collect().head
+    val g = r.getDouble(2)
+    assert(r.getLong(0) > 1 && r.getLong(1) > 0)
+    assert(g >= 0.0 && g < 1.0)
+  }
+
   test("bfs on trade graph: seeds at 0 hops, neighbors alternate parity") {
     // the trade graph is bipartite (even=customer, odd=supplier nodes):
     // distance parity must match node parity relative to odd seeds
