@@ -131,10 +131,24 @@ object ScaleProbe {
       "q142_triangles" -> { k: Int =>
         graft.graph.Graph.triangleCounts(
           edges(k).select(col("src").as("a_id"), col("dst").as("b_id")))
+          .count() },
+      // Round-8c heavy:
+      //  - q175: disjoint graph copies, seed set replicated per copy —
+      //    every copy's BFS frontier is isomorphic to the base run, so
+      //    per-round frontier volume grows linearly with k.
+      "q175_bfs" -> { k: Int =>
+        val seedBase = Tables.supplier(spark, "/root/testdata/sf0.1")
+          .filter(col("s_suppkey") % 50 === 0)
+          .select((col("s_suppkey") * 2 + 1).as("id"))
+        val seeds = (0 until k).map { i =>
+          seedBase.select((col("id") + lit(i * 10000000L)).as("id"))
+        }.reduce(_ unionByName _)
+        graft.graph.Graph.bfsHops(edges(k), "src", "dst", seeds, rounds = 6)
           .count() })
     val ks = Seq(1, 4, 10)
+    val filter = sys.env.get("SPARK_GRAFT_HEAVY_ONLY").map(_.split(',').toSet)
     var allSub = true
-    heavies.foreach { case (name, run) =>
+    heavies.filter(h => filter.forall(_.contains(h._1))).foreach { case (name, run) =>
       val ts = ks.map { k =>
         val t0 = System.nanoTime(); val n = run(k)
         val t = (System.nanoTime() - t0) / 1e9
@@ -161,8 +175,12 @@ object ScaleProbe {
       spark.range(1000000).count() // JVM/codegen warmup
       val ok = heavies(spark)
       // sf1.0-scale giant component: the degenerate dedup graph at ~2M
-      // nodes, both CC paths (AQE skew split vs explicit hot-label routing)
-      Seq(2000000).foreach { n =>
+      // nodes, both CC paths (AQE skew split vs explicit hot-label routing).
+      // Skipped when SPARK_GRAFT_HEAVY_ONLY narrows the run to named probes.
+      val starNs =
+        if (sys.env.contains("SPARK_GRAFT_HEAVY_ONLY")) Seq.empty[Int]
+        else Seq(2000000)
+      starNs.foreach { n =>
         val star = spark.range(1, n)
           .select(lit(0L).as("a_id"), col("id").as("b_id"))
         Seq("default" -> None, "hot-label" -> Some(10000L)).foreach { case (tag, t) =>
