@@ -363,6 +363,41 @@ object CatalogMore {
           (col("n_sources") * col("total_tokens")).cast("double")).as("gini"))
   }
 
+  /** Contrastive triplet mining: for each anchor, the nearest SAME-label
+    * neighbor (positive) and the nearest OTHER-label neighbor (hard
+    * negative) by exact cosine, plus the triplet margin — the training-
+    * data op behind contrastive/metric learning. Brute-force baseline by
+    * design (the q28 shape); at 100 TB the same mining runs over the
+    * LSH/IVF candidate sets (q30/q35) instead of all pairs. */
+  def q191TripletMining(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_v"),
+        col("label").as("q_lab"))
+    val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_v"),
+      col("label").as("c_lab"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("q_lab"), col("c_id"), col("c_lab"),
+        graft.functions.GraftFunctions.cosine(col("q_v"), col("c_v")).as("cos"))
+    def top1(side: DataFrame, idAs: String, cosAs: String): DataFrame = {
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id"))
+      side.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+        .select(col("q_id"), col("q_lab"), col("c_id").as(idAs),
+          col("cos").as(cosAs))
+    }
+    val pos = top1(scored.filter(col("q_lab") === col("c_lab")), "pos_id", "pos_cos")
+      .select(col("q_id"), col("q_lab").as("label"), col("pos_id"), col("pos_cos"))
+    val neg = top1(scored.filter(col("q_lab") =!= col("c_lab")), "neg_id", "neg_cos")
+      .select(col("q_id"), col("neg_id"), col("neg_cos"))
+    pos.join(neg, "q_id")
+      .select(col("q_id"), col("label"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin"))
+      .orderBy(col("q_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_bfs_hops"       -> q175BfsHops _,
     "q176_markov"         -> q176MarkovTransitions _,
@@ -379,5 +414,6 @@ object CatalogMore {
     "q187_benford"        -> q187Benford _,
     "q188_woe"            -> q188WoeEncoding _,
     "q189_token_budget"   -> q189TokenBudget _,
-    "q190_gini"           -> q190GiniConcentration _)
+    "q190_gini"           -> q190GiniConcentration _,
+    "q191_triplets"       -> q191TripletMining _)
 }

@@ -318,5 +318,27 @@ object OraclesMore {
         |  CAST(sum(x) AS BIGINT) AS total_tokens,
         |  CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
         |    / CAST(count(*) * sum(x) AS DOUBLE) AS gini
-        |FROM r""".stripMargin)
+        |FROM r""".stripMargin,
+
+    "q191_triplets" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |p AS (SELECT q.vec_id AS q_id, q.label AS q_lab,
+        |    c.vec_id AS c_id, c.label AS c_lab,
+        |    list_dot_product(q.v, c.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) *
+        |         sqrt(list_dot_product(c.v, c.v))) AS cos
+        |  FROM e q JOIN e c ON q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id),
+        |pos AS (SELECT q_id, q_lab AS label, c_id AS pos_id, cos AS pos_cos
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, c_id) AS rnk FROM p WHERE q_lab = c_lab)
+        |  WHERE rnk = 1),
+        |neg AS (SELECT q_id, c_id AS neg_id, cos AS neg_cos
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, c_id) AS rnk FROM p WHERE q_lab <> c_lab)
+        |  WHERE rnk = 1)
+        |SELECT pos.q_id, label, pos_id, pos_cos, neg_id, neg_cos,
+        |  pos_cos - neg_cos AS margin
+        |FROM pos JOIN neg ON pos.q_id = neg.q_id
+        |ORDER BY pos.q_id""".stripMargin)
 }

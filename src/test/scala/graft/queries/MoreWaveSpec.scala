@@ -150,6 +150,33 @@ class MoreWaveSpec extends SparkSpec {
     assert(g >= 0.0 && g < 1.0)
   }
 
+  test("triplets: pos/neg are the true per-label argmax cosines (brute force)") {
+    val emb = graft.Tables.embeddings(spark, sf)
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getSeq[Float](1).toArray,
+        r.getAs[Number](2).longValue))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = CatalogMore.q191TripletMining(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (qid, lab) = (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
+      val qv = emb.find(_._1 == qid).get._2
+      val same = emb.filter(e => e._1 != qid && e._3 == lab)
+        .map(e => (cos(qv, e._2), e._1))
+      val diff = emb.filter(e => e._1 != qid && e._3 != lab)
+        .map(e => (cos(qv, e._2), e._1))
+      assert(math.abs(r.getDouble(3) - same.map(_._1).max) < 1e-12)
+      assert(math.abs(r.getDouble(5) - diff.map(_._1).max) < 1e-12)
+      assert(math.abs(r.getDouble(6) - (r.getDouble(3) - r.getDouble(5))) < 1e-15)
+    }
+  }
+
   test("bfs on trade graph: seeds at 0 hops, neighbors alternate parity") {
     // the trade graph is bipartite (even=customer, odd=supplier nodes):
     // distance parity must match node parity relative to odd seeds
