@@ -398,6 +398,32 @@ object CatalogMore {
       .orderBy(col("q_id"))
   }
 
+  /** ANN quality gate: recall@10 of the q35 IVF path against the q28
+    * exact knn, as one audited number — the evaluation a pipeline runs
+    * before trusting an approximate index. Hit counts are integers; ONE
+    * divide for the recall. Both legs are already oracle-replayed, so
+    * even this meta-measurement hash-matches. */
+  def q192AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val exact = graft.sim.Similarity.cosineKnn(
+      queries, emb, "vec_id", "embedding", k = 10)
+    val ivf = graft.sim.Similarity.ivfKnn(
+      queries, emb, "vec_id", "embedding", k = 10,
+      centroidStride = 50, nProbe = 3)
+    val hits = ivf.select(col("q_id"), col("c_id"))
+      .join(exact.select(col("q_id"), col("c_id")), Seq("q_id", "c_id"),
+        "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+    exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("h"), lit(0L)).as("h"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("h")).as("n_hits"))
+      .select(col("n_queries"), col("n_hits"),
+        (col("n_hits").cast("double") /
+          (lit(10.0) * col("n_queries").cast("double"))).as("recall_at_10"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_bfs_hops"       -> q175BfsHops _,
     "q176_markov"         -> q176MarkovTransitions _,
@@ -415,5 +441,6 @@ object CatalogMore {
     "q188_woe"            -> q188WoeEncoding _,
     "q189_token_budget"   -> q189TokenBudget _,
     "q190_gini"           -> q190GiniConcentration _,
-    "q191_triplets"       -> q191TripletMining _)
+    "q191_triplets"       -> q191TripletMining _,
+    "q192_ann_recall"     -> q192AnnRecall _)
 }

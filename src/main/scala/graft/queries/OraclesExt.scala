@@ -1593,28 +1593,7 @@ object OraclesExt {
 
     "q57_kmeans_ivf" -> kmeansIvfSql,
 
-    "q35_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |cents AS (SELECT vec_id AS cent_id, v AS cent_v FROM e WHERE vec_id % 50 = 0),
-        |assign AS (
-        |  SELECT x.vec_id AS x_id, x.v AS x_v, c.cent_id,
-        |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
-        |      list_dot_product(x.v, c.cent_v)
-        |        / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cent_v, c.cent_v))) DESC,
-        |      c.cent_id ASC) AS crnk
-        |  FROM e x CROSS JOIN cents c),
-        |cells AS (SELECT x_id AS c_id, x_v AS c_v, cent_id FROM assign WHERE crnk = 1),
-        |probes AS (SELECT x_id AS q_id, x_v AS q_v, cent_id FROM assign
-        |           WHERE crnk <= 3 AND x_id % 25 = 0),
-        |scored AS (
-        |  SELECT p.q_id, s.c_id,
-        |    list_dot_product(p.q_v, s.c_v)
-        |      / (sqrt(list_dot_product(p.q_v, p.q_v)) * sqrt(list_dot_product(s.c_v, s.c_v))) AS cosine
-        |  FROM probes p JOIN cells s USING (cent_id) WHERE p.q_id <> s.c_id)
-        |SELECT q_id, c_id, rnk, cosine FROM (
-        |  SELECT q_id, c_id, cosine,
-        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS BIGINT) AS rnk
-        |  FROM scored) WHERE rnk <= 10""".stripMargin,
+    "q35_ann_ivf" -> annIvfSql,
 
     "q34_asof_join" ->
       """WITH o AS (
@@ -1645,6 +1624,30 @@ object OraclesExt {
         |WHERE ts >= ws AND ts < ws + INTERVAL '10 minutes'
         |GROUP BY 1, 2, 3""".stripMargin
   )
+
+  /** q35 (and q192's IVF leg): the stride-quantizer IVF replay. */
+  private[queries] lazy val annIvfSql: String =
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, v AS cent_v FROM e WHERE vec_id % 50 = 0),
+        |assign AS (
+        |  SELECT x.vec_id AS x_id, x.v AS x_v, c.cent_id,
+        |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |      list_dot_product(x.v, c.cent_v)
+        |        / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cent_v, c.cent_v))) DESC,
+        |      c.cent_id ASC) AS crnk
+        |  FROM e x CROSS JOIN cents c),
+        |cells AS (SELECT x_id AS c_id, x_v AS c_v, cent_id FROM assign WHERE crnk = 1),
+        |probes AS (SELECT x_id AS q_id, x_v AS q_v, cent_id FROM assign
+        |           WHERE crnk <= 3 AND x_id % 25 = 0),
+        |scored AS (
+        |  SELECT p.q_id, s.c_id,
+        |    list_dot_product(p.q_v, s.c_v)
+        |      / (sqrt(list_dot_product(p.q_v, p.q_v)) * sqrt(list_dot_product(s.c_v, s.c_v))) AS cosine
+        |  FROM probes p JOIN cells s USING (cent_id) WHERE p.q_id <> s.c_id)
+        |SELECT q_id, c_id, rnk, cosine FROM (
+        |  SELECT q_id, c_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS BIGINT) AS rnk
+        |  FROM scored) WHERE rnk <= 10""".stripMargin
 
   /** The q75 BPE oracle: replay `k` merge rounds. Round r: split the
     * bar-wrapped segmentation back into symbols, count adjacent pairs
@@ -2354,7 +2357,7 @@ object OraclesExt {
       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |    FROM documents))""".stripMargin
 
-  private lazy val knnSql: String =
+  private[queries] lazy val knnSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |p AS (
       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,

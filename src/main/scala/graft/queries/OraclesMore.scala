@@ -340,5 +340,24 @@ object OraclesMore {
         |SELECT pos.q_id, label, pos_id, pos_cos, neg_id, neg_cos,
         |  pos_cos - neg_cos AS margin
         |FROM pos JOIN neg ON pos.q_id = neg.q_id
-        |ORDER BY pos.q_id""".stripMargin)
+        |ORDER BY pos.q_id""".stripMargin,
+
+    // Both legs reuse the exact q28/q35 oracle texts as nested CTEs: the
+    // recall number is a pure function of two already-proven replays.
+    "q192_ann_recall" ->
+      s"""WITH ex AS (
+        |${OraclesExt.knnSql}
+        |),
+        |iv AS (
+        |${OraclesExt.annIvfSql}
+        |),
+        |hits AS (SELECT iv.q_id, CAST(count(*) AS BIGINT) AS h
+        |  FROM iv JOIN ex ON iv.q_id = ex.q_id AND iv.c_id = ex.c_id
+        |  GROUP BY 1),
+        |qs AS (SELECT DISTINCT q_id FROM ex)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(coalesce(sum(h), 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(sum(h), 0) AS DOUBLE)
+        |    / (10.0 * CAST(count(*) AS DOUBLE)) AS recall_at_10
+        |FROM qs LEFT JOIN hits USING (q_id)""".stripMargin)
 }

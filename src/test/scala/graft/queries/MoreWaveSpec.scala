@@ -177,6 +177,15 @@ class MoreWaveSpec extends SparkSpec {
     }
   }
 
+  test("ann recall: proper fraction; hits bounded by 10 per query") {
+    val r = CatalogMore.q192AnnRecall(spark, "/root/testdata/sf0.01")
+      .collect().head
+    val (nq, nh, rec) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(nq > 0 && nh >= 0 && nh <= 10 * nq)
+    assert(rec >= 0.0 && rec <= 1.0)
+    assert(rec > 0.2, s"IVF nProbe=3 should recall well above chance, got $rec")
+  }
+
   test("bfs on trade graph: seeds at 0 hops, neighbors alternate parity") {
     // the trade graph is bipartite (even=customer, odd=supplier nodes):
     // distance parity must match node parity relative to odd seeds
