@@ -424,6 +424,29 @@ object CatalogMore {
           (lit(10.0) * col("n_queries").cast("double"))).as("recall_at_10"))
   }
 
+  /** Quantile (percent-rank) normalization of a bounded-domain feature —
+    * the sklearn-QuantileTransformer shape done scalably: NOT a global
+    * rank window (single-partition at 100 TB) but a value-domain histogram
+    * (one map-combinable count), a cumsum over the DISTINCT-value frame,
+    * and a broadcast join back. pct = count(x < v)/(n − 1), the classic
+    * percent_rank identity, one divide. Summarized per value so the
+    * output is domain-sized. */
+  def q193QuantileTransform(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_quantity").cast("long").as("v"))
+    val hist = li.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = hist.agg(sum(col("cnt")).as("n"))
+    hist
+      .withColumn("below", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("v").as("l_quantity"), col("cnt"),
+        (col("below").cast("double") / (col("n") - 1).cast("double"))
+          .as("pct_rank"))
+      .orderBy(col("l_quantity"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_bfs_hops"       -> q175BfsHops _,
     "q176_markov"         -> q176MarkovTransitions _,
@@ -442,5 +465,6 @@ object CatalogMore {
     "q189_token_budget"   -> q189TokenBudget _,
     "q190_gini"           -> q190GiniConcentration _,
     "q191_triplets"       -> q191TripletMining _,
-    "q192_ann_recall"     -> q192AnnRecall _)
+    "q192_ann_recall"     -> q192AnnRecall _,
+    "q193_quantile_norm"  -> q193QuantileTransform _)
 }

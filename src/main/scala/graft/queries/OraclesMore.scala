@@ -359,5 +359,20 @@ object OraclesMore {
         |  CAST(coalesce(sum(h), 0) AS BIGINT) AS n_hits,
         |  CAST(coalesce(sum(h), 0) AS DOUBLE)
         |    / (10.0 * CAST(count(*) AS DOUBLE)) AS recall_at_10
-        |FROM qs LEFT JOIN hits USING (q_id)""".stripMargin)
+        |FROM qs LEFT JOIN hits USING (q_id)""".stripMargin,
+
+    "q193_quantile_norm" ->
+      """WITH h AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT v, cnt,
+        |    CAST(coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS below,
+        |    (SELECT CAST(sum(cnt) AS BIGINT) FROM h) AS n
+        |  FROM h)
+        |SELECT v AS l_quantity, cnt,
+        |  CAST(below AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS pct_rank
+        |FROM c
+        |ORDER BY l_quantity""".stripMargin)
 }

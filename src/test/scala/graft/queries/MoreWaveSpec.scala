@@ -186,6 +186,21 @@ class MoreWaveSpec extends SparkSpec {
     assert(rec > 0.2, s"IVF nProbe=3 should recall well above chance, got $rec")
   }
 
+  test("quantile norm: pct_rank equals Spark's percent_rank on the raw rows") {
+    val viaWindow = graft.Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long").as("v"))
+      .withColumn("pr", org.apache.spark.sql.functions.percent_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
+      .groupBy(col("v")).agg(org.apache.spark.sql.functions.min(col("pr")).as("pr"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = CatalogMore.q193QuantileTransform(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet === viaWindow.keySet)
+    got.foreach { case (v, p) =>
+      assert(math.abs(p - viaWindow(v)) < 1e-12, s"value $v")
+    }
+  }
+
   test("bfs on trade graph: seeds at 0 hops, neighbors alternate parity") {
     // the trade graph is bipartite (even=customer, odd=supplier nodes):
     // distance parity must match node parity relative to odd seeds
