@@ -447,6 +447,31 @@ object CatalogMore {
       .orderBy(col("l_quantity"))
   }
 
+  /** Near-dup LSH quality gate: precision AND recall of the q49 sign-LSH
+    * pigeonhole path against the q29 exact all-pairs baseline — the
+    * second half of the approximate-path audit pair (q192 covers ANN).
+    * Integer pair counts, two guarded divides. */
+  def q194NearDupEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val exact = graft.dedup.Dedup.embeddingNearDupPairs(
+      emb, "vec_id", "embedding", 0.45).select(col("a_id"), col("b_id"))
+    val approx = graft.dedup.Dedup.embeddingNearDupPairsLsh(
+      emb, "vec_id", "embedding", 0.45, planes = 16, maxHamming = 3)
+      .select(col("a_id"), col("b_id"))
+    val nEx = exact.agg(count(lit(1)).as("n_exact"))
+    val nAp = approx.agg(count(lit(1)).as("n_approx"))
+    val nCo = approx.join(exact, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("n_common"))
+    nEx.crossJoin(nAp).crossJoin(nCo)
+      .select(col("n_exact"), col("n_approx"), col("n_common"),
+        when(col("n_approx") > 0,
+          col("n_common").cast("double") / col("n_approx").cast("double"))
+          .as("precision"),
+        when(col("n_exact") > 0,
+          col("n_common").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_bfs_hops"       -> q175BfsHops _,
     "q176_markov"         -> q176MarkovTransitions _,
@@ -466,5 +491,6 @@ object CatalogMore {
     "q190_gini"           -> q190GiniConcentration _,
     "q191_triplets"       -> q191TripletMining _,
     "q192_ann_recall"     -> q192AnnRecall _,
-    "q193_quantile_norm"  -> q193QuantileTransform _)
+    "q193_quantile_norm"  -> q193QuantileTransform _,
+    "q194_neardup_eval"   -> q194NearDupEval _)
 }

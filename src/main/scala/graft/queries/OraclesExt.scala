@@ -93,14 +93,7 @@ object OraclesExt {
     // same contract, computed through the bounded-heap TopKAgg Aggregator
     "q38_embed_knn_agg" -> knnSql,
 
-    "q29_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-        |SELECT a_id, b_id, cosine FROM (
-        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |    list_dot_product(a.v, b.v)
-        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |WHERE cosine >= 0.45""".stripMargin,
+    "q29_embed_neardup" -> embedNearDupSql,
 
     "q49_embed_neardup_lsh" -> embedLshSql,
     "q30_ann_lsh" -> annLshSql,
@@ -1625,6 +1618,16 @@ object OraclesExt {
         |GROUP BY 1, 2, 3""".stripMargin
   )
 
+  /** q29 (and q194's exact leg): the brute-force near-dup pair scan. */
+  private[queries] lazy val embedNearDupSql: String =
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a_id, b_id, cosine FROM (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.45""".stripMargin
+
   /** q35 (and q192's IVF leg): the stride-quantizer IVF replay. */
   private[queries] lazy val annIvfSql: String =
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2397,7 +2400,7 @@ object OraclesExt {
     }.mkString("\n    + ")
   }
 
-  private lazy val embedLshSql: String = {
+  private[queries] lazy val embedLshSql: String = {
     val planes = 16; val dim = 64; val chunks = 4; val bitsPer = 4
     val codeExpr = signCodeExpr(planes, dim)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -374,5 +374,28 @@ object OraclesMore {
         |SELECT v AS l_quantity, cnt,
         |  CAST(below AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS pct_rank
         |FROM c
-        |ORDER BY l_quantity""".stripMargin)
+        |ORDER BY l_quantity""".stripMargin,
+
+    // Precision/recall of the q49 LSH replay vs the q29 brute force —
+    // both legs reuse their proven oracle texts as nested CTEs.
+    "q194_neardup_eval" ->
+      s"""WITH ex AS (
+        |${OraclesExt.embedNearDupSql}
+        |),
+        |ap AS (
+        |${OraclesExt.embedLshSql}
+        |),
+        |co AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+        |  FROM ap JOIN ex ON ap.a_id = ex.a_id AND ap.b_id = ex.b_id)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ap) AS n_approx,
+        |  n_common,
+        |  CASE WHEN (SELECT count(*) FROM ap) > 0 THEN
+        |    CAST(n_common AS DOUBLE)
+        |      / CAST((SELECT count(*) FROM ap) AS DOUBLE) END AS precision,
+        |  CASE WHEN (SELECT count(*) FROM ex) > 0 THEN
+        |    CAST(n_common AS DOUBLE)
+        |      / CAST((SELECT count(*) FROM ex) AS DOUBLE) END AS recall
+        |FROM co""".stripMargin)
 }

@@ -201,6 +201,17 @@ class MoreWaveSpec extends SparkSpec {
     }
   }
 
+  test("neardup eval: verified LSH candidates give perfect precision") {
+    val r = CatalogMore.q194NearDupEval(spark, "/root/testdata/sf0.01")
+      .collect().head
+    val (ne, na, nc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nc <= na && nc <= ne)
+    // q49 exact-verifies its candidates, so every reported pair is real
+    assert(nc === na)
+    assert(r.getDouble(3) === 1.0)
+    assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+  }
+
   test("bfs on trade graph: seeds at 0 hops, neighbors alternate parity") {
     // the trade graph is bipartite (even=customer, odd=supplier nodes):
     // distance parity must match node parity relative to odd seeds
