@@ -472,6 +472,40 @@ object CatalogMore {
           .as("recall"))
   }
 
+  /** k-anonymity audit (k = 5) over the (priority, order-date)
+    * quasi-identifier: groups smaller than k are re-identification risks.
+    * One map-combinable group count + a 5-sum rollup; the
+    * privacy-release gate next to q67's PII redaction. */
+  def q195KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"), col("o_orderdate"))
+      .agg(count(lit(1)).as("c"))
+    g.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("c") < 5, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when(col("c") < 5, col("c")).otherwise(0L)).as("rows_at_risk"),
+        sum(col("c")).as("n_rows"))
+      .select(col("n_groups"), col("n_small_groups"), col("rows_at_risk"),
+        col("n_rows"),
+        (col("rows_at_risk").cast("double") / col("n_rows").cast("double"))
+          .as("risk_share"))
+  }
+
+  /** Language-ID confusion matrix: the q22 classifier cross-tabulated
+    * against the declared label, with per-cell share of the declared
+    * language's row count — the evaluation twin that turns q22's
+    * per-doc verdicts into the model-quality artifact. */
+  def q196LangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val cell = CatalogExt.q22LangId(s, dir)
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang"))
+    cell.select(col("lang"), col("predicted_lang"), col("n"),
+        (col("n").cast("double") / sum(col("n")).over(w).cast("double"))
+          .as("share_of_lang"))
+      .orderBy(col("lang"), col("predicted_lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_bfs_hops"       -> q175BfsHops _,
     "q176_markov"         -> q176MarkovTransitions _,
@@ -492,5 +526,7 @@ object CatalogMore {
     "q191_triplets"       -> q191TripletMining _,
     "q192_ann_recall"     -> q192AnnRecall _,
     "q193_quantile_norm"  -> q193QuantileTransform _,
-    "q194_neardup_eval"   -> q194NearDupEval _)
+    "q194_neardup_eval"   -> q194NearDupEval _,
+    "q195_k_anonymity"    -> q195KAnonymity _,
+    "q196_lang_confusion" -> q196LangConfusion _)
 }

@@ -48,27 +48,7 @@ object OraclesExt {
          |       / CAST(length(text) AS DOUBLE)) * 0.5 + 0.1, 1.0), 0.0) AS quality_score
          |FROM documents""".stripMargin,
 
-    "q22_lang_id" ->
-      """WITH s AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(list_filter(string_split(text,' '), t -> t IN ('table','row','merge'))) AS BIGINT) AS s_de,
-        |    CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','fast'))) AS BIGINT) AS s_en,
-        |    CAST(len(list_filter(string_split(text,' '), t -> t IN ('data','query','small'))) AS BIGINT) AS s_es,
-        |    CAST(len(list_filter(string_split(text,' '), t -> t IN ('stream','filter','sort'))) AS BIGINT) AS s_fr,
-        |    CAST(len(list_filter(string_split(text,' '), t -> t IN ('hash','scan','key'))) AS BIGINT) AS s_zh
-        |  FROM documents)
-        |SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
-        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-        |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-        |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-        |       WHEN s_fr >= s_zh THEN 'fr'
-        |       ELSE 'zh' END AS predicted_lang,
-        |  (CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-        |        WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-        |        WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-        |        WHEN s_fr >= s_zh THEN 'fr'
-        |        ELSE 'zh' END) = lang AS is_correct
-        |FROM s""".stripMargin,
+    "q22_lang_id" -> langIdSql,
 
     "q23_fingerprint" ->
       """SELECT doc_id, md5(text) AS md5_fp,
@@ -1617,6 +1597,29 @@ object OraclesExt {
         |WHERE ts >= ws AND ts < ws + INTERVAL '10 minutes'
         |GROUP BY 1, 2, 3""".stripMargin
   )
+
+  /** q22 (and q196's confusion-matrix leg): the marker-token language-ID replay. */
+  private[queries] lazy val langIdSql: String =
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text,' '), t -> t IN ('table','row','merge'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','fast'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(string_split(text,' '), t -> t IN ('data','query','small'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(string_split(text,' '), t -> t IN ('stream','filter','sort'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(string_split(text,' '), t -> t IN ('hash','scan','key'))) AS BIGINT) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted_lang,
+        |  (CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |        WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |        WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |        WHEN s_fr >= s_zh THEN 'fr'
+        |        ELSE 'zh' END) = lang AS is_correct
+        |FROM s""".stripMargin
 
   /** q29 (and q194's exact leg): the brute-force near-dup pair scan. */
   private[queries] lazy val embedNearDupSql: String =

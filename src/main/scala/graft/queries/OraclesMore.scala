@@ -397,5 +397,33 @@ object OraclesMore {
         |  CASE WHEN (SELECT count(*) FROM ex) > 0 THEN
         |    CAST(n_common AS DOUBLE)
         |      / CAST((SELECT count(*) FROM ex) AS DOUBLE) END AS recall
-        |FROM co""".stripMargin)
+        |FROM co""".stripMargin,
+
+    "q195_k_anonymity" ->
+      """WITH g AS (SELECT o_orderpriority, o_orderdate,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_small_groups,
+        |    CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+        |      AS rows_at_risk,
+        |    CAST(sum(c) AS BIGINT) AS n_rows
+        |  FROM g)
+        |SELECT n_groups, n_small_groups, rows_at_risk, n_rows,
+        |  CAST(rows_at_risk AS DOUBLE) / CAST(n_rows AS DOUBLE) AS risk_share
+        |FROM a""".stripMargin,
+
+    // Confusion matrix on top of the q22 language-ID replay (nested CTE).
+    "q196_lang_confusion" ->
+      s"""WITH q22 AS (
+        |${OraclesExt.langIdSql}
+        |),
+        |cell AS (SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM q22 GROUP BY 1, 2)
+        |SELECT lang, predicted_lang, n,
+        |  CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS share_of_lang
+        |FROM cell
+        |ORDER BY lang, predicted_lang""".stripMargin)
 }

@@ -212,6 +212,22 @@ class MoreWaveSpec extends SparkSpec {
     assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
   }
 
+  test("k-anonymity: totals conserve; risk share is a proper fraction") {
+    val r = CatalogMore.q195KAnonymity(spark, sf).collect().head
+    assert(r.getLong(3) === graft.Tables.orders(spark, sf).count())
+    assert(r.getLong(1) <= r.getLong(0))
+    assert(r.getLong(2) <= r.getLong(3))
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
+
+  test("lang confusion: rows conserve docs; shares row-normalize per lang") {
+    val rows = CatalogMore.q196LangConfusion(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum === graft.Tables.documents(spark, sf).count())
+    rows.groupBy(_.getString(0)).foreach { case (lang, cells) =>
+      assert(math.abs(cells.map(_.getDouble(3)).sum - 1.0) < 1e-9, lang)
+    }
+  }
+
   test("bfs on trade graph: seeds at 0 hops, neighbors alternate parity") {
     // the trade graph is bipartite (even=customer, odd=supplier nodes):
     // distance parity must match node parity relative to odd seeds
