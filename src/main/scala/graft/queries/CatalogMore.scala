@@ -506,6 +506,32 @@ object CatalogMore {
       .orderBy(col("lang"), col("predicted_lang"))
   }
 
+  /** Range-predicate selectivity estimation (X155's sibling): the
+    * uniform-distribution estimate n·(b−a+1) div (hi−lo+1) every
+    * cost-based optimizer starts from, audited against the actual count —
+    * four predicates, ONE scan (all conditional sums ride the same
+    * aggregate), integer arithmetic, one guarded divide for the
+    * actual/estimate ratio. */
+  def q197Selectivity(s: SparkSession, dir: String): DataFrame = {
+    val preds = Seq((5L, 15L), (20L, 30L), (1L, 50L), (40L, 45L))
+    val li = Tables.lineitem(s, dir).select(col("l_quantity").cast("long").as("v"))
+    val aggs = Seq(count(lit(1)).as("n"), min(col("v")).as("lo"),
+      max(col("v")).as("hi")) ++
+      preds.zipWithIndex.map { case ((a, b), i) =>
+        sum(when(col("v").between(a, b), 1L).otherwise(0L)).as(s"act_$i")
+      }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    preds.zipWithIndex.map { case ((a, b), i) =>
+      one.select(lit(a).as("pred_lo"), lit(b).as("pred_hi"),
+        expr(s"n * (${b} - ${a} + 1) div (hi - lo + 1)").as("est_rows"),
+        col(s"act_$i").as("actual_rows"),
+        when(expr(s"n * (${b} - ${a} + 1) div (hi - lo + 1)") > 0,
+          col(s"act_$i").cast("double") /
+            expr(s"n * (${b} - ${a} + 1) div (hi - lo + 1)").cast("double"))
+          .as("actual_over_est"))
+    }.reduce(_ unionByName _).orderBy(col("pred_lo"), col("pred_hi"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_bfs_hops"       -> q175BfsHops _,
     "q176_markov"         -> q176MarkovTransitions _,
@@ -528,5 +554,6 @@ object CatalogMore {
     "q193_quantile_norm"  -> q193QuantileTransform _,
     "q194_neardup_eval"   -> q194NearDupEval _,
     "q195_k_anonymity"    -> q195KAnonymity _,
-    "q196_lang_confusion" -> q196LangConfusion _)
+    "q196_lang_confusion" -> q196LangConfusion _,
+    "q197_selectivity"    -> q197Selectivity _)
 }

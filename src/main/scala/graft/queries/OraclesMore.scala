@@ -425,5 +425,26 @@ object OraclesMore {
         |  CAST(n AS DOUBLE)
         |    / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS share_of_lang
         |FROM cell
-        |ORDER BY lang, predicted_lang""".stripMargin)
+        |ORDER BY lang, predicted_lang""".stripMargin,
+
+    "q197_selectivity" -> {
+      val preds = Seq((5L, 15L), (20L, 30L), (1L, 50L), (40L, 45L))
+      val acts = preds.zipWithIndex.map { case ((a, b), i) =>
+        s"CAST(sum(CASE WHEN v BETWEEN $a AND $b THEN 1 ELSE 0 END) AS BIGINT) AS act_$i"
+      }.mkString(",\n  ")
+      val rows = preds.zipWithIndex.map { case ((a, b), i) =>
+        val est = s"n * ($b - $a + 1) // (hi - lo + 1)"
+        s"""SELECT CAST($a AS BIGINT) AS pred_lo, CAST($b AS BIGINT) AS pred_hi,
+           |  CAST($est AS BIGINT) AS est_rows, act_$i AS actual_rows,
+           |  CASE WHEN $est > 0 THEN
+           |    CAST(act_$i AS DOUBLE) / CAST($est AS DOUBLE) END AS actual_over_est
+           |FROM a""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi,
+         |  $acts
+         |  FROM (SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem))
+         |$rows
+         |ORDER BY pred_lo, pred_hi""".stripMargin
+    })
 }

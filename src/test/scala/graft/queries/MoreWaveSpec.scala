@@ -228,6 +228,16 @@ class MoreWaveSpec extends SparkSpec {
     }
   }
 
+  test("selectivity: full-range estimate is exact; actual always <= n") {
+    val rows = CatalogMore.q197Selectivity(spark, sf).collect()
+    assert(rows.length === 4)
+    val n = graft.Tables.lineitem(spark, sf).count()
+    val full = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 50L).get
+    // l_quantity spans exactly 1..50 in the fixture -> uniform estimate = n
+    assert(full.getLong(2) === n && full.getLong(3) === n)
+    rows.foreach(r => assert(r.getLong(3) <= n && r.getLong(2) >= 0))
+  }
+
   test("bfs on trade graph: seeds at 0 hops, neighbors alternate parity") {
     // the trade graph is bipartite (even=customer, odd=supplier nodes):
     // distance parity must match node parity relative to odd seeds
