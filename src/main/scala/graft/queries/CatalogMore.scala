@@ -532,6 +532,41 @@ object CatalogMore {
     }.reduce(_ unionByName _).orderBy(col("pred_lo"), col("pred_hi"))
   }
 
+  /** Chi-square association + Cramér's V between two categorical columns
+    * (order priority × order year) — the feature-dependence audit. Each
+    * cell's term uses the integer identity (o·n − rₙ·cₙ)²/(rₙ·cₙ·n)
+    * (the (o−e)²/e expansion that defers every divide); the cross-cell
+    * χ² sum is a FIXED-ORDER fold over the sorted cell list (the X123
+    * charEntropy technique — float addition doesn't commute, sorted
+    * folds do), so both engines produce the identical double. */
+  def q198CramersV(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("r"),
+        year(col("o_orderdate")).cast("long").as("c"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("r")).agg(sum(col("o")).as("rn"))
+    val colT = cells.groupBy(col("c")).agg(sum(col("o")).as("cn"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("r")).as("rl"), countDistinct(col("c")).as("cl"))
+    val terms = cells
+      .join(broadcast(rowT), "r").join(broadcast(colT), "c")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("c"), col("n"), col("rl"), col("cl"),
+        ((col("o") * col("n") - col("rn") * col("cn")).cast("double") *
+          (col("o") * col("n") - col("rn") * col("cn")).cast("double") /
+          (col("rn") * col("cn") * col("n")).cast("double")).as("t"))
+    terms
+      .groupBy(col("n"), col("rl"), col("cl"))
+      .agg(sort_array(collect_list(struct(col("r"), col("c"), col("t"))))
+        .as("__cells"))
+      .select(col("n"), col("rl").as("r_levels"), col("cl").as("c_levels"),
+        aggregate(col("__cells"), lit(0.0), (acc, x) => acc + x("t"))
+          .as("chi2"))
+      .withColumn("cramers_v",
+        sqrt(col("chi2") / (col("n") * least(col("r_levels") - 1,
+          col("c_levels") - 1)).cast("double")))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_bfs_hops"       -> q175BfsHops _,
     "q176_markov"         -> q176MarkovTransitions _,
@@ -555,5 +590,6 @@ object CatalogMore {
     "q194_neardup_eval"   -> q194NearDupEval _,
     "q195_k_anonymity"    -> q195KAnonymity _,
     "q196_lang_confusion" -> q196LangConfusion _,
-    "q197_selectivity"    -> q197Selectivity _)
+    "q197_selectivity"    -> q197Selectivity _,
+    "q198_cramers_v"      -> q198CramersV _)
 }

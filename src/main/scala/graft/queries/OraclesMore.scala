@@ -446,5 +446,34 @@ object OraclesMore {
          |  FROM (SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem))
          |$rows
          |ORDER BY pred_lo, pred_hi""".stripMargin
-    })
+    },
+
+    // Same deferred-divide cell identity; the chi2 sum is the identical
+    // sorted-list fold (float addition doesn't commute, sorted folds do).
+    "q198_cramers_v" ->
+      """WITH cells AS (SELECT o_orderpriority AS r,
+        |    EXTRACT(year FROM o_orderdate) AS c,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rn FROM cells GROUP BY 1),
+        |ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS cn FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT r) AS BIGINT) AS rl,
+        |    CAST(count(DISTINCT c) AS BIGINT) AS cl
+        |  FROM cells),
+        |terms AS (SELECT cells.r, cells.c, n, rl, cl,
+        |    (CAST(o * n - rn * cn AS DOUBLE) * CAST(o * n - rn * cn AS DOUBLE))
+        |      / CAST(rn * cn * n AS DOUBLE) AS t
+        |  FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot),
+        |agg AS (SELECT n, rl AS r_levels, cl AS c_levels,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(
+        |        list_sort(list({'r': r, 'c': c, 't': t})),
+        |        x -> x.t)),
+        |      (a, x) -> a + x) AS chi2
+        |  FROM terms GROUP BY 1, 2, 3)
+        |SELECT n, r_levels, c_levels, chi2,
+        |  sqrt(chi2 / CAST(n * least(r_levels - 1, c_levels - 1) AS DOUBLE))
+        |    AS cramers_v
+        |FROM agg""".stripMargin)
 }

@@ -238,6 +238,14 @@ class MoreWaveSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(3) <= n && r.getLong(2) >= 0))
   }
 
+  test("cramers v: bounded in [0,1]; independent uniform-ish data scores low") {
+    val r = CatalogMore.q198CramersV(spark, sf).collect().head
+    val (chi2, v) = (r.getDouble(3), r.getDouble(4))
+    assert(chi2 >= 0.0)
+    assert(v >= 0.0 && v <= 1.0)
+    assert(v < 0.5, s"priority and year should be near-independent, got $v")
+  }
+
   test("bfs on trade graph: seeds at 0 hops, neighbors alternate parity") {
     // the trade graph is bipartite (even=customer, odd=supplier nodes):
     // distance parity must match node parity relative to odd seeds
