@@ -567,6 +567,72 @@ object CatalogMore {
           col("c_levels") - 1)).cast("double")))
   }
 
+  /** Class-based TF-IDF (the BERTopic labeling trick, on the language
+    * class): score(term, lang) = tf_lang · (lg N_docs − lg df_term) in
+    * exact-lg bits, top-5 distinctive terms per language by (score DESC,
+    * term ASC). One token-keyed aggregate per factor, a broadcast of the
+    * vocabulary-sized df table, WindowGroupLimit for the per-class cut. */
+  def q199CTfidf(s: SparkSession, dir: String): DataFrame = {
+    val lg = graft.curation.Curation.lg _
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("lang"), col("doc_id"),
+      explode(graft.text.TextOps.tokens(col("text"))).as("t"))
+    val tf = toks.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("t"))
+    tf.join(broadcast(df), "t").crossJoin(broadcast(nDocs))
+      .select(col("lang"), col("t"), col("tf"), col("df"),
+        (col("tf").cast("double") * (lg(col("n_docs")) - lg(col("df"))))
+          .as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("t").as("term"), col("tf"), col("df"),
+        col("score"), col("rnk"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  /** The one-call EVENTS report card (q150's sibling for the behavioral
+    * table): volume, reach, span, peak load, and the exact median user
+    * activity — every metric integer-exact, output as (metric, value)
+    * rows. The ingest-acceptance summary for event streams. */
+  def q200EventsReport(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val base = ev.agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_event_types"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("span_us"))
+      .withColumn("span_hours", expr("span_us div 3600000000"))
+    val peak = ev.groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("peak_hour_events"))
+    // median via the count-of-counts histogram (q193's trick): the only
+    // window runs over DISTINCT activity levels, never the user domain
+    val perUser = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val hist = perUser.groupBy(col("c")).agg(count(lit(1)).as("w"))
+    val wCum = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val median = hist
+      .select(col("c"), sum(col("w")).over(wCum).as("cum"))
+      .crossJoin(broadcast(perUser.agg(count(lit(1)).as("nu"))))
+      .agg(min(when(col("cum") * 2 >= col("nu"), col("c")))
+        .as("median_events_per_user"))
+    def rowOf(d: DataFrame, name: String, c: String) =
+      d.select(lit(name).as("metric"), col(c).cast("long").as("value"))
+    rowOf(base, "n_events", "n_events")
+      .unionByName(rowOf(base, "n_users", "n_users"))
+      .unionByName(rowOf(base, "n_event_types", "n_event_types"))
+      .unionByName(rowOf(base, "span_hours", "span_hours"))
+      .unionByName(rowOf(peak, "peak_hour_events", "peak_hour_events"))
+      .unionByName(rowOf(median, "median_events_per_user",
+        "median_events_per_user"))
+      .orderBy(col("metric"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_bfs_hops"       -> q175BfsHops _,
     "q176_markov"         -> q176MarkovTransitions _,
@@ -591,5 +657,7 @@ object CatalogMore {
     "q195_k_anonymity"    -> q195KAnonymity _,
     "q196_lang_confusion" -> q196LangConfusion _,
     "q197_selectivity"    -> q197Selectivity _,
-    "q198_cramers_v"      -> q198CramersV _)
+    "q198_cramers_v"      -> q198CramersV _,
+    "q199_ctfidf"         -> q199CTfidf _,
+    "q200_events_report"  -> q200EventsReport _)
 }

@@ -475,5 +475,55 @@ object OraclesMore {
         |SELECT n, r_levels, c_levels, chi2,
         |  sqrt(chi2 / CAST(n * least(r_levels - 1, c_levels - 1) AS DOUBLE))
         |    AS cramers_v
-        |FROM agg""".stripMargin)
+        |FROM agg""".stripMargin,
+
+    "q199_ctfidf" -> {
+      val lg = OraclesExt.lgSqlOf _
+      s"""WITH toks AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |tf AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT DISTINCT doc_id, t FROM toks) GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (SELECT lang, t, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) * (${lg("n_docs")} - ${lg("df.df")}) AS score
+        |  FROM tf JOIN df USING (t) CROSS JOIN nd),
+        |ranked AS (SELECT lang, t AS term, tf, df, score,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY score DESC, t) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT lang, term, tf, df, score, rnk
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin
+    },
+
+    "q200_events_report" ->
+      """WITH base AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+        |    CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 3600000000
+        |      AS BIGINT) AS span_hours
+        |  FROM events),
+        |peak AS (SELECT CAST(max(c) AS BIGINT) AS peak_hour_events FROM (
+        |  SELECT count(*) AS c FROM events GROUP BY date_trunc('hour', ts))),
+        |pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |hist AS (SELECT c, CAST(count(*) AS BIGINT) AS w FROM pu GROUP BY 1),
+        |med AS (SELECT CAST(min(CASE WHEN cum * 2 >= nu THEN c END) AS BIGINT)
+        |    AS median_events_per_user
+        |  FROM (SELECT c, sum(w) OVER (ORDER BY c
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |      (SELECT count(*) FROM pu) AS nu
+        |    FROM hist))
+        |SELECT 'median_events_per_user' AS metric,
+        |  median_events_per_user AS value FROM med
+        |UNION ALL SELECT 'n_event_types', n_event_types FROM base
+        |UNION ALL SELECT 'n_events', n_events FROM base
+        |UNION ALL SELECT 'n_users', n_users FROM base
+        |UNION ALL SELECT 'peak_hour_events', peak_hour_events FROM base
+        |  CROSS JOIN peak
+        |UNION ALL SELECT 'span_hours', span_hours FROM base
+        |ORDER BY metric""".stripMargin)
 }

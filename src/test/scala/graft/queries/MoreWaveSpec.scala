@@ -246,6 +246,29 @@ class MoreWaveSpec extends SparkSpec {
     assert(v < 0.5, s"priority and year should be near-independent, got $v")
   }
 
+  test("c-tf-idf: exactly 5 terms per language, scores descending, df sane") {
+    val rows = CatalogMore.q199CTfidf(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    rows.groupBy(_.getString(0)).foreach { case (lang, terms) =>
+      assert(terms.length === 5, lang)
+      val scores = terms.sortBy(_.getLong(5)).map(_.getDouble(4)).toSeq
+      assert(scores === scores.sortBy(-_), lang)
+    }
+    rows.foreach(r => assert(r.getLong(3) >= 1 && r.getLong(3) <= nDocs))
+  }
+
+  test("events report: six metrics, all consistent with direct recomputes") {
+    val m = CatalogMore.q200EventsReport(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = graft.Tables.events(spark, sf)
+    assert(m("n_events") === ev.count())
+    assert(m("n_users") === ev.select(col("user_id")).distinct().count())
+    assert(m("n_event_types") === ev.select(col("event_type")).distinct().count())
+    assert(m("peak_hour_events") >= 1 && m("peak_hour_events") <= m("n_events"))
+    assert(m("median_events_per_user") >= 1)
+    assert(m("span_hours") >= 0)
+  }
+
   test("bfs on trade graph: seeds at 0 hops, neighbors alternate parity") {
     // the trade graph is bipartite (even=customer, odd=supplier nodes):
     // distance parity must match node parity relative to odd seeds
