@@ -177,6 +177,38 @@ object TimeSeries {
       .agg(count(lit(1)).as("run_len"), min(col(tsCol)).as("run_start"))
   }
 
+  /**
+   * Watermark-lateness audit: per key, each event's arrival lag behind
+   * the running event-time high-water mark in `arrivalCol` order —
+   * summarized as drop counts at 1/2/5-minute watermarks and the max.
+   * The measurement that justifies a pipeline's watermark with data:
+   * drop_Wmin is EXACTLY the volume a W-minute watermark would discard
+   * (per-key hwm is the conservative per-partition view). First arrivals
+   * have lateness 0 (coalesce, not null-propagating greatest — engines
+   * disagree on greatest(NULL, 0)).
+   */
+  def latenessAudit(events: DataFrame, keyCol: String, arrivalCol: String,
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lat = events
+      .select(col(keyCol), col(arrivalCol), unix_micros(col(tsCol)).as("us"))
+      .withColumn("hwm", max(col("us")).over(w))
+      .select(greatest(coalesce(col("hwm") - col("us"), lit(0L)), lit(0L))
+        .as("late_us"))
+    lat.agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
+        sum(when(col("late_us") > 60000000L, 1L).otherwise(0L)).as("drop_1min"),
+        sum(when(col("late_us") > 120000000L, 1L).otherwise(0L)).as("drop_2min"),
+        sum(when(col("late_us") > 300000000L, 1L).otherwise(0L)).as("drop_5min"),
+        max(col("late_us")).as("max_late_us"))
+      .select(col("n_events"), col("n_late"), col("drop_1min"),
+        col("drop_2min"), col("drop_5min"), col("max_late_us"),
+        (col("drop_2min").cast("double") / col("n_events").cast("double"))
+          .as("drop_2min_share"))
+  }
+
   def seasonalResiduals(events: DataFrame, seriesCol: String,
       tsCol: String): DataFrame = {
     val hourly = events

@@ -633,6 +633,51 @@ object CatalogMore {
       .orderBy(col("metric"))
   }
 
+  /** Join-key skew report: the pre-flight audit for any 100 TB shuffle —
+    * top-10 heaviest keys with their share of rows, plus the max/mean
+    * ratio (mean ·10⁶, integer div) that predicts straggler tasks. One
+    * map-combinable count; the cut is a TakeOrdered; totals broadcast. */
+  def q201SkewReport(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.events(s, dir).groupBy(col("user_id").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = keyed.agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_keys"))
+    keyed.orderBy(col("cnt").desc, col("key")).limit(10)
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("cnt"),
+        (col("cnt").cast("double") / col("n").cast("double")).as("share"),
+        expr("cnt * n_keys * 1000000 div n").as("x_mean_x1e6"))
+      .orderBy(col("cnt").desc, col("key"))
+  }
+
+  /** Watermark-lateness audit: using per-user arrival order (event_id as
+    * the arrival proxy), how late does each event arrive behind the
+    * running event-time high-water mark — and what fraction would a
+    * 1/2/5-minute watermark drop? The measurement that justifies (or
+    * indicts) the reference pipeline's 2-minute watermark with data
+    * instead of folklore. Integer microsecond lateness, one-divide
+    * shares. */
+  def q202LatenessAudit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.latenessAudit(Tables.events(s, dir),
+      "user_id", "event_id", "ts")
+
+  /** Keyword-in-context concordance (KWIC): every occurrence of a term
+    * with its ±3-token window — the corpus-inspection verb behind any
+    * "show me how this token is used" debugging session. posexplode +
+    * slice, purely narrow (zero joins); output capped by the term's df. */
+  def q203Kwic(s: SparkSession, dir: String): DataFrame = {
+    val term = "merge"
+    val toks = graft.text.TextOps.tokens(col("text"))
+    val start = greatest(col("pos") + 1 - 3, lit(1))
+    val stop = least(col("pos") + 1 + 3, size(col("w")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), col("w"), posexplode(col("w")))
+      .filter(col("col") === term)
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        concat_ws(" ", slice(col("w"), start, stop - start + 1)).as("context"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_bfs_hops"       -> q175BfsHops _,
     "q176_markov"         -> q176MarkovTransitions _,
@@ -659,5 +704,8 @@ object CatalogMore {
     "q197_selectivity"    -> q197Selectivity _,
     "q198_cramers_v"      -> q198CramersV _,
     "q199_ctfidf"         -> q199CTfidf _,
-    "q200_events_report"  -> q200EventsReport _)
+    "q200_events_report"  -> q200EventsReport _,
+    "q201_skew_report"    -> q201SkewReport _,
+    "q202_lateness_audit" -> q202LatenessAudit _,
+    "q203_kwic"           -> q203Kwic _)
 }

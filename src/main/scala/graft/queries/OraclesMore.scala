@@ -525,5 +525,47 @@ object OraclesMore {
         |UNION ALL SELECT 'peak_hour_events', peak_hour_events FROM base
         |  CROSS JOIN peak
         |UNION ALL SELECT 'span_hours', span_hours FROM base
-        |ORDER BY metric""".stripMargin)
+        |ORDER BY metric""".stripMargin,
+
+    "q201_skew_report" ->
+      """WITH k AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_keys FROM k)
+        |SELECT key, cnt,
+        |  CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS share,
+        |  CAST(cnt * n_keys * 1000000 // n AS BIGINT) AS x_mean_x1e6
+        |FROM k CROSS JOIN t
+        |ORDER BY cnt DESC, key
+        |LIMIT 10""".stripMargin,
+
+    "q202_lateness_audit" ->
+      """WITH l AS (SELECT
+        |    greatest(coalesce(
+        |      max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      - epoch_us(ts), 0), 0) AS late_us
+        |  FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS drop_1min,
+        |  CAST(sum(CASE WHEN late_us > 120000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS drop_2min,
+        |  CAST(sum(CASE WHEN late_us > 300000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS drop_5min,
+        |  CAST(max(late_us) AS BIGINT) AS max_late_us,
+        |  CAST(sum(CASE WHEN late_us > 120000000 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS drop_2min_share
+        |FROM l""".stripMargin,
+
+    "q203_kwic" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM d)
+        |SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |  array_to_string(w[greatest(i - 3, 1):least(i + 3, len(w))], ' ')
+        |    AS context
+        |FROM p WHERE w[i] = 'merge'
+        |ORDER BY doc_id, pos""".stripMargin)
 }

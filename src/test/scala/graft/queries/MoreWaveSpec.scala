@@ -269,6 +269,48 @@ class MoreWaveSpec extends SparkSpec {
     assert(m("span_hours") >= 0)
   }
 
+  test("skew report: top-10 by count desc, shares proper, top keys above mean") {
+    val rows = CatalogMore.q201SkewReport(spark, sf).collect()
+    assert(rows.length === 10)
+    val cnts = rows.map(_.getLong(1)).toSeq
+    assert(cnts === cnts.sortBy(-_))
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) < 1.0)
+      // uniform fixture: the 10th key can sit just under the mean
+      assert(r.getLong(3) >= 900000L, "top-10 keys should sit near/above the mean")
+    }
+  }
+
+  test("lateness audit: planted disorder is counted at exactly the right bands") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int, sec: Int = 0) = Timestamp.valueOf(f"2024-03-01 10:$m%02d:$sec%02d")
+    // arrival order 1..5; event times: 10:00, 10:10, 10:07 (3min late),
+    // 10:09.5 (30s late), 10:02 (7.5min late)
+    val ev = Seq(
+      (1L, 1L, ts(0)), (1L, 2L, ts(10)), (1L, 3L, ts(7)),
+      (1L, 4L, ts(9, 30)), (1L, 5L, ts(2, 30)))
+      .toDF("user_id", "event_id", "ts")
+    val r = graft.ops.TimeSeries.latenessAudit(ev, "user_id", "event_id", "ts")
+      .collect().head
+    assert(r.getLong(0) === 5L)
+    assert(r.getLong(1) === 3L) // three late arrivals
+    assert(r.getLong(2) === 2L) // >1min: the 3min and 7.5min ones
+    assert(r.getLong(3) === 2L) // >2min: same two
+    assert(r.getLong(4) === 1L) // >5min: only the 7.5min one
+    assert(r.getLong(5) === 450000000L) // 7.5 min in us
+  }
+
+  test("kwic: every context contains the term; positions are in-document") {
+    val rows = CatalogMore.q203Kwic(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(2).split(" ").contains("merge"), r)
+      assert(r.getLong(1) >= 1L)
+    }
+  }
+
   test("bfs on trade graph: seeds at 0 hops, neighbors alternate parity") {
     // the trade graph is bipartite (even=customer, odd=supplier nodes):
     // distance parity must match node parity relative to odd seeds
