@@ -678,6 +678,81 @@ object CatalogMore {
       .orderBy(col("doc_id"), col("pos"))
   }
 
+  /** Exact sample variance per group via the integer identity
+    * (n·Σx² − (Σx)²)/(n·(n−1)) — every cross-row reduction is an INTEGER
+    * sum (commutes on any engine/partitioning), one divide + one sqrt at
+    * the end. The float-free alternative to Welford/naive float sums,
+    * whose accumulation order differs per partitioning. */
+  def q204ExactVariance(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")).as("variance"))
+      .withColumn("stddev", sqrt(col("variance")))
+      .orderBy(col("l_returnflag"))
+
+  /** Two-proportion A/B significance (user_id parity as the variant,
+    * "made a purchase over 150" as conversion): the pooled z² statistic
+    * in the deferred-divide form z² = (c₁n₂ − c₂n₁)²·N / (n₁n₂·C·(N−C)) —
+    * every factor integer, squared in double (the q198 overflow
+    * discipline), guarded divides (all-or-none conversion ⇒ NULL, the
+    * undefined-variance case); verdict at the χ²₁ 95% critical value. */
+  def q205AbTest(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150.0,
+        1L).otherwise(0L)).as("converted"))
+      .select((col("user_id") % 2).as("variant"), col("converted"))
+    val arms = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+    val a = arms.filter(col("variant") === 0)
+      .select(col("n").as("n1"), col("c").as("c1"))
+    val b = arms.filter(col("variant") === 1)
+      .select(col("n").as("n2"), col("c").as("c2"))
+    a.crossJoin(broadcast(b))
+      .select(col("n1"), col("c1"), col("n2"), col("c2"),
+        when(col("c1") + col("c2") > 0 &&
+            col("c1") + col("c2") < col("n1") + col("n2"),
+          ((col("c1") * col("n2") - col("c2") * col("n1")).cast("double") *
+            (col("c1") * col("n2") - col("c2") * col("n1")).cast("double")) *
+            (col("n1") + col("n2")).cast("double") /
+            (col("n1") * col("n2") * (col("c1") + col("c2"))).cast("double") /
+            (col("n1") + col("n2") - col("c1") - col("c2")).cast("double"))
+          .as("z2"))
+      .withColumn("significant_95", col("z2") > 3.841458820694124)
+  }
+
+  /** Catalog-wide completeness profile: (table, column, n_rows, n_nulls)
+    * for every column of orders/lineitem/customer — ONE aggregate pass
+    * per table (every null-sum rides the same scan), melted to rows; the
+    * ANALYZE-style snapshot a warehouse publishes per ingest. */
+  def q206CatalogProfile(s: SparkSession, dir: String): DataFrame = {
+    val tables: Seq[(String, DataFrame, Seq[String])] = Seq(
+      ("customer", Tables.customer(s, dir),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")),
+      ("lineitem", Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate")),
+      ("orders", Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")))
+    tables.map { case (name, df, cols) =>
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"))
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      cols.map { c =>
+        one.select(lit(name).as("table_name"), lit(c).as("column_name"),
+          col("n_rows"), col(s"nn_$c").as("n_nulls"))
+      }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+      .orderBy(col("table_name"), col("column_name"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_bfs_hops"       -> q175BfsHops _,
     "q176_markov"         -> q176MarkovTransitions _,
@@ -707,5 +782,8 @@ object CatalogMore {
     "q200_events_report"  -> q200EventsReport _,
     "q201_skew_report"    -> q201SkewReport _,
     "q202_lateness_audit" -> q202LatenessAudit _,
-    "q203_kwic"           -> q203Kwic _)
+    "q203_kwic"           -> q203Kwic _,
+    "q204_exact_variance" -> q204ExactVariance _,
+    "q205_ab_test"        -> q205AbTest _,
+    "q206_catalog_profile" -> q206CatalogProfile _)
 }

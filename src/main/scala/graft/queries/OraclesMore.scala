@@ -567,5 +567,59 @@ object OraclesMore {
         |  array_to_string(w[greatest(i - 3, 1):least(i + 3, len(w))], ' ')
         |    AS context
         |FROM p WHERE w[i] = 'merge'
-        |ORDER BY doc_id, pos""".stripMargin)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q204_exact_variance" ->
+      """SELECT l_returnflag, n, variance, sqrt(variance) AS stddev FROM (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+        |      / CAST(count(*) * (count(*) - 1) AS DOUBLE) AS variance
+        |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x
+        |        FROM lineitem)
+        |  GROUP BY 1)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q205_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150.0
+        |      THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY 1),
+        |arms AS (SELECT user_id % 2 AS variant, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(converted) AS BIGINT) AS c
+        |  FROM u GROUP BY 1),
+        |ab AS (SELECT
+        |    (SELECT n FROM arms WHERE variant = 0) AS n1,
+        |    (SELECT c FROM arms WHERE variant = 0) AS c1,
+        |    (SELECT n FROM arms WHERE variant = 1) AS n2,
+        |    (SELECT c FROM arms WHERE variant = 1) AS c2),
+        |z AS (SELECT n1, c1, n2, c2,
+        |    CASE WHEN c1 + c2 > 0 AND c1 + c2 < n1 + n2 THEN
+        |      (CAST(c1 * n2 - c2 * n1 AS DOUBLE) *
+        |       CAST(c1 * n2 - c2 * n1 AS DOUBLE))
+        |        * CAST(n1 + n2 AS DOUBLE)
+        |        / CAST(n1 * n2 * (c1 + c2) AS DOUBLE)
+        |        / CAST(n1 + n2 - c1 - c2 AS DOUBLE) END AS z2
+        |  FROM ab)
+        |SELECT n1, c1, n2, c2, z2, z2 > 3.841458820694124 AS significant_95
+        |FROM z""".stripMargin,
+
+    "q206_catalog_profile" -> {
+      val tables = Seq(
+        "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment"),
+        "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+          "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+        "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority"))
+      tables.flatMap { case (t, cols) =>
+        cols.map { c =>
+          s"""SELECT '$t' AS table_name, '$c' AS column_name,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nulls
+             |FROM $t""".stripMargin
+        }
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")
+    })
 }

@@ -311,6 +311,39 @@ class MoreWaveSpec extends SparkSpec {
     }
   }
 
+  test("exact variance: matches BigDecimal brute force per flag") {
+    val data = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = CatalogMore.q204ExactVariance(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    data.groupBy(_._1).foreach { case (flag, xs) =>
+      val n = xs.length.toLong
+      val s1 = xs.map(_._2).sum
+      val s2 = xs.map(x => x._2 * x._2).sum
+      val want = (n * s2 - s1 * s1).toDouble / (n * (n - 1)).toDouble
+      assert(got(flag) === want, flag)
+    }
+  }
+
+  test("ab test: arms partition users; z2 non-negative when defined") {
+    val r = CatalogMore.q205AbTest(spark, sf).collect().head
+    val nUsers = graft.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(r.getLong(0) + r.getLong(2) === nUsers)
+    assert(r.getLong(1) <= r.getLong(0) && r.getLong(3) <= r.getLong(2))
+    if (!r.isNullAt(4)) assert(r.getDouble(4) >= 0.0)
+  }
+
+  test("catalog profile: one row per declared column; clean fixture has no nulls") {
+    val rows = CatalogMore.q206CatalogProfile(spark, sf).collect()
+    assert(rows.length === 5 + 11 + 6)
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0, r.getString(1))
+      assert(r.getLong(3) === 0L, s"unexpected nulls in ${r.getString(1)}")
+    }
+  }
+
   test("bfs on trade graph: seeds at 0 hops, neighbors alternate parity") {
     // the trade graph is bipartite (even=customer, odd=supplier nodes):
     // distance parity must match node parity relative to odd seeds
