@@ -172,9 +172,148 @@ object CatalogStats {
       .orderBy(col("item"))
   }
 
+  /** Mann-Whitney U rank-sum test on document length between the two
+    * largest languages (en vs zh) — the nonparametric two-sample test
+    * the A/B suite lacks (q205's z-test assumes proportions; this one
+    * ranks). Tie handling is exact via DOUBLED ranks: for a tie group
+    * the average rank is (min+max)/2, so twice it — min_rank+max_rank —
+    * stays integer, and every statistic below is pure int64 until the
+    * single z² divide (tie-corrected variance, Σ(t³−t) term included).
+    * One value-level aggregate + a cumulative window over the distinct
+    * value axis (bounded by max doc length, not corpus size). */
+  def q211MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .filter(col("lang").isin("en", "zh"))
+      .groupBy(col("n_chars").as("v"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c1"),
+        count(lit(1)).as("ct"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = d.select(col("v"), col("c1"), col("ct"),
+      sum(col("ct")).over(w).as("cum"))
+    // doubled tie-averaged rank of every row in this value group:
+    //   2·avg = (cum−ct+1) + cum
+    val sums = ranked.agg(
+      sum(col("c1")).as("n1"), sum(col("ct") - col("c1")).as("n2"),
+      sum(col("c1") * (col("cum") * 2 - col("ct") + 1)).as("r1x2"),
+      sum(col("ct") * col("ct") * col("ct") - col("ct")).as("tie_t"))
+    sums.select(col("n1"), col("n2"),
+        (col("r1x2") - col("n1") * (col("n1") + 1)).as("u1_x2"),
+        col("tie_t"))
+      .select(col("n1"), col("n2"), col("u1_x2"),
+        (col("u1_x2").cast("double") / lit(2.0)).as("u1"),
+        // z² = (U1 − n1n2/2)² / Var with
+        // Var = n1n2/12 · ((n+1) − ΣT/(n(n−1))), n = n1+n2 — every
+        // factor below is an exact int64 cast, identical parens in SQL.
+        (((col("u1_x2") - col("n1") * col("n2")).cast("double") / lit(2.0)) *
+          ((col("u1_x2") - col("n1") * col("n2")).cast("double") / lit(2.0)) /
+          ((col("n1") * col("n2")).cast("double") / lit(12.0) *
+            ((col("n1") + col("n2") + 1).cast("double") -
+              col("tie_t").cast("double") /
+                ((col("n1") + col("n2")) * (col("n1") + col("n2") - 1))
+                  .cast("double")))).as("z2"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic on document length between
+    * src0 and src1 — the distribution-drift test with an EXACT integer
+    * core: D = max over the merged support of |c1·n2 − c2·n1| /
+    * (n1·n2), where c1/c2 are cumulative counts, so the max is taken
+    * over integers and the one divide happens after. Value-level
+    * aggregate + cumulative window over the distinct value axis. */
+  def q212KsTest(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .filter(col("source").isin("src0", "src1"))
+      .groupBy(col("n_chars").as("v"))
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("a"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("b"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = d.select(sum(col("a")).over(w).as("c1"),
+      sum(col("b")).over(w).as("c2"))
+    val tot = d.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        (col("d_num").cast("double") / (col("n1") * col("n2")).cast("double"))
+          .as("d_stat"))
+  }
+
+  /** Zipf's-law fit: OLS of lg(freq) on lg(rank) over the top-1000
+    * tokens — the corpus-health diagnostic (natural text slopes ≈ −1;
+    * templated/synthetic text departs). Ranks from a TakeOrdered
+    * top-1000 (freq DESC, token ASC); x/y in exact-lg bits; the four
+    * OLS sums are FIXED-ORDER folds over the rank-sorted list (one
+    * `aggregate` per sum, same order both engines), so slope/intercept/
+    * r² come out bit-identical. */
+  def q213ZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val top = Tables.documents(s, dir)
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("t")).limit(1000)
+    val pts = top.select(
+        row_number().over(Window.orderBy(col("f").desc, col("t"))).as("r"),
+        col("f"))
+      .select(struct(col("r"), lg(col("r")).as("x"), lg(col("f")).as("y")).as("p"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+    def fold(f: (Column, Column) => Column): Column =
+      aggregate(col("ps"), lit(0.0), (acc, p) => acc + f(p("x"), p("y")))
+    pts.select(size(col("ps")).cast("long").as("n_terms"),
+        fold((x, _) => x).as("sx"), fold((_, y) => y).as("sy"),
+        fold((x, y) => x * y).as("sxy"),
+        fold((x, _) => x * x).as("sxx"),
+        fold((_, y) => y * y).as("syy"))
+      .select(col("n_terms"),
+        ((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        ((col("sy") - (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n_terms")).as("intercept"),
+        ((col("n_terms") * col("sxy") - col("sx") * col("sy")) *
+          (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          ((col("n_terms") * col("sxx") - col("sx") * col("sx")) *
+            (col("n_terms") * col("syy") - col("sy") * col("sy")))).as("r2"))
+  }
+
+  /** Good-Turing frequency smoothing: the frequency-of-frequencies
+    * table N_r and the adjusted count r* = (r+1)·N_{r+1}/N_r (Gale &
+    * Sampson's simple GT), for r ≤ 100 — the unseen-mass estimator
+    * behind every smoothed LM (q97/q120 use add-k; this is the
+    * principled alternative). Two token-keyed aggregates then a lead()
+    * over the distinct-count axis, keeping the 100 SMALLEST counts
+    * (the low-frequency head is where GT smoothing matters; the cap
+    * bounds the output at any corpus size); gt_prob divides r-star by
+    * the total token count. All-integer until the two shared divides. */
+  def q214GoodTuring(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("r"))
+    val fof = counts.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    val tot = fof.agg(sum(col("r") * col("n_r")).as("n_tokens"))
+    val w = Window.orderBy(col("r"))
+    fof.crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"), col("n_tokens"),
+        lead(col("n_r"), 1).over(w).as("n_r1"),
+        lead(col("r"), 1).over(w).as("r_next"))
+      .orderBy(col("r")).limit(100)
+      .select(col("r"), col("n_r"),
+        when(col("r_next") === col("r") + 1,
+          (col("r") + 1).cast("double") * col("n_r1").cast("double") /
+            col("n_r").cast("double")).as("r_star"),
+        when(col("r_next") === col("r") + 1,
+          (col("r") + 1).cast("double") * col("n_r1").cast("double") /
+            col("n_r").cast("double") / col("n_tokens").cast("double"))
+          .as("gt_prob"))
+      .orderBy(col("r"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_acf"            -> q207Acf _,
     "q208_survival"       -> q208Survival _,
     "q209_adamic_adar"    -> q209AdamicAdar _,
-    "q210_clustering"     -> q210ClusteringCoeff _)
+    "q210_clustering"     -> q210ClusteringCoeff _,
+    "q211_mann_whitney"   -> q211MannWhitney _,
+    "q212_ks_test"        -> q212KsTest _,
+    "q213_zipf_fit"       -> q213ZipfFit _,
+    "q214_good_turing"    -> q214GoodTuring _)
 }

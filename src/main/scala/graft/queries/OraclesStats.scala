@@ -123,5 +123,104 @@ object OraclesStats {
         |      / CAST(degree * (degree - 1) AS DOUBLE)
         |  ELSE CAST(0.0 AS DOUBLE) END AS clustering_coeff
         |FROM deg LEFT JOIN tpn ON deg.v = tpn.v
-        |ORDER BY item""".stripMargin)
+        |ORDER BY item""".stripMargin,
+
+    "q211_mann_whitney" ->
+      """WITH d AS (SELECT n_chars AS v,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(count(*) AS BIGINT) AS ct
+        |  FROM documents WHERE lang IN ('en', 'zh') GROUP BY 1),
+        |ranked AS (SELECT v, c1, ct,
+        |    CAST(sum(ct) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM d),
+        |sums AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(ct - c1) AS BIGINT) AS n2,
+        |    CAST(sum(c1 * (cum * 2 - ct + 1)) AS BIGINT) AS r1x2,
+        |    CAST(sum(ct * ct * ct - ct) AS BIGINT) AS tie_t
+        |  FROM ranked),
+        |u AS (SELECT n1, n2, r1x2 - n1 * (n1 + 1) AS u1_x2, tie_t FROM sums)
+        |SELECT n1, n2, u1_x2,
+        |  CAST(u1_x2 AS DOUBLE) / 2.0 AS u1,
+        |  ((CAST(u1_x2 - n1 * n2 AS DOUBLE) / 2.0) *
+        |   (CAST(u1_x2 - n1 * n2 AS DOUBLE) / 2.0) /
+        |   (CAST(n1 * n2 AS DOUBLE) / 12.0 *
+        |    (CAST(n1 + n2 + 1 AS DOUBLE) -
+        |     CAST(tie_t AS DOUBLE) /
+        |       CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))) AS z2
+        |FROM u""".stripMargin,
+
+    "q212_ks_test" ->
+      """WITH d AS (SELECT n_chars AS v,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b
+        |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |cum AS (SELECT
+        |    CAST(sum(a) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS c1,
+        |    CAST(sum(b) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS c2
+        |  FROM d),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+        |    CAST(sum(b) AS BIGINT) AS n2 FROM d)
+        |SELECT max(n1) AS n1, max(n2) AS n2,
+        |  CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS d_num,
+        |  CAST(max(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+        |    / CAST(max(n1) * max(n2) AS DOUBLE) AS d_stat
+        |FROM cum CROSS JOIN tot""".stripMargin,
+
+    "q213_zipf_fit" -> {
+      def fold(term: String): String =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(ps, p -> $term)), (acc, t) -> acc + t)""".stripMargin
+      s"""WITH top AS (SELECT unnest(string_split(text, ' ')) AS t
+        |    FROM documents),
+        |tf AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM top GROUP BY 1
+        |  ORDER BY f DESC, t LIMIT 1000),
+        |pts AS (SELECT
+        |    CAST(row_number() OVER (ORDER BY f DESC, t) AS BIGINT) AS r, f
+        |  FROM tf),
+        |lst AS (SELECT list_sort(list({'r': r,
+        |    'x': ${lg("r")}, 'y': ${lg("f")}})) AS ps FROM pts),
+        |sums AS (SELECT CAST(len(ps) AS BIGINT) AS n_terms,
+        |    ${fold("p.x")} AS sx, ${fold("p.y")} AS sy,
+        |    ${fold("p.x * p.y")} AS sxy,
+        |    ${fold("p.x * p.x")} AS sxx,
+        |    ${fold("p.y * p.y")} AS syy
+        |  FROM lst)
+        |SELECT n_terms,
+        |  ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) AS slope,
+        |  ((sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) * sx)
+        |    / n_terms) AS intercept,
+        |  ((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy) /
+        |    ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy))) AS r2
+        |FROM sums""".stripMargin
+    },
+
+    "q214_good_turing" ->
+      """WITH counts AS (SELECT t, CAST(count(*) AS BIGINT) AS r FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1),
+        |fof AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM counts
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens FROM fof),
+        |led AS (SELECT r, n_r, n_tokens,
+        |    lead(n_r, 1) OVER (ORDER BY r) AS n_r1,
+        |    lead(r, 1) OVER (ORDER BY r) AS r_next
+        |  FROM fof CROSS JOIN tot)
+        |SELECT r, n_r,
+        |  CASE WHEN r_next = r + 1 THEN
+        |    CAST(r + 1 AS DOUBLE) * CAST(n_r1 AS DOUBLE) / CAST(n_r AS DOUBLE)
+        |  END AS r_star,
+        |  CASE WHEN r_next = r + 1 THEN
+        |    CAST(r + 1 AS DOUBLE) * CAST(n_r1 AS DOUBLE) / CAST(n_r AS DOUBLE)
+        |      / CAST(n_tokens AS DOUBLE)
+        |  END AS gt_prob
+        |FROM led
+        |ORDER BY r LIMIT 100""".stripMargin)
 }
