@@ -307,6 +307,98 @@ object CatalogStats {
       .orderBy(col("r"))
   }
 
+  /** Lexical-diversity profile per language: token count, type count
+    * (distinct tokens), type-token ratio, hapax legomena (types seen
+    * exactly once in that language) and their share of the type
+    * inventory — the vocabulary-richness panel that complements q21's
+    * per-doc stats with corpus-level measures. Two token-keyed
+    * aggregates (per-(lang,token) counts, then per-lang rollup); all
+    * integers until the two final divides. */
+  def q215LexicalDiversity(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("lang"), explode(graft.text.TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c"))
+    tok.groupBy(col("lang"))
+      .agg(sum(col("c")).as("tokens"), count(lit(1)).as("types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("lang"), col("tokens"), col("types"),
+        (col("types").cast("double") / col("tokens").cast("double")).as("ttr"),
+        col("hapax"),
+        (col("hapax").cast("double") / col("types").cast("double"))
+          .as("hapax_share"))
+      .orderBy(col("lang"))
+  }
+
+  /** Spearman rank correlation between document length (n_chars) and
+    * token count, tie-averaged — the monotone-association audit
+    * (Pearson on ranks, so robust to the heavy length tails that break
+    * q204-style moment statistics). Exactness: doubled tie-averaged
+    * ranks (2·avg = 2·cum − ct + 1 per value group) keep ranks
+    * integral; centering (n·X − ΣX) keeps them integral; the three
+    * product sums run in DECIMAL(38,0) (≤ 25 digits at any realistic
+    * corpus size — int64 would overflow at ~60k rows) mirrored by
+    * DuckDB HUGEINT, so rho's one divide sees bit-identical operands.
+    * Rank tables are value-keyed (bounded by distinct lengths, not
+    * rows) and broadcast back onto the row stream. */
+  def q216Spearman(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").as("vx"),
+        size(graft.text.TextOps.tokens(col("text"))).cast("long").as("vy"))
+    def ranks(df: DataFrame, v: String): DataFrame = {
+      val g = df.groupBy(col(v)).agg(count(lit(1)).as("ct"))
+      val w = Window.orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.select(col(v), (sum(col("ct")).over(w) * 2 - col("ct") + 1).as(s"r_$v"))
+    }
+    val withR = d
+      .join(broadcast(ranks(d, "vx")), Seq("vx"))
+      .join(broadcast(ranks(d, "vy")), Seq("vy"))
+    val tot = withR.agg(count(lit(1)).as("n"),
+      sum(col("r_vx")).as("sx"), sum(col("r_vy")).as("sy"))
+    val dec = "decimal(38,0)"
+    val c = withR.crossJoin(broadcast(tot))
+      .select(col("n"),
+        (col("n") * col("r_vx") - col("sx")).cast(dec).as("cx"),
+        (col("n") * col("r_vy") - col("sy")).cast(dec).as("cy"))
+    c.groupBy(col("n"))
+      .agg(sum(col("cx") * col("cy")).as("sxy"),
+        sum(col("cx") * col("cx")).as("sxx"),
+        sum(col("cy") * col("cy")).as("syy"))
+      .select(col("n"),
+        (col("sxy").cast("double") /
+          (sqrt(col("sxx").cast("double")) * sqrt(col("syy").cast("double"))))
+          .as("spearman_rho"))
+  }
+
+  /** Heaps'-law vocabulary growth curve: distinct-type count V and
+    * token count T after each decile of the corpus (by doc_id order) —
+    * the scaling law that says how much NEW vocabulary another 10 TB of
+    * crawl will add. Scale shape: one pass computes each token's
+    * first-occurrence doc (min doc_id) and one pass the per-doc token
+    * counts; both are then bucketed against the 10 broadcast thresholds
+    * — no per-checkpoint rescan of the corpus. */
+  def q217Heaps(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val maxId = docs.agg(max(col("doc_id")).as("mx"))
+    val thr = maxId.select(explode(sequence(lit(1), lit(10))).as("decile"),
+      col("mx")).select(col("decile").cast("long").as("decile"),
+        expr("CAST(mx * decile div 10 AS BIGINT)").as("thr"))
+    val firstSeen = docs
+      .select(col("doc_id"), explode(graft.text.TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(min(col("doc_id")).as("fd"))
+    val types = firstSeen.join(broadcast(thr), col("fd") <= col("thr"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("types"))
+    val toks = docs
+      .select(col("doc_id"),
+        size(graft.text.TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .join(broadcast(thr), col("doc_id") <= col("thr"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"))
+    toks.join(types, Seq("decile"))
+      .select(col("decile"), col("n_docs"), col("tokens"), col("types"))
+      .orderBy(col("decile"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_acf"            -> q207Acf _,
     "q208_survival"       -> q208Survival _,
@@ -315,5 +407,8 @@ object CatalogStats {
     "q211_mann_whitney"   -> q211MannWhitney _,
     "q212_ks_test"        -> q212KsTest _,
     "q213_zipf_fit"       -> q213ZipfFit _,
-    "q214_good_turing"    -> q214GoodTuring _)
+    "q214_good_turing"    -> q214GoodTuring _,
+    "q215_lexical_diversity" -> q215LexicalDiversity _,
+    "q216_spearman"       -> q216Spearman _,
+    "q217_heaps"          -> q217Heaps _)
 }

@@ -222,5 +222,65 @@ object OraclesStats {
         |      / CAST(n_tokens AS DOUBLE)
         |  END AS gt_prob
         |FROM led
-        |ORDER BY r LIMIT 100""".stripMargin)
+        |ORDER BY r LIMIT 100""".stripMargin,
+
+    "q215_lexical_diversity" ->
+      """WITH tok AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tokens,
+        |    CAST(count(*) AS BIGINT) AS types,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        |  FROM tok GROUP BY 1)
+        |SELECT lang, tokens, types,
+        |  CAST(types AS DOUBLE) / CAST(tokens AS DOUBLE) AS ttr,
+        |  hapax, CAST(hapax AS DOUBLE) / CAST(types AS DOUBLE) AS hapax_share
+        |FROM agg ORDER BY lang""".stripMargin,
+
+    "q216_spearman" ->
+      """WITH d AS (SELECT doc_id, n_chars AS vx,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS vy
+        |  FROM documents),
+        |rx AS (SELECT vx, CAST(sum(ct) OVER (ORDER BY vx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 2
+        |      - ct + 1 AS BIGINT) AS r_vx
+        |  FROM (SELECT vx, CAST(count(*) AS BIGINT) AS ct FROM d GROUP BY 1)),
+        |ry AS (SELECT vy, CAST(sum(ct) OVER (ORDER BY vy
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 2
+        |      - ct + 1 AS BIGINT) AS r_vy
+        |  FROM (SELECT vy, CAST(count(*) AS BIGINT) AS ct FROM d GROUP BY 1)),
+        |wr AS (SELECT r_vx, r_vy FROM d JOIN rx USING (vx) JOIN ry USING (vy)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r_vx) AS BIGINT) AS sx,
+        |    CAST(sum(r_vy) AS BIGINT) AS sy FROM wr),
+        |c AS (SELECT n,
+        |    CAST(n * r_vx - sx AS HUGEINT) AS cx,
+        |    CAST(n * r_vy - sy AS HUGEINT) AS cy
+        |  FROM wr CROSS JOIN tot),
+        |sums AS (SELECT n, sum(cx * cy) AS sxy, sum(cx * cx) AS sxx,
+        |    sum(cy * cy) AS syy
+        |  FROM c GROUP BY 1)
+        |SELECT n, CAST(sxy AS DOUBLE) /
+        |  (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
+        |  AS spearman_rho
+        |FROM sums""".stripMargin,
+
+    "q217_heaps" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |thr AS (SELECT decile, CAST(mx * decile // 10 AS BIGINT) AS thr
+        |  FROM (SELECT unnest(generate_series(1, 10)) AS decile) CROSS JOIN mx),
+        |fs AS (SELECT t, min(doc_id) AS fd FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1),
+        |types AS (SELECT decile, CAST(count(*) AS BIGINT) AS types
+        |  FROM fs JOIN thr ON fd <= thr GROUP BY 1),
+        |toks AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(nt) AS BIGINT) AS tokens
+        |  FROM (SELECT doc_id,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |    FROM documents) d
+        |  JOIN thr ON d.doc_id <= thr GROUP BY 1)
+        |SELECT decile, n_docs, tokens, types
+        |FROM toks JOIN types USING (decile)
+        |ORDER BY decile""".stripMargin)
 }
