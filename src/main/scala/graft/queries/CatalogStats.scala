@@ -399,6 +399,73 @@ object CatalogStats {
       .orderBy(col("decile"))
   }
 
+  /** Content-defined chunking dedup (the FastCDC/LBFS idea at word
+    * granularity): a chunk boundary falls after any word whose
+    * md5-bucket ≡ 0 (mod 8), so chunk edges depend only on CONTENT —
+    * an insertion early in a document shifts positions but not
+    * downstream boundaries, which is exactly why CDC beats fixed-width
+    * shingles for partial-overlap dedup. Emits the 20 most duplicated
+    * chunks (≥ 3 words) with occurrence and distinct-doc counts.
+    * Scale shape: posexplode → per-doc cumulative window (parallel by
+    * doc) → one chunk-keyed aggregate; no pairwise comparison
+    * anywhere. */
+  def q218CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(graft.text.TextOps.tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("t"),
+        (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long") % 8 === 0)
+          .cast("long").as("b"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = toks
+      .select(col("doc_id"), col("pos"), col("t"),
+        coalesce(sum(col("b")).over(wPrev), lit(0L)).as("chunk_id"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("t")))).as("ws"))
+      .select(col("doc_id"),
+        array_join(transform(col("ws"), w => w("t")), " ").as("chunk"),
+        size(col("ws")).cast("long").as("n_words"))
+      .filter(col("n_words") >= 3)
+    chunks.groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        max(col("n_words")).as("n_words"))
+      .orderBy(col("n_occurrences").desc, col("chunk"))
+      .limit(20)
+      .select(md5(col("chunk")).as("chunk_hash"), col("n_words"),
+        col("n_occurrences"), col("n_docs"))
+  }
+
+  /** Mutual information between event type and hour-of-day, in
+    * exact-lg bits: MI = Σ_xy (c_xy/N)·(lg c_xy + lg N − lg r_x −
+    * lg c_y) — the dependence measure that, unlike q198's χ², is
+    * directly comparable across tables (it's the KL between joint and
+    * product-of-marginals). Cell counts are one aggregate; the
+    * cross-cell sum is a fixed-order fold over the sorted (type, hour)
+    * cell list, so both engines emit the identical double. */
+  def q219MutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .groupBy(col("event_type").as("x"), hour(col("ts")).cast("long").as("y"))
+      .agg(count(lit(1)).as("c"))
+    val rx = cells.groupBy(col("x")).agg(sum(col("c")).as("rx"))
+    val cy = cells.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+    val tot = cells.agg(sum(col("c")).as("n"))
+    cells.join(broadcast(rx), "x").join(broadcast(cy), "y")
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("n"),
+        ((col("c").cast("double") / col("n").cast("double")) *
+          (lg(col("c")) + lg(col("n")) - lg(col("rx")) - lg(col("cy"))))
+          .as("term"))
+      .groupBy(col("n"))
+      .agg(sort_array(collect_list(struct(col("x"), col("y"), col("term"))))
+        .as("__cells"))
+      .select(col("n"),
+        size(col("__cells")).cast("long").as("n_cells"),
+        aggregate(col("__cells"), lit(0.0), (acc, t) => acc + t("term"))
+          .as("mi_lg2"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_acf"            -> q207Acf _,
     "q208_survival"       -> q208Survival _,
@@ -410,5 +477,7 @@ object CatalogStats {
     "q214_good_turing"    -> q214GoodTuring _,
     "q215_lexical_diversity" -> q215LexicalDiversity _,
     "q216_spearman"       -> q216Spearman _,
-    "q217_heaps"          -> q217Heaps _)
+    "q217_heaps"          -> q217Heaps _,
+    "q218_cdc_chunks"     -> q218CdcChunks _,
+    "q219_mutual_info"    -> q219MutualInfo _)
 }

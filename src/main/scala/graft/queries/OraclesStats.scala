@@ -282,5 +282,51 @@ object OraclesStats {
         |  JOIN thr ON d.doc_id <= thr GROUP BY 1)
         |SELECT decile, n_docs, tokens, types
         |FROM toks JOIN types USING (decile)
-        |ORDER BY decile""".stripMargin)
+        |ORDER BY decile""".stripMargin,
+
+    "q218_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    [struct_pack(pos := CAST(i - 1 AS BIGINT), t := w[i])
+        |     for i in range(1, len(w) + 1)] AS gs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |toks AS (SELECT doc_id, pos, t,
+        |    CASE WHEN ('0x' || substr(md5(t), 1, 8))::BIGINT % 8 = 0
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM (SELECT doc_id, unnest(gs, recursive := true) FROM t)),
+        |ch AS (SELECT doc_id, pos, t,
+        |    COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk_id
+        |  FROM toks),
+        |chunks AS (SELECT doc_id,
+        |    string_agg(t, ' ' ORDER BY pos) AS chunk,
+        |    CAST(count(*) AS BIGINT) AS n_words
+        |  FROM ch GROUP BY doc_id, chunk_id
+        |  HAVING count(*) >= 3)
+        |SELECT md5(chunk) AS chunk_hash, max(n_words) AS n_words,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM chunks GROUP BY chunk
+        |ORDER BY n_occurrences DESC, chunk
+        |LIMIT 20""".stripMargin,
+
+    "q219_mutual_info" -> {
+      s"""WITH cells AS (SELECT event_type AS x,
+        |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |rx AS (SELECT x, CAST(sum(c) AS BIGINT) AS rx FROM cells GROUP BY 1),
+        |cy AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        |terms AS (SELECT x, y, n,
+        |    (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (${lg("c")} + ${lg("n")} - ${lg("rx")} - ${lg("cy")}) AS term
+        |  FROM cells JOIN rx USING (x) JOIN cy USING (y) CROSS JOIN tot)
+        |SELECT n, CAST(len(cs) AS BIGINT) AS n_cells,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(cs, z -> z.term)), (a, t) -> a + t) AS mi_lg2
+        |FROM (SELECT n,
+        |    list_sort(list({'x': x, 'y': y, 'term': term})) AS cs
+        |  FROM terms GROUP BY n)""".stripMargin
+    })
 }
