@@ -466,6 +466,83 @@ object CatalogStats {
           .as("mi_lg2"))
   }
 
+  /** Tokenizer fertility by language: pieces-per-word and bytes-per-
+    * piece under the corpus's own 8-merge BPE vocabulary (q75/q111's
+    * trainer re-composed) — THE statistic that decides whether a
+    * tokenizer is fair to a language (high fertility = that language
+    * pays more sequence length per word). Corpus is ASCII so n_chars
+    * is bytes. Ratios are one divide over integer sums. */
+  def q220Fertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val enc = graft.curation.Curation.bpeEncode(docs, "text", "doc_id",
+      graft.curation.Curation.bpeMerges(docs, "text", nMerges = 8))
+    enc.join(docs.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("words"),
+        sum(col("n_pieces")).as("pieces"), sum(col("n_chars")).as("bytes"))
+      .select(col("lang"), col("n_docs"), col("words"), col("pieces"),
+        (col("pieces").cast("double") / col("words").cast("double"))
+          .as("fertility"),
+        (col("bytes").cast("double") / col("pieces").cast("double"))
+          .as("bytes_per_piece"))
+      .orderBy(col("lang"))
+  }
+
+  /** Token burstiness (Church & Gale): the Fano factor of each token's
+    * per-document count — var/mean over ALL docs including zeros,
+    * which reduces to the exact integer ratio (N·S₂ − S²)/((N−1)·S)
+    * with S=Σc, S₂=Σc² over the docs containing the token and N the
+    * corpus size; ≈1 is Poisson background, ≫1 is a topical/bursty
+    * token. The repetition-vs-topicality signal q74's rarity misses.
+    * Top-25 bursty tokens with support ≥ 100, one token-keyed
+    * aggregate. */
+  def q221Burstiness(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.agg(count(lit(1)).as("n"))
+    val per = docs
+      .select(col("doc_id"), explode(graft.text.TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("t"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("t"))
+      .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("s2"),
+        count(lit(1)).as("df"))
+    per.crossJoin(broadcast(n))
+      .filter(col("s") >= 100)
+      .select(col("t").as("token"), col("df"), col("s").as("count"),
+        (col("s").cast("double") / col("n").cast("double")).as("mean"),
+        ((col("n") * col("s2") - col("s") * col("s")).cast("double") /
+          ((col("n") - 1) * col("s")).cast("double")).as("fano"))
+      .orderBy(col("fano").desc, col("token"))
+      .limit(25)
+  }
+
+  /** Source-mix diversity per language: Simpson's index D = Σnᵢ(nᵢ−1)
+    * / (N(N−1)) (the probability two random docs share a source — one
+    * exact divide) and Shannon entropy in exact-lg bits via a sorted
+    * fold — the mixing-health panel for a multi-source corpus (q70
+    * sets target mixes; this measures what a slice actually is). */
+  def q222Diversity(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+    val tot = cells.groupBy(col("lang"))
+      .agg(sum(col("c")).as("nn"), count(lit(1)).as("n_sources"),
+        sum(col("c") * (col("c") - 1)).as("pairs"))
+    val terms = cells.join(broadcast(tot), "lang")
+      .select(col("lang"), col("source"), col("nn"), col("n_sources"),
+        col("pairs"),
+        ((col("c").cast("double") / col("nn").cast("double")) *
+          (lg(col("nn")) - lg(col("c")))).as("h"))
+    terms.groupBy(col("lang"))
+      .agg(max(col("nn")).as("n_docs"), max(col("n_sources")).as("n_sources"),
+        (max(col("pairs")).cast("double") /
+          (max(col("nn")) * (max(col("nn")) - 1)).cast("double")).as("simpson"),
+        sort_array(collect_list(struct(col("source").as("k"), col("h"))))
+          .as("__hs"))
+      .select(col("lang"), col("n_docs"), col("n_sources"), col("simpson"),
+        aggregate(col("__hs"), lit(0.0), (acc, x) => acc + x("h"))
+          .as("shannon_lg2"))
+      .orderBy(col("lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_acf"            -> q207Acf _,
     "q208_survival"       -> q208Survival _,
@@ -479,5 +556,8 @@ object CatalogStats {
     "q216_spearman"       -> q216Spearman _,
     "q217_heaps"          -> q217Heaps _,
     "q218_cdc_chunks"     -> q218CdcChunks _,
-    "q219_mutual_info"    -> q219MutualInfo _)
+    "q219_mutual_info"    -> q219MutualInfo _,
+    "q220_fertility"      -> q220Fertility _,
+    "q221_burstiness"     -> q221Burstiness _,
+    "q222_diversity"      -> q222Diversity _)
 }

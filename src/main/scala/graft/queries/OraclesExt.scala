@@ -1785,7 +1785,7 @@ object OraclesExt {
     * same k literal replaces in rank order, applied inside a list
     * comprehension so word order (and thus the joined piece sequence) is
     * the document's own. */
-  private def bpeEncodeSql(k: Int): String = {
+  private[queries] def bpeEncodeSql(k: Int): String = {
     // DuckDB forbids subqueries inside lambdas, so the k merge pairs are
     // hoisted into one cross-joined row (m) and the chain references its
     // columns — plain outer-column capture, which lambdas do allow

@@ -328,5 +328,57 @@ object OraclesStats {
         |FROM (SELECT n,
         |    list_sort(list({'x': x, 'y': y, 'term': term})) AS cs
         |  FROM terms GROUP BY n)""".stripMargin
+    },
+
+    "q220_fertility" -> {
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS words,
+        |  CAST(sum(n_pieces) AS BIGINT) AS pieces,
+        |  CAST(sum(n_pieces) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE)
+        |    AS fertility,
+        |  CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_pieces) AS DOUBLE)
+        |    AS bytes_per_piece
+        |FROM (${OraclesExt.bpeEncodeSql(8)}) e
+        |JOIN documents USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "q221_burstiness" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |per AS (SELECT t, CAST(sum(c) AS BIGINT) AS s,
+        |    CAST(sum(c * c) AS BIGINT) AS s2,
+        |    CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS c FROM (
+        |      SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |      FROM documents)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT t AS token, df, s AS count,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |  CAST(n * s2 - s * s AS DOUBLE) / CAST((n - 1) * s AS DOUBLE) AS fano
+        |FROM per CROSS JOIN n
+        |WHERE s >= 100
+        |ORDER BY fano DESC, token
+        |LIMIT 25""".stripMargin,
+
+    "q222_diversity" -> {
+      s"""WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS n_sources,
+        |    CAST(sum(c * (c - 1)) AS BIGINT) AS pairs
+        |  FROM cells GROUP BY 1),
+        |terms AS (SELECT cells.lang, nn, n_sources, pairs, source,
+        |    (CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)) *
+        |      (${lg("nn")} - ${lg("c")}) AS h
+        |  FROM cells JOIN tot USING (lang))
+        |SELECT lang, max(nn) AS n_docs, max(n_sources) AS n_sources,
+        |  CAST(max(pairs) AS DOUBLE)
+        |    / CAST(max(nn) * (max(nn) - 1) AS DOUBLE) AS simpson,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list({'k': source, 'h': h})),
+        |      x -> x.h)), (a, t) -> a + t) AS shannon_lg2
+        |FROM terms GROUP BY lang
+        |ORDER BY lang""".stripMargin
     })
 }
