@@ -543,6 +543,154 @@ object CatalogStats {
       .orderBy(col("lang"))
   }
 
+  /** nDCG@10 for the exact cosine retrieval (q28's knn), binary
+    * relevance = same label: DCG = Σ relᵢ/lg(i+1) as a fixed-order fold
+    * over the rank list, IDCG over the ideal prefix min(10, corpus
+    * relevant), both in exact-lg bits — the position-discounted quality
+    * metric q181's MRR/hit-rate suite lacks. Label lookups are two
+    * broadcast joins of the id→label projection. */
+  def q223Ndcg(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val knn = graft.sim.Similarity.cosineKnn(
+      emb.filter(col("vec_id") % 25 === 0), emb, "vec_id", "embedding", k = 10)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val nRel = labels.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    val rels = knn
+      .join(broadcast(labels.select(col("vec_id").as("q_id"),
+        col("label").as("q_label"))), "q_id")
+      .join(broadcast(labels.select(col("vec_id").as("c_id"),
+        col("label").as("c_label"))), "c_id")
+      .select(col("q_id"), col("q_label"), col("rnk"),
+        (col("c_label") === col("q_label")).cast("long").as("rel"))
+    rels.groupBy(col("q_id"), col("q_label").as("label"))
+      .agg(sum(col("rel")).as("n_rel_topk"),
+        sort_array(collect_list(struct(col("rnk"), col("rel")))).as("rs"))
+      .join(broadcast(nRel), "label")
+      .select(col("q_id"), col("label"), col("n_rel_topk"),
+        aggregate(col("rs"), lit(0.0),
+          (acc, x) => acc + x("rel").cast("double") / lg(x("rnk") + 1))
+          .as("dcg"),
+        aggregate(sequence(lit(1L), least(lit(10L), col("n_label") - 1)),
+          lit(0.0), (acc, i) => acc + lit(1.0) / lg(i + 1)).as("idcg"))
+      .withColumn("ndcg", col("dcg") / col("idcg"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Label-noise audit (the confident-learning shape): assign every
+    * embedding to its nearest LABEL CENTROID (q73's fixed-point-exact
+    * means, the shared cosine contract); vectors whose predicted label
+    * differs from their recorded one, ranked by margin (cos_pred −
+    * cos_own), are the relabel/review queue. Centroids collapse to one
+    * broadcast row — assignment is a narrow pipelined pass, no shuffle
+    * on the vector side. Top-50 suspects. */
+  def q224LabelNoise(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = graft.sim.Similarity
+      .labelCentroids(emb, "label", "embedding")
+      .groupBy(col("label").as("cl"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("centroid"))))
+        .as("cs"))
+      .select(col("cl"), transform(col("cs"), x => x("centroid")).as("cv"))
+    // element-order double folds == DuckDB list_dot_product accumulation
+    // (the q28 cosine contract, here over a double centroid array)
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
+    val centArr = cents
+      .agg(sort_array(collect_list(struct(col("cl"), col("cv")))).as("__cents"))
+    val scored = emb
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("label"),
+        explode(col("__cents")).as("c"), col("v"))
+      .select(col("vec_id"), col("label"), col("c.cl").as("cl"),
+        (dot(col("v"), col("c.cv")) /
+          (sqrt(dot(col("v"), col("v"))) *
+            sqrt(dot(col("c.cv"), col("c.cv"))))).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cl"))
+    val top = scored
+      .withColumn("rn", row_number().over(w))
+    val pred = top.filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("cl").as("pred_label"),
+        col("cos").as("cos_pred"))
+    val own = scored.filter(col("cl") === col("label"))
+      .select(col("vec_id"), col("cos").as("cos_own"))
+    pred.join(own, "vec_id")
+      .filter(col("pred_label") =!= col("label"))
+      .select(col("vec_id"), col("label"), col("pred_label"),
+        col("cos_own"), col("cos_pred"),
+        (col("cos_pred") - col("cos_own")).as("margin"))
+      .orderBy(col("margin").desc, col("vec_id"))
+      .limit(50)
+  }
+
+  /** Stratified average treatment effect of q205's A/B split on
+    * conversion, strata = user activity buckets (event count div 20) —
+    * the confounder-adjusted estimator (inverse-propensity weighting
+    * with within-stratum propensities): ATE = Σₛ (nₛ/N)·(c₁ₛ/n₁ₛ −
+    * c₀ₛ/n₀ₛ) over strata with both arms present. Per-stratum
+    * statistics are exact integers; the cross-stratum sum is a
+    * fixed-order fold over the (few) strata. */
+  def q225StratifiedAte(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase" && col("value") > 150.0, 1L)
+          .otherwise(0L)).as("conv"))
+      .select((col("user_id") % 2).as("variant"),
+        expr("n_ev div 20").as("stratum"), col("conv"))
+    val strata = users.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_s"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("c1"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("c0"))
+      .filter(col("n1") > 0 && col("n0") > 0)
+    val tot = strata.agg(sum(col("n_s")).as("nn"),
+      count(lit(1)).as("n_strata"))
+    strata.crossJoin(broadcast(tot))
+      .select(col("nn"), col("n_strata"), col("stratum"),
+        ((col("n_s").cast("double") / col("nn").cast("double")) *
+          (col("c1").cast("double") / col("n1").cast("double") -
+            col("c0").cast("double") / col("n0").cast("double"))).as("term"))
+      .groupBy(col("nn"), col("n_strata"))
+      .agg(sort_array(collect_list(struct(col("stratum"), col("term"))))
+        .as("ts"))
+      .select(col("nn").as("n_users"), col("n_strata"),
+        aggregate(col("ts"), lit(0.0), (acc, x) => acc + x("term")).as("ate"))
+  }
+
+  /** Wilson 95% confidence intervals for each A/B arm's conversion
+    * rate — the small-sample-safe interval (never escapes [0,1], unlike
+    * the Wald interval q205's z² implies). One aggregate; the interval
+    * arithmetic is a fixed parenthesization over exact integer (n, c),
+    * z = 1.959963984540054 as a shared literal. */
+  def q226WilsonCi(s: SparkSession, dir: String): DataFrame = {
+    val z = 1.959963984540054
+    val arms = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150.0, 1L)
+        .otherwise(0L)).as("conv"))
+      .groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    arms.select(col("variant"), col("n"), col("c"),
+        (col("c").cast("double") / col("n").cast("double")).as("p_hat"),
+        ((col("c").cast("double") + lit(z * z / 2)) /
+          (col("n").cast("double") + lit(z * z)) -
+          lit(z) * sqrt(col("c").cast("double") *
+            (col("n") - col("c")).cast("double") / col("n").cast("double") +
+            lit(z * z / 4)) / (col("n").cast("double") + lit(z * z)))
+          .as("wilson_lo"),
+        ((col("c").cast("double") + lit(z * z / 2)) /
+          (col("n").cast("double") + lit(z * z)) +
+          lit(z) * sqrt(col("c").cast("double") *
+            (col("n") - col("c")).cast("double") / col("n").cast("double") +
+            lit(z * z / 4)) / (col("n").cast("double") + lit(z * z)))
+          .as("wilson_hi"))
+      .orderBy(col("variant"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_acf"            -> q207Acf _,
     "q208_survival"       -> q208Survival _,
@@ -559,5 +707,9 @@ object CatalogStats {
     "q219_mutual_info"    -> q219MutualInfo _,
     "q220_fertility"      -> q220Fertility _,
     "q221_burstiness"     -> q221Burstiness _,
-    "q222_diversity"      -> q222Diversity _)
+    "q222_diversity"      -> q222Diversity _,
+    "q223_ndcg"           -> q223Ndcg _,
+    "q224_label_noise"    -> q224LabelNoise _,
+    "q225_stratified_ate" -> q225StratifiedAte _,
+    "q226_wilson_ci"      -> q226WilsonCi _)
 }

@@ -380,5 +380,125 @@ object OraclesStats {
         |      x -> x.h)), (a, t) -> a + t) AS shannon_lg2
         |FROM terms GROUP BY lang
         |ORDER BY lang""".stripMargin
-    })
+    },
+
+    "q223_ndcg" -> {
+      s"""WITH knn AS (SELECT * FROM (${OraclesExt.knnSql}) k),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |nrel AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label
+        |  FROM embeddings GROUP BY 1),
+        |rels AS (SELECT knn.q_id, ql.label AS label, knn.rnk,
+        |    CASE WHEN cl.label = ql.label THEN CAST(1 AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS rel
+        |  FROM knn
+        |  JOIN lab ql ON knn.q_id = ql.vec_id
+        |  JOIN lab cl ON knn.c_id = cl.vec_id),
+        |per AS (SELECT q_id, label,
+        |    CAST(sum(rel) AS BIGINT) AS n_rel_topk,
+        |    list_sort(list({'rnk': rnk, 'rel': rel})) AS rs
+        |  FROM rels GROUP BY 1, 2)
+        |SELECT q_id, label, n_rel_topk,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(rs, x ->
+        |      CAST(x.rel AS DOUBLE) / ${lg("(x.rnk + 1)")})),
+        |    (a, t) -> a + t) AS dcg,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(range(1, CAST(least(10, n_label - 1) AS BIGINT) + 1),
+        |      i -> 1.0 / ${lg("(i + 1)")})),
+        |    (a, t) -> a + t) AS idcg,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(rs, x ->
+        |      CAST(x.rel AS DOUBLE) / ${lg("(x.rnk + 1)")})),
+        |    (a, t) -> a + t) /
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(range(1, CAST(least(10, n_label - 1) AS BIGINT) + 1),
+        |      i -> 1.0 / ${lg("(i + 1)")})),
+        |    (a, t) -> a + t) AS ndcg
+        |FROM per JOIN nrel USING (label)
+        |ORDER BY q_id""".stripMargin
+    },
+
+    "q224_label_noise" ->
+      """WITH pv AS (SELECT label,
+        |    unnest(list_transform(range(0, len(embedding)),
+        |      i -> {'pos': i, 'v': embedding[CAST(i + 1 AS INT)]})) AS e
+        |  FROM embeddings),
+        |f AS (SELECT label, CAST(e.pos AS BIGINT) AS pos,
+        |    CAST(e.v AS DOUBLE) AS v FROM pv),
+        |cmean AS (SELECT label AS cl, pos,
+        |    CAST(sum(CAST(floor(v * 16777216) AS BIGINT)) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) / 16777216 AS cv
+        |  FROM f GROUP BY 1, 2),
+        |cents AS (SELECT cl, list(cv ORDER BY pos) AS cv FROM cmean
+        |  GROUP BY 1),
+        |sc AS (SELECT vec_id, label, cl,
+        |    list_dot_product(embedding::DOUBLE[], cv)
+        |      / (sqrt(list_dot_product(embedding::DOUBLE[],
+        |          embedding::DOUBLE[])) * sqrt(list_dot_product(cv, cv)))
+        |      AS cos
+        |  FROM embeddings CROSS JOIN cents),
+        |pred AS (SELECT vec_id, label, cl AS pred_label, cos AS cos_pred,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cl) AS rn
+        |  FROM sc),
+        |own AS (SELECT vec_id, cos AS cos_own FROM sc WHERE cl = label)
+        |SELECT vec_id, label, pred_label, cos_own, cos_pred,
+        |  cos_pred - cos_own AS margin
+        |FROM pred JOIN own USING (vec_id)
+        |WHERE rn = 1 AND pred_label <> label
+        |ORDER BY margin DESC, vec_id
+        |LIMIT 50""".stripMargin,
+
+    "q225_stratified_ate" ->
+      """WITH users AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+        |    CAST(max(CASE WHEN event_type = 'purchase' AND value > 150.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        |  FROM events GROUP BY 1),
+        |u AS (SELECT user_id % 2 AS variant, n_ev // 20 AS stratum, conv
+        |  FROM users),
+        |strata AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_s,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS c0
+        |  FROM u GROUP BY 1
+        |  HAVING n1 > 0 AND n0 > 0),
+        |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS n_strata FROM strata),
+        |terms AS (SELECT nn, n_strata, stratum,
+        |    (CAST(n_s AS DOUBLE) / CAST(nn AS DOUBLE)) *
+        |      (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |       CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS term
+        |  FROM strata CROSS JOIN tot)
+        |SELECT nn AS n_users, n_strata,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list({'stratum': stratum,
+        |      'term': term})), x -> x.term)), (a, t) -> a + t) AS ate
+        |FROM terms GROUP BY nn, n_strata""".stripMargin,
+
+    "q226_wilson_ci" ->
+      """WITH conv AS (SELECT user_id,
+        |    CAST(max(CASE WHEN event_type = 'purchase' AND value > 150.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        |  FROM events GROUP BY 1),
+        |arms AS (SELECT user_id % 2 AS variant,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+        |  FROM conv GROUP BY 1)
+        |SELECT variant, n, c,
+        |  CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+        |  ((CAST(c AS DOUBLE) + 1.9207294103470627) /
+        |   (CAST(n AS DOUBLE) + 3.8414588206941254) -
+        |   1.959963984540054 * sqrt(CAST(c AS DOUBLE) *
+        |     CAST(n - c AS DOUBLE) / CAST(n AS DOUBLE) + 0.9603647051735313)
+        |     / (CAST(n AS DOUBLE) + 3.8414588206941254)) AS wilson_lo,
+        |  ((CAST(c AS DOUBLE) + 1.9207294103470627) /
+        |   (CAST(n AS DOUBLE) + 3.8414588206941254) +
+        |   1.959963984540054 * sqrt(CAST(c AS DOUBLE) *
+        |     CAST(n - c AS DOUBLE) / CAST(n AS DOUBLE) + 0.9603647051735313)
+        |     / (CAST(n AS DOUBLE) + 3.8414588206941254)) AS wilson_hi
+        |FROM arms ORDER BY variant""".stripMargin)
 }
