@@ -691,6 +691,174 @@ object CatalogStats {
       .orderBy(col("variant"))
   }
 
+  /** Kendall's τ-b between the daily event count and the daily purchase
+    * count — the rank-correlation twin of q216's Spearman, robust to the
+    * monotone-transform family and exact under ties (τ-b's tie
+    * correction; Kendall 1945). Pairwise concordance is quadratic by
+    * definition, so the pair space is bounded BY CONSTRUCTION to the
+    * daily series (calendar days, never raw events — the q207 ACF
+    * discipline): concordant/discordant/tie counts are exact integers
+    * from a d1 < d2 self-join of the tiny daily aggregate, and the only
+    * float is the final divide by √((n0−n1)(n0−n2)). */
+  def q227KendallTau(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val a = daily.select(col("d").as("d1"), col("x").as("x1"), col("y").as("y1"))
+    val b = daily.select(col("d").as("d2"), col("x").as("x2"), col("y").as("y2"))
+    val sgn = (col("x2") - col("x1")) * (col("y2") - col("y1"))
+    a.join(b, col("d1") < col("d2"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when(sgn > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(sgn < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("x1") === col("x2"), 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("y1") === col("y2"), 1L).otherwise(0L)).as("ties_y"))
+      .select(col("n0"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"),
+        ((col("concordant") - col("discordant")).cast("double") /
+          sqrt(((col("n0") - col("ties_x")) * (col("n0") - col("ties_y")))
+            .cast("double"))).as("tau_b"))
+  }
+
+  /** CUPED variance reduction for q205's A/B split (Deng et al. 2013,
+    * WSDM): pre-period covariate X = a user's event count before the
+    * corpus midpoint, outcome Y = post-midpoint purchase count,
+    * θ = cov(X,Y)/var(X) from the pooled arms. All moments are exact
+    * int64 sums (θ and ρ² are single divides of integer-built terms;
+    * ρ²'s numerator is squared in double only because (n·Σxy − ΣxΣy)²
+    * can exceed int64); the adjusted difference is a fixed
+    * parenthesization over per-arm integer sums. ρ² IS the fraction of
+    * outcome variance CUPED removes — the experiment-velocity dividend. */
+  def q228Cuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val span = ev.agg(min(to_date(col("ts"))).as("min_d"),
+      max(to_date(col("ts"))).as("max_d"))
+      .select(date_add(col("min_d"),
+        floor(datediff(col("max_d"), col("min_d")) / 2).cast("int")).as("mid_d"))
+    val users = ev.crossJoin(broadcast(span))
+      .groupBy(col("user_id"))
+      .agg(sum(when(to_date(col("ts")) < col("mid_d"), 1L).otherwise(0L)).as("x"),
+        sum(when(to_date(col("ts")) >= col("mid_d") &&
+          col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .select((col("user_id") % 2).as("variant"), col("x"), col("y"))
+    val m = users.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("variant") === 1, col("x")).otherwise(0L)).as("sx1"),
+      sum(when(col("variant") === 1, col("y")).otherwise(0L)).as("sy1"),
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("variant") === 0, col("x")).otherwise(0L)).as("sx0"),
+      sum(when(col("variant") === 0, col("y")).otherwise(0L)).as("sy0"))
+    def armMean(sc: Column, nc: Column): Column =
+      sc.cast("double") / nc.cast("double")
+    m.withColumn("theta",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .select(col("n").as("n_users"), col("theta"),
+        (armMean(col("sy1"), col("n1")) - armMean(col("sy0"), col("n0")))
+          .as("diff_raw"),
+        ((armMean(col("sy1"), col("n1")) - col("theta") *
+          (armMean(col("sx1"), col("n1")) - armMean(col("sx"), col("n")))) -
+          (armMean(col("sy0"), col("n0")) - col("theta") *
+            (armMean(col("sx0"), col("n0")) - armMean(col("sx"), col("n")))))
+          .as("diff_cuped"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("rho2"))
+  }
+
+  /** Cohen's kappa between two INDEPENDENT heuristic document raters —
+    * the inter-annotator-agreement statistic that tells you whether two
+    * quality gates measure the same thing or merely both fire often
+    * (Cohen 1960): rater A = length gate (n_chars ∈ [150, 450]), rater
+    * B = lexical-diversity gate (distinct tokens ≥ half of total — the
+    * q215 TTR at threshold 1/2, integer-compared so no float ratio).
+    * κ = (n(a+d) − E) / (n² − E) with E = (a+b)(a+c) + (c+d)(b+d): ONE
+    * divide of two exact int64s built from the 2×2 confusion counts. */
+  def q229Kappa(s: SparkSession, dir: String): DataFrame = {
+    val rated = Tables.documents(s, dir)
+      .select(
+        (col("n_chars") >= 150 && col("n_chars") <= 450).as("ra"),
+        (size(array_distinct(split(col("text"), " "))) * 2 >=
+          size(split(col("text"), " "))).as("rb"))
+    val c = rated.agg(
+      sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("both_pass"),
+      sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("only_a"),
+      sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("only_b"),
+      sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("neither"))
+    val n = col("both_pass") + col("only_a") + col("only_b") + col("neither")
+    val e = (col("both_pass") + col("only_a")) *
+      (col("both_pass") + col("only_b")) +
+      (col("only_b") + col("neither")) * (col("only_a") + col("neither"))
+    c.select(col("both_pass"), col("only_a"), col("only_b"), col("neither"),
+      ((col("both_pass") + col("neither")).cast("double") / n.cast("double"))
+        .as("po"),
+      ((n * (col("both_pass") + col("neither")) - e).cast("double") /
+        (n * n - e).cast("double")).as("kappa"))
+  }
+
+  /** Pairwise Jensen-Shannon divergence between source unigram
+    * distributions over 64 hashed token buckets (the q115 KL fixture,
+    * symmetrized and bounded): JSD(P,Q) = ½Σ p·lg(2·cP·NQ ∕ (cP·NQ +
+    * cQ·NP)) + ½Σ q·(mirror) — every lg argument is an exact int64
+    * product, so the md5-bucketed distribution AND the divergence are
+    * bit-replayable in the oracle. The pair×bucket grid is bounded
+    * (sources × 64) regardless of corpus size; per-pair sums are sorted
+    * folds over the bucket axis. The source-similarity matrix behind
+    * mixing decisions: JSD → 0 ⟺ interchangeable sources, → 1 bit ⟺
+    * disjoint vocabularies. (Exact-lg is the chord between adjacent
+    * powers of two — ≤ true log₂ by ≤ 0.0861 bits — so values can dip
+    * below 0 by at most that chord gap; the [0,1] bound holds to that
+    * tolerance.) */
+  def q230Jsd(s: SparkSession, dir: String): DataFrame = {
+    val buckets = 64
+    def bucket(t: Column): Column =
+      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong))
+    val dc = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), bucket(col("tok")).as("b"))
+      .agg(count(lit(1)).as("ct"))
+    val tot = dc.groupBy(col("source")).agg(sum(col("ct")).as("nt"))
+    val srcs = tot.select(col("source"), col("nt"))
+    val grid = srcs.select(col("source").as("sa"), col("nt").as("na"))
+      .join(srcs.select(col("source").as("sb"), col("nt").as("nb")),
+        col("sa") < col("sb"))
+      .crossJoin(broadcast(
+        dc.select(col("b")).distinct()))
+    val joined = grid
+      .join(dc.select(col("source").as("sa"), col("b"), col("ct").as("ca")),
+        Seq("sa", "b"), "left")
+      .join(dc.select(col("source").as("sb"), col("b"), col("ct").as("cb")),
+        Seq("sb", "b"), "left")
+      .select(col("sa"), col("sb"), col("b"), col("na"), col("nb"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .filter(col("ca") + col("cb") > 0)
+    val mixDen = col("ca") * col("nb") + col("cb") * col("na")
+    val termA = when(col("ca") > 0,
+      (col("ca").cast("double") / col("na").cast("double")) *
+        (lg(lit(2L) * col("ca") * col("nb")) - lg(mixDen))).otherwise(lit(0.0))
+    val termB = when(col("cb") > 0,
+      (col("cb").cast("double") / col("nb").cast("double")) *
+        (lg(lit(2L) * col("cb") * col("na")) - lg(mixDen))).otherwise(lit(0.0))
+    joined
+      .select(col("sa"), col("sb"), col("b"),
+        (lit(0.5) * termA + lit(0.5) * termB).as("contrib"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("b"), col("contrib")))),
+          e => e("contrib")),
+        lit(0.0), (acc, x) => acc + x).as("jsd_bits"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_acf"            -> q207Acf _,
     "q208_survival"       -> q208Survival _,
@@ -711,5 +879,9 @@ object CatalogStats {
     "q223_ndcg"           -> q223Ndcg _,
     "q224_label_noise"    -> q224LabelNoise _,
     "q225_stratified_ate" -> q225StratifiedAte _,
-    "q226_wilson_ci"      -> q226WilsonCi _)
+    "q226_wilson_ci"      -> q226WilsonCi _,
+    "q227_kendall_tau"    -> q227KendallTau _,
+    "q228_cuped"          -> q228Cuped _,
+    "q229_kappa"          -> q229Kappa _,
+    "q230_jsd"            -> q230Jsd _)
 }

@@ -500,5 +500,129 @@ object OraclesStats {
         |   1.959963984540054 * sqrt(CAST(c AS DOUBLE) *
         |     CAST(n - c AS DOUBLE) / CAST(n AS DOUBLE) + 0.9603647051735313)
         |     / (CAST(n AS DOUBLE) + 3.8414588206941254)) AS wilson_hi
-        |FROM arms ORDER BY variant""".stripMargin)
+        |FROM arms ORDER BY variant""".stripMargin,
+
+    "q227_kendall_tau" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN (x2 - x1) * (y2 - y1) > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS concordant,
+        |    CAST(sum(CASE WHEN (x2 - x1) * (y2 - y1) < 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS discordant,
+        |    CAST(sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+        |    CAST(sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+        |  FROM p)
+        |SELECT n0, concordant, discordant, ties_x, ties_y,
+        |  CAST(concordant - discordant AS DOUBLE) /
+        |    sqrt(CAST((n0 - ties_x) * (n0 - ties_y) AS DOUBLE)) AS tau_b
+        |FROM c""".stripMargin,
+
+    "q228_cuped" ->
+      """WITH span AS (SELECT min(CAST(ts AS DATE)) AS min_d,
+        |    max(CAST(ts AS DATE)) AS max_d FROM events),
+        |mid AS (SELECT min_d + CAST(floor(
+        |    CAST(date_diff('day', min_d, max_d) AS DOUBLE) / 2) AS INT)
+        |    AS mid_d FROM span),
+        |users AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) < mid_d THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) >= mid_d
+        |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events CROSS JOIN mid GROUP BY 1),
+        |u AS (SELECT user_id % 2 AS variant, x, y FROM users),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+        |    CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+        |    CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0
+        |  FROM u),
+        |t AS (SELECT *, CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS theta FROM m)
+        |SELECT n AS n_users, theta,
+        |  (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |    CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS diff_raw,
+        |  ((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) - theta *
+        |    (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) -
+        |   (CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) - theta *
+        |    (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) AS diff_cuped,
+        |  (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (CAST(n * sxx - sx * sx AS DOUBLE) *
+        |      CAST(n * syy - sy * sy AS DOUBLE))) AS rho2
+        |FROM t""".stripMargin,
+
+    "q229_kappa" ->
+      """WITH rated AS (SELECT
+        |    (n_chars >= 150 AND n_chars <= 450) AS ra,
+        |    (2 * len(list_distinct(string_split(text, ' '))) >=
+        |      len(string_split(text, ' '))) AS rb
+        |  FROM documents),
+        |c AS (SELECT
+        |    CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS both_pass,
+        |    CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS only_a,
+        |    CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS only_b,
+        |    CAST(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS neither
+        |  FROM rated)
+        |SELECT both_pass, only_a, only_b, neither,
+        |  CAST(both_pass + neither AS DOUBLE) /
+        |    CAST(both_pass + only_a + only_b + neither AS DOUBLE) AS po,
+        |  CAST((both_pass + only_a + only_b + neither) * (both_pass + neither) -
+        |      ((both_pass + only_a) * (both_pass + only_b) +
+        |        (only_b + neither) * (only_a + neither)) AS DOUBLE) /
+        |    CAST((both_pass + only_a + only_b + neither) *
+        |        (both_pass + only_a + only_b + neither) -
+        |      ((both_pass + only_a) * (both_pass + only_b) +
+        |        (only_b + neither) * (only_a + neither)) AS DOUBLE) AS kappa
+        |FROM c""".stripMargin,
+
+    "q230_jsd" -> {
+      s"""WITH tk AS (SELECT source,
+         |    CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS BIGINT) AS b
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)),
+         |dc AS (SELECT source, b, CAST(count(*) AS BIGINT) AS ct
+         |  FROM tk GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(ct) AS BIGINT) AS nt FROM dc GROUP BY 1),
+         |bs AS (SELECT DISTINCT b FROM dc),
+         |grid AS (SELECT a.source AS sa, a.nt AS na,
+         |    bb.source AS sb, bb.nt AS nb, bs.b
+         |  FROM tot a JOIN tot bb ON a.source < bb.source CROSS JOIN bs),
+         |j AS (SELECT sa, sb, grid.b AS b, na, nb,
+         |    CAST(coalesce(ca.ct, 0) AS BIGINT) AS ca,
+         |    CAST(coalesce(cb.ct, 0) AS BIGINT) AS cb
+         |  FROM grid
+         |  LEFT JOIN dc ca ON ca.source = grid.sa AND ca.b = grid.b
+         |  LEFT JOIN dc cb ON cb.source = grid.sb AND cb.b = grid.b),
+         |t AS (SELECT sa, sb, b,
+         |    0.5 * (CASE WHEN ca > 0 THEN
+         |      (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) *
+         |        (${lg("2 * ca * nb")} - ${lg("ca * nb + cb * na")})
+         |      ELSE 0.0 END) +
+         |    0.5 * (CASE WHEN cb > 0 THEN
+         |      (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) *
+         |        (${lg("2 * cb * na")} - ${lg("ca * nb + cb * na")})
+         |      ELSE 0.0 END) AS contrib
+         |  FROM j WHERE ca + cb > 0)
+         |SELECT sa, sb,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(contrib ORDER BY b)), (a, x) -> a + x) AS jsd_bits
+         |FROM t GROUP BY 1, 2 ORDER BY sa, sb""".stripMargin
+    })
 }
