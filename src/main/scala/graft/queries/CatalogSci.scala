@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
  */
 object CatalogSci {
 
+  private def lg(x: Column): Column = graft.curation.Curation.lg(x)
+
   /** md5-prefix uniform u32 ∈ [0, 2³²) of a string column. */
   private def u32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
@@ -515,7 +517,585 @@ object CatalogSci {
       .orderBy(col("label"))
   }
 
+  /** Sample-ratio-mismatch guardrail for the q205 A/B assignment
+    * (Fabijan et al. 2019 — the single most common invalidator of
+    * online experiments): χ² = (n1−n0)²∕(n1+n0) against the designed
+    * 50/50 split, flagged at the 0.05 critical value 3.841. One
+    * aggregate; the statistic is one divide of exact int64s. An SRM
+    * flag means the assignment channel is broken and every downstream
+    * readout (q205/q225/q226/q228) is void — which is why it ships as
+    * its own verb. */
+  def q246Srm(s: SparkSession, dir: String): DataFrame = {
+    val arms = Tables.events(s, dir)
+      .select(col("user_id")).distinct()
+      .groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n"))
+    arms.agg(
+        sum(when(col("variant") === 1, col("n")).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 0, col("n")).otherwise(0L)).as("n0"))
+      .select(col("n1"), col("n0"),
+        ((col("n1") - col("n0")) * (col("n1") - col("n0"))).cast("double")
+          ./((col("n1") + col("n0")).cast("double")).as("chi2"))
+      .select(col("n1"), col("n0"), col("chi2"),
+        (col("chi2") > 3.841458820694124).as("srm_flag"))
+  }
+
+  /** Quadratic-kernel MMD² between two embedding populations (even vs
+    * odd vec_id) THROUGH SECOND-MOMENT MATRICES — the closed form that
+    * turns the O(n²) kernel two-sample test (Gretton et al. 2012) into
+    * two d×d moment aggregates: for k(x,y) = (x·y)², MMD² =
+    * ‖M_P − M_Q‖²_F with M = (1∕n)Σ xxᵀ. Coordinates quantized to 2¹⁰
+    * fixed-point so every moment entry is an exact int64 sum
+    * (order-free, any partitioning); the Frobenius norm is a sorted
+    * fold over the BOUNDED (i,j) grid (d² = 4096 rows). The embedding
+    * drift detector that scales: state is d², never n². */
+  def q247MmdQuad(s: SparkSession, dir: String): DataFrame = {
+    val qscale = 1024L
+    val emb = Tables.embeddings(s, dir)
+      .select((col("vec_id") % 2 === 0).as("grp"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * qscale).cast("long")).as("q"))
+    val pairs = emb
+      .select(col("grp"), posexplode(col("q")).as(Seq("i", "qi")), col("q"))
+      .select(col("grp"), col("i"), col("qi"),
+        posexplode(col("q")).as(Seq("j", "qj")))
+      .groupBy(col("grp"), col("i"), col("j"))
+      .agg(sum(col("qi") * col("qj")).as("sij"), count(lit(1)).as("n"))
+    val m = pairs.select(col("grp"), col("i"), col("j"),
+      (col("sij").cast("double") / col("n").cast("double") /
+        lit((qscale * qscale).toDouble)).as("mij"))
+    val a = m.filter(col("grp")).select(col("i"), col("j"),
+      col("mij").as("ma"))
+    val b = m.filter(!col("grp")).select(col("i"), col("j"),
+      col("mij").as("mb"))
+    val na = emb.filter(col("grp")).count()
+    val nb = emb.filter(!col("grp")).count()
+    a.join(b, Seq("i", "j"))
+      .select(col("i"), col("j"),
+        ((col("ma") - col("mb")) * (col("ma") - col("mb"))).as("d2"))
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("i"), col("j"),
+          col("d2")))), e => e("d2")),
+        lit(0.0), (acc, x) => acc + x).as("mmd2_quad"))
+      .select(lit(na).as("n_even"), lit(nb).as("n_odd"), col("mmd2_quad"))
+  }
+
+  /** 10%-trimmed-mean difference between A/B arms — the robust outcome
+    * readout that one whale user can't move (unlike q228's raw means):
+    * per arm, drop the lowest and highest ⌊n∕10⌋ per-user purchase
+    * totals (integer cents) by rank, average the middle. Order
+    * statistics are integer-rank picks; the trimmed sums are exact
+    * int64; two divides and a subtraction at the end. */
+  def q248TrimmedAte(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L)).as("cents"))
+      .select((col("user_id") % 2).as("variant"), col("user_id"), col("cents"))
+    val w = Window.partitionBy(col("variant"))
+      .orderBy(col("cents"), col("user_id"))
+    val counted = users
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("variant"))))
+    val trimmed = counted
+      .filter(col("rn") > floor(col("n") / 10) &&
+        col("rn") <= col("n") - floor(col("n") / 10))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("cents")).as("s"))
+      .select(col("variant"), col("n_kept"),
+        (col("s").cast("double") / col("n_kept").cast("double") / 100.0)
+          .as("trimmed_mean"))
+    val a1 = trimmed.filter(col("variant") === 1)
+      .select(col("n_kept").as("n1_kept"), col("trimmed_mean").as("tm1"))
+    val a0 = trimmed.filter(col("variant") === 0)
+      .select(col("n_kept").as("n0_kept"), col("trimmed_mean").as("tm0"))
+    a1.crossJoin(broadcast(a0))
+      .select(col("n1_kept"), col("n0_kept"), col("tm1"), col("tm0"),
+        (col("tm1") - col("tm0")).as("trimmed_diff"))
+  }
+
+  /** EXACT Shapley-value conversion attribution over the four
+    * non-purchase channels (Shapley 1953; the data-driven marketing
+    * form) — the axiomatically-fair split that q143's rule-based
+    * attribution approximates. Tractable BY CONSTRUCTION: the channel
+    * set is 4 bits, so the coalition lattice is 16 rows; v(S) = Σ
+    * conversions of users whose touched set ⊆ S (a 16×16 bitmask
+    * containment join); φ_c = Σ_{S∌c} |S|!(3−|S|)!·(v(S∪c) − v(S)) ∕ 4!
+    * with the factorial weights as exact integer literals and ONE
+    * final divide. Efficiency (Σφ = v(full) − v(∅)) is the law. */
+  def q249Shapley(s: SparkSession, dir: String): DataFrame = {
+    val chanBit = when(col("event_type") === "click", 1L)
+      .when(col("event_type") === "error", 2L)
+      .when(col("event_type") === "signup", 4L)
+      .when(col("event_type") === "view", 8L).otherwise(0L)
+    val usersPre = Tables.events(s, dir)
+      .select(col("user_id"), chanBit.as("chan"), col("event_type"),
+        col("value"))
+      .groupBy(col("user_id"))
+      .agg(expr("bit_or(chan)").as("mask"),
+        max(when(col("event_type") === "purchase" && col("value") > 150.0, 1L)
+          .otherwise(0L)).as("conv"))
+    val byMask = usersPre.groupBy(col("mask"))
+      .agg(sum(col("conv")).as("conv_cnt"))
+    val grid = s.range(16).select(col("id").as("S"))
+    val v = grid.join(byMask,
+        (col("mask").bitwiseAND(col("S"))) === col("mask"), "left")
+      .groupBy(col("S"))
+      .agg(coalesce(sum(col("conv_cnt")), lit(0L)).as("v"))
+    val chans = s.range(1)
+      .select(explode(array(lit(1L), lit(2L), lit(4L), lit(8L))).as("c"))
+    val wOf = when(col("pop") === 0, 6L).when(col("pop") === 1, 2L)
+      .when(col("pop") === 2, 2L).otherwise(6L)
+    val terms = chans.join(v.select(col("S"), col("v").as("vs")),
+        col("S").bitwiseAND(col("c")) === 0)
+      .join(v.select(col("S").as("S2"), col("v").as("vsc")),
+        col("S2") === col("S").bitwiseOR(col("c")))
+      .select(col("c"), col("S"), bit_count(col("S")).cast("long").as("pop"),
+        (col("vsc") - col("vs")).as("delta"))
+      .select(col("c"), col("S"), (wOf * col("delta")).as("wd"))
+    terms.groupBy(col("c"))
+      .agg(sum(col("wd")).as("swd"))
+      .select(
+        when(col("c") === 1, "click").when(col("c") === 2, "error")
+          .when(col("c") === 4, "signup").otherwise("view").as("channel"),
+        (col("swd").cast("double") / 24.0).as("phi"))
+      .orderBy(col("channel"))
+  }
+
+  /** A 64-token word embedding trained IN-ENGINE: positive-PMI matrix
+    * over adjacent-token co-occurrence restricted to the top-64
+    * vocabulary (bounded 64×64 grid), then 8 power-iteration rounds
+    * for the top singular direction — the PMI+SVD construction that
+    * word2vec implicitly factorizes (Levy & Goldberg 2014). PPMI
+    * entries are exact-lg of integer ratios clamped at 0; each
+    * iteration is a row-array dot product (element order = j order,
+    * the q28 contract) + a sorted-fold norm; v₀ = 1∕8 exactly. The
+    * oracle replays all 8 rounds as chained CTEs, the
+    * mirror-the-training pattern of q83/q96/q113. */
+  def q250PmiSvd(s: SparkSession, dir: String): DataFrame = {
+    val topK = 64
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("p", "tok")))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(topK)
+      .withColumn("idx",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok")))
+          .cast("long") - 1)
+    val wNext = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val adj = toks
+      .withColumn("nxt", lead(col("tok"), 1).over(wNext))
+      .filter(col("nxt").isNotNull)
+    val pairs = adj
+      .join(broadcast(top.select(col("tok"), col("idx").as("i"))), "tok")
+      .join(broadcast(top.select(col("tok").as("nxt"), col("idx").as("j"))),
+        "nxt")
+      .select(col("i"), col("j"))
+    // symmetric adjacency counts (both directions)
+    val cooc = pairs.unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("cij"))
+    val marg = cooc.groupBy(col("i")).agg(sum(col("cij")).as("ci"))
+    val tot = cooc.agg(sum(col("cij")).as("nn"))
+    val gi = s.range(topK).select(col("id").as("i"))
+    val gj = s.range(topK).select(col("id").as("j"))
+    val grid = gi.crossJoin(gj)
+    val ppmi = grid
+      .join(cooc, Seq("i", "j"), "left")
+      .join(broadcast(marg.select(col("i"), col("ci"))), Seq("i"), "left")
+      .join(broadcast(marg.select(col("i").as("j"), col("ci").as("cj"))),
+        Seq("j"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("i"), col("j"),
+        when(col("cij").isNull, lit(0.0)).otherwise(
+          greatest(lg(col("cij") * col("nn")) - lg(col("ci") * col("cj")),
+            lit(0.0))).as("m"))
+    val rows = ppmi.groupBy(col("i"))
+      .agg(transform(sort_array(collect_list(struct(col("j"), col("m")))),
+        e => e("m")).as("row"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
+    val v0 = rows.sparkSession.range(1)
+      .select(array((0 until topK).map(_ => lit(0.125)): _*).as("v"))
+    def iterate(vk: DataFrame): DataFrame = {
+      val y = rows.crossJoin(broadcast(vk))
+        .select(col("i"), dot(col("row"), col("v")).as("y"))
+      val norm = y.agg(sqrt(aggregate(
+        transform(sort_array(collect_list(struct(col("i"), col("y")))),
+          e => e("y") * e("y")),
+        lit(0.0), (acc, x) => acc + x)).as("norm"))
+      y.crossJoin(broadcast(norm))
+        .select(col("i"), (col("y") / col("norm")).as("vi"), col("norm"))
+        .groupBy(col("norm"))
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("vi")))),
+          e => e("vi")).as("v"))
+        .select(col("v"), col("norm"))
+    }
+    val vFinal = (1 to 8).foldLeft(v0.select(col("v"), lit(0.0).as("norm")))(
+      (v, _) => iterate(v.select(col("v"))).localCheckpoint())
+    top.select(col("tok"), col("idx"), col("cnt"))
+      .crossJoin(broadcast(vFinal))
+      .select(col("tok"), col("idx"), col("cnt"),
+        element_at(col("v"), col("idx").cast("int") + 1).as("loading"),
+        col("norm").as("eigval"))
+      .orderBy(col("idx"))
+  }
+
+  /** Hill tail-index estimator over purchase amounts (Hill 1975): with
+    * the top k+1 order statistics of integer cents, ξ̂ = (1∕k)·Σ
+    * (lg x_(i) − lg x_(k+1)) in exact-lg bits and α̂ = 1∕(ξ̂·ln2) —
+    * how heavy the revenue tail is (α ≤ 2 ⟹ infinite variance: mean
+    * readouts like q228's are then fragile, use q248). Order
+    * statistics via TakeOrdered (never a global sort), the spread sum
+    * a sorted fold over the k ranked rows. */
+  def q251HillTail(s: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val cents = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(round(col("value") * 100).cast("long").as("x"),
+        col("event_id"))
+      .orderBy(col("x").desc, col("event_id"))
+      .limit(k + 1)
+    val ranked = cents
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("x").desc, col("event_id"))).cast("long"))
+    val xk1 = ranked.filter(col("rn") === k + 1)
+      .select(col("x").as("xk1"))
+    ranked.filter(col("rn") <= k)
+      .crossJoin(broadcast(xk1))
+      .select(col("rn"), (lg(col("x")) - lg(col("xk1"))).as("spread"),
+        col("xk1"))
+      .groupBy(col("xk1"))
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("rn"), col("spread")))),
+          e => e("spread")),
+        lit(0.0), (acc, x) => acc + x).as("sumspread"))
+      .select(lit(k.toLong).as("k"), col("xk1"),
+        (col("sumspread") / lit(k.toDouble)).as("xi_bits"),
+        (lit(1.0) / (col("sumspread") / lit(k.toDouble) *
+          lit(0.6931471805599453))).as("alpha"))
+  }
+
+  /** Hilbert-curve layout audit — the locality-preserving twin of
+    * q76's Z-order (Hilbert beats Morton on max within-bucket
+    * distance because it never "teleports" across quadrant seams):
+    * (l_partkey, l_suppkey) mod 256 → the order-8 Hilbert index via
+    * the classic 8-round rotate-and-accumulate (Hamilton's xy2d),
+    * each round pure integer CASE arithmetic — identical in both
+    * engines. Buckets = 16 index ranges; the audit emits each
+    * bucket's row count and bounding box, the q76 contract, so the
+    * two layouts' seam behavior can be compared directly. */
+  def q252Hilbert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .select(pmod(col("l_partkey"), lit(256L)).as("px"),
+        pmod(col("l_suppkey"), lit(256L)).as("py"))
+      .select(col("px"), col("py"), col("px").as("x"), col("py").as("y"),
+        lit(0L).as("d"))
+    val indexed = Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L).foldLeft(base) {
+      (df, sBit) =>
+        val rx = when(col("x").bitwiseAND(sBit) > 0, 1L).otherwise(0L)
+        val ry = when(col("y").bitwiseAND(sBit) > 0, 1L).otherwise(0L)
+        df.withColumn("rx", rx).withColumn("ry", ry)
+          .withColumn("d",
+            col("d") + lit(sBit * sBit) *
+              (lit(3L) * col("rx")).bitwiseXOR(col("ry")))
+          .withColumn("x2",
+            when(col("ry") === 0 && col("rx") === 1,
+              lit(sBit - 1) - col("x")).otherwise(col("x")))
+          .withColumn("y2",
+            when(col("ry") === 0 && col("rx") === 1,
+              lit(sBit - 1) - col("y")).otherwise(col("y")))
+          .select(col("px"), col("py"),
+            when(col("ry") === 0, col("y2")).otherwise(col("x2")).as("x"),
+            when(col("ry") === 0, col("x2")).otherwise(col("y2")).as("y"),
+            col("d"))
+    }
+    indexed
+      .withColumn("bucket", floor(col("d") / lit(4096L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("px")).as("min_pk"), max(col("px")).as("max_pk"),
+        min(col("py")).as("min_sk"), max(col("py")).as("max_sk"))
+      .orderBy(col("bucket"))
+  }
+
+  /** V-optimal histogram (Jagadish et al. 1998 — THE optimal-bucket
+    * construction behind optimizer statistics, upgrading q85's
+    * equi-depth): B = 4 buckets over the bounded ⌊n_chars∕20⌋ level
+    * domain minimizing total weighted SSE, by dynamic programming
+    * dp_b(i) = min_j dp_{b−1}(j) + sse(j..i] — fully relational
+    * because the level domain is bounded: prefix sums once (exact
+    * int64 moments), interval SSE = one divide, argmin via a
+    * (cost, j) row_number so ties break deterministically, backtrack
+    * = three bounded joins. */
+  def q253VoptimalHist(s: SparkSession, dir: String): DataFrame = {
+    val lv = Tables.documents(s, dir)
+      .groupBy(floor(col("n_chars") / 20).as("l"))
+      .agg(count(lit(1)).as("w"))
+    val wOrd = Window.orderBy(col("l"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = lv
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("cw", sum(col("w")).over(wCum))
+      .withColumn("cwv", sum(col("w") * col("l")).over(wCum))
+      .withColumn("cwv2", sum(col("w") * col("l") * col("l")).over(wCum))
+    val pre0 = pre.select(col("i"), col("l"), col("cw"), col("cwv"),
+        col("cwv2"))
+      .unionByName(s.range(1).select(lit(0L).as("i"), lit(-1L).as("l"),
+        lit(0L).as("cw"), lit(0L).as("cwv"), lit(0L).as("cwv2")))
+    val iv = pre0.select(col("i").as("j"), col("cw").as("cwj"),
+        col("cwv").as("cvj"), col("cwv2").as("c2j"))
+      .join(pre0.select(col("i").as("k"), col("l").as("lk"),
+        col("cw").as("cwk"), col("cwv").as("cvk"), col("cwv2").as("c2k")),
+        col("j") < col("k"))
+      .select(col("j"), col("k"), col("lk"),
+        (col("cwk") - col("cwj")).as("ww"),
+        ((col("c2k") - col("c2j")).cast("double") -
+          ((col("cvk") - col("cvj")).cast("double") *
+            (col("cvk") - col("cvj")).cast("double") /
+            (col("cwk") - col("cwj")).cast("double"))).as("sse"))
+    val dp1 = iv.filter(col("j") === 0)
+      .select(col("k").as("i"), col("sse").as("cost"), lit(0L).as("arg"))
+    def dpNext(prev: DataFrame): DataFrame = {
+      val cand = prev.select(col("i").as("j"), col("cost").as("pc"))
+        .join(iv, "j")
+        .select(col("k").as("i"), col("j"), (col("pc") + col("sse")).as("cost"))
+      cand.withColumn("rn", row_number().over(
+          Window.partitionBy(col("i")).orderBy(col("cost"), col("j"))))
+        .filter(col("rn") === 1)
+        .select(col("i"), col("cost"), col("j").as("arg"))
+    }
+    val dp2 = dpNext(dp1); val dp3 = dpNext(dp2); val dp4 = dpNext(dp3)
+    val last = pre.agg(max(col("i")).as("bL"))
+    val b4 = dp4.join(broadcast(last), col("i") === col("bL"))
+      .select(col("arg").as("j4"), col("i").as("i4"))
+    val b3 = b4.join(dp3, col("i") === col("j4"))
+      .select(col("j4"), col("i4"), col("arg").as("j3"))
+    val b2 = b3.join(dp2, col("i") === col("j3"))
+      .select(col("j4"), col("i4"), col("j3"), col("arg").as("j2"))
+    val spans = b2.select(explode(array(
+      struct(lit(1L).as("bucket"), lit(0L).as("jj"), col("j2").as("kk")),
+      struct(lit(2L).as("bucket"), col("j2").as("jj"), col("j3").as("kk")),
+      struct(lit(3L).as("bucket"), col("j3").as("jj"), col("j4").as("kk")),
+      struct(lit(4L).as("bucket"), col("j4").as("jj"), col("i4").as("kk"))))
+      .as("sp"))
+      .select(col("sp.bucket").as("bucket"), col("sp.jj").as("jj"),
+        col("sp.kk").as("kk"))
+    spans.join(iv, col("jj") === col("j") && col("kk") === col("k"))
+      .join(pre0.select(col("i").as("jj2"), col("l").as("lo0")),
+        col("jj2") === col("jj"))
+      .select(col("bucket"), (col("lo0") + 1).as("lo_level"),
+        col("lk").as("hi_level"), col("ww").as("n_docs"), col("sse"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Huber-robust linear fit of n_chars on token count via 4 IRLS
+    * rounds (Huber 1964) — the outlier-resistant counterpart of
+    * q238's OLS, built with the q241 discipline so every round is
+    * order-free: weights quantized to 2¹⁶ integers (w = 1 for
+    * |r| ≤ c, c∕|r| beyond, c = 50 chars), weighted moments are exact
+    * int64 sums, and only the closed-form solve combines them in
+    * doubles with fixed parenthesization. Reports the downweighted
+    * count — the outlier census. */
+  def q254HuberIrls(s: SparkSession, dir: String): DataFrame = {
+    val c = 50.0
+    val wq = 65536L
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("x"),
+        col("n_chars").as("y"))
+    val ols = docs.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          col("n").cast("double"))
+      .select(col("slope"), col("intercept"))
+    def iterate(fit: DataFrame): DataFrame = {
+      val r = docs.crossJoin(broadcast(fit))
+        .withColumn("res",
+          abs(col("y").cast("double") -
+            (col("slope") * col("x").cast("double") + col("intercept"))))
+        .withColumn("w",
+          when(col("res") <= c, lit(wq)).otherwise(
+            round(lit(c * wq) / col("res")).cast("long")))
+      r.agg(sum(col("w")).as("sw"), sum(col("w") * col("x")).as("swx"),
+          sum(col("w") * col("y")).as("swy"),
+          sum(col("w") * col("x") * col("y")).as("swxy"),
+          sum(col("w") * col("x") * col("x")).as("swxx"),
+          sum(when(col("w") < wq, 1L).otherwise(0L)).as("n_down"))
+        .withColumn("slope",
+          (col("sw").cast("double") * col("swxy").cast("double") -
+            col("swx").cast("double") * col("swy").cast("double")) /
+            (col("sw").cast("double") * col("swxx").cast("double") -
+              col("swx").cast("double") * col("swx").cast("double")))
+        .withColumn("intercept",
+          (col("swy").cast("double") - col("slope") * col("swx").cast("double")) /
+            col("sw").cast("double"))
+        .select(col("slope"), col("intercept"), col("n_down"))
+    }
+    val r4 = (1 to 4).foldLeft(ols.withColumn("n_down", lit(0L)))(
+      (f, _) => iterate(f.select(col("slope"), col("intercept")))
+        .localCheckpoint())
+    r4.select(col("slope"), col("intercept"), col("n_down"))
+  }
+
+  /** O'Brien–Fleming canonical two-sided 5%-level z boundaries for
+    * K = 5 looks (Pocock & OBF tables) — shared literals with the
+    * oracle. */
+  private[queries] val ObfZ: Seq[Double] = Seq(4.562, 3.226, 2.634, 2.281, 2.040)
+
+  /** χ²(1df) critical values at p = k·0.1∕20 for the q256 BH step-up,
+    * k = 1..20 — computed once with Acklam's inverse-normal (squared)
+    * and shared with the oracle as literals. */
+  private[queries] val BhCrits: Seq[Double] = Seq(
+    7.879438586561168, 6.634896615935399, 5.916467894004033,
+    5.411894432669696, 5.02388618220602, 4.709292237637316,
+    4.445175129402364, 4.217884581231152, 4.018639511908922,
+    3.841458826888164, 3.6820859703646254, 3.5373845885063924,
+    3.404977515008592, 3.283020291174746, 3.17005327915388,
+    3.064901725682189, 2.9666062673046016, 2.8743733940217093,
+    2.787539369375596, 2.705543448115471)
+
+  /** Group-sequential A/B monitoring audit: the q205 conversion test
+    * recomputed at 5 evenly spaced interim looks against the
+    * O'Brien–Fleming boundary (O'Brien & Fleming 1979) — the peeking
+    * discipline that keeps repeated looks at 5% overall error, versus
+    * naive peeking whose false-positive rate balloons. Per look the
+    * 2×2 χ² is exact integers with one divide; boundaries are shared
+    * z² literals. A user enters the denominator once their first
+    * event is on or before the look date. */
+  def q255ObrienFleming(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_d"),
+        min(when(col("event_type") === "purchase" && col("value") > 150.0,
+          to_date(col("ts")))).as("conv_d"))
+      .select((col("user_id") % 2).as("variant"), col("first_d"), col("conv_d"))
+    val span = ev.agg(min(to_date(col("ts"))).as("min_d"),
+      max(to_date(col("ts"))).as("max_d"))
+    val looks = span
+      .select(explode(sequence(lit(1L), lit(5L))).as("look"),
+        col("min_d"), col("max_d"))
+      .select(col("look"),
+        date_add(col("min_d"),
+          floor(datediff(col("max_d"), col("min_d")) * col("look") / 5)
+            .cast("int")).as("look_d"))
+    val cum = users.crossJoin(broadcast(looks))
+      .filter(col("first_d") <= col("look_d"))
+      .withColumn("conv",
+        when(col("conv_d").isNotNull && col("conv_d") <= col("look_d"), 1L)
+          .otherwise(0L))
+      .groupBy(col("look"), col("look_d"))
+      .agg(sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("a"),
+        sum(when(col("variant") === 1, lit(1L) - col("conv")).otherwise(0L)).as("b"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("c"),
+        sum(when(col("variant") === 0, lit(1L) - col("conv")).otherwise(0L)).as("d"))
+    val n = col("a") + col("b") + col("c") + col("d")
+    val num = col("a") * col("d") - col("b") * col("c")
+    val den = (col("a") + col("b")) * (col("c") + col("d")) *
+      (col("a") + col("c")) * (col("b") + col("d"))
+    val bArr = array(ObfZ.map(z => lit(z * z)): _*)
+    cum.select(col("look"),
+        date_format(col("look_d"), "yyyy-MM-dd").as("look_d"), n.as("n"),
+        when(den === 0, lit(0.0)).otherwise(
+          (n.cast("double") * num.cast("double") * num.cast("double")) /
+            den.cast("double")).as("z2"),
+        element_at(bArr, col("look").cast("int")).as("boundary2"))
+      .select(col("look"), col("look_d"), col("n"), col("z2"),
+        col("boundary2"), (col("z2") > col("boundary2")).as("crossed"))
+      .orderBy(col("look"))
+  }
+
+  /** Benjamini–Hochberg FDR control (BH 1995) across the 20 per-source
+    * quality-gate tests: each source's TTR-gate pass rate vs the rest
+    * of the corpus as a 2×2 χ² (exact integers, one divide), ranked
+    * descending, step-up against shared χ²(1) critical literals at
+    * p = k·0.1∕20 — the multiple-testing discipline a per-source audit
+    * needs before flagging "bad sources". k* = the largest rank whose
+    * statistic clears its own threshold; all ranks ≤ k* reject. */
+  def q256BhFdr(s: SparkSession, dir: String): DataFrame = {
+    val rated = Tables.documents(s, dir)
+      .select(col("source"),
+        (size(array_distinct(split(col("text"), " "))) * 2 >=
+          size(split(col("text"), " "))).cast("long").as("pass"))
+    val bySrc = rated.groupBy(col("source"))
+      .agg(sum(col("pass")).as("a0"), count(lit(1)).as("ns"))
+    val tot = bySrc.agg(sum(col("a0")).as("ta"), sum(col("ns")).as("tn"))
+    val cells = bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("a0").as("a"),
+        (col("ns") - col("a0")).as("b"),
+        (col("ta") - col("a0")).as("c"),
+        (col("tn") - col("ns") - (col("ta") - col("a0"))).as("d"))
+    val n = col("a") + col("b") + col("c") + col("d")
+    val num = col("a") * col("d") - col("b") * col("c")
+    val den = (col("a") + col("b")) * (col("c") + col("d")) *
+      (col("a") + col("c")) * (col("b") + col("d"))
+    val scored = cells.select(col("source"),
+      when(den === 0, lit(0.0)).otherwise(
+        (n.cast("double") * num.cast("double") * num.cast("double")) /
+          den.cast("double")).as("chi2"))
+    val cArr = array(BhCrits.map(lit): _*)
+    val ranked = scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("chi2").desc, col("source"))).cast("long"))
+      .withColumn("crit", element_at(cArr, col("rank").cast("int")))
+    val kstar = ranked
+      .agg(max(when(col("chi2") >= col("crit"), col("rank")).otherwise(0L))
+        .as("kstar"))
+    ranked.crossJoin(broadcast(kstar))
+      .select(col("source"), col("chi2"), col("rank"), col("crit"),
+        (col("rank") <= col("kstar")).as("rejected"))
+      .orderBy(col("rank"))
+  }
+
+  /** Entropy rate of the user-behavior Markov chain (Shannon 1948;
+    * the compressibility of behavior): H = −Σ_ij (c_ij∕N)·lg(c_ij∕c_i)
+    * over the q176 transition counts — exact integer counts, exact-lg
+    * differences, sorted fold over the BOUNDED (state × state) grid.
+    * Low rate = scripted/bot-like behavior, high rate = diverse
+    * organic sessions; the behavioral analogue of q128's character
+    * entropy. */
+  def q257EntropyRate(s: SparkSession, dir: String): DataFrame = {
+    val seq0 = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = seq0
+      .withColumn("nxt", lead(col("event_type"), 1).over(wU))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("cij"))
+    val rowTot = trans.groupBy(col("cur")).agg(sum(col("cij")).as("ci"))
+    val tot = trans.agg(sum(col("cij")).as("nn"),
+      countDistinct(col("cur")).as("n_states"))
+    trans.join(broadcast(rowTot), "cur")
+      .crossJoin(broadcast(tot))
+      .select(col("nn"), col("n_states"), col("cur"), col("nxt"),
+        ((col("cij").cast("double") / col("nn").cast("double")) *
+          (lg(col("ci")) - lg(col("cij")))).as("term"))
+      .groupBy(col("nn").as("n_transitions"), col("n_states"))
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("cur"), col("nxt"),
+          col("term")))), e => e("term")),
+        lit(0.0), (acc, x) => acc + x).as("entropy_rate_bits"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_obrien_fleming" -> q255ObrienFleming _,
+    "q256_bh_fdr"         -> q256BhFdr _,
+    "q257_entropy_rate"   -> q257EntropyRate _,
+    "q252_hilbert"        -> q252Hilbert _,
+    "q253_voptimal_hist"  -> q253VoptimalHist _,
+    "q254_huber_irls"     -> q254HuberIrls _,
+    "q249_shapley"        -> q249Shapley _,
+    "q250_pmi_svd"        -> q250PmiSvd _,
+    "q251_hill_tail"      -> q251HillTail _,
+    "q246_srm"            -> q246Srm _,
+    "q247_mmd_quad"       -> q247MmdQuad _,
+    "q248_trimmed_ate"    -> q248TrimmedAte _,
     "q243_capture_recapture" -> q243CaptureRecapture _,
     "q244_isotonic"       -> q244Isotonic _,
     "q245_silhouette"     -> q245Silhouette _,

@@ -8,6 +8,8 @@ package graft.queries
  */
 object OraclesSci {
 
+  private val lg = OraclesExt.lgSqlOf _
+
   /** p^(d−1) RBO weights, built by the SAME repeated multiplication as
     * the engine side and embedded via Double.toString (round-trip
     * exact). */
@@ -40,7 +42,401 @@ object OraclesSci {
        |  FROM x$i GROUP BY 1)""".stripMargin
   }
 
+  /** One PMI-SVD power-iteration round as chained CTEs (q250). */
+  private def pmiIterCtes(t: Int): String = {
+    val prev = s"v${t - 1}"
+    s"""y$t AS MATERIALIZED (SELECT i,
+       |    list_dot_product(row, (SELECT v FROM $prev)) AS y
+       |  FROM rows),
+       |n$t AS MATERIALIZED (SELECT
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(y * y ORDER BY i)), (a, x) -> a + x)) AS norm FROM y$t),
+       |v$t AS MATERIALIZED (SELECT list(y / norm ORDER BY i) AS v, norm
+       |  FROM y$t CROSS JOIN n$t GROUP BY norm)""".stripMargin
+  }
+
+  /** One order-8 Hilbert xy2d round as a CTE (q252): rotate/flip then
+    * accumulate s²·(3rx ⊕ ry), pure integer CASE arithmetic. */
+  private def hilbertRound(t: Int, sBit: Long): String = {
+    val prev = s"r${t - 1}"
+    s"""r$t AS (SELECT px, py,
+       |    CASE WHEN ry = 0 THEN y2 ELSE x2 END AS x,
+       |    CASE WHEN ry = 0 THEN x2 ELSE y2 END AS y,
+       |    d2 AS d
+       |  FROM (SELECT px, py, rx, ry,
+       |      d + ${sBit * sBit} * xor(3 * rx, ry) AS d2,
+       |      CASE WHEN ry = 0 AND rx = 1 THEN ${sBit - 1} - x ELSE x END AS x2,
+       |      CASE WHEN ry = 0 AND rx = 1 THEN ${sBit - 1} - y ELSE y END AS y2
+       |    FROM (SELECT px, py, x, y, d,
+       |        CASE WHEN (x & $sBit) > 0 THEN 1 ELSE 0 END AS rx,
+       |        CASE WHEN (y & $sBit) > 0 THEN 1 ELSE 0 END AS ry
+       |      FROM $prev)))""".stripMargin
+  }
+
+  /** One Huber IRLS round as chained CTEs (q254). */
+  private def huberRound(t: Int): String = {
+    val prev = s"g${t - 1}"
+    s"""w$t AS (SELECT x, y,
+       |    CASE WHEN res <= 50.0 THEN 65536
+       |         ELSE CAST(round(3276800.0 / res) AS BIGINT) END AS w
+       |  FROM (SELECT x, y, abs(CAST(y AS DOUBLE) -
+       |      (slope * CAST(x AS DOUBLE) + intercept)) AS res
+       |    FROM docs CROSS JOIN $prev)),
+       |s$t AS (SELECT CAST(sum(w) AS BIGINT) AS sw,
+       |    CAST(sum(w * x) AS BIGINT) AS swx,
+       |    CAST(sum(w * y) AS BIGINT) AS swy,
+       |    CAST(sum(w * x * y) AS BIGINT) AS swxy,
+       |    CAST(sum(w * x * x) AS BIGINT) AS swxx,
+       |    CAST(sum(CASE WHEN w < 65536 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_down FROM w$t),
+       |f$t AS (SELECT (CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE) -
+       |      CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE)) /
+       |    (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE) -
+       |      CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)) AS slope,
+       |    n_down, swy, swx, sw FROM s$t),
+       |g$t AS (SELECT slope, (CAST(swy AS DOUBLE) -
+       |    slope * CAST(swx AS DOUBLE)) / CAST(sw AS DOUBLE) AS intercept,
+       |    n_down FROM f$t)""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "q255_obrien_fleming" -> {
+      val b2 = CatalogSci.ObfZ.map(z => (z * z).toString + "e0")
+        .mkString("[", ", ", "]")
+      s"""WITH users AS (SELECT user_id % 2 AS variant,
+         |    min(CAST(ts AS DATE)) AS first_d,
+         |    min(CASE WHEN event_type = 'purchase' AND value > 150.0
+         |      THEN CAST(ts AS DATE) END) AS conv_d
+         |  FROM events GROUP BY user_id),
+         |span AS (SELECT min(CAST(ts AS DATE)) AS min_d,
+         |    max(CAST(ts AS DATE)) AS max_d FROM events),
+         |looks AS (SELECT k.look,
+         |    min_d + CAST(floor(date_diff('day', min_d, max_d) * k.look / 5)
+         |      AS INT) AS look_d
+         |  FROM span CROSS JOIN (SELECT unnest(range(1, 6)) AS look) k),
+         |cum AS (SELECT look, look_d,
+         |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT)
+         |      AS a,
+         |    CAST(sum(CASE WHEN variant = 1 THEN 1 - conv ELSE 0 END)
+         |      AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT)
+         |      AS c,
+         |    CAST(sum(CASE WHEN variant = 0 THEN 1 - conv ELSE 0 END)
+         |      AS BIGINT) AS d
+         |  FROM (SELECT u.variant, l.look, l.look_d,
+         |      CASE WHEN conv_d IS NOT NULL AND conv_d <= look_d
+         |        THEN 1 ELSE 0 END AS conv
+         |    FROM users u CROSS JOIN looks l WHERE first_d <= look_d)
+         |  GROUP BY 1, 2),
+         |z AS (SELECT look, look_d, a + b + c + d AS n,
+         |    CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) = 0 THEN 0.0 ELSE
+         |      (CAST(a + b + c + d AS DOUBLE) * CAST(a*d - b*c AS DOUBLE) *
+         |        CAST(a*d - b*c AS DOUBLE)) /
+         |        CAST((a+b) * (c+d) * (a+c) * (b+d) AS DOUBLE) END AS z2,
+         |    ($b2)[CAST(look AS INT)] AS boundary2
+         |  FROM cum)
+         |SELECT look, strftime(look_d, '%Y-%m-%d') AS look_d, n, z2,
+         |  boundary2, z2 > boundary2 AS crossed
+         |FROM z ORDER BY look""".stripMargin
+    },
+
+    "q256_bh_fdr" -> {
+      val crits = CatalogSci.BhCrits.map(_.toString + "e0")
+        .mkString("[", ", ", "]")
+      s"""WITH rated AS (SELECT source,
+         |    CASE WHEN 2 * len(list_distinct(string_split(text, ' '))) >=
+         |      len(string_split(text, ' ')) THEN 1 ELSE 0 END AS pass
+         |  FROM documents),
+         |bysrc AS (SELECT source, CAST(sum(pass) AS BIGINT) AS a0,
+         |    CAST(count(*) AS BIGINT) AS ns FROM rated GROUP BY 1),
+         |tot AS (SELECT CAST(sum(a0) AS BIGINT) AS ta,
+         |    CAST(sum(ns) AS BIGINT) AS tn FROM bysrc),
+         |cells AS (SELECT source, a0 AS a, ns - a0 AS b, ta - a0 AS c,
+         |    tn - ns - (ta - a0) AS d FROM bysrc CROSS JOIN tot),
+         |scored AS (SELECT source,
+         |    CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) = 0 THEN 0.0 ELSE
+         |      (CAST(a + b + c + d AS DOUBLE) * CAST(a*d - b*c AS DOUBLE) *
+         |        CAST(a*d - b*c AS DOUBLE)) /
+         |        CAST((a+b) * (c+d) * (a+c) * (b+d) AS DOUBLE) END AS chi2
+         |  FROM cells),
+         |ranked AS (SELECT source, chi2,
+         |    CAST(row_number() OVER (ORDER BY chi2 DESC, source) AS BIGINT)
+         |      AS rank,
+         |    ($crits)[CAST(row_number() OVER (ORDER BY chi2 DESC, source)
+         |      AS INT)] AS crit
+         |  FROM scored),
+         |ks AS (SELECT CAST(max(CASE WHEN chi2 >= crit THEN rank ELSE 0 END)
+         |    AS BIGINT) AS kstar FROM ranked)
+         |SELECT source, chi2, rank, crit, rank <= kstar AS rejected
+         |FROM ranked CROSS JOIN ks ORDER BY rank""".stripMargin
+    },
+
+    "q257_entropy_rate" -> {
+      s"""WITH tr AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cij FROM (
+         |    SELECT user_id, event_type AS cur,
+         |      lead(event_type) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id) AS nxt
+         |    FROM events) WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |rt AS (SELECT cur, CAST(sum(cij) AS BIGINT) AS ci FROM tr GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cij) AS BIGINT) AS nn,
+         |    CAST(count(DISTINCT cur) AS BIGINT) AS n_states FROM tr),
+         |terms AS (SELECT nn, n_states, cur, nxt,
+         |    (CAST(cij AS DOUBLE) / CAST(nn AS DOUBLE)) *
+         |      (${lg("ci")} - ${lg("cij")}) AS term
+         |  FROM tr JOIN rt USING (cur) CROSS JOIN tot)
+         |SELECT nn AS n_transitions, n_states,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(term ORDER BY cur, nxt)), (a, x) -> a + x)
+         |    AS entropy_rate_bits
+         |FROM terms GROUP BY 1, 2""".stripMargin
+    },
+
+    "q252_hilbert" -> {
+      val rounds = Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L).zipWithIndex
+        .map { case (sb, i) => hilbertRound(i + 1, sb) }.mkString(",\n")
+      s"""WITH r0 AS (SELECT l_partkey % 256 AS px, l_suppkey % 256 AS py,
+         |    l_partkey % 256 AS x, l_suppkey % 256 AS y,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM lineitem),
+         |$rounds
+         |SELECT CAST(floor(d / 4096) AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(px) AS BIGINT) AS min_pk, CAST(max(px) AS BIGINT) AS max_pk,
+         |  CAST(min(py) AS BIGINT) AS min_sk, CAST(max(py) AS BIGINT) AS max_sk
+         |FROM r8 GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+
+    "q253_voptimal_hist" ->
+      """WITH lv AS (SELECT CAST(floor(n_chars / 20) AS BIGINT) AS l,
+        |    CAST(count(*) AS BIGINT) AS w FROM documents GROUP BY 1),
+        |pre AS (SELECT l, w, CAST(row_number() OVER (ORDER BY l) AS BIGINT)
+        |      AS i,
+        |    CAST(sum(w) OVER cum AS BIGINT) AS cw,
+        |    CAST(sum(w * l) OVER cum AS BIGINT) AS cwv,
+        |    CAST(sum(w * l * l) OVER cum AS BIGINT) AS cwv2
+        |  FROM lv WINDOW cum AS (ORDER BY l ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)),
+        |pre0 AS (SELECT i, l, cw, cwv, cwv2 FROM pre
+        |  UNION ALL SELECT CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |iv AS (SELECT a.i AS j, b.i AS k, b.l AS lk,
+        |    CAST(b.cw - a.cw AS BIGINT) AS ww,
+        |    CAST(b.cwv2 - a.cwv2 AS DOUBLE) -
+        |      (CAST(b.cwv - a.cwv AS DOUBLE) * CAST(b.cwv - a.cwv AS DOUBLE) /
+        |        CAST(b.cw - a.cw AS DOUBLE)) AS sse
+        |  FROM pre0 a JOIN pre0 b ON a.i < b.i),
+        |dp1 AS (SELECT k AS i, sse AS cost, CAST(0 AS BIGINT) AS arg
+        |  FROM iv WHERE j = 0),
+        |dp2 AS (SELECT i, cost, j AS arg FROM (
+        |    SELECT iv.k AS i, iv.j AS j, dp1.cost + iv.sse AS cost,
+        |      row_number() OVER (PARTITION BY iv.k
+        |        ORDER BY dp1.cost + iv.sse, iv.j) AS rn
+        |    FROM dp1 JOIN iv ON iv.j = dp1.i) WHERE rn = 1),
+        |dp3 AS (SELECT i, cost, j AS arg FROM (
+        |    SELECT iv.k AS i, iv.j AS j, dp2.cost + iv.sse AS cost,
+        |      row_number() OVER (PARTITION BY iv.k
+        |        ORDER BY dp2.cost + iv.sse, iv.j) AS rn
+        |    FROM dp2 JOIN iv ON iv.j = dp2.i) WHERE rn = 1),
+        |dp4 AS (SELECT i, cost, j AS arg FROM (
+        |    SELECT iv.k AS i, iv.j AS j, dp3.cost + iv.sse AS cost,
+        |      row_number() OVER (PARTITION BY iv.k
+        |        ORDER BY dp3.cost + iv.sse, iv.j) AS rn
+        |    FROM dp3 JOIN iv ON iv.j = dp3.i) WHERE rn = 1),
+        |lastv AS (SELECT max(i) AS bl FROM pre),
+        |b4 AS (SELECT dp4.arg AS j4, dp4.i AS i4 FROM dp4
+        |  JOIN lastv ON dp4.i = lastv.bl),
+        |b3 AS (SELECT b4.j4, b4.i4, dp3.arg AS j3 FROM b4
+        |  JOIN dp3 ON dp3.i = b4.j4),
+        |b2 AS (SELECT b3.j4, b3.i4, b3.j3, dp2.arg AS j2 FROM b3
+        |  JOIN dp2 ON dp2.i = b3.j3),
+        |spans AS (SELECT CAST(1 AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS jj,
+        |    j2 AS kk FROM b2
+        |  UNION ALL SELECT CAST(2 AS BIGINT), j2, j3 FROM b2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), j3, j4 FROM b2
+        |  UNION ALL SELECT CAST(4 AS BIGINT), j4, i4 FROM b2)
+        |SELECT bucket, CAST(lo0 + 1 AS BIGINT) AS lo_level, lk AS hi_level,
+        |  ww AS n_docs, sse
+        |FROM spans
+        |JOIN iv ON iv.j = spans.jj AND iv.k = spans.kk
+        |JOIN (SELECT i AS jj2, l AS lo0 FROM pre0) p ON p.jj2 = spans.jj
+        |ORDER BY bucket""".stripMargin,
+
+    "q254_huber_irls" -> {
+      s"""WITH docs AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+         |    CAST(n_chars AS BIGINT) AS y FROM documents),
+         |m0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx FROM docs),
+         |f0 AS (SELECT CAST(n * sxy - sx * sy AS DOUBLE) /
+         |    CAST(n * sxx - sx * sx AS DOUBLE) AS slope FROM m0),
+         |g0 AS (SELECT slope, (CAST(sy AS DOUBLE) -
+         |    slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+         |  FROM f0 CROSS JOIN m0),
+         |${(1 to 4).map(huberRound).mkString(",\n")}
+         |SELECT slope, intercept, n_down FROM g4""".stripMargin
+    },
+
+    "q249_shapley" ->
+      """WITH ev AS (SELECT user_id,
+        |    CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |      WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END AS chan,
+        |    event_type, value FROM events),
+        |u AS (SELECT user_id, CAST(bit_or(chan) AS BIGINT) AS mask,
+        |    CAST(max(CASE WHEN event_type = 'purchase' AND value > 150.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        |  FROM ev GROUP BY 1),
+        |bm AS (SELECT mask, CAST(sum(conv) AS BIGINT) AS conv_cnt
+        |  FROM u GROUP BY 1),
+        |grid AS (SELECT unnest(range(16)) AS S),
+        |v AS (SELECT S, CAST(coalesce(sum(conv_cnt), 0) AS BIGINT) AS v
+        |  FROM grid LEFT JOIN bm ON (bm.mask & grid.S) = bm.mask
+        |  GROUP BY 1),
+        |ch AS (SELECT unnest([1, 2, 4, 8]) AS c),
+        |terms AS (SELECT c, vs.S AS S,
+        |    CASE bit_count(vs.S) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+        |      ELSE 6 END * (vsc.v - vs.v) AS wd
+        |  FROM ch JOIN v vs ON (vs.S & ch.c) = 0
+        |  JOIN v vsc ON vsc.S = (vs.S | ch.c))
+        |SELECT CASE c WHEN 1 THEN 'click' WHEN 2 THEN 'error'
+        |    WHEN 4 THEN 'signup' ELSE 'view' END AS channel,
+        |  CAST(sum(wd) AS DOUBLE) / 24.0 AS phi
+        |FROM terms GROUP BY c ORDER BY channel""".stripMargin,
+
+    "q250_pmi_svd" -> {
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents),
+         |toks AS (SELECT doc_id, unnest(gs, recursive := true) FROM (
+         |  SELECT doc_id,
+         |    [struct_pack(p := CAST(i - 1 AS BIGINT), tok := w[i])
+         |     for i in range(1, len(w) + 1)] AS gs
+         |  FROM base)),
+         |cnts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM toks GROUP BY 1),
+         |top AS (SELECT tok, cnt,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) - 1
+         |      AS idx
+         |  FROM (SELECT * FROM cnts ORDER BY cnt DESC, tok LIMIT 64)),
+         |adj AS (SELECT doc_id, p, tok,
+         |    lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS nxt
+         |  FROM toks),
+         |prs AS (SELECT ti.idx AS i, tj.idx AS j FROM adj
+         |  JOIN top ti ON ti.tok = adj.tok
+         |  JOIN top tj ON tj.tok = adj.nxt
+         |  WHERE adj.nxt IS NOT NULL),
+         |cooc AS (SELECT i, j, CAST(count(*) AS BIGINT) AS cij FROM
+         |    (SELECT i, j FROM prs UNION ALL SELECT j AS i, i AS j FROM prs)
+         |  GROUP BY 1, 2),
+         |marg AS (SELECT i, CAST(sum(cij) AS BIGINT) AS ci
+         |  FROM cooc GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cij) AS BIGINT) AS nn FROM cooc),
+         |grid AS (SELECT gi.i AS i, gj.j AS j
+         |  FROM (SELECT unnest(range(64)) AS i) gi
+         |  CROSS JOIN (SELECT unnest(range(64)) AS j) gj),
+         |ppmi AS (SELECT grid.i AS i, grid.j AS j,
+         |    CASE WHEN cooc.cij IS NULL THEN 0.0
+         |      ELSE greatest(${lg("cij * nn")} - ${lg("ci * cj")}, 0.0)
+         |    END AS m
+         |  FROM grid LEFT JOIN cooc ON cooc.i = grid.i AND cooc.j = grid.j
+         |  LEFT JOIN marg mi ON mi.i = grid.i
+         |  LEFT JOIN (SELECT i AS j, ci AS cj FROM marg) mj ON mj.j = grid.j
+         |  CROSS JOIN tot),
+         |rows AS MATERIALIZED (SELECT i, list(m ORDER BY j) AS row
+         |  FROM ppmi GROUP BY 1),
+         |v0 AS (SELECT list_transform(range(64),
+         |    x -> CAST(0.125 AS DOUBLE)) AS v),
+         |${(1 to 8).map(pmiIterCtes).mkString(",\n")}
+         |SELECT top.tok AS tok, top.idx AS idx, top.cnt AS cnt,
+         |  v[CAST(idx + 1 AS INT)] AS loading, norm AS eigval
+         |FROM top CROSS JOIN v8 ORDER BY idx""".stripMargin
+    },
+
+    "q251_hill_tail" -> {
+      s"""WITH px AS (SELECT CAST(round(value * 100) AS BIGINT) AS x, event_id
+         |  FROM events WHERE event_type = 'purchase'
+         |  ORDER BY x DESC, event_id LIMIT 101),
+         |rk AS (SELECT x, CAST(row_number() OVER (ORDER BY x DESC, event_id)
+         |    AS BIGINT) AS rn FROM px),
+         |xk AS (SELECT x AS xk1 FROM rk WHERE rn = 101),
+         |sp AS (SELECT rn, ${lg("x")} - ${lg("xk1")} AS spread, xk1
+         |  FROM rk CROSS JOIN xk WHERE rn <= 100),
+         |su AS (SELECT xk1, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(spread ORDER BY rn)), (a, x) -> a + x) AS sumspread
+         |  FROM sp GROUP BY 1)
+         |SELECT CAST(100 AS BIGINT) AS k, xk1, sumspread / 100.0 AS xi_bits,
+         |  1.0 / (sumspread / 100.0 * 0.6931471805599453) AS alpha
+         |FROM su""".stripMargin
+    },
+
+    "q246_srm" ->
+      """WITH arms AS (SELECT user_id % 2 AS variant,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT DISTINCT user_id FROM events) GROUP BY 1),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN variant = 1 THEN n ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN variant = 0 THEN n ELSE 0 END) AS BIGINT) AS n0
+        |  FROM arms)
+        |SELECT n1, n0,
+        |  CAST((n1 - n0) * (n1 - n0) AS DOUBLE) / CAST(n1 + n0 AS DOUBLE)
+        |    AS chi2,
+        |  CAST((n1 - n0) * (n1 - n0) AS DOUBLE) / CAST(n1 + n0 AS DOUBLE)
+        |    > 3.841458820694124 AS srm_flag
+        |FROM t""".stripMargin,
+
+    "q247_mmd_quad" ->
+      """WITH emb AS (SELECT vec_id % 2 = 0 AS grp,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |p1 AS (SELECT grp, CAST(generate_subscripts(q, 1) - 1 AS BIGINT) AS i,
+        |    unnest(q) AS qi, q FROM emb),
+        |p2 AS (SELECT grp, i, qi,
+        |    CAST(generate_subscripts(q, 1) - 1 AS BIGINT) AS j,
+        |    unnest(q) AS qj FROM p1),
+        |pr AS (SELECT grp, i, j, CAST(sum(qi * qj) AS BIGINT) AS sij,
+        |    CAST(count(*) AS BIGINT) AS n FROM p2 GROUP BY 1, 2, 3),
+        |m AS (SELECT grp, i, j,
+        |    CAST(sij AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS mij
+        |  FROM pr),
+        |a AS (SELECT i, j, mij AS ma FROM m WHERE grp),
+        |b AS (SELECT i, j, mij AS mb FROM m WHERE NOT grp),
+        |counts AS (SELECT
+        |    CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+        |    CAST(sum(CASE WHEN NOT grp THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+        |  FROM emb),
+        |d AS (SELECT a.i AS i, a.j AS j, (ma - mb) * (ma - mb) AS d2
+        |  FROM a JOIN b ON a.i = b.i AND a.j = b.j)
+        |SELECT n_even, n_odd,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(d2 ORDER BY i, j)), (a, x) -> a + x) AS mmd2_quad
+        |FROM d CROSS JOIN counts GROUP BY n_even, n_odd""".stripMargin,
+
+    "q248_trimmed_ate" ->
+      """WITH users AS (SELECT user_id % 2 AS variant, user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY user_id),
+        |cnt AS (SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY variant
+        |      ORDER BY cents, user_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY variant) AS BIGINT) AS n
+        |  FROM users),
+        |tr AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_kept,
+        |    CAST(sum(cents) AS BIGINT) AS s FROM cnt
+        |  WHERE rn > CAST(floor(n / 10) AS BIGINT)
+        |    AND rn <= n - CAST(floor(n / 10) AS BIGINT)
+        |  GROUP BY 1),
+        |tm AS (SELECT variant, n_kept,
+        |    CAST(s AS DOUBLE) / CAST(n_kept AS DOUBLE) / 100.0
+        |      AS trimmed_mean FROM tr)
+        |SELECT a1.n_kept AS n1_kept, a0.n_kept AS n0_kept,
+        |  a1.trimmed_mean AS tm1, a0.trimmed_mean AS tm0,
+        |  a1.trimmed_mean - a0.trimmed_mean AS trimmed_diff
+        |FROM (SELECT * FROM tm WHERE variant = 1) a1
+        |CROSS JOIN (SELECT * FROM tm WHERE variant = 0) a0""".stripMargin,
+
     "q243_capture_recapture" ->
       """WITH docs AS (SELECT doc_id, md5(text) AS fp,
         |    ('0x' || substr(md5('cr_a:' || CAST(doc_id AS VARCHAR)), 1, 8))
