@@ -1083,7 +1083,121 @@ object CatalogSci {
         lit(0.0), (acc, x) => acc + x).as("entropy_rate_bits"))
   }
 
+  /** Wasserstein-1 (earth mover's) distance between the English and
+    * non-English document-length distributions — the shift metric with
+    * UNITS (characters moved per document), complementing q212's
+    * unitless KS and q147's binned PSI. In 1-D, W₁ = ∫|F_A − F_B| dx =
+    * Σ_levels |cumA∕nA − cumB∕nB|·Δlevel over the bounded
+    * ⌊n_chars∕20⌋ level domain: exact integer cumulative counts, one
+    * divide each, sorted fold over levels. */
+  def q258Wasserstein(s: SparkSession, dir: String): DataFrame = {
+    val lv = Tables.documents(s, dir)
+      .groupBy(floor(col("n_chars") / 20).as("l"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cb"))
+    val wCum = Window.orderBy(col("l"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = lv.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    lv.withColumn("cuma", sum(col("ca")).over(wCum))
+      .withColumn("cumb", sum(col("cb")).over(wCum))
+      .withColumn("nextl", lead(col("l"), 1).over(Window.orderBy(col("l"))))
+      .filter(col("nextl").isNotNull)
+      .crossJoin(broadcast(tot))
+      .select(col("l"),
+        (abs(col("cuma").cast("double") / col("na").cast("double") -
+          col("cumb").cast("double") / col("nb").cast("double")) *
+          (col("nextl") - col("l")).cast("double")).as("term"))
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("l"), col("term")))),
+          e => e("term")),
+        lit(0.0), (acc, x) => acc + x).as("w1_levels"))
+      .crossJoin(broadcast(tot))
+      .select(col("na").as("n_en"), col("nb").as("n_other"),
+        (col("w1_levels") * 20.0).as("w1_chars"))
+  }
+
+  /** Cook's-distance influence diagnostics for the q238/q254 OLS fit
+    * (Cook 1977): which documents single-handedly move the
+    * length-vs-tokens regression. Everything is closed-form from exact
+    * integer moments — leverage h_i = 1∕n + (n·x_i − Σx)²∕(n·(nΣx²
+    * − (Σx)²)), and Σe² comes from the ALGEBRAIC identity
+    * Syy_c − slope·Sxy_c (order-free; never a float sum over rows).
+    * Top-20 by D — the points an analyst must look at before trusting
+    * the fit. */
+  def q259CooksDistance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("x"),
+        col("n_chars").as("y"))
+    val m = docs.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    val withFit = docs.crossJoin(broadcast(m))
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          col("n").cast("double"))
+      // sum of squared residuals from integer moments (order-free):
+      // sse = (Syy_c - slope * Sxy_c) / n with _c the centered moments
+      .withColumn("sse",
+        ((col("n") * col("syy") - col("sy") * col("sy")).cast("double") -
+          col("slope") *
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
+          col("n").cast("double"))
+      .withColumn("s2", col("sse") / (col("n") - 2).cast("double"))
+      .withColumn("e",
+        col("y").cast("double") -
+          (col("slope") * col("x").cast("double") + col("intercept")))
+      .withColumn("h",
+        lit(1.0) / col("n").cast("double") +
+          ((col("n") * col("x") - col("sx")) *
+            (col("n") * col("x") - col("sx"))).cast("double") /
+            (col("n") * (col("n") * col("sxx") - col("sx") * col("sx")))
+              .cast("double"))
+      .withColumn("cooks_d",
+        col("e") * col("e") * col("h") /
+          (lit(2.0) * col("s2") * ((lit(1.0) - col("h")) *
+            (lit(1.0) - col("h")))))
+    withFit.select(col("doc_id"), col("x"), col("y"), col("e"), col("h"),
+        col("cooks_d"))
+      .orderBy(col("cooks_d").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Exact ROC AUC of document length as a predictor of the q229 TTR
+    * quality gate — via the rank-sum identity AUC = U∕(n₁n₀) with the
+    * tie-corrected pair count 2U = Σ_v 2·n₁(v)·cumN₀(<v) + n₁(v)·n₀(v)
+    * (each tied pair counts ½, doubled into integers): EXACT int64
+    * arithmetic over the bounded score-value domain, one final divide.
+    * The canonical classifier metric, no sorting of raw rows — only a
+    * value-domain cumulative. */
+  def q260Auc(s: SparkSession, dir: String): DataFrame = {
+    val rated = Tables.documents(s, dir)
+      .select(col("n_chars").as("v"),
+        (size(array_distinct(split(col("text"), " "))) * 2 >=
+          size(split(col("text"), " "))).cast("long").as("pos"))
+    val byV = rated.groupBy(col("v"))
+      .agg(sum(col("pos")).as("n1v"),
+        sum(lit(1L) - col("pos")).as("n0v"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val tot = byV.agg(sum(col("n1v")).as("n1"), sum(col("n0v")).as("n0"))
+    byV.withColumn("cum0", coalesce(sum(col("n0v")).over(wCum), lit(0L)))
+      .select((lit(2L) * col("n1v") * col("cum0") +
+        col("n1v") * col("n0v")).as("u2"))
+      .agg(sum(col("u2")).as("u2"))
+      .crossJoin(broadcast(tot))
+      .select(col("n1"), col("n0"),
+        (col("u2").cast("double") /
+          (lit(2L) * col("n1") * col("n0")).cast("double")).as("auc"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_wasserstein"    -> q258Wasserstein _,
+    "q259_cooks_distance" -> q259CooksDistance _,
+    "q260_auc"            -> q260Auc _,
     "q255_obrien_fleming" -> q255ObrienFleming _,
     "q256_bh_fdr"         -> q256BhFdr _,
     "q257_entropy_rate"   -> q257EntropyRate _,

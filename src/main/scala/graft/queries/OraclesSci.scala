@@ -100,6 +100,78 @@ object OraclesSci {
   }
 
   val all: Map[String, String] = Map(
+    "q258_wasserstein" ->
+      """WITH lv AS (SELECT CAST(floor(n_chars / 20) AS BIGINT) AS l,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM lv),
+        |cum AS (SELECT l, CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER w AS BIGINT) AS cumb,
+        |    lead(l) OVER (ORDER BY l) AS nextl
+        |  FROM lv WINDOW w AS (ORDER BY l ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)),
+        |terms AS (SELECT l,
+        |    abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE) -
+        |      CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)) *
+        |      CAST(nextl - l AS DOUBLE) AS term
+        |  FROM cum CROSS JOIN tot WHERE nextl IS NOT NULL),
+        |s AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(term ORDER BY l)), (a, x) -> a + x) AS w1_levels FROM terms)
+        |SELECT na AS n_en, nb AS n_other, w1_levels * 20.0 AS w1_chars
+        |FROM s CROSS JOIN tot""".stripMargin,
+
+    "q259_cooks_distance" ->
+      """WITH docs AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+        |    CAST(n_chars AS BIGINT) AS y FROM documents),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy FROM docs),
+        |f AS (SELECT *, CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS slope FROM m),
+        |g AS (SELECT *, (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) /
+        |      CAST(n AS DOUBLE) AS intercept,
+        |    (CAST(n * syy - sy * sy AS DOUBLE) -
+        |      slope * CAST(n * sxy - sx * sy AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      AS sse FROM f),
+        |hh AS (SELECT *, sse / CAST(n - 2 AS DOUBLE) AS s2 FROM g),
+        |rows_ AS (SELECT doc_id, x, y,
+        |    CAST(y AS DOUBLE) - (slope * CAST(x AS DOUBLE) + intercept) AS e,
+        |    1.0 / CAST(n AS DOUBLE) +
+        |      CAST((n * x - sx) * (n * x - sx) AS DOUBLE) /
+        |      CAST(n * (n * sxx - sx * sx) AS DOUBLE) AS h,
+        |    s2 FROM docs CROSS JOIN hh),
+        |d AS (SELECT doc_id, x, y, e, h,
+        |    e * e * h / (2.0 * s2 * ((1.0 - h) * (1.0 - h))) AS cooks_d
+        |  FROM rows_)
+        |SELECT doc_id, x, y, e, h, cooks_d FROM d
+        |ORDER BY cooks_d DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q260_auc" ->
+      """WITH rated AS (SELECT CAST(n_chars AS BIGINT) AS v,
+        |    CASE WHEN 2 * len(list_distinct(string_split(text, ' '))) >=
+        |      len(string_split(text, ' ')) THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |byv AS (SELECT v, CAST(sum(pos) AS BIGINT) AS n1v,
+        |    CAST(sum(1 - pos) AS BIGINT) AS n0v FROM rated GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+        |    CAST(sum(n0v) AS BIGINT) AS n0 FROM byv),
+        |cum AS (SELECT v, n1v, n0v,
+        |    CAST(coalesce(sum(n0v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+        |  FROM byv),
+        |u AS (SELECT CAST(sum(2 * n1v * cum0 + n1v * n0v) AS BIGINT) AS u2
+        |  FROM cum)
+        |SELECT n1, n0, CAST(u2 AS DOUBLE) / CAST(2 * n1 * n0 AS DOUBLE)
+        |  AS auc
+        |FROM u CROSS JOIN tot""".stripMargin,
+
     "q255_obrien_fleming" -> {
       val b2 = CatalogSci.ObfZ.map(z => (z * z).toString + "e0")
         .mkString("[", ", ", "]")
