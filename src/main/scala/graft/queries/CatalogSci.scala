@@ -709,34 +709,40 @@ object CatalogSci {
         when(col("cij").isNull, lit(0.0)).otherwise(
           greatest(lg(col("cij") * col("nn")) - lg(col("ci") * col("cj")),
             lit(0.0))).as("m"))
+    // 64 rows; localCheckpoint so the 8 iterations don't re-run the
+    // token-level PPMI pipeline 8x (measured 8.6 s -> ~2 s at sf0.1)
     val rows = ppmi.groupBy(col("i"))
       .agg(transform(sort_array(collect_list(struct(col("j"), col("m")))),
         e => e("m")).as("row"))
+      .localCheckpoint()
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
-    val v0 = rows.sparkSession.range(1)
-      .select(array((0 until topK).map(_ => lit(0.125)): _*).as("v"))
-    def iterate(vk: DataFrame): DataFrame = {
-      val y = rows.crossJoin(broadcast(vk))
-        .select(col("i"), dot(col("row"), col("v")).as("y"))
-      val norm = y.agg(sqrt(aggregate(
-        transform(sort_array(collect_list(struct(col("i"), col("y")))),
-          e => e("y") * e("y")),
-        lit(0.0), (acc, x) => acc + x)).as("norm"))
-      y.crossJoin(broadcast(norm))
-        .select(col("i"), (col("y") / col("norm")).as("vi"), col("norm"))
-        .groupBy(col("norm"))
-        .agg(transform(sort_array(collect_list(struct(col("i"), col("vi")))),
-          e => e("vi")).as("v"))
-        .select(col("v"), col("norm"))
+    // The eigensolve is a d^2-sized computation (the DISTRIBUTED work is
+    // building PPMI; iterating a 64x64 matrix is not cluster work) — run
+    // the 8 rounds on the driver with EXACTLY the oracle's fold orders:
+    // y_i = row_i . v as a j-ascending left fold, norm as an i-ascending
+    // left fold, so JVM and DuckDB produce bit-identical doubles.
+    // (The DataFrame formulation cost ~4 scheduler jobs x 8 rounds; this
+    // is one collect: measured 8.6 s -> ~1.5 s at sf0.1.)
+    val rowsArr: Array[Array[Double]] = rows.orderBy(col("i")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    var v = Array.fill(topK)(0.125)
+    var normV = 0.0
+    for (_ <- 1 to 8) {
+      val y = rowsArr.map { r =>
+        var acc = 0.0; var j = 0
+        while (j < topK) { acc += r(j) * v(j); j += 1 }
+        acc
+      }
+      var acc = 0.0; var i = 0
+      while (i < topK) { acc += y(i) * y(i); i += 1 }
+      normV = math.sqrt(acc)
+      v = y.map(_ / normV)
     }
-    val vFinal = (1 to 8).foldLeft(v0.select(col("v"), lit(0.0).as("norm")))(
-      (v, _) => iterate(v.select(col("v"))).localCheckpoint())
-    top.select(col("tok"), col("idx"), col("cnt"))
-      .crossJoin(broadcast(vFinal))
-      .select(col("tok"), col("idx"), col("cnt"),
-        element_at(col("v"), col("idx").cast("int") + 1).as("loading"),
-        col("norm").as("eigval"))
+    val vArr = array(v.map(lit).toIndexedSeq: _*)
+    top.select(col("tok"), col("idx"), col("cnt"),
+        element_at(vArr, col("idx").cast("int") + 1).as("loading"),
+        lit(normV).as("eigval"))
       .orderBy(col("idx"))
   }
 
@@ -1194,7 +1200,229 @@ object CatalogSci {
           (lit(2L) * col("n1") * col("n0")).cast("double")).as("auc"))
   }
 
+  /** CART decision-stump split (Breiman et al. 1984 — the primitive
+    * every tree ensemble repeats): the single best threshold on
+    * document length predicting the q229 TTR gate, by weighted Gini
+    * reduction over the bounded level domain. Child impurities are
+    * 2p(n−p)∕n² with EXACT int64 (n, p) from one cumulative pass;
+    * the argmax tie-breaks on the smaller threshold via (gain DESC, t)
+    * row_number. One aggregate + one window — the "train a stump"
+    * verb at any scale. */
+  def q261CartStump(s: SparkSession, dir: String): DataFrame = {
+    val lv = Tables.documents(s, dir)
+      .groupBy(floor(col("n_chars") / 20).as("l"))
+      .agg(count(lit(1)).as("w"),
+        sum((size(array_distinct(split(col("text"), " "))) * 2 >=
+          size(split(col("text"), " "))).cast("long")).as("p"))
+    val wCum = Window.orderBy(col("l"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = lv.agg(sum(col("w")).as("nn"), sum(col("p")).as("pp"))
+    val splits = lv
+      .withColumn("nl", sum(col("w")).over(wCum))
+      .withColumn("pl", sum(col("p")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .filter(col("nl") < col("nn")) // right child must be nonempty
+      .select(col("l").as("split_level"), col("nl"), col("pl"),
+        (col("nn") - col("nl")).as("nr"), (col("pp") - col("pl")).as("pr"),
+        col("nn"), col("pp"))
+    val childGini =
+      lit(2.0) * col("pl").cast("double") *
+        (col("nl") - col("pl")).cast("double") /
+        (col("nl") * col("nl")).cast("double") *
+        (col("nl").cast("double") / col("nn").cast("double")) +
+      lit(2.0) * col("pr").cast("double") *
+        (col("nr") - col("pr")).cast("double") /
+        (col("nr") * col("nr")).cast("double") *
+        (col("nr").cast("double") / col("nn").cast("double"))
+    val parentGini = lit(2.0) * col("pp").cast("double") *
+      (col("nn") - col("pp")).cast("double") /
+      (col("nn") * col("nn")).cast("double")
+    splits
+      .withColumn("parent_gini", parentGini)
+      .withColumn("child_gini", childGini)
+      .withColumn("gain", col("parent_gini") - col("child_gini"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("gain").desc, col("split_level"))))
+      .filter(col("rn") === 1)
+      .select(col("split_level"), col("nl").as("n_left"),
+        col("nr").as("n_right"), col("pl").as("pos_left"),
+        col("pr").as("pos_right"), col("parent_gini"), col("child_gini"),
+        col("gain"))
+  }
+
+  /** Minimum detectable effect for the q205 A/B at 80% power / 5%
+    * two-sided (Cohen 1988): MDE = (z_{α∕2} + z_β)·√(2p̄(1−p̄)∕n_arm)
+    * — the "how long must this test run" number every experiment
+    * review asks for. Pooled rate from exact integers; z literals
+    * shared with the oracle; n_arm = the smaller arm
+    * (conservative). */
+  def q262PowerMde(s: SparkSession, dir: String): DataFrame = {
+    val zA = 1.959963984540054
+    val zB = 0.8416212335729143
+    val arms = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150.0,
+        1L).otherwise(0L)).as("conv"))
+      .groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    arms.agg(
+        sum(when(col("variant") === 1, col("n")).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 0, col("n")).otherwise(0L)).as("n0"),
+        sum(col("c")).as("cc"), sum(col("n")).as("nn"))
+      .withColumn("p_pool", col("cc").cast("double") / col("nn").cast("double"))
+      .withColumn("n_arm", least(col("n1"), col("n0")))
+      .withColumn("mde_abs",
+        lit(zA + zB) * sqrt(lit(2.0) * col("p_pool") *
+          (lit(1.0) - col("p_pool")) / col("n_arm").cast("double")))
+      .select(col("n1"), col("n0"), col("p_pool"), col("mde_abs"),
+        (col("mde_abs") / col("p_pool")).as("mde_rel"))
+  }
+
+  /** Rolling-origin forecast backtest with MASE (Hyndman & Koehler
+    * 2006 — the scale-free forecast metric): hold out the last 14
+    * days of the daily event-count series, compare the OLS trend line
+    * (trained on the rest, exact integer moments) against the
+    * seasonal-naive-7 baseline ŷ_t = y_{t−7}. The naive MAE is EXACT
+    * integers; the line MAE is a sorted fold; MASE = line∕naive — a
+    * model that can't beat "same day last week" (MASE ≥ 1) should not
+    * ship. */
+  def q263MaseBacktest(s: SparkSession, dir: String): DataFrame = {
+    val h = 14
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("t", row_number().over(Window.orderBy(col("d"))).cast("long"))
+    val nd = daily.agg(max(col("t")).as("tt"))
+    val lagged = daily
+      .withColumn("y7", lag(col("y"), 7).over(Window.orderBy(col("t"))))
+      .crossJoin(broadcast(nd))
+    val train = lagged.filter(col("t") <= col("tt") - h)
+    val m = train.agg(count(lit(1)).as("n"), sum(col("t")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sxy"),
+        sum(col("t") * col("t")).as("sxx"))
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          col("n").cast("double"))
+      .select(col("n").as("n_train"), col("slope"), col("intercept"))
+    val test = lagged.filter(col("t") > col("tt") - h)
+      .crossJoin(broadcast(m))
+      .select(col("t"), col("n_train"),
+        abs(col("y") - col("y7")).as("ae_naive"),
+        abs(col("y").cast("double") -
+          (col("slope") * col("t").cast("double") + col("intercept")))
+          .as("ae_line"))
+    test.groupBy(col("n_train"))
+      .agg(count(lit(1)).as("n_test"), sum(col("ae_naive")).as("sae_naive"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("t"), col("ae_line")))),
+            e => e("ae_line")),
+          lit(0.0), (acc, x) => acc + x).as("sae_line"))
+      .select(col("n_train"), col("n_test"),
+        (col("sae_naive").cast("double") / col("n_test").cast("double"))
+          .as("mae_naive"),
+        (col("sae_line") / col("n_test").cast("double")).as("mae_line"),
+        ((col("sae_line") / col("n_test").cast("double")) /
+          (col("sae_naive").cast("double") / col("n_test").cast("double")))
+          .as("mase"))
+  }
+
+  /** Grid-DBSCAN over the first two embedding dimensions (the
+    * cell-based formulation that makes density clustering
+    * communication-bounded: points shuffle ONCE into ε-cells, density
+    * and adjacency live on the CELL table — occupied cells, not
+    * points — and the exact q53 connected-components machinery links
+    * adjacent core cells): ε = 1∕16, minPts = 5, core-cell variant
+    * (non-core cells are noise). Adjacency is 9 shifted equi-join
+    * keys, never a distance theta-join; the oracle replays the CC as
+    * the q53 recursive CTE. Output: clusters by size with cell and
+    * point counts, plus the noise row (cluster_rank = 0). */
+  def q264GridDbscan(s: SparkSession, dir: String): DataFrame = {
+    val scale = 16L
+    val minPts = 5L
+    val enc = 10000L // cell id = (cx + 500) * enc + (cy + 500)
+    val pts = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        floor(element_at(col("embedding"), 1).cast("double") * scale)
+          .as("cx"),
+        floor(element_at(col("embedding"), 2).cast("double") * scale)
+          .as("cy"))
+    val cells = pts.groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("core", col("n") >= minPts)
+      .withColumn("cell", (col("cx") + 500L) * enc + (col("cy") + 500L))
+    val core = cells.filter(col("core"))
+      .select(col("cx"), col("cy"), col("cell"), col("n"))
+    // adjacency: each core cell emits its 9 neighborhood keys; an
+    // equi-join on the key links neighbors (a < b dedupes)
+    val shifts = s.range(1).select(explode(array(
+      (for (dx <- -1 to 1; dy <- -1 to 1)
+        yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*))
+      .as("sh")).select(col("sh.dx").as("dx"), col("sh.dy").as("dy"))
+    val probes = core.crossJoin(broadcast(shifts))
+      .select(col("cell").as("a"),
+        ((col("cx") + col("dx") + 500L) * enc +
+          (col("cy") + col("dy") + 500L)).as("nbr"))
+    val edges = probes
+      .join(core.select(col("cell").as("b")), col("nbr") === col("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("a_id"), col("b").as("b_id"))
+    val labeled = graft.dedup.Dedup.connectedComponents(edges)
+    // singleton core cells (no core neighbor) keep their own id
+    val comp = core
+      .join(labeled.withColumnRenamed("id", "cell2"),
+        col("cell") === col("cell2"), "left")
+      .select(col("cell"), col("n"),
+        coalesce(col("component"), col("cell")).as("component"))
+    val clusters = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_points"))
+      .withColumn("cluster_rank", row_number().over(
+        Window.orderBy(col("n_points").desc, col("component"))).cast("long"))
+      .filter(col("cluster_rank") <= 10)
+      .select(col("cluster_rank"), col("n_cells"), col("n_points"))
+    val noise = cells.filter(!col("core"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_points"),
+        count(lit(1)).as("n_cells"))
+      .select(lit(0L).as("cluster_rank"), col("n_cells"), col("n_points"))
+    clusters.unionByName(noise).orderBy(col("cluster_rank"))
+  }
+
+  /** Gumbel extreme-value fit of daily maximum purchase size (method
+    * of moments; Gumbel 1958) and the 30-day return level z₃₀ = μ +
+    * β·(−ln(−ln(1−1∕30))) — "the largest purchase you should expect
+    * in a month", the tail-risk companion to q251's Hill index.
+    * Moments are exact int64 over integer cents; γ, √6∕π, and the
+    * return-level constant are shared literals; σ, β, μ, z₃₀ are a
+    * fixed parenthesization. */
+  def q265GumbelExtremes(s: SparkSession, dir: String): DataFrame = {
+    val sqrt6OverPi = 0.779696801233676
+    val gamma = 0.5772156649015329
+    val rl30 = 3.3842944934992527
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(max(round(col("value") * 100).cast("long")).as("x"))
+    daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      .withColumn("mean_max", col("s1").cast("double") / col("n").cast("double"))
+      .withColumn("sigma",
+        sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")))
+      .withColumn("beta", col("sigma") * lit(sqrt6OverPi))
+      .withColumn("mu", col("mean_max") - lit(gamma) * col("beta"))
+      .select(col("n").as("n_days"), col("mean_max"), col("sigma"),
+        col("mu"), col("beta"),
+        (col("mu") + col("beta") * lit(rl30)).as("return_level_30d"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_grid_dbscan"    -> q264GridDbscan _,
+    "q265_gumbel"         -> q265GumbelExtremes _,
+    "q261_cart_stump"     -> q261CartStump _,
+    "q262_power_mde"      -> q262PowerMde _,
+    "q263_mase_backtest"  -> q263MaseBacktest _,
     "q258_wasserstein"    -> q258Wasserstein _,
     "q259_cooks_distance" -> q259CooksDistance _,
     "q260_auc"            -> q260Auc _,

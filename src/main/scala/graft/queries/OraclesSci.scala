@@ -100,6 +100,151 @@ object OraclesSci {
   }
 
   val all: Map[String, String] = Map(
+    "q264_grid_dbscan" ->
+      """WITH RECURSIVE pts AS (SELECT vec_id,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 16) AS BIGINT) AS cx,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 16) AS BIGINT) AS cy
+        |  FROM embeddings),
+        |cells AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n,
+        |    count(*) >= 5 AS core,
+        |    (cx + 500) * 10000 + (cy + 500) AS cell
+        |  FROM pts GROUP BY 1, 2),
+        |corec AS (SELECT cx, cy, cell, n FROM cells WHERE core),
+        |e AS (SELECT a.cell AS u, b.cell AS v
+        |  FROM corec a JOIN corec b
+        |    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        |    AND a.cell < b.cell),
+        |e2 AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        |reach AS (SELECT u, v FROM e2
+        |  UNION SELECT r.u, x.v FROM reach r JOIN e2 x ON r.v = x.u),
+        |lab AS (SELECT u AS id, LEAST(u, MIN(v)) AS component
+        |  FROM reach GROUP BY u),
+        |comp AS (SELECT corec.cell, corec.n,
+        |    coalesce(lab.component, corec.cell) AS component
+        |  FROM corec LEFT JOIN lab ON lab.id = corec.cell),
+        |cl AS (SELECT component, CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(sum(n) AS BIGINT) AS n_points FROM comp GROUP BY 1),
+        |rk AS (SELECT CAST(row_number() OVER (ORDER BY n_points DESC,
+        |      component) AS BIGINT) AS cluster_rank, n_cells, n_points
+        |  FROM cl),
+        |noise AS (SELECT CAST(0 AS BIGINT) AS cluster_rank,
+        |    CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(coalesce(sum(n), 0) AS BIGINT) AS n_points
+        |  FROM cells WHERE NOT core)
+        |SELECT * FROM (
+        |  SELECT cluster_rank, n_cells, n_points FROM rk
+        |  WHERE cluster_rank <= 10
+        |  UNION ALL SELECT * FROM noise)
+        |ORDER BY cluster_rank""".stripMargin,
+
+    "q265_gumbel" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s1,
+        |    CAST(sum(x * x) AS BIGINT) AS s2 FROM daily),
+        |a AS (SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_max,
+        |    sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) /
+        |      CAST(n * (n - 1) AS DOUBLE)) AS sigma FROM m),
+        |b AS (SELECT *, sigma * 0.779696801233676e0 AS beta FROM a),
+        |c AS (SELECT *, mean_max - 0.5772156649015329e0 * beta AS mu FROM b)
+        |SELECT n AS n_days, mean_max, sigma, mu, beta,
+        |  mu + beta * 3.3842944934992527e0 AS return_level_30d
+        |FROM c""".stripMargin,
+
+    "q261_cart_stump" ->
+      """WITH lv AS (SELECT CAST(floor(n_chars / 20) AS BIGINT) AS l,
+        |    CAST(count(*) AS BIGINT) AS w,
+        |    CAST(sum(CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))
+        |      >= len(string_split(text, ' ')) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS p
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS nn,
+        |    CAST(sum(p) AS BIGINT) AS pp FROM lv),
+        |cum AS (SELECT l, CAST(sum(w) OVER wc AS BIGINT) AS nl,
+        |    CAST(sum(p) OVER wc AS BIGINT) AS pl
+        |  FROM lv WINDOW wc AS (ORDER BY l ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)),
+        |splits AS (SELECT l AS split_level, nl, pl, nn - nl AS nr,
+        |    pp - pl AS pr, nn, pp
+        |  FROM cum CROSS JOIN tot WHERE nl < nn),
+        |scored AS (SELECT *,
+        |    2.0 * CAST(pp AS DOUBLE) * CAST(nn - pp AS DOUBLE) /
+        |      CAST(nn * nn AS DOUBLE) AS parent_gini,
+        |    2.0 * CAST(pl AS DOUBLE) * CAST(nl - pl AS DOUBLE) /
+        |      CAST(nl * nl AS DOUBLE) *
+        |      (CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE)) +
+        |    2.0 * CAST(pr AS DOUBLE) * CAST(nr - pr AS DOUBLE) /
+        |      CAST(nr * nr AS DOUBLE) *
+        |      (CAST(nr AS DOUBLE) / CAST(nn AS DOUBLE)) AS child_gini
+        |  FROM splits),
+        |best AS (SELECT *, parent_gini - child_gini AS gain,
+        |    row_number() OVER (ORDER BY parent_gini - child_gini DESC,
+        |      split_level) AS rn
+        |  FROM scored)
+        |SELECT split_level, nl AS n_left, nr AS n_right, pl AS pos_left,
+        |  pr AS pos_right, parent_gini, child_gini, gain
+        |FROM best WHERE rn = 1""".stripMargin,
+
+    "q262_power_mde" ->
+      """WITH conv AS (SELECT user_id,
+        |    CAST(max(CASE WHEN event_type = 'purchase' AND value > 150.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        |  FROM events GROUP BY 1),
+        |arms AS (SELECT user_id % 2 AS variant,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+        |  FROM conv GROUP BY 1),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN variant = 1 THEN n ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN variant = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(c) AS BIGINT) AS cc, CAST(sum(n) AS BIGINT) AS nn
+        |  FROM arms),
+        |p AS (SELECT *, CAST(cc AS DOUBLE) / CAST(nn AS DOUBLE) AS p_pool,
+        |    least(n1, n0) AS n_arm FROM t),
+        |md AS (SELECT *, 2.8015852181129683e0 *
+        |    sqrt(2.0 * p_pool * (1.0 - p_pool) / CAST(n_arm AS DOUBLE))
+        |    AS mde_abs FROM p)
+        |SELECT n1, n0, p_pool, mde_abs, mde_abs / p_pool AS mde_rel
+        |FROM md""".stripMargin,
+
+    "q263_mase_backtest" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        |ti AS (SELECT d, y,
+        |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t FROM daily),
+        |nd AS (SELECT CAST(max(t) AS BIGINT) AS tt FROM ti),
+        |lagged AS (SELECT t, y, lag(y, 7) OVER (ORDER BY t) AS y7
+        |  FROM ti),
+        |train AS (SELECT lagged.* FROM lagged CROSS JOIN nd
+        |  WHERE t <= tt - 14),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(t) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(t * y) AS BIGINT) AS sxy,
+        |    CAST(sum(t * t) AS BIGINT) AS sxx FROM train),
+        |f AS (SELECT n AS n_train,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n * sxx - sx * sx AS DOUBLE) AS slope, sx, sy, n FROM m),
+        |g AS (SELECT n_train, slope, (CAST(sy AS DOUBLE) -
+        |    slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+        |  FROM f),
+        |test AS (SELECT t, n_train,
+        |    CAST(abs(y - y7) AS BIGINT) AS ae_naive,
+        |    abs(CAST(y AS DOUBLE) -
+        |      (slope * CAST(t AS DOUBLE) + intercept)) AS ae_line
+        |  FROM lagged CROSS JOIN nd CROSS JOIN g WHERE t > tt - 14),
+        |agg AS (SELECT n_train, CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(ae_naive) AS BIGINT) AS sae_naive,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(ae_line ORDER BY t)), (a, x) -> a + x) AS sae_line
+        |  FROM test GROUP BY 1)
+        |SELECT n_train, n_test,
+        |  CAST(sae_naive AS DOUBLE) / CAST(n_test AS DOUBLE) AS mae_naive,
+        |  sae_line / CAST(n_test AS DOUBLE) AS mae_line,
+        |  (sae_line / CAST(n_test AS DOUBLE)) /
+        |    (CAST(sae_naive AS DOUBLE) / CAST(n_test AS DOUBLE)) AS mase
+        |FROM agg""".stripMargin,
+
     "q258_wasserstein" ->
       """WITH lv AS (SELECT CAST(floor(n_chars / 20) AS BIGINT) AS l,
         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
