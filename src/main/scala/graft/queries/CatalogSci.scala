@@ -305,12 +305,15 @@ object CatalogSci {
     * narrow pass + a (label × dim)-sized aggregate; labels broadcast
     * back. (Int64 headroom: w ≤ 2²⁴, q ≤ 2²², so ~2⁴⁶ per row —
     * fine to ~10⁷ rows per label; shard the sum at larger scale.) */
-  def q241GeoMedian(s: SparkSession, dir: String): DataFrame = {
+  def q241GeoMedian(s: SparkSession, dir: String): DataFrame =
+    geoMedianOf(Tables.embeddings(s, dir))
+
+  private[graft] def geoMedianOf(embIn: DataFrame): DataFrame = {
     val scale = 1048576L // 2^20
     val wCap = 16777216L // 2^24
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
-    val emb = Tables.embeddings(s, dir)
+    val emb = embIn
       .select(col("label"), col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"),
         transform(col("embedding"),
@@ -549,9 +552,12 @@ object CatalogSci {
     * (order-free, any partitioning); the Frobenius norm is a sorted
     * fold over the BOUNDED (i,j) grid (d² = 4096 rows). The embedding
     * drift detector that scales: state is d², never n². */
-  def q247MmdQuad(s: SparkSession, dir: String): DataFrame = {
+  def q247MmdQuad(s: SparkSession, dir: String): DataFrame =
+    mmdQuadOf(Tables.embeddings(s, dir))
+
+  private[graft] def mmdQuadOf(embIn: DataFrame): DataFrame = {
     val qscale = 1024L
-    val emb = Tables.embeddings(s, dir)
+    val emb = embIn
       .select((col("vec_id") % 2 === 0).as("grp"),
         transform(col("embedding"),
           x => round(x.cast("double") * qscale).cast("long")).as("q"))
@@ -1339,11 +1345,14 @@ object CatalogSci {
     * keys, never a distance theta-join; the oracle replays the CC as
     * the q53 recursive CTE. Output: clusters by size with cell and
     * point counts, plus the noise row (cluster_rank = 0). */
-  def q264GridDbscan(s: SparkSession, dir: String): DataFrame = {
+  def q264GridDbscan(s: SparkSession, dir: String): DataFrame =
+    gridDbscanOf(Tables.embeddings(s, dir))
+
+  private[graft] def gridDbscanOf(embIn: DataFrame): DataFrame = {
     val scale = 16L
     val minPts = 5L
     val enc = 10000L // cell id = (cx + 500) * enc + (cy + 500)
-    val pts = Tables.embeddings(s, dir)
+    val pts = embIn
       .select(col("vec_id"),
         floor(element_at(col("embedding"), 1).cast("double") * scale)
           .as("cx"),
@@ -1357,7 +1366,7 @@ object CatalogSci {
       .select(col("cx"), col("cy"), col("cell"), col("n"))
     // adjacency: each core cell emits its 9 neighborhood keys; an
     // equi-join on the key links neighbors (a < b dedupes)
-    val shifts = s.range(1).select(explode(array(
+    val shifts = embIn.sparkSession.range(1).select(explode(array(
       (for (dx <- -1 to 1; dy <- -1 to 1)
         yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*))
       .as("sh")).select(col("sh.dx").as("dx"), col("sh.dy").as("dy"))

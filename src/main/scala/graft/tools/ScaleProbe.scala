@@ -144,7 +144,17 @@ object ScaleProbe {
           seedBase.select((col("id") + lit(i * 10000000L)).as("id"))
         }.reduce(_ unionByName _)
         graft.graph.Graph.bfsHops(edges(k), "src", "dst", seeds, rounds = 6)
-          .count() })
+          .count() },
+      // round-9 probes. Replicated embeddings keep the label set and the
+      // cell grid constant, so per-label membership / moment volume / cell
+      // point-counts grow linearly while state (labels x dims, d^2 grid,
+      // occupied cells) stays FIXED — the shapes that must show alpha ~ 1.
+      "q241_geo_median" -> { k: Int =>
+        graft.queries.CatalogSci.geoMedianOf(embs(k)).count() },
+      "q247_mmd_quad" -> { k: Int =>
+        graft.queries.CatalogSci.mmdQuadOf(embs(k)).count() },
+      "q264_grid_dbscan" -> { k: Int =>
+        graft.queries.CatalogSci.gridDbscanOf(embs(k)).count() })
     val ks = Seq(1, 4, 10)
     val filter = sys.env.get("SPARK_GRAFT_HEAVY_ONLY").map(_.split(',').toSet)
     var allSub = true
