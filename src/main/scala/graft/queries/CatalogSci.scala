@@ -1426,7 +1426,254 @@ object CatalogSci {
         (col("mu") + col("beta") * lit(rl30)).as("return_level_30d"))
   }
 
+  /** Markov removal-effect attribution (Anderl et al. 2016) — the
+    * third leg of the attribution trio (rule-based q143, Shapley
+    * q249): model the user journey as a Markov chain over the 5 event
+    * states absorbing into conv (a big purchase) or null, and score
+    * channel c by how much P(conv) drops when c is removed. Removal
+    * has a one-line exact form: clamping v(c) ≡ 0 in the value
+    * iteration v(s) = T(s,conv) + Σ_j T(s,j)·v(j) IS redirecting all
+    * mass into c to null. The chain is 5×7 — the value iteration (12
+    * rounds) runs on the driver with the oracle's exact fold orders
+    * (j-ascending dot, state-ascending start mix), like q250's
+    * eigensolve; the DISTRIBUTED work is the transition-count
+    * aggregate. */
+  def q266MarkovRemoval(s: SparkSession, dir: String): DataFrame = {
+    val states = Seq("click", "error", "purchase", "signup", "view")
+    val rounds = 12
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"),
+        (col("event_type") === "purchase" && col("value") > 150.0).as("big"))
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    // journey: absorb at the FIRST big purchase; steps before it emit
+    // transitions state -> next (or conv if next is big, null at end)
+    val seqd = ev
+      .withColumn("bigCum",
+        sum(when(col("big"), 1L).otherwise(0L)).over(
+          wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // journey rows: everything BEFORE the first big purchase, plus the
+      // absorbing big row itself (later rows are post-conversion noise)
+      .filter(col("bigCum") === 0 || (col("big") && col("bigCum") === 1))
+    val steps = seqd
+      .withColumn("nxt_type", lead(col("event_type"), 1).over(wU))
+      .withColumn("nxt_big", lead(col("big"), 1).over(wU))
+      .filter(!col("big")) // absorbing row emits no transition
+      .select(col("event_type").as("s"),
+        when(col("nxt_type").isNull, "null")
+          .when(col("nxt_big"), "conv")
+          .otherwise(col("nxt_type")).as("j"))
+    val tc = steps.groupBy(col("s"), col("j")).agg(count(lit(1)).as("c"))
+    val rowTot = tc.groupBy(col("s")).agg(sum(col("c")).as("ct"))
+    val firsts = seqd.withColumn("rn", row_number().over(wU))
+      .filter(col("rn") === 1)
+      .groupBy(col("event_type"), col("big")).agg(count(lit(1)).as("c"))
+    val collected = tc.join(rowTot, "s").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val firstRows = firsts.collect()
+      .map(r => ((r.getString(0), r.getBoolean(1)), r.getLong(2))).toMap
+    val nUsers = firstRows.values.sum
+    def t(si: String, j: String): Double = collected.get((si, j)) match {
+      case Some((c, ct)) => c.toDouble / ct.toDouble
+      case None => 0.0
+    }
+    // start mix: instant conversions (first event is big) contribute 1.0
+    val pInstant = firstRows.collect { case ((_, true), c) => c }.sum.toDouble /
+      nUsers.toDouble
+    def pi0(si: String): Double =
+      firstRows.getOrElse((si, false), 0L).toDouble / nUsers.toDouble
+    def pConv(removed: Option[String]): Double = {
+      var v = states.map(_ => 0.0).toArray
+      for (_ <- 1 to rounds) {
+        val nv = states.zipWithIndex.map { case (si, i) =>
+          if (removed.contains(si)) 0.0
+          else {
+            var acc = 0.0
+            var j = 0
+            while (j < states.length) {
+              acc += t(si, states(j)) * v(j); j += 1
+            }
+            t(si, "conv") + acc
+          }
+        }.toArray
+        v = nv
+      }
+      var p = 0.0
+      states.zipWithIndex.foreach { case (si, i) =>
+        if (!removed.contains(si)) p += pi0(si) * v(i)
+      }
+      p + pInstant
+    }
+    val base = pConv(None)
+    val rowsOut = ("(none)", base, 0.0) +:
+      Seq("click", "error", "signup", "view").map { c =>
+        val pc = pConv(Some(c))
+        (c, pc, (base - pc) / base)
+      }
+    import s.implicits._
+    rowsOut.toDF("removed_channel", "p_conv", "removal_effect")
+      .select(col("removed_channel"), col("p_conv"), col("removal_effect"))
+      .orderBy(col("removed_channel"))
+  }
+
+  /** LTV cohort triangle: cumulative purchase revenue per signup-week
+    * cohort by age-in-weeks — the table every growth model is fit on.
+    * Cohorts from each user's first event week; revenue in exact
+    * integer cents; the cumulative is a window over the BOUNDED
+    * (cohort × age) grid; per-user LTV is one divide. */
+  def q267LtvTriangle(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val firstD = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_d"))
+      .withColumn("cohort", date_trunc("week", col("first_d")).cast("date"))
+    val cohortSize = firstD.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_users"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(firstD, "user_id")
+      .select(col("cohort"),
+        floor(datediff(to_date(col("ts")), col("cohort")) / 7).as("age_weeks"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("cohort"), col("age_weeks"))
+      .agg(sum(col("cents")).as("cents"))
+    val wCum = Window.partitionBy(col("cohort")).orderBy(col("age_weeks"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum_cents", sum(col("cents")).over(wCum))
+      .join(broadcast(cohortSize), "cohort")
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("age_weeks"), col("n_users"), col("cum_cents"),
+        (col("cum_cents").cast("double") / col("n_users").cast("double") /
+          100.0).as("ltv_per_user"))
+      .orderBy(col("cohort_week"), col("age_weeks"))
+  }
+
+  /** Chao1 species-richness estimate of the total vocabulary — the
+    * BIAS-CORRECTED form V̂ = V + F₁(F₁−1)∕(2(F₂+1)) (Chao 1984;
+    * Colwell's correction), defined even when no token occurs exactly
+    * twice: "how many words exist that this corpus has NOT yet seen",
+    * the crawl-more signal next to q217's Heaps extrapolation. Exact
+    * integers, one divide. */
+  def q268Chao1(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    freq.agg(count(lit(1)).as("v_obs"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("v_obs"), col("f1"), col("f2"),
+        (col("v_obs").cast("double") +
+          (col("f1") * (col("f1") - 1)).cast("double") /
+            (lit(2L) * (col("f2") + 1)).cast("double")).as("chao1"))
+      .select(col("v_obs"), col("f1"), col("f2"), col("chao1"),
+        ((col("chao1") - col("v_obs").cast("double")) / col("chao1"))
+          .as("unseen_frac"))
+  }
+
+  /** Temporal burstiness of user activity (Goh & Barabási 2008):
+    * B = (σ−μ)∕(σ+μ) over each user's inter-event gaps — B → −1
+    * periodic (cron-like bots), B ≈ 0 Poisson, B → +1 bursty humans.
+    * The TEMPORAL twin of q221's token burstiness. Gaps are exact
+    * integer seconds; per-user moments are exact int64 sums combined
+    * in doubles with fixed parenthesization; the release is the
+    * bounded 8-bin histogram of B (never a per-user dump). Users with
+    * < 6 gaps are excluded (σ undefined territory). */
+  def q269IntereventBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(wU))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("prev"))).as("g"))
+    val perUser = gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"),
+        sum(col("g") * col("g")).as("sgg"))
+      .filter(col("n") >= 6)
+      .withColumn("mu", col("sg").cast("double") / col("n").cast("double"))
+      .withColumn("sigma",
+        sqrt((col("n").cast("double") * col("sgg").cast("double") -
+          col("sg").cast("double") * col("sg").cast("double")) /
+          (col("n").cast("double") * (col("n") - 1).cast("double"))))
+      .withColumn("b",
+        (col("sigma") - col("mu")) / (col("sigma") + col("mu")))
+    perUser
+      .withColumn("bin", floor((col("b") + 1.0) * 4))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_users"), min(col("b")).as("min_b"),
+        max(col("b")).as("max_b"))
+      .orderBy(col("bin"))
+  }
+
+  /** The Lorenz 80/20 point of revenue concentration: the smallest
+    * user count whose (descending) cumulative purchase cents reach
+    * 80% of total — the operational readout next to q190's Gini. The
+    * threshold is the EXACT integer comparison 5·cum ≥ 4·total (no
+    * float 0.8); shares are two final divides. */
+  def q270Pareto8020(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L)).as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = users.agg(sum(col("cents")).as("total"),
+      count(lit(1)).as("n_users"))
+    users
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cents").desc, col("user_id"))).cast("long"))
+      .withColumn("cum", sum(col("cents")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 5 >= col("total") * 4)
+      .orderBy(col("rnk"))
+      .limit(1)
+      .select(col("n_users"), col("rnk").as("k_star"),
+        (col("rnk").cast("double") / col("n_users").cast("double"))
+          .as("user_share"),
+        (col("cum").cast("double") / col("total").cast("double"))
+          .as("revenue_share"))
+  }
+
+  /** RFM segmentation (the classic CRM cube): per-user Recency (days
+    * since last event), Frequency (event count), Monetary (purchase
+    * cents) scored into quintiles by NTILE(5) with a full
+    * deterministic order (metric, user_id) — R ascending is better,
+    * F/M descending — released as the bounded segment-count cube.
+    * All inputs exact integers; NTILE's even-split rule is identical
+    * in both engines given the total order. */
+  def q271RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val maxD = ev.agg(max(to_date(col("ts"))).as("max_d"))
+    val rfm = ev.groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_d"),
+        count(lit(1)).as("f"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("m"))
+      .crossJoin(broadcast(maxD))
+      .select(col("user_id"),
+        datediff(col("max_d"), col("last_d")).cast("long").as("r"),
+        col("f"), col("m"))
+    val scored = rfm
+      .withColumn("r_code", ntile(5).over(
+        Window.orderBy(col("r"), col("user_id"))).cast("long"))
+      .withColumn("f_code", ntile(5).over(
+        Window.orderBy(col("f").desc, col("user_id"))).cast("long"))
+      .withColumn("m_code", ntile(5).over(
+        Window.orderBy(col("m").desc, col("user_id"))).cast("long"))
+    scored.groupBy(col("r_code"), col("f_code"), col("m_code"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("r_code"), col("f_code"), col("m_code"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_burstiness_t"   -> q269IntereventBurstiness _,
+    "q270_pareto_8020"    -> q270Pareto8020 _,
+    "q271_rfm_segments"   -> q271RfmSegments _,
+    "q266_markov_removal" -> q266MarkovRemoval _,
+    "q267_ltv_triangle"   -> q267LtvTriangle _,
+    "q268_chao1"          -> q268Chao1 _,
     "q264_grid_dbscan"    -> q264GridDbscan _,
     "q265_gumbel"         -> q265GumbelExtremes _,
     "q261_cart_stump"     -> q261CartStump _,

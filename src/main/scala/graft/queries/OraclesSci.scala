@@ -99,7 +99,201 @@ object OraclesSci {
        |    n_down FROM f$t)""".stripMargin
   }
 
+  /** One value-iteration round for one removal scenario of the q266
+    * Markov chain: removed state clamped to 0, others tconv +
+    * state-ordered dot with the previous value vector. */
+  private def mrRound(tag: String, removed: String, t: Int): String = {
+    val prev = if (t == 1) s"v_${tag}_0" else s"v_${tag}_${t - 1}"
+    val upd = s"tconv + list_dot_product(tj, (SELECT vl FROM $prev))"
+    val expr = if (removed.isEmpty) upd
+      else s"CASE WHEN s = '$removed' THEN 0.0 ELSE $upd END"
+    s"""y_${tag}_$t AS MATERIALIZED (SELECT s,
+       |    $expr AS v
+       |  FROM stt),
+       |v_${tag}_$t AS MATERIALIZED (SELECT list(v ORDER BY s) AS vl
+       |  FROM y_${tag}_$t)""".stripMargin
+  }
+
+  private def mrScenario(tag: String, removed: String): String = {
+    val rounds = (1 to 12).map(mrRound(tag, removed, _)).mkString(",\n")
+    s"""v_${tag}_0 AS (SELECT list_transform(range(5),
+       |    x -> CAST(0.0 AS DOUBLE)) AS vl),
+       |$rounds,
+       |p_$tag AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(pi0.pi * yv.v ORDER BY pi0.s)), (a, x) -> a + x) +
+       |    (SELECT CAST(ci AS DOUBLE) / CAST(nu AS DOUBLE)
+       |     FROM pinst CROSS JOIN nu) AS p
+       |  FROM pi0 JOIN y_${tag}_12 yv ON yv.s = pi0.s)""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "q269_burstiness_t" ->
+      """WITH gaps AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) -
+        |      CAST(floor(epoch(prev)) AS BIGINT) AS g
+        |  FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev FROM events)
+        |  WHERE prev IS NOT NULL),
+        |pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(g) AS BIGINT) AS sg,
+        |    CAST(sum(g * g) AS BIGINT) AS sgg FROM gaps GROUP BY 1),
+        |f AS (SELECT *, CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE) -
+        |      CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS sigma
+        |  FROM pu WHERE n >= 6),
+        |b AS (SELECT *, (sigma - mu) / (sigma + mu) AS b FROM f)
+        |SELECT CAST(floor((b + 1.0) * 4) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_users, min(b) AS min_b,
+        |  max(b) AS max_b
+        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q270_pareto_8020" ->
+      """WITH users AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS n_users FROM users),
+        |rk AS (SELECT cents,
+        |    CAST(row_number() OVER (ORDER BY cents DESC, user_id) AS BIGINT)
+        |      AS rnk,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM users)
+        |SELECT n_users, rnk AS k_star,
+        |  CAST(rnk AS DOUBLE) / CAST(n_users AS DOUBLE) AS user_share,
+        |  CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS revenue_share
+        |FROM rk CROSS JOIN tot WHERE cum * 5 >= total * 4
+        |ORDER BY rnk LIMIT 1""".stripMargin,
+
+    "q271_rfm_segments" ->
+      """WITH md AS (SELECT max(CAST(ts AS DATE)) AS max_d FROM events),
+        |rfm AS (SELECT user_id,
+        |    CAST(date_diff('day', last_d, max_d) AS BIGINT) AS r, f, m
+        |  FROM (SELECT user_id, max(CAST(ts AS DATE)) AS last_d,
+        |      CAST(count(*) AS BIGINT) AS f,
+        |      CAST(sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |        AS BIGINT) AS m
+        |    FROM events GROUP BY 1) CROSS JOIN md),
+        |sc AS (SELECT
+        |    CAST(ntile(5) OVER (ORDER BY r, user_id) AS BIGINT) AS r_code,
+        |    CAST(ntile(5) OVER (ORDER BY f DESC, user_id) AS BIGINT)
+        |      AS f_code,
+        |    CAST(ntile(5) OVER (ORDER BY m DESC, user_id) AS BIGINT)
+        |      AS m_code
+        |  FROM rfm)
+        |SELECT r_code, f_code, m_code, CAST(count(*) AS BIGINT) AS n_users
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q266_markov_removal" -> {
+      val scenarios = Seq("base" -> "", "click" -> "click",
+        "error" -> "error", "signup" -> "signup", "view" -> "view")
+        .map { case (tag, rm) => mrScenario(tag, rm) }.mkString(",\n")
+      def eff(tag: String): String =
+        s"((SELECT p FROM p_base) - (SELECT p FROM p_$tag)) / (SELECT p FROM p_base)"
+      s"""WITH ev AS (SELECT user_id, ts, event_id, event_type,
+         |    (event_type = 'purchase' AND value > 150.0) AS big FROM events),
+         |seqd AS (SELECT * FROM (
+         |    SELECT *, CAST(sum(CASE WHEN big THEN 1 ELSE 0 END) OVER
+         |      (PARTITION BY user_id ORDER BY ts, event_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS bigcum
+         |    FROM ev)
+         |  WHERE bigcum = 0 OR (big AND bigcum = 1)),
+         |steps AS (SELECT event_type AS s,
+         |    CASE WHEN nxt_type IS NULL THEN 'null'
+         |         WHEN nxt_big THEN 'conv' ELSE nxt_type END AS j
+         |  FROM (SELECT *, lead(event_type) OVER w AS nxt_type,
+         |          lead(big) OVER w AS nxt_big
+         |        FROM seqd WINDOW w AS (PARTITION BY user_id
+         |          ORDER BY ts, event_id))
+         |  WHERE NOT big),
+         |tc AS (SELECT s, j, CAST(count(*) AS BIGINT) AS c
+         |  FROM steps GROUP BY 1, 2),
+         |rt AS (SELECT s, CAST(sum(c) AS BIGINT) AS ct FROM tc GROUP BY 1),
+         |states AS (SELECT unnest(['click', 'error', 'purchase', 'signup',
+         |    'view']) AS s),
+         |tgrid AS (SELECT a.s AS s, b.s AS j,
+         |    coalesce(CAST(tc.c AS DOUBLE) / CAST(rt.ct AS DOUBLE), 0.0) AS p
+         |  FROM states a CROSS JOIN states b
+         |  LEFT JOIN tc ON tc.s = a.s AND tc.j = b.s
+         |  LEFT JOIN rt ON rt.s = a.s),
+         |trows AS (SELECT s, list(p ORDER BY j) AS tj FROM tgrid GROUP BY s),
+         |tcv AS (SELECT a.s AS s,
+         |    coalesce(CAST(tc.c AS DOUBLE) / CAST(rt.ct AS DOUBLE), 0.0)
+         |      AS tconv
+         |  FROM states a LEFT JOIN tc ON tc.s = a.s AND tc.j = 'conv'
+         |  LEFT JOIN rt ON rt.s = a.s),
+         |stt AS (SELECT trows.s AS s, tcv.tconv AS tconv, trows.tj AS tj
+         |  FROM trows JOIN tcv ON trows.s = tcv.s),
+         |firsts AS (SELECT event_type, big, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn FROM seqd)
+         |  WHERE rn = 1 GROUP BY 1, 2),
+         |nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM firsts),
+         |pinst AS (SELECT coalesce(CAST(sum(CASE WHEN big THEN c END)
+         |    AS BIGINT), 0) AS ci FROM firsts),
+         |pi0 AS (SELECT st2.s AS s,
+         |    coalesce(CAST(f.c AS DOUBLE) / CAST(nu.nu AS DOUBLE), 0.0) AS pi
+         |  FROM states st2 LEFT JOIN (SELECT event_type, c FROM firsts
+         |    WHERE NOT big) f ON f.event_type = st2.s CROSS JOIN nu),
+         |$scenarios
+         |SELECT removed_channel, p_conv, removal_effect FROM (
+         |  SELECT '(none)' AS removed_channel,
+         |    (SELECT p FROM p_base) AS p_conv, 0.0 AS removal_effect
+         |  UNION ALL SELECT 'click', (SELECT p FROM p_click), ${eff("click")}
+         |  UNION ALL SELECT 'error', (SELECT p FROM p_error), ${eff("error")}
+         |  UNION ALL SELECT 'signup', (SELECT p FROM p_signup),
+         |    ${eff("signup")}
+         |  UNION ALL SELECT 'view', (SELECT p FROM p_view), ${eff("view")})
+         |ORDER BY removed_channel""".stripMargin
+    },
+
+    "q267_ltv_triangle" ->
+      """WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_d
+        |  FROM events GROUP BY 1),
+        |fc AS (SELECT user_id,
+        |    CAST(date_trunc('week', first_d) AS DATE) AS cohort FROM fd),
+        |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM fc GROUP BY 1),
+        |rev AS (SELECT fc.cohort,
+        |    CAST(floor(date_diff('day', fc.cohort, CAST(e.ts AS DATE)) / 7)
+        |      AS BIGINT) AS age_weeks,
+        |    CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+        |cum AS (SELECT cohort, age_weeks,
+        |    CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY age_weeks
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_cents
+        |  FROM rev)
+        |SELECT strftime(cum.cohort, '%Y-%m-%d') AS cohort_week, age_weeks,
+        |  n_users, cum_cents,
+        |  CAST(cum_cents AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0
+        |    AS ltv_per_user
+        |FROM cum JOIN cs ON cs.cohort = cum.cohort
+        |ORDER BY cohort_week, age_weeks""".stripMargin,
+
+    "q268_chao1" ->
+      """WITH freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS v_obs,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM freq),
+        |e AS (SELECT v_obs, f1, f2,
+        |    CAST(v_obs AS DOUBLE) + CAST(f1 * (f1 - 1) AS DOUBLE) /
+        |      CAST(2 * (f2 + 1) AS DOUBLE) AS chao1 FROM m)
+        |SELECT v_obs, f1, f2, chao1,
+        |  (chao1 - CAST(v_obs AS DOUBLE)) / chao1 AS unseen_frac
+        |FROM e""".stripMargin,
+
     "q264_grid_dbscan" ->
       """WITH RECURSIVE pts AS (SELECT vec_id,
         |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 16) AS BIGINT) AS cx,
