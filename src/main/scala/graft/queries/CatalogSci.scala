@@ -1667,7 +1667,121 @@ object CatalogSci {
       .orderBy(col("r_code"), col("f_code"), col("m_code"))
   }
 
+  /** One-way ANOVA F across day-of-week groups of daily event counts
+    * — "is there weekday seasonality at all", the omnibus test before
+    * q145's per-hour decomposition digs in. SSB and SSW come entirely
+    * from exact int64 group sums via the identities SSB = Σ_g n_g(x̄_g
+    * − x̄)² and SST = Σx² − (Σx)²∕n, SSW = SST − SSB; F is two
+    * divides with fixed parenthesization. */
+  def q272AnovaF(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+      .select(dayofweek(col("d")).cast("long").as("g"), col("x"))
+    val groups = daily.groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      countDistinct(col("g")).as("k"))
+    val ssb = groups.crossJoin(broadcast(tot))
+      .select(col("g"), col("n"), col("sx"), col("sxx"), col("k"),
+        // n_g * (mean_g - mean)^2 = (n*sg - ng*sx)^2 / (ng * n^2)
+        (((col("n") * col("sg") - col("ng") * col("sx")) *
+          (col("n") * col("sg") - col("ng") * col("sx"))).cast("double") /
+          (col("ng") * col("n") * col("n")).cast("double")).as("term"))
+      .groupBy(col("n"), col("sx"), col("sxx"), col("k"))
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("g"), col("term")))),
+          e => e("term")),
+        lit(0.0), (acc, x) => acc + x).as("ssb"))
+    ssb
+      .withColumn("sst",
+        col("sxx").cast("double") -
+          (col("sx") * col("sx")).cast("double") / col("n").cast("double"))
+      .withColumn("ssw", col("sst") - col("ssb"))
+      .select(col("n").as("n_days"), col("k").as("n_groups"),
+        col("ssb"), col("ssw"),
+        ((col("ssb") / (col("k") - 1).cast("double")) /
+          (col("ssw") / (col("n") - col("k")).cast("double"))).as("f_stat"))
+  }
+
+  /** Wald–Wolfowitz runs test on the sign of day-over-day changes in
+    * event volume — "is the series a random walk or does it trend/
+    * oscillate": R runs among n₁ ups and n₀ downs, E[R] = 2n₁n₀∕n +
+    * 1, Var[R] = 2n₁n₀(2n₁n₀−n)∕(n²(n−1)), z² = (R−E)²∕Var. Runs
+    * and counts are exact integers from one lag pass; ties (zero
+    * change) are dropped, the classical convention. */
+  def q273RunsTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val wD = Window.orderBy(col("d"))
+    val signs = daily
+      .withColumn("prev", lag(col("x"), 1).over(wD))
+      .filter(col("prev").isNotNull && col("x") =!= col("prev"))
+      .select(col("d"), (col("x") > col("prev")).cast("long").as("up"))
+    val runs = signs
+      .withColumn("prevUp", lag(col("up"), 1).over(Window.orderBy(col("d"))))
+      .select(
+        when(col("prevUp").isNull || col("up") =!= col("prevUp"), 1L)
+          .otherwise(0L).as("newRun"),
+        col("up"))
+      .agg(sum(col("newRun")).as("r"), sum(col("up")).as("n1"),
+        sum(lit(1L) - col("up")).as("n0"))
+    runs
+      .withColumn("n", col("n1") + col("n0"))
+      .withColumn("e_r",
+        (lit(2L) * col("n1") * col("n0")).cast("double") /
+          col("n").cast("double") + lit(1.0))
+      .withColumn("var_r",
+        (lit(2L) * col("n1") * col("n0") *
+          (lit(2L) * col("n1") * col("n0") - col("n"))).cast("double") /
+          (col("n") * col("n") * (col("n") - 1)).cast("double"))
+      .select(col("r").as("n_runs"), col("n1"), col("n0"), col("e_r"),
+        col("var_r"),
+        ((col("r").cast("double") - col("e_r")) *
+          (col("r").cast("double") - col("e_r")) / col("var_r")).as("z2"))
+  }
+
+  /** Ljung–Box portmanteau statistic over the q207 ACF at lags 1..7:
+    * Q = n(n+2)·Σ_k r_k²∕(n−k) — "is there ANY autocorrelation",
+    * the joint test q207's per-lag values feed. r_k ratios reuse the
+    * exact centered-integer sums (c = n·x − S); the lag fold is a
+    * sorted fold over k. */
+  def q274LjungBox(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val tot = daily.agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    val cser = daily.crossJoin(broadcast(tot))
+      .select(col("d"), col("n"), (col("n") * col("x") - col("sx")).as("c"))
+    val w = Window.orderBy(col("d"))
+    val lagged = cser.select(
+      (col("n") +: col("c") +:
+        (1 to 7).map(k => lag(col("c"), k).over(w).as(s"c$k"))): _*)
+    val aggCols = sum(col("c") * col("c")).as("den") +:
+      (1 to 7).map(k => sum(col("c") * col(s"c$k")).as(s"num$k"))
+    val sums = lagged.groupBy(col("n")).agg(aggCols.head, aggCols.tail: _*)
+    val terms = (1 to 7).map { k =>
+      sums.select(col("n"), lit(k.toLong).as("k"),
+        ((col(s"num$k").cast("double") / col("den").cast("double")) *
+          (col(s"num$k").cast("double") / col("den").cast("double")) /
+          (col("n") - k).cast("double")).as("term"))
+    }.reduce(_ unionByName _)
+    terms.groupBy(col("n"))
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("k"), col("term")))),
+          e => e("term")),
+        lit(0.0), (acc, x) => acc + x).as("lagsum"))
+      .select(col("n").as("n_days"), lit(7L).as("n_lags"),
+        ((col("n") * (col("n") + 2)).cast("double") * col("lagsum"))
+          .as("q_stat"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_anova_f"        -> q272AnovaF _,
+    "q273_runs_test"      -> q273RunsTest _,
+    "q274_ljung_box"      -> q274LjungBox _,
     "q269_burstiness_t"   -> q269IntereventBurstiness _,
     "q270_pareto_8020"    -> q270Pareto8020 _,
     "q271_rfm_segments"   -> q271RfmSegments _,

@@ -127,6 +127,105 @@ object OraclesSci {
   }
 
   val all: Map[String, String] = Map(
+    "q272_anova_f" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |dg AS (SELECT CAST(dayofweek(d) + 1 AS BIGINT) AS g, x FROM daily),
+        |groups AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(x) AS BIGINT) AS sg FROM dg GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(count(DISTINCT g) AS BIGINT) AS k FROM dg),
+        |terms AS (SELECT g, n, sx, sxx, k,
+        |    CAST((n * sg - ng * sx) * (n * sg - ng * sx) AS DOUBLE) /
+        |      CAST(ng * n * n AS DOUBLE) AS term
+        |  FROM groups CROSS JOIN tot),
+        |sb AS (SELECT n, sx, sxx, k,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(term ORDER BY g)), (a, x) -> a + x) AS ssb
+        |  FROM terms GROUP BY 1, 2, 3, 4),
+        |fin AS (SELECT n AS n_days, k AS n_groups, ssb,
+        |    CAST(sxx AS DOUBLE) - CAST(sx * sx AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS sst FROM sb)
+        |SELECT n_days, n_groups, ssb, sst - ssb AS ssw,
+        |  (ssb / CAST(n_groups - 1 AS DOUBLE)) /
+        |    ((sst - ssb) / CAST(n_days - n_groups AS DOUBLE)) AS f_stat
+        |FROM fin""".stripMargin,
+
+    "q273_runs_test" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |sg AS (SELECT d, CASE WHEN x > prev THEN 1 ELSE 0 END AS up FROM
+        |    (SELECT d, x, lag(x) OVER (ORDER BY d) AS prev FROM daily)
+        |  WHERE prev IS NOT NULL AND x <> prev),
+        |rr AS (SELECT CAST(sum(CASE WHEN prevup IS NULL OR up <> prevup
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS r,
+        |    CAST(sum(up) AS BIGINT) AS n1,
+        |    CAST(sum(1 - up) AS BIGINT) AS n0
+        |  FROM (SELECT up, lag(up) OVER (ORDER BY d) AS prevup FROM sg)),
+        |f AS (SELECT r, n1, n0, n1 + n0 AS n FROM rr),
+        |g AS (SELECT *,
+        |    CAST(2 * n1 * n0 AS DOUBLE) / CAST(n AS DOUBLE) + 1.0 AS e_r,
+        |    CAST(2 * n1 * n0 * (2 * n1 * n0 - n) AS DOUBLE) /
+        |      CAST(n * n * (n - 1) AS DOUBLE) AS var_r FROM f)
+        |SELECT r AS n_runs, n1, n0, e_r, var_r,
+        |  (CAST(r AS DOUBLE) - e_r) * (CAST(r AS DOUBLE) - e_r) / var_r
+        |    AS z2
+        |FROM g""".stripMargin,
+
+    "q274_ljung_box" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(count(*) AS BIGINT) AS n FROM daily),
+        |cser AS (SELECT d, n, n * x - sx AS c FROM daily CROSS JOIN tot),
+        |lagged AS (SELECT n, c,
+        |    lag(c, 1) OVER (ORDER BY d) AS c1,
+        |    lag(c, 2) OVER (ORDER BY d) AS c2,
+        |    lag(c, 3) OVER (ORDER BY d) AS c3,
+        |    lag(c, 4) OVER (ORDER BY d) AS c4,
+        |    lag(c, 5) OVER (ORDER BY d) AS c5,
+        |    lag(c, 6) OVER (ORDER BY d) AS c6,
+        |    lag(c, 7) OVER (ORDER BY d) AS c7
+        |  FROM cser),
+        |sums AS (SELECT n, CAST(sum(c * c) AS BIGINT) AS den,
+        |    CAST(sum(c * c1) AS BIGINT) AS num1,
+        |    CAST(sum(c * c2) AS BIGINT) AS num2,
+        |    CAST(sum(c * c3) AS BIGINT) AS num3,
+        |    CAST(sum(c * c4) AS BIGINT) AS num4,
+        |    CAST(sum(c * c5) AS BIGINT) AS num5,
+        |    CAST(sum(c * c6) AS BIGINT) AS num6,
+        |    CAST(sum(c * c7) AS BIGINT) AS num7
+        |  FROM lagged GROUP BY n),
+        |terms AS (
+        |  SELECT n, CAST(1 AS BIGINT) AS k, (CAST(num1 AS DOUBLE) /
+        |    CAST(den AS DOUBLE)) * (CAST(num1 AS DOUBLE) /
+        |    CAST(den AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS term FROM sums
+        |  UNION ALL SELECT n, 2, (CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))
+        |    * (CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)) /
+        |    CAST(n - 2 AS DOUBLE) FROM sums
+        |  UNION ALL SELECT n, 3, (CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE))
+        |    * (CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE)) /
+        |    CAST(n - 3 AS DOUBLE) FROM sums
+        |  UNION ALL SELECT n, 4, (CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE))
+        |    * (CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE)) /
+        |    CAST(n - 4 AS DOUBLE) FROM sums
+        |  UNION ALL SELECT n, 5, (CAST(num5 AS DOUBLE) / CAST(den AS DOUBLE))
+        |    * (CAST(num5 AS DOUBLE) / CAST(den AS DOUBLE)) /
+        |    CAST(n - 5 AS DOUBLE) FROM sums
+        |  UNION ALL SELECT n, 6, (CAST(num6 AS DOUBLE) / CAST(den AS DOUBLE))
+        |    * (CAST(num6 AS DOUBLE) / CAST(den AS DOUBLE)) /
+        |    CAST(n - 6 AS DOUBLE) FROM sums
+        |  UNION ALL SELECT n, 7, (CAST(num7 AS DOUBLE) / CAST(den AS DOUBLE))
+        |    * (CAST(num7 AS DOUBLE) / CAST(den AS DOUBLE)) /
+        |    CAST(n - 7 AS DOUBLE) FROM sums)
+        |SELECT n AS n_days, CAST(7 AS BIGINT) AS n_lags,
+        |  CAST(n * (n + 2) AS DOUBLE) *
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(term ORDER BY k)), (a, x) -> a + x) AS q_stat
+        |FROM terms GROUP BY n""".stripMargin,
+
     "q269_burstiness_t" ->
       """WITH gaps AS (SELECT user_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) -
