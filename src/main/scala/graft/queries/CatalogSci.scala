@@ -1778,7 +1778,114 @@ object CatalogSci {
           .as("q_stat"))
   }
 
+  /** Mann–Kendall trend test on daily event counts (Mann 1945;
+    * Kendall's S against TIME) — the nonparametric trend detector that
+    * pairs with q237's Theil–Sen slope: S = Σ_{i<j} sign(x_j − x_i)
+    * exact integer over the day-bounded pair space, tie-corrected
+    * variance Var[S] = (n(n−1)(2n+5) − Σ t(t−1)(2t+5))∕18, and the
+    * continuity-corrected z² = (|S|−1)²∕Var. */
+  def q275MannKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val a = daily.select(col("d").as("d1"), col("x").as("x1"))
+    val b = daily.select(col("d").as("d2"), col("x").as("x2"))
+    val sPairs = a.join(b, col("d1") < col("d2"))
+      .agg(sum(when(col("x2") > col("x1"), 1L)
+        .when(col("x2") < col("x1"), -1L).otherwise(0L)).as("s"),
+        count(lit(1)).as("n_pairs"))
+    val ties = daily.groupBy(col("x")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)),
+        lit(0L)).as("tie_term"))
+    val nd = daily.agg(count(lit(1)).as("n"))
+    sPairs.crossJoin(broadcast(ties)).crossJoin(broadcast(nd))
+      .withColumn("var_s",
+        ((col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
+          col("tie_term"))).cast("double") / 18.0)
+      .select(col("n").as("n_days"), col("s"), col("var_s"),
+        ((abs(col("s")) - 1).cast("double") *
+          (abs(col("s")) - 1).cast("double") / col("var_s")).as("z2"))
+  }
+
+  /** 3-fold cross-validated MSE of the length~tokens OLS — the classic
+    * model-evaluation loop next to q238's conformal and q263's
+    * backtest. Fully order-free: per-fold training moments are
+    * TOTAL-minus-fold integer differences, and the held-out SSE uses
+    * the expansion Σ(y−a−bx)² = Σy² − 2aΣy − 2bΣxy + na² + 2abΣx +
+    * b²Σx² over exact test-fold moments — never a float sum over
+    * rows. */
+  def q276CvKfold(s: SparkSession, dir: String): DataFrame = {
+    val folds = Tables.documents(s, dir)
+      .select((col("doc_id") % 3).as("fold"),
+        size(split(col("text"), " ")).cast("long").as("x"),
+        col("n_chars").as("y"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    val tot = folds.agg(sum(col("n")).as("tn"), sum(col("sx")).as("tsx"),
+      sum(col("sy")).as("tsy"), sum(col("sxy")).as("tsxy"),
+      sum(col("sxx")).as("tsxx"))
+    val perFold = folds.crossJoin(broadcast(tot))
+      .withColumn("trn", col("tn") - col("n"))
+      .withColumn("trsx", col("tsx") - col("sx"))
+      .withColumn("trsy", col("tsy") - col("sy"))
+      .withColumn("trsxy", col("tsxy") - col("sxy"))
+      .withColumn("trsxx", col("tsxx") - col("sxx"))
+      .withColumn("slope",
+        (col("trn") * col("trsxy") - col("trsx") * col("trsy")).cast("double") /
+          (col("trn") * col("trsxx") - col("trsx") * col("trsx"))
+            .cast("double"))
+      .withColumn("icpt",
+        (col("trsy").cast("double") - col("slope") * col("trsx").cast("double")) /
+          col("trn").cast("double"))
+      // held-out SSE from exact test-fold moments (expansion, order-free)
+      .withColumn("sse",
+        col("syy").cast("double") -
+          lit(2.0) * col("icpt") * col("sy").cast("double") -
+          lit(2.0) * col("slope") * col("sxy").cast("double") +
+          col("n").cast("double") * col("icpt") * col("icpt") +
+          lit(2.0) * col("icpt") * col("slope") * col("sx").cast("double") +
+          col("slope") * col("slope") * col("sxx").cast("double"))
+      .select(col("fold"), col("n").as("n_test"), col("slope"), col("icpt"),
+        (col("sse") / col("n").cast("double")).as("mse"))
+    perFold.orderBy(col("fold"))
+  }
+
+  /** Vocabulary coverage curve: the corpus token share covered by the
+    * top-k most frequent types at k ∈ {10, 100, 1000, 10000} — the
+    * tokenizer/vocab-budget readout q51's raw frequencies and q217's
+    * Heaps growth bracket. One frequency aggregate, one rank window
+    * over the type domain, exact cumulative integers, one divide per
+    * k. */
+  def q277VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val wRank = Window.orderBy(col("c").desc, col("tok"))
+    val ranked = freq
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("cum", sum(col("c")).over(
+        wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = freq.agg(sum(col("c")).as("total"), count(lit(1)).as("v"))
+    val ks = s.range(1)
+      .select(explode(array(lit(10L), lit(100L), lit(1000L), lit(10000L)))
+        .as("k"))
+    val atK = ks.crossJoin(broadcast(tot))
+      .join(ranked.select(col("rnk"), col("cum")),
+        col("rnk") === least(col("k"), col("v")), "left")
+      .select(col("k"), col("v").as("vocab_size"), col("total"),
+        coalesce(col("cum"), lit(0L)).as("cum"))
+      .select(col("k"), col("vocab_size"),
+        (col("cum").cast("double") / col("total").cast("double"))
+          .as("coverage"))
+    atK.orderBy(col("k"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_mann_kendall"   -> q275MannKendall _,
+    "q276_cv_kfold"       -> q276CvKfold _,
+    "q277_vocab_coverage" -> q277VocabCoverage _,
     "q272_anova_f"        -> q272AnovaF _,
     "q273_runs_test"      -> q273RunsTest _,
     "q274_ljung_box"      -> q274LjungBox _,

@@ -127,6 +127,78 @@ object OraclesSci {
   }
 
   val all: Map[String, String] = Map(
+    "q275_mann_kendall" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |sp AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+        |      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |ties AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+        |    AS BIGINT) AS tie_term FROM
+        |  (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x)),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |v AS (SELECT n, s,
+        |    CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0
+        |      AS var_s
+        |  FROM sp CROSS JOIN ties CROSS JOIN nd)
+        |SELECT n AS n_days, s, var_s,
+        |  CAST(abs(s) - 1 AS DOUBLE) * CAST(abs(s) - 1 AS DOUBLE) / var_s
+        |    AS z2
+        |FROM v""".stripMargin,
+
+    "q276_cv_kfold" ->
+      """WITH folds AS (SELECT doc_id % 3 AS fold, CAST(count(*) AS BIGINT)
+        |      AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM (SELECT doc_id,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+        |      CAST(n_chars AS BIGINT) AS y FROM documents)
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(sum(sx) AS BIGINT) AS tsx, CAST(sum(sy) AS BIGINT) AS tsy,
+        |    CAST(sum(sxy) AS BIGINT) AS tsxy,
+        |    CAST(sum(sxx) AS BIGINT) AS tsxx FROM folds),
+        |pf AS (SELECT fold, n, sx, sy, sxy, sxx, syy,
+        |    tn - n AS trn, tsx - sx AS trsx, tsy - sy AS trsy,
+        |    tsxy - sxy AS trsxy, tsxx - sxx AS trsxx
+        |  FROM folds CROSS JOIN tot),
+        |sl AS (SELECT *, CAST(trn * trsxy - trsx * trsy AS DOUBLE) /
+        |    CAST(trn * trsxx - trsx * trsx AS DOUBLE) AS slope FROM pf),
+        |ic AS (SELECT *, (CAST(trsy AS DOUBLE) -
+        |    slope * CAST(trsx AS DOUBLE)) / CAST(trn AS DOUBLE) AS icpt
+        |  FROM sl),
+        |ss AS (SELECT fold, n, slope, icpt,
+        |    CAST(syy AS DOUBLE) - 2.0 * icpt * CAST(sy AS DOUBLE) -
+        |    2.0 * slope * CAST(sxy AS DOUBLE) +
+        |    CAST(n AS DOUBLE) * icpt * icpt +
+        |    2.0 * icpt * slope * CAST(sx AS DOUBLE) +
+        |    slope * slope * CAST(sxx AS DOUBLE) AS sse
+        |  FROM ic)
+        |SELECT fold, n AS n_test, slope, icpt,
+        |  sse / CAST(n AS DOUBLE) AS mse
+        |FROM ss ORDER BY fold""".stripMargin,
+
+    "q277_vocab_coverage" ->
+      """WITH freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1),
+        |rk AS (SELECT
+        |    CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rnk,
+        |    CAST(sum(c) OVER (ORDER BY c DESC, tok ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM freq),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS v FROM freq),
+        |ks AS (SELECT CAST(unnest([10, 100, 1000, 10000]) AS BIGINT) AS k)
+        |SELECT k, v AS vocab_size,
+        |  CAST(coalesce(cum, 0) AS DOUBLE) / CAST(total AS DOUBLE)
+        |    AS coverage
+        |FROM ks CROSS JOIN tot LEFT JOIN rk ON rk.rnk = least(k, v)
+        |ORDER BY k""".stripMargin,
+
     "q272_anova_f" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
         |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
