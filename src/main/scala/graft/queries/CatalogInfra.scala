@@ -56,6 +56,10 @@ object CatalogInfra {
         })
     val means = reps.groupBy(col("b"))
       .agg(sum(col("w") * col("n_chars")).as("swx"), sum(col("w")).as("sw"))
+      // a replicate whose weights all drew 0 has no resample — drop it
+      // rather than emit a 0/0 NaN whose sort position is engine-defined
+      // (astronomically unlikely beyond tiny corpora; mirrored in oracle)
+      .filter(col("sw") > 0)
       .select(col("b"),
         (col("swx").cast("double") / col("sw").cast("double")).as("m"))
     means.agg(sort_array(collect_list(col("m"))).as("ms"))

@@ -371,8 +371,9 @@ object CatalogSci {
       .agg(count(lit(1)).as("nh"), sum(col("n_chars")).as("sy"),
         sum(col("n_chars") * col("n_chars")).as("syy"))
       .withColumn("s2",
-        (col("nh") * col("syy") - col("sy") * col("sy")).cast("double") /
-          (col("nh") * (col("nh") - 1)).cast("double"))
+        when(col("nh") < 2, lit(0.0)).otherwise(
+          (col("nh") * col("syy") - col("sy") * col("sy")).cast("double") /
+            (col("nh") * (col("nh") - 1)).cast("double")))
       .withColumn("w", col("nh").cast("double") * sqrt(col("s2")))
     val tot = strata
       .agg(aggregate(
@@ -743,7 +744,9 @@ object CatalogSci {
       var acc = 0.0; var i = 0
       while (i < topK) { acc += y(i) * y(i); i += 1 }
       normV = math.sqrt(acc)
-      v = y.map(_ / normV)
+      // degenerate all-zero PPMI (tiny corpus): keep v, report eigval 0
+      // instead of poisoning loadings with 0/0 NaN (mirrored in the oracle)
+      if (normV > 0.0) v = y.map(_ / normV)
     }
     val vArr = array(v.map(lit).toIndexedSeq: _*)
     top.select(col("tok"), col("idx"), col("cnt"),

@@ -31,7 +31,7 @@ object OraclesInfra {
         |means AS (SELECT b,
         |    CAST(CAST(sum(w * n_chars) AS BIGINT) AS DOUBLE) /
         |      CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS m
-        |  FROM wts GROUP BY 1),
+        |  FROM wts GROUP BY 1 HAVING CAST(sum(w) AS BIGINT) > 0),
         |ms AS (SELECT list(m ORDER BY m) AS ml FROM means)
         |SELECT n_docs, CAST(32 AS BIGINT) AS n_reps,
         |  CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE) AS point_mean,

@@ -51,7 +51,9 @@ object OraclesSci {
        |n$t AS MATERIALIZED (SELECT
        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |    list(y * y ORDER BY i)), (a, x) -> a + x)) AS norm FROM y$t),
-       |v$t AS MATERIALIZED (SELECT list(y / norm ORDER BY i) AS v, norm
+       |v$t AS MATERIALIZED (SELECT CASE WHEN norm = 0
+       |    THEN (SELECT v FROM $prev)
+       |    ELSE list(y / norm ORDER BY i) END AS v, norm
        |  FROM y$t CROSS JOIN n$t GROUP BY norm)""".stripMargin
   }
 
@@ -1169,8 +1171,9 @@ object OraclesSci {
         |    CAST(sum(n_chars) AS BIGINT) AS sy,
         |    CAST(sum(n_chars * n_chars) AS BIGINT) AS syy
         |  FROM documents GROUP BY 1),
-        |sv AS (SELECT source, nh, CAST(nh * syy - sy * sy AS DOUBLE) /
-        |    CAST(nh * (nh - 1) AS DOUBLE) AS s2 FROM strata),
+        |sv AS (SELECT source, nh, CASE WHEN nh < 2 THEN 0.0
+        |    ELSE CAST(nh * syy - sy * sy AS DOUBLE) /
+        |    CAST(nh * (nh - 1) AS DOUBLE) END AS s2 FROM strata),
         |wv AS (SELECT source, nh, s2,
         |    CAST(nh AS DOUBLE) * sqrt(s2) AS w FROM sv),
         |tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
