@@ -271,11 +271,13 @@ object GraftFunctions {
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injection point. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.expressions", name),
         b))
     }
+    ext.injectOptimizerRule(_ => graft.plans.EditDistanceBandRule)
+  }
 }

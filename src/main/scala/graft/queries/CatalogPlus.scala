@@ -1,0 +1,379 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-9 wave: operators that lean on the engine's OWN Catalyst machinery
+ * (the edit-distance band optimizer rule, the DSv2 surface) plus further
+ * statistics/pipeline verbs. Same determinism contract as the rest of the
+ * catalog: md5-derived randomness as exact integers, exact-lg bits for
+ * logarithms, fixed parenthesization on every float fold.
+ */
+object CatalogPlus {
+
+  private def lg(x: Column): Column = graft.curation.Curation.lg(x)
+
+  /** md5-prefix uniform u32 ∈ [0, 2³²) of an arbitrary string column. */
+  private def u32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Blocked fuzzy entity match under the engine's edit-distance band rule
+    * (Ed-Join / Gravano VLDB'01 family): deterministic corrupted probes
+    * (4th character deleted from each customer name) are matched back
+    * against the clean names with `levenshtein <= 1`, blocked on the
+    * 4-char name suffix so the join is an EQUI join on the block key with
+    * the fuzzy predicate as a residual filter. [[graft.plans.EditDistanceBandRule]]
+    * rewrites that residual into a length-band short-circuit + Spark's
+    * threshold-banded O(k·n) DP — the plan a fuzzy join should have at
+    * 100 TB (blocking bounds candidates; the rule bounds per-pair cost). */
+  def q278FuzzyNameMatch(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftPlans.ensureInjected(s)
+    val cust = Tables.customer(s, dir).select(col("c_name"))
+    val bkey = (c: Column) => substring(c, -4, 4)
+    val probes = cust.select(
+      concat(substring(col("c_name"), 1, 3), substring(col("c_name"), 5, 1000))
+        .as("probe"),
+      bkey(col("c_name")).as("bk")).distinct()
+    val cands = cust.select(col("c_name"), bkey(col("c_name")).as("bk"))
+    probes.join(cands, Seq("bk"))
+      .filter(levenshtein(col("probe"), col("c_name")) <= 1)
+      .groupBy(col("probe"))
+      .agg(count(lit(1)).as("n_matches"), min(col("c_name")).as("first_match"))
+      .orderBy(col("probe"))
+  }
+
+  /** The engine's own DSv2 source end-to-end: read `graft-synth` (see
+    * [[graft.sources.SynthDocsSource]]) with a doc_id range predicate that
+    * pushes into partition planning (20k of 50k ids are never generated)
+    * and a projection that prunes `text` synthesis away, then aggregate.
+    * The DuckDB oracle replays the md5 field-derivation contract over
+    * `range(10000, 40000)` — the source's generated data IS verifiable. */
+  def q279SynthSourceAgg(s: SparkSession, dir: String): DataFrame = {
+    s.read.format("graft-synth")
+      .option("rows", 50000L).option("seed", "g9").option("partitions", 8)
+      .load()
+      .filter(col("doc_id") >= 10000L && col("doc_id") < 40000L)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("sum_words"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Sorted-key double fold: bit-identical to the oracle's
+    * `list_reduce(list_prepend(0.0, list(v ORDER BY k)))`. */
+  private def foldSorted(k: Column, v: Column): Column =
+    aggregate(
+      transform(sort_array(collect_list(struct(k.as("k"), v.as("v")))),
+        e => e("v")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Murphy (1973) decomposition of the Brier score: REL − RES + UNC over
+    * 10 deterministic forecast buckets (p̂ = (2b+1)∕20 with b md5-drawn
+    * per doc; outcome = the doc is English). Per-bucket contributions are
+    * one divide each; bucket-ascending folds make the three components
+    * bit-reproducible. The map side reduces each partition to ≤10 bucket
+    * rows, so the statistic costs one 10-group shuffle at any corpus
+    * size — the calibration audit you run on every model release. */
+  def q280BrierDecomp(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(
+        pmod(u32(concat(lit("brier:"), col("doc_id").cast("string"))), lit(10L))
+          .as("b"),
+        (col("lang") === "en").cast("long").as("o"))
+    val bk = docs.groupBy(col("b"))
+      .agg(count(lit(1)).as("nk"), sum(col("o")).as("ok"))
+    val pk = (e: Column) =>
+      (e("b") * 2 + 1).cast("double") / lit(20.0)
+    val obk = (e: Column) => e("ok").cast("double") / e("nk").cast("double")
+    bk.agg(
+        sort_array(collect_list(struct(col("b"), col("nk"), col("ok"))))
+          .as("xs"))
+      .withColumn("n", aggregate(transform(col("xs"), e => e("nk")),
+        lit(0L), (a, x) => a + x))
+      .withColumn("o", aggregate(transform(col("xs"), e => e("ok")),
+        lit(0L), (a, x) => a + x))
+      .withColumn("obar", col("o").cast("double") / col("n").cast("double"))
+      .withColumn("relsum", aggregate(transform(col("xs"), e =>
+          e("nk").cast("double") * ((pk(e) - obk(e)) * (pk(e) - obk(e)))),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("ressum", aggregate(transform(col("xs"), e =>
+          e("nk").cast("double") * ((obk(e) - col("obar")) * (obk(e) - col("obar")))),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("briersum", aggregate(transform(col("xs"), e =>
+          e("nk").cast("double") * (pk(e) * pk(e)) -
+            lit(2.0) * pk(e) * e("ok").cast("double") + e("ok").cast("double")),
+        lit(0.0), (a, x) => a + x))
+      .select(col("n").as("n_docs"),
+        (col("briersum") / col("n").cast("double")).as("brier"),
+        (col("relsum") / col("n").cast("double")).as("reliability"),
+        (col("ressum") / col("n").cast("double")).as("resolution"),
+        (col("obar") * (lit(1.0) - col("obar"))).as("uncertainty"))
+  }
+
+  /** Exact ROC-AUC of `n_chars` as a score for "doc is English", via the
+    * rank-sum identity AUC = (R₁ − n₁(n₁+1)∕2) ∕ (n₁n₀) with midrank tie
+    * handling. Doubled ranks keep everything in int64 until the single
+    * final divide. The rank window runs over the DISTINCT score frame
+    * (value-grouped), not raw rows — the same trick as q85's histogram,
+    * so a 100 TB corpus ranks its ~thousands of distinct lengths, not
+    * its rows. */
+  def q281RocAuc(s: SparkSession, dir: String): DataFrame = {
+    val byv = Tables.documents(s, dir)
+      .groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"),
+        sum((col("lang") === "en").cast("long")).as("p"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    byv
+      .withColumn("rlo", coalesce(sum(col("c")).over(w), lit(0L)) + 1)
+      // doubled midrank of the tie group: 2*rlo + c - 1 (exact integer)
+      .agg(sum(col("p") * (col("rlo") * 2 + col("c") - 1)).as("r1x2"),
+        sum(col("p")).as("n1"), sum(col("c")).as("n"))
+      .select(col("n1"), (col("n") - col("n1")).as("n0"),
+        ((col("r1x2") - col("n1") * (col("n1") + 1)).cast("double") /
+          (col("n1") * (col("n") - col("n1")) * 2).cast("double")).as("auc"))
+  }
+
+  /** Bradley–Terry strength ranking (Bradley & Terry 1952; Hunter 2004 MM
+    * algorithm) over event types: within each user's timeline, an event
+    * "beats" the event it directly follows (typed transitions as pairwise
+    * comparisons — the preference-model shape RLHF reward data takes).
+    * The DISTRIBUTED work is the wins matrix (one shuffle to a ≤5×5
+    * table); the 8 MM rounds π_i ← W_i ∕ Σ_j n_ij∕(π_i+π_j) run
+    * driver-side with the oracle's exact fold orders (j-ascending
+    * denominators, i-ascending normalization), per the q250/q266
+    * d²-sized-work precedent. */
+  def q282BtRank(s: SparkSession, dir: String): DataFrame = {
+    val wnd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(wnd))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("event_type"))
+    val wins = pairs.groupBy(col("nxt").as("wi"), col("event_type").as("lo"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val types = wins.keysIterator.flatMap(k => Iterator(k._1, k._2)).toSeq.distinct.sorted
+    val idx = types.zipWithIndex.toMap
+    val k = types.length
+    val nMat = Array.tabulate(k, k) { (i, j) =>
+      wins.getOrElse((types(i), types(j)), 0L) + wins.getOrElse((types(j), types(i)), 0L)
+    }
+    val wTot = Array.tabulate(k)(i =>
+      types.indices.map(j => wins.getOrElse((types(i), types(j)), 0L)).sum)
+    var pi = Array.fill(k)(0.2)
+    for (_ <- 1 to 8) {
+      val u = Array.tabulate(k) { i =>
+        var den = 0.0; var j = 0
+        while (j < k) {
+          if (j != i && nMat(i)(j) > 0) den += nMat(i)(j).toDouble / (pi(i) + pi(j))
+          j += 1
+        }
+        if (den > 0.0) wTot(i).toDouble / den else 0.0
+      }
+      var sSum = 0.0; var i = 0
+      while (i < k) { sSum += u(i); i += 1 }
+      if (sSum > 0.0) pi = u.map(_ / sSum)
+    }
+    import s.implicits._
+    types.indices.map(i => (types(i), wTot(i), pi(i)))
+      .toDF("event_type", "wins", "pi")
+      .orderBy(col("event_type"))
+  }
+
+  /** Inverse-propensity-score ATE (Horvitz–Thompson 1952 / Rosenbaum &
+    * Rubin 1983): treatment = user parity, covariate stratum = user_id
+    * mod 5, outcome = the user's purchase count. Propensity within each
+    * stratum is the exact fraction nt∕n, so each stratum's IPS term is
+    * integer·integer ∕ integer with ONE divide; strata violating
+    * positivity (no treated or no control) are dropped in both engines.
+    * Everything reduces map-side to ≤5 stratum rows. */
+  def q283IpsAte(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum((col("event_type") === "purchase").cast("long")).as("y"))
+      .select(col("y"), pmod(col("user_id"), lit(2L)).as("t"),
+        pmod(col("user_id"), lit(5L)).as("x"))
+    val strata = users.groupBy(col("x"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("nt"),
+        sum(col("t") * col("y")).as("syt"),
+        sum((lit(1L) - col("t")) * col("y")).as("syc"))
+      .filter(col("nt") > 0 && col("nt") < col("n"))
+    strata.agg(
+        sort_array(collect_list(struct(col("x"), col("n"), col("nt"),
+          col("syt"), col("syc")))).as("xs"))
+      .withColumn("nu", aggregate(transform(col("xs"), e => e("n")),
+        lit(0L), (a, v) => a + v))
+      .select(col("nu").as("n_users"),
+        size(col("xs")).cast("long").as("n_strata"),
+        (aggregate(transform(col("xs"), e =>
+            (e("syt") * e("n")).cast("double") / e("nt").cast("double") -
+              (e("syc") * e("n")).cast("double") / (e("n") - e("nt")).cast("double")),
+          lit(0.0), (a, v) => a + v) / col("nu").cast("double")).as("ate_ips"))
+  }
+
+  /** Difference-in-differences (Card & Krueger 1994 shape): mean purchase
+    * value per {treat = user parity} × {period = before/after Jan 16}
+    * cell, DiD = (T_post − T_pre) − (C_post − C_pre). Sums ride
+    * DECIMAL(25,6) so the four cell means are order-independent; one
+    * divide per cell; empty cells null out instead of tripping ANSI
+    * division. One scan, conditional aggregation, zero joins. */
+  def q284DiffInDiff(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val p = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select((pmod(col("user_id"), lit(2L)) === 1).as("treat"),
+        (col("ts") >= cut).as("post"),
+        col("value").cast("decimal(25,6)").as("v"))
+    def cell(t: Boolean, po: Boolean, nm: String): Seq[Column] = Seq(
+      sum(when(col("treat") === t && col("post") === po, col("v"))).as(s"s_$nm"),
+      count(when(col("treat") === t && col("post") === po, lit(1))).as(s"c_$nm"))
+    val aggs = cell(true, false, "t_pre") ++ cell(true, true, "t_post") ++
+      cell(false, false, "c_pre") ++ cell(false, true, "c_post")
+    def mean(nm: String): Column =
+      when(col(s"c_$nm") > 0,
+        col(s"s_$nm").cast("double") / col(s"c_$nm").cast("double"))
+    p.agg(aggs.head, aggs.tail: _*)
+      .select(mean("t_pre").as("m_t_pre"), mean("t_post").as("m_t_post"),
+        mean("c_pre").as("m_c_pre"), mean("c_post").as("m_c_post"),
+        ((mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre")))
+          .as("did"))
+  }
+
+  /** Flesch reading-ease per language (Flesch 1948), with the standard
+    * vowel-group syllable surrogate and each doc scored as one sentence:
+    * 206.835 − 1.015·words − 84.6·(syllables∕words). Per-doc scores are
+    * three multiplies and a divide; per-language means fold doc-ascending
+    * so the hash is stable. Everything is a narrow map + one small-key
+    * aggregate — the quality-scoring family's readability leg. */
+  def q285FleschReading(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        regexp_count(col("text"), lit("[aeiouy]+")).cast("long").as("syl"))
+      .withColumn("score",
+        lit(206.835) - lit(1.015) * col("w").cast("double") -
+          lit(84.6) * (col("syl").cast("double") / col("w").cast("double")))
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sw"),
+        sum(col("syl")).as("ss"),
+        foldSorted(col("doc_id"), col("score")).as("scsum"))
+      .select(col("lang"), col("n_docs"),
+        (col("sw").cast("double") / col("n_docs").cast("double"))
+          .as("mean_words"),
+        (col("ss").cast("double") / col("sw").cast("double"))
+          .as("syl_per_word"),
+        (col("scsum") / col("n_docs").cast("double")).as("mean_flesch"))
+      .orderBy(col("lang"))
+  }
+
+  /** Index of dispersion (variance-to-mean ratio) of daily event counts
+    * per type — the Poisson overdispersion check (D ≈ 1 under Poisson;
+    * D ≫ 1 ⟹ bursty/clumped traffic, the q221 Fano factor's time-series
+    * sibling). Variance and the D > 2 flag stay in EXACT int64
+    * (cross-multiplied comparison, no float threshold); one divide for
+    * each emitted double. Day-grain pre-aggregation bounds the window at
+    * 365·types rows a year regardless of event volume. */
+  def q286DispersionIndex(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .filter(col("n_days") > 1)
+      .select(col("event_type"), col("n_days"),
+        (col("s1").cast("double") / col("n_days").cast("double"))
+          .as("mean_daily"),
+        ((col("n_days") * (col("n_days") * col("s2") - col("s1") * col("s1")))
+          .cast("double") /
+          (col("n_days") * (col("n_days") - 1) * col("s1")).cast("double"))
+          .as("dispersion"),
+        (col("n_days") * (col("n_days") * col("s2") - col("s1") * col("s1")) >
+          col("n_days") * (col("n_days") - 1) * col("s1") * 2)
+          .as("overdispersed"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions, in exact-lg bits (Lin 1991): with integer counts
+    * aᵢ∕A and bᵢ∕B, each token's contribution needs only lg of INTEGER
+    * products — lg(2aᵢB) − lg(aᵢB + bᵢA) — so the whole symmetric
+    * drift matrix replays exactly. Folds run token-ascending per pair.
+    * Counts reduce map-side to |sources|·|vocab| rows; the pair grid is
+    * sources², both corpus-independent. The q115 KL monitor's symmetric,
+    * bounded (≤1 bit) sibling. */
+  def q287JsdSources(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val tot = tok.groupBy(col("source")).agg(sum(col("c")).as("nn"))
+    val vocab = tok.select(col("tok")).distinct()
+    val pairs = tot.select(col("source").as("s1"), col("nn").as("na"))
+      .crossJoin(tot.select(col("source").as("s2"), col("nn").as("nb")))
+      .filter(col("s1") < col("s2"))
+    val grid = pairs.crossJoin(vocab)
+      .join(tok.select(col("source").as("s1"), col("tok"), col("c").as("a")),
+        Seq("s1", "tok"), "left")
+      .join(tok.select(col("source").as("s2"), col("tok"), col("c").as("b")),
+        Seq("s2", "tok"), "left")
+      .select(col("s1"), col("s2"), col("tok"), col("na"), col("nb"),
+        coalesce(col("a"), lit(0L)).as("a"), coalesce(col("b"), lit(0L)).as("b"))
+      .filter(col("a") + col("b") > 0)
+      .withColumn("mix", col("a") * col("nb") + col("b") * col("na"))
+      .withColumn("contrib",
+        when(col("a") > 0,
+          (col("a").cast("double") / col("na").cast("double")) *
+            (lg(col("a") * col("nb") * 2) - lg(col("mix")))).otherwise(lit(0.0)) +
+        when(col("b") > 0,
+          (col("b").cast("double") / col("nb").cast("double")) *
+            (lg(col("b") * col("na") * 2) - lg(col("mix")))).otherwise(lit(0.0)))
+    grid.groupBy(col("s1"), col("s2"))
+      .agg((foldSorted(col("tok"), col("contrib")) * lit(0.5)).as("jsd_bits"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  /** Cohen's κ (Cohen 1960) between the stored language label and the
+    * engine's marker-token language-ID (q22): chance-corrected agreement
+    * κ = (N·agree − Σ rmₗ·cmₗ) ∕ (N² − Σ rmₗ·cmₗ) in EXACT int64 with
+    * one divide — the inter-annotator reliability readout that tells you
+    * whether an auto-labeler is usable. Marginals are a 5-row aggregate;
+    * the confusion reduction is one small-key shuffle. */
+  def q288LangKappa(s: SparkSession, dir: String): DataFrame = {
+    val pred = CatalogExt.q22LangId(s, dir)
+      .select(col("lang"), col("predicted_lang"))
+    val cells = pred.groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+    val rm = cells.groupBy(col("lang")).agg(sum(col("n")).as("rm"))
+    val cm = cells.groupBy(col("predicted_lang")).agg(sum(col("n")).as("cm"))
+    val chance = rm.join(cm, rm("lang") === cm("predicted_lang"), "inner")
+      .agg(sum(col("rm") * col("cm")).as("sumrc"))
+    val base = cells.agg(sum(col("n")).as("n_docs"),
+      sum(when(col("lang") === col("predicted_lang"), col("n"))
+        .otherwise(lit(0L))).as("agree"))
+    base.crossJoin(broadcast(chance))
+      .select(col("n_docs"), col("agree"),
+        (col("agree").cast("double") / col("n_docs").cast("double")).as("p_o"),
+        (col("sumrc").cast("double") /
+          (col("n_docs") * col("n_docs")).cast("double")).as("p_e"),
+        ((col("n_docs") * col("agree") - col("sumrc")).cast("double") /
+          (col("n_docs") * col("n_docs") - col("sumrc")).cast("double"))
+          .as("kappa"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q278_fuzzy_name_match" -> q278FuzzyNameMatch _,
+    "q279_synth_source_agg" -> q279SynthSourceAgg _,
+    "q280_brier_decomp"     -> q280BrierDecomp _,
+    "q281_roc_auc"          -> q281RocAuc _,
+    "q282_bt_rank"          -> q282BtRank _,
+    "q283_ips_ate"          -> q283IpsAte _,
+    "q284_diff_in_diff"     -> q284DiffInDiff _,
+    "q285_flesch_reading"   -> q285FleschReading _,
+    "q286_dispersion_index" -> q286DispersionIndex _,
+    "q287_jsd_sources"      -> q287JsdSources _,
+    "q288_lang_kappa"       -> q288LangKappa _)
+}
