@@ -364,6 +364,231 @@ object CatalogPlus {
           .as("kappa"))
   }
 
+  /** Holt linear-trend exponential smoothing (Holt 1957) of the daily
+    * event series, α = 1∕2, β = 1∕4 — level/trend/one-step forecast per
+    * day. The DISTRIBUTED work is the day-grain count (365 rows/year no
+    * matter the event volume); the inherently sequential recurrence runs
+    * driver-side over the collected day series with exactly the oracle's
+    * recursive-CTE arithmetic (q250/q282 precedent for state-sized
+    * loops). Exactly-representable smoothing weights keep every double
+    * reproducible. */
+  def q289HoltLinear(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("ds"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("ds"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val out = Array.newBuilder[(Long, String, Long, Double, Double, Option[Double])]
+    var l = 0.0; var t = 0.0
+    daily.zipWithIndex.foreach { case ((ds, c), i0) =>
+      val i = i0 + 1L
+      if (i == 1L) {
+        l = c.toDouble; t = 0.0
+        out += ((i, ds, c, l, t, None))
+      } else {
+        val fcst = l + t
+        val lNew = 0.5 * c.toDouble + 0.5 * (l + t)
+        val tNew = 0.25 * (lNew - l) + 0.75 * t
+        l = lNew; t = tNew
+        out += ((i, ds, c, l, t, Some(fcst)))
+      }
+    }
+    import s.implicits._
+    out.result().toSeq.toDF("i", "ds", "c", "level", "trend", "fcst")
+      .orderBy(col("i"))
+  }
+
+  /** Gradient-boosted regression stumps (Friedman 2001), 3 rounds at
+    * learning rate 1∕2, squared loss, predicting "doc is English" from
+    * n_chars over a fixed 9-threshold grid. The scan reduces to ≤20
+    * (grid-cell, label) count rows — the sufficient statistics — so each
+    * boosting round is driver math over exact integer counts (residuals
+    * per cell are finitely many doubles, folded cell-ascending; the
+    * oracle unrolls all 3 rounds in CTEs). Split choice = min (SSE,
+    * threshold); leaf values are η·mean(residual). The in-engine training
+    * story q123/q261 started, extended to an ensemble. */
+  def q290BoostedStumps(s: SparkSession, dir: String): DataFrame = {
+    val thr = Array(100L, 150L, 200L, 250L, 300L, 350L, 400L, 450L, 500L)
+    val cellOf = thr.foldLeft(lit(0L)) { (acc, t) =>
+      acc + (col("n_chars") > t).cast("long")
+    }
+    // sufficient statistics: exact counts per (grid cell, label)
+    val cells = Tables.documents(s, dir)
+      .select(cellOf.as("cell"), (col("lang") === "en").cast("long").as("y"))
+      .groupBy(col("cell"), col("y")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(c => (c._1, c._2))
+    val nTot = cells.map(_._3).sum
+    val yTot = cells.map(c => c._2 * c._3).sum
+    var f = Map.empty[Long, Double].withDefaultValue(yTot.toDouble / nTot.toDouble)
+    val fv = (cell: Long) => f(cell)
+    val rounds = Array.newBuilder[(Long, Long, Double, Double, Double)]
+    for (k <- 1 to 3) {
+      // residual per cell-label row, then candidate stats via ordered folds
+      val rs = cells.map { case (cell, y, cnt) => (cell, y, cnt, y.toDouble - fv(cell)) }
+      var ss = 0.0; var stot = 0.0
+      rs.foreach { case (_, _, cnt, r) => ss += cnt.toDouble * (r * r); stot += cnt.toDouble * r }
+      var best: Option[(Double, Int, Double, Double)] = None
+      for (ci <- 1 to 9) {
+        var sl = 0.0; var cl = 0L
+        rs.foreach { case (cell, _, cnt, r) =>
+          if (cell < ci) { sl += cnt.toDouble * r; cl += cnt }
+        }
+        val cr = nTot - cl
+        if (cl > 0 && cr > 0) {
+          val sr = stot - sl
+          val sse = ss - ((sl * sl) / cl.toDouble + (sr * sr) / cr.toDouble)
+          if (best.isEmpty || sse < best.get._1) {
+            val vl = 0.5 * (sl / cl.toDouble)
+            val vr = 0.5 * (sr / cr.toDouble)
+            best = Some((sse, ci, vl, vr))
+          }
+        }
+      }
+      val (sse, ci, vl, vr) = best.get
+      val fPrev = f
+      f = Map.empty[Long, Double].withDefault { cell =>
+        fPrev(cell) + (if (cell < ci) vl else vr)
+      }
+      rounds += ((k.toLong, thr(ci - 1), vl, vr, sse))
+    }
+    import s.implicits._
+    rounds.result().toSeq
+      .toDF("round", "threshold", "left_val", "right_val", "sse")
+      .orderBy(col("round"))
+  }
+
+  /** Nearest-neighbor covariate matching WITH replacement (Abadie &
+    * Imbens 2006): every treated user (parity 1) matches the control in
+    * its stratum with the closest total-activity covariate (ties by
+    * control id), ATT = mean(y_t − y_match) in exact int64 with one
+    * divide. Blocking on the stratum bounds candidate pairs; at corpus
+    * scale the same semantics run as a sort-merge as-of pass per
+    * stratum. Matching-with-replacement keeps the estimator
+    * order-independent — greedy without-replacement matching is
+    * sequence-dependent and can't be a deterministic set operator. */
+  def q291MatchAtt(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("ne"),
+        sum((col("event_type") === "purchase").cast("long")).as("y"))
+      .select(col("user_id"), col("ne"), col("y"),
+        pmod(col("user_id"), lit(2L)).as("t"),
+        pmod(col("user_id"), lit(5L)).as("x"))
+    val treated = users.filter(col("t") === 1)
+      .select(col("x"), col("user_id").as("tu"), col("ne").as("tne"),
+        col("y").as("ty"))
+    val control = users.filter(col("t") === 0)
+      .select(col("x"), col("user_id").as("cu"), col("ne").as("cne"),
+        col("y").as("cy"))
+    val w = Window.partitionBy(col("tu"))
+      .orderBy(abs(col("tne") - col("cne")), col("cu"))
+    treated.join(control, Seq("x"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .agg(count(lit(1)).as("n_treated"),
+        sum(col("ty")).as("syt"), sum(col("cy")).as("sym"))
+      .select(col("n_treated"),
+        (col("syt").cast("double") / col("n_treated").cast("double"))
+          .as("mean_treated"),
+        (col("sym").cast("double") / col("n_treated").cast("double"))
+          .as("mean_matched"),
+        ((col("syt") - col("sym")).cast("double") /
+          col("n_treated").cast("double")).as("att"))
+  }
+
+  /** Burrows' Delta (Burrows 2002) between source pairs: z-score each
+    * token's relative frequency across the source population, Delta =
+    * mean |z₁ − z₂| over tokens with positive spread — the stylometric
+    * distance that attributes authorship and here fingerprints template
+    * drift between corpus slices. All folds are source- then
+    * token-ascending; frequencies are one divide each; population sd is
+    * one sqrt (IEEE-exact). The per-source profile is vocab-sized. */
+  def q292BurrowsDelta(s: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val tot = tc.groupBy(col("source")).agg(sum(col("c")).as("nn"))
+    val vocab = tc.select(col("tok")).distinct()
+    val grid = tot.crossJoin(vocab)
+      .join(tc, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"),
+        (coalesce(col("c"), lit(0L)).cast("double") /
+          col("nn").cast("double")).as("f"))
+    val nSrc = grid.select(col("source")).distinct().count()
+    val stats = grid.groupBy(col("tok"))
+      .agg(foldSorted(col("source"), col("f")).as("sf"))
+      .withColumn("mu", col("sf") / lit(nSrc.toDouble))
+    val zs = grid.join(stats.select(col("tok"), col("mu")), Seq("tok"))
+      .groupBy(col("tok"), col("mu"))
+      .agg(foldSorted(col("source"), (col("f") - col("mu")) * (col("f") - col("mu")))
+        .as("sq"))
+      .select(col("tok"), col("mu"),
+        sqrt(col("sq") / lit((nSrc - 1).toDouble)).as("sd"))
+      .filter(col("sd") > 0)
+    val z = grid.join(zs, Seq("tok"))
+      .select(col("source"), col("tok"), ((col("f") - col("mu")) / col("sd")).as("z"))
+    val pairs = z.select(col("source").as("s1"), col("tok"), col("z").as("z1"))
+      .join(z.select(col("source").as("s2"), col("tok"), col("z").as("z2")),
+        Seq("tok"))
+      .filter(col("s1") < col("s2"))
+    pairs.groupBy(col("s1"), col("s2"))
+      .agg((foldSorted(col("tok"), abs(col("z1") - col("z2"))) /
+        count(lit(1)).cast("double")).as("delta"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  /** McNemar's paired test (McNemar 1947) between two auto-labelers on
+    * the binary "is English" task — the q22 marker classifier vs the
+    * cruder s_en ≥ 2 vote — χ² = (b−c)² ∕ (b+c) from the EXACT discordant
+    * counts (b: only A right, c: only B right). The readout that says
+    * whether a labeler upgrade actually changed decisions, not just
+    * aggregate accuracy. One scan over the q22 leg, one divide. */
+  def q293McnemarLabelers(s: SparkSession, dir: String): DataFrame = {
+    val scored = CatalogExt.q22LangId(s, dir)
+      .select((col("lang") === "en").as("truth"),
+        (col("predicted_lang") === "en").as("pa"),
+        (col("s_en") >= 2).as("pb"))
+      .select((col("pa") === col("truth")).cast("long").as("ca"),
+        (col("pb") === col("truth")).cast("long").as("cb"))
+    scored.agg(
+        sum(col("ca") * (lit(1L) - col("cb"))).as("b"),
+        sum(col("cb") * (lit(1L) - col("ca"))).as("c"))
+      .select(col("b"), col("c"),
+        when(col("b") + col("c") > 0,
+          ((col("b") - col("c")) * (col("b") - col("c"))).cast("double") /
+            (col("b") + col("c")).cast("double")).as("chi2"),
+        when(col("b") + col("c") > 0,
+          ((col("b") - col("c")) * (col("b") - col("c"))).cast("double") /
+            (col("b") + col("c")).cast("double") > 3.841458820694124)
+          .as("significant"))
+  }
+
+  /** Cumulative gains / precision-recall curve of the n_chars score for
+    * "doc is English", computed on the DISTINCT-score frame (q281's AUC
+    * companion): for every distinct score v, the exact count and
+    * positives at-or-above v, recall = TP∕P and precision = TP∕n. The
+    * curve a threshold picker reads; value-grouping keeps the window
+    * over ~hundreds of distinct lengths regardless of corpus size. */
+  def q294GainsCurve(s: SparkSession, dir: String): DataFrame = {
+    val byv = Tables.documents(s, dir)
+      .groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"),
+        sum((col("lang") === "en").cast("long")).as("p"))
+    val w = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byv
+      .select(col("v"), sum(col("c")).over(w).as("cum_n"),
+        sum(col("p")).over(w).as("cum_pos"))
+      .crossJoin(broadcast(byv.agg(sum(col("p")).as("ptot"))))
+      .select(col("v"), col("cum_n"), col("cum_pos"),
+        (col("cum_pos").cast("double") / col("ptot").cast("double"))
+          .as("cum_recall"),
+        (col("cum_pos").cast("double") / col("cum_n").cast("double"))
+          .as("cum_prec"))
+      .orderBy(col("v").desc)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q278_fuzzy_name_match" -> q278FuzzyNameMatch _,
     "q279_synth_source_agg" -> q279SynthSourceAgg _,
@@ -375,5 +600,11 @@ object CatalogPlus {
     "q285_flesch_reading"   -> q285FleschReading _,
     "q286_dispersion_index" -> q286DispersionIndex _,
     "q287_jsd_sources"      -> q287JsdSources _,
-    "q288_lang_kappa"       -> q288LangKappa _)
+    "q288_lang_kappa"       -> q288LangKappa _,
+    "q289_holt_linear"      -> q289HoltLinear _,
+    "q290_boosted_stumps"   -> q290BoostedStumps _,
+    "q291_match_att"        -> q291MatchAtt _,
+    "q292_burrows_delta"    -> q292BurrowsDelta _,
+    "q293_mcnemar_labelers" -> q293McnemarLabelers _,
+    "q294_gains_curve"      -> q294GainsCurve _)
 }

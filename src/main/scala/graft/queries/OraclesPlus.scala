@@ -5,6 +5,45 @@ object OraclesPlus {
 
   private val lg = OraclesExt.lgSqlOf _
 
+  /** One gradient-boosting round (q290): residuals from the previous
+    * additive model, candidate stats via (cell, y)-ascending folds, split
+    * = min (SSE, threshold index), leaf values η·mean(residual) — mirrors
+    * the engine's driver loop op-for-op over the same sufficient
+    * statistics. */
+  private def gbIterCtes(k: Int): String = {
+    val prev = if (k == 1) "f0" else s"f${k - 1}"
+    s"""rs$k AS MATERIALIZED (SELECT cell, y, cnt,
+       |    CAST(y AS DOUBLE) - fv AS r FROM $prev),
+       |agg$k AS MATERIALIZED (SELECT
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(CAST(cnt AS DOUBLE) * (r * r) ORDER BY cell, y)),
+       |      (a, x) -> a + x) AS ss,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(CAST(cnt AS DOUBLE) * r ORDER BY cell, y)),
+       |      (a, x) -> a + x) AS stot
+       |  FROM rs$k),
+       |cand$k AS MATERIALIZED (SELECT ci,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(CAST(cnt AS DOUBLE) * r ORDER BY cell, y)),
+       |      (a, x) -> a + x) AS sl,
+       |    CAST(sum(cnt) AS BIGINT) AS cl
+       |  FROM (SELECT unnest(range(1, 10)) AS ci) c
+       |  JOIN rs$k ON rs$k.cell < c.ci GROUP BY ci),
+       |sc$k AS MATERIALIZED (SELECT ci, sl, cl, stot - sl AS sr,
+       |    ntot - cl AS cr,
+       |    ss - ((sl * sl) / CAST(cl AS DOUBLE)
+       |      + ((stot - sl) * (stot - sl)) / CAST(ntot - cl AS DOUBLE)) AS sse
+       |  FROM cand$k CROSS JOIN agg$k CROSS JOIN tt
+       |  WHERE cl > 0 AND cl < ntot),
+       |pk$k AS MATERIALIZED (SELECT ci, sse,
+       |    0.5 * (sl / CAST(cl AS DOUBLE)) AS vl,
+       |    0.5 * (sr / CAST(cr AS DOUBLE)) AS vr
+       |  FROM sc$k ORDER BY sse, ci LIMIT 1),
+       |f$k AS MATERIALIZED (SELECT f.cell, f.y, f.cnt,
+       |    f.fv + CASE WHEN f.cell < p.ci THEN p.vl ELSE p.vr END AS fv
+       |  FROM $prev f CROSS JOIN pk$k p)""".stripMargin
+  }
+
   /** One Bradley–Terry MM round (q282): j-ascending denominator folds,
     * i-ascending normalization, prev-π fallback when the update is
     * degenerate — mirrors the engine's driver loop op-for-op. */
@@ -301,5 +340,155 @@ object OraclesPlus {
          |  CAST(n_docs * agree - sumrc AS DOUBLE)
          |    / CAST(n_docs * n_docs - sumrc AS DOUBLE) AS kappa
          |FROM b CROSS JOIN ch""".stripMargin
-    })
+    },
+
+    "q289_holt_linear" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS ds,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT ds, c,
+        |    CAST(row_number() OVER (ORDER BY ds) AS BIGINT) AS i FROM daily),
+        |hw AS (
+        |  SELECT i, ds, c, CAST(c AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS t,
+        |    CAST(NULL AS DOUBLE) AS fcst
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.i, idx.ds, idx.c,
+        |    0.5 * CAST(idx.c AS DOUBLE) + 0.5 * (hw.l + hw.t),
+        |    0.25 * ((0.5 * CAST(idx.c AS DOUBLE) + 0.5 * (hw.l + hw.t))
+        |      - hw.l) + 0.75 * hw.t,
+        |    hw.l + hw.t
+        |  FROM hw JOIN idx ON idx.i = hw.i + 1)
+        |SELECT i, ds, c, l AS level, t AS trend, fcst
+        |FROM hw ORDER BY i""".stripMargin,
+
+    "q290_boosted_stumps" -> {
+      s"""WITH cl0 AS (SELECT
+         |    CAST((n_chars > 100)::INT + (n_chars > 150)::INT
+         |      + (n_chars > 200)::INT + (n_chars > 250)::INT
+         |      + (n_chars > 300)::INT + (n_chars > 350)::INT
+         |      + (n_chars > 400)::INT + (n_chars > 450)::INT
+         |      + (n_chars > 500)::INT AS BIGINT) AS cell,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS yy
+         |  FROM documents),
+         |cs AS (SELECT cell, CAST(yy AS BIGINT) AS y,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM cl0 GROUP BY 1, 2),
+         |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS ntot,
+         |    CAST(sum(y * cnt) AS BIGINT) AS ytot FROM cs),
+         |f0 AS (SELECT cell, y, cnt,
+         |    CAST(ytot AS DOUBLE) / CAST(ntot AS DOUBLE) AS fv
+         |  FROM cs CROSS JOIN tt),
+         |${(1 to 3).map(gbIterCtes).mkString(",\n")}
+         |SELECT round, threshold, vl AS left_val, vr AS right_val, sse
+         |FROM (
+         |  SELECT CAST(1 AS BIGINT) AS round,
+         |    CAST(([100,150,200,250,300,350,400,450,500])[ci] AS BIGINT)
+         |      AS threshold, vl, vr, sse FROM pk1
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT),
+         |    CAST(([100,150,200,250,300,350,400,450,500])[ci] AS BIGINT),
+         |    vl, vr, sse FROM pk2
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT),
+         |    CAST(([100,150,200,250,300,350,400,450,500])[ci] AS BIGINT),
+         |    vl, vr, sse FROM pk3)
+         |ORDER BY round""".stripMargin
+    },
+
+    "q291_match_att" ->
+      """WITH users AS (SELECT user_id, CAST(count(*) AS BIGINT) AS ne,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |u2 AS (SELECT user_id, ne, y, user_id % 2 AS t, user_id % 5 AS x
+        |  FROM users),
+        |tr AS (SELECT x, user_id AS tu, ne AS tne, y AS ty FROM u2
+        |  WHERE t = 1),
+        |co AS (SELECT x, user_id AS cu, ne AS cne, y AS cy FROM u2
+        |  WHERE t = 0),
+        |pm AS (SELECT tu, ty, cy, row_number() OVER (PARTITION BY tu
+        |    ORDER BY abs(tne - cne), cu) AS rk
+        |  FROM tr JOIN co USING (x))
+        |SELECT CAST(count(*) AS BIGINT) AS n_treated,
+        |  CAST(CAST(sum(ty) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mean_treated,
+        |  CAST(CAST(sum(cy) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mean_matched,
+        |  CAST(CAST(sum(ty) AS BIGINT) - CAST(sum(cy) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS att
+        |FROM pm WHERE rk = 1""".stripMargin,
+
+    "q292_burrows_delta" ->
+      """WITH tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM
+        |    (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |     FROM documents) GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS nn
+        |  FROM tc GROUP BY 1),
+        |vocab AS (SELECT DISTINCT tok FROM tc),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS nsrc FROM tot),
+        |grid AS (SELECT t.source AS source, v.tok AS tok,
+        |    CAST(COALESCE(tc.c, 0) AS DOUBLE) / CAST(t.nn AS DOUBLE) AS f
+        |  FROM tot t CROSS JOIN vocab v
+        |  LEFT JOIN tc ON tc.source = t.source AND tc.tok = v.tok),
+        |mu AS (SELECT tok,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(f ORDER BY source)), (a, x) -> a + x)
+        |      / (SELECT CAST(nsrc AS DOUBLE) FROM ns) AS mu
+        |  FROM grid GROUP BY 1),
+        |sd AS (SELECT g.tok AS tok, mu.mu AS mu,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list((g.f - mu.mu) * (g.f - mu.mu) ORDER BY g.source)),
+        |      (a, x) -> a + x)
+        |      / (SELECT CAST(nsrc - 1 AS DOUBLE) FROM ns)) AS sd
+        |  FROM grid g JOIN mu ON mu.tok = g.tok GROUP BY g.tok, mu.mu),
+        |z AS (SELECT g.source AS source, g.tok AS tok,
+        |    (g.f - sd.mu) / sd.sd AS z
+        |  FROM grid g JOIN sd ON sd.tok = g.tok WHERE sd.sd > 0),
+        |pr AS (SELECT a.source AS s1, b.source AS s2, a.tok AS tok,
+        |    abs(a.z - b.z) AS az
+        |  FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source)
+        |SELECT s1, s2,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(az ORDER BY tok)), (a, x) -> a + x)
+        |    / CAST(count(*) AS DOUBLE) AS delta
+        |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q293_mcnemar_labelers" -> {
+      s"""WITH q22 AS (
+         |${OraclesExt.langIdSql}
+         |),
+         |sc AS (SELECT
+         |    CASE WHEN (predicted_lang = 'en') = (lang = 'en')
+         |      THEN 1 ELSE 0 END AS ca,
+         |    CASE WHEN (s_en >= 2) = (lang = 'en')
+         |      THEN 1 ELSE 0 END AS cb
+         |  FROM q22),
+         |a AS (SELECT CAST(sum(ca * (1 - cb)) AS BIGINT) AS b,
+         |    CAST(sum(cb * (1 - ca)) AS BIGINT) AS c FROM sc)
+         |SELECT b, c,
+         |  CASE WHEN b + c > 0 THEN CAST((b - c) * (b - c) AS DOUBLE)
+         |    / CAST(b + c AS DOUBLE) END AS chi2,
+         |  CASE WHEN b + c > 0 THEN CAST((b - c) * (b - c) AS DOUBLE)
+         |    / CAST(b + c AS DOUBLE) > 3.841458820694124 END AS significant
+         |FROM a""".stripMargin
+    },
+
+    "q294_gains_curve" ->
+      """WITH byv AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM documents GROUP BY 1),
+        |cum AS (SELECT v,
+        |    CAST(sum(c) OVER (ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_n,
+        |    CAST(sum(p) OVER (ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_pos
+        |  FROM byv),
+        |pt AS (SELECT CAST(sum(p) AS BIGINT) AS ptot FROM byv)
+        |SELECT v, cum_n, cum_pos,
+        |  CAST(cum_pos AS DOUBLE) / CAST(ptot AS DOUBLE) AS cum_recall,
+        |  CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE) AS cum_prec
+        |FROM cum CROSS JOIN pt ORDER BY v DESC""".stripMargin)
 }
