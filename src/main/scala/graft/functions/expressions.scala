@@ -279,5 +279,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         b))
     }
     ext.injectOptimizerRule(_ => graft.plans.EditDistanceBandRule)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -93,5 +93,8 @@ object GraftPlans {
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(EditDistanceBandRule))
       spark.experimental.extraOptimizations = cur :+ EditDistanceBandRule
+    val strat = spark.experimental.extraStrategies
+    if (!strat.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies = strat :+ AsofJoinStrategy
   }
 }

@@ -589,6 +589,27 @@ object CatalogPlus {
       .orderBy(col("v").desc)
   }
 
+  /** The custom sort-merge as-of join PHYSICAL operator end-to-end
+    * ([[graft.plans.AsofJoinExec]] via [[graft.plans.AsofJoinOp]]): every
+    * view event enriched with the user's most recent purchase value at or
+    * before the view. The right side is pre-aggregated to one row per
+    * (user, ts) so the as-of pick is deterministic; the oracle is
+    * DuckDB's NATIVE `ASOF LEFT JOIN` — two independent as-of
+    * implementations agreeing hash-for-hash. Plan: one exchange+sort per
+    * side, single forward merge, no window, no union. */
+  def q295AsofExec(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("r_user"), col("ts").as("r_ts"))
+      .agg(sum(col("value").cast("decimal(25,6)")).cast("double").as("r_value"))
+    graft.plans.AsofJoinOp.asofJoin(views, purch,
+        Seq("user_id"), Seq("r_user"), "ts", "r_ts")
+      .select(col("event_id"), col("r_value").as("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q278_fuzzy_name_match" -> q278FuzzyNameMatch _,
     "q279_synth_source_agg" -> q279SynthSourceAgg _,
@@ -606,5 +627,6 @@ object CatalogPlus {
     "q291_match_att"        -> q291MatchAtt _,
     "q292_burrows_delta"    -> q292BurrowsDelta _,
     "q293_mcnemar_labelers" -> q293McnemarLabelers _,
-    "q294_gains_curve"      -> q294GainsCurve _)
+    "q294_gains_curve"      -> q294GainsCurve _,
+    "q295_asof_exec"        -> q295AsofExec _)
 }

@@ -490,5 +490,18 @@ object OraclesPlus {
         |SELECT v, cum_n, cum_pos,
         |  CAST(cum_pos AS DOUBLE) / CAST(ptot AS DOUBLE) AS cum_recall,
         |  CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE) AS cum_prec
-        |FROM cum CROSS JOIN pt ORDER BY v DESC""".stripMargin)
+        |FROM cum CROSS JOIN pt ORDER BY v DESC""".stripMargin,
+
+    // DuckDB's NATIVE ASOF JOIN vs the engine's custom AsofJoinExec —
+    // two independent as-of implementations must agree exactly.
+    "q295_asof_exec" ->
+      """WITH purch AS (SELECT user_id AS r_user, ts AS r_ts,
+        |    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS r_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |views AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'view')
+        |SELECT v.event_id AS event_id, p.r_value AS last_purchase_value
+        |FROM views v ASOF LEFT JOIN purch p
+        |  ON v.user_id = p.r_user AND v.ts >= p.r_ts
+        |ORDER BY v.event_id""".stripMargin)
 }
