@@ -610,6 +610,176 @@ object CatalogPlus {
       .orderBy(col("event_id"))
   }
 
+  /** word2vec-style negative-sampling table (Mikolov et al. 2013): token
+    * weights tempered by the ¾ power, w = c ∕ ⁴√c — computed as two
+    * IEEE-exact sqrts on the exact integer count, so the whole table
+    * replays bit-for-bit (libm pow would not). Emits weight, probability
+    * and the cumulative boundary an alias/bisection sampler consumes.
+    * Vocab-sized output; the only corpus-scale work is the token count. */
+  def q296NegSampling(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("weight",
+        col("cnt").cast("double") / sqrt(sqrt(col("cnt").cast("double"))))
+    val z = cnt.agg(foldSorted(col("tok"), col("weight")).as("z"))
+    val w = Window.orderBy(col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cnt.crossJoin(broadcast(z))
+      .select(col("tok"), col("cnt"), col("weight"),
+        (col("weight") / col("z")).as("prob"),
+        (sum(col("weight")).over(w) / col("z")).as("cum_prob"))
+      .orderBy(col("tok"))
+  }
+
+  /** Expected steps to conversion: hitting time of the absorbing
+    * 'purchase' state under the empirical event-transition chain
+    * (absorbing Markov chain; q266's removal-effect sibling), via 12
+    * Jacobi rounds h_i ← 1 + Σ_j c_ij·h_j ∕ c_i with h_purchase ≡ 0 —
+    * every round replayed by the oracle. The distributed work is the
+    * ≤|types|² transition count; the iteration is state-sized driver
+    * math with j-ascending folds (q282/q250 precedent). */
+  def q297HittingTime(s: SparkSession, dir: String): DataFrame = {
+    val wnd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(wnd))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val states = trans.keysIterator.flatMap(k => Iterator(k._1, k._2))
+      .toSeq.distinct.sorted
+    val rowTot = states.map(st =>
+      st -> states.map(d => trans.getOrElse((st, d), 0L)).sum).toMap
+    var h = states.map(_ => 0.0).toArray
+    val idx = states.zipWithIndex.toMap
+    for (_ <- 1 to 12) {
+      val hNew = states.map { st =>
+        if (st == "purchase" || rowTot(st) == 0L) 0.0
+        else {
+          var acc = 0.0
+          states.foreach { d =>
+            val c = trans.getOrElse((st, d), 0L)
+            if (c > 0) acc += c.toDouble * h(idx(d))
+          }
+          1.0 + acc / rowTot(st).toDouble
+        }
+      }.toArray
+      h = hNew
+    }
+    import s.implicits._
+    states.map(st => (st, rowTot(st), h(idx(st))))
+      .toDF("event_type", "out_transitions", "exp_steps_to_purchase")
+      .orderBy(col("event_type"))
+  }
+
+  /** Cochran–Armitage trend test (Armitage 1955): is purchase propensity
+    * monotone in the ordered exposure strata (user_id mod 5 as dose
+    * score)? Z² = N·A² ∕ (R(N−R)(N·Σs²n − (Σsn)²)) with
+    * A = N·Σsr − R·Σsn — EVERYTHING exact int64 up to the single final
+    * divide, the trend audit a dose-bucketed A/B rollout reads. One
+    * user-grain aggregate, then a 5-row reduction. */
+  def q298CochranArmitage(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      // heavy-buyer outcome (≥14 purchases, near the per-user mean): the
+      // any-purchase indicator saturates at R = N and zeroes the variance
+      .agg((sum((col("event_type") === "purchase").cast("long")) >= 14)
+        .cast("long").as("r"))
+      .select(pmod(col("user_id"), lit(5L)).as("sc"), col("r"))
+      .groupBy(col("sc"))
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("rr"))
+    g.agg(sum(col("n")).as("nn"), sum(col("rr")).as("rt"),
+        sum(col("sc") * col("rr")).as("ssr"),
+        sum(col("sc") * col("n")).as("ssn"),
+        sum(col("sc") * col("sc") * col("n")).as("ss2n"))
+      .select(col("nn").as("n_users"), col("rt").as("r_total"),
+        ((col("nn") * ((col("nn") * col("ssr") - col("rt") * col("ssn")) *
+          (col("nn") * col("ssr") - col("rt") * col("ssn")))).cast("double") /
+          (col("rt") * (col("nn") - col("rt")) *
+            (col("nn") * col("ss2n") - col("ssn") * col("ssn"))).cast("double"))
+          .as("z2"),
+        (((col("nn") * ((col("nn") * col("ssr") - col("rt") * col("ssn")) *
+          (col("nn") * col("ssr") - col("rt") * col("ssn")))).cast("double") /
+          (col("rt") * (col("nn") - col("rt")) *
+            (col("nn") * col("ss2n") - col("ssn") * col("ssn"))).cast("double"))
+          > 3.841458820694124).as("significant"))
+  }
+
+  /** Kruskal–Wallis H (Kruskal & Wallis 1952): the rank-based one-way
+    * ANOVA across languages on doc length — q272's nonparametric
+    * complement, valid under the heavy tails q251 diagnosed. Midranks
+    * come from the DISTINCT-value frame (doubled to stay integer);
+    * per-group rank sums are exact int64; the tie correction is the
+    * exact-integer (N³−N) form, applied as multiply-before-divide.
+    * Window over distinct lengths, not rows — corpus-size-proof. */
+  def q299KruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("lang"), col("n_chars").as("v"))
+    val byv = docs.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val ranked = byv
+      .withColumn("rlo", coalesce(sum(col("c")).over(w), lit(0L)) + 1)
+      .select(col("v"), col("c"), (col("rlo") * 2 + col("c") - 1).as("ar2"),
+        (col("c") * col("c") * col("c") - col("c")).as("tie3"))
+    val grp = docs.groupBy(col("lang"), col("v")).agg(count(lit(1)).as("gc"))
+      .join(ranked, Seq("v"))
+      .groupBy(col("lang"))
+      .agg(sum(col("gc")).as("ng"), sum(col("gc") * col("ar2")).as("r2"))
+      .select(col("lang"), col("ng"), col("r2"))
+    val tots = ranked.agg(sum(col("c")).as("nn"), sum(col("tie3")).as("s3"))
+    grp.agg(sort_array(collect_list(struct(col("lang"), col("ng"), col("r2"))))
+        .as("xs"))
+      .crossJoin(broadcast(tots))
+      .withColumn("sumr", aggregate(transform(col("xs"), e =>
+          ((e("r2").cast("double") / lit(2.0)) * (e("r2").cast("double") / lit(2.0)))
+            / e("ng").cast("double")),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("h",
+        lit(12.0) / (col("nn") * (col("nn") + 1)).cast("double") * col("sumr")
+          - lit(3.0) * (col("nn") + 1).cast("double"))
+      .select(col("nn").as("n_docs"),
+        size(col("xs")).cast("long").as("n_groups"), col("h"),
+        (col("h") *
+          (col("nn") * col("nn") * col("nn") - col("nn")).cast("double") /
+          (col("nn") * col("nn") * col("nn") - col("nn") - col("s3"))
+            .cast("double")).as("h_tie_corrected"))
+  }
+
+  /** The engine eats its own synthetic corpus: the DSv2 graft-synth
+    * source (50k generated docs, zero storage) through the curation
+    * verbs — a length gate, exact text-fingerprint dedup keeping each
+    * text's first doc_id, and the per-(lang, source) factory report
+    * (kept counts, dup rate, surviving tokens). The oracle replays the
+    * generator contract over range(50000) and dedups on the
+    * (n_words, digit-prefix) key, which is EQUIVALENT to text equality
+    * because digit→word is injective — so the whole pipeline, source
+    * included, is hash-verified without materializing text in SQL. */
+  def q300SynthCuration(s: SparkSession, dir: String): DataFrame = {
+    def src = s.read.format("graft-synth")
+      .option("rows", 50000L).option("seed", "g9c").option("partitions", 8)
+      .load()
+    // second overlapping read = a re-ingested shard: 20k exact duplicates
+    // (and its doc_id predicate pushes into the source's partition planning)
+    val raw = src.unionByName(src.filter(col("doc_id") < 20000L))
+    val gated = raw.filter(col("n_words") >= 10 && col("n_words") <= 30)
+    val keepW = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val dedup = gated
+      .withColumn("fp", md5(col("text")))
+      .withColumn("rk", row_number().over(keepW))
+    dedup.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_gated"),
+        sum((col("rk") === 1).cast("long")).as("n_unique"),
+        sum(when(col("rk") === 1, col("n_words")).otherwise(lit(0L)))
+          .as("tokens_kept"))
+      .select(col("lang"), col("source"), col("n_gated"), col("n_unique"),
+        ((col("n_gated") - col("n_unique")).cast("double") /
+          col("n_gated").cast("double")).as("dup_rate"),
+        col("tokens_kept"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q278_fuzzy_name_match" -> q278FuzzyNameMatch _,
     "q279_synth_source_agg" -> q279SynthSourceAgg _,
@@ -628,5 +798,10 @@ object CatalogPlus {
     "q292_burrows_delta"    -> q292BurrowsDelta _,
     "q293_mcnemar_labelers" -> q293McnemarLabelers _,
     "q294_gains_curve"      -> q294GainsCurve _,
-    "q295_asof_exec"        -> q295AsofExec _)
+    "q295_asof_exec"        -> q295AsofExec _,
+    "q296_neg_sampling"     -> q296NegSampling _,
+    "q297_hitting_time"     -> q297HittingTime _,
+    "q298_cochran_armitage" -> q298CochranArmitage _,
+    "q299_kruskal_wallis"   -> q299KruskalWallis _,
+    "q300_synth_curation"   -> q300SynthCuration _)
 }

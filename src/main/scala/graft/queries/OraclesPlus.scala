@@ -44,6 +44,23 @@ object OraclesPlus {
        |  FROM $prev f CROSS JOIN pk$k p)""".stripMargin
   }
 
+  /** One Jacobi hitting-time round (q297): h_i ← 1 + Σ_j c_ij·h_j ∕ c_i·
+    * over the previous round's h, dst-ascending folds, absorbing and
+    * dead-end states pinned at 0 — mirrors the engine's driver loop. */
+  private def htIterCtes(t: Int): String = {
+    val prev = if (t == 1) "h0" else s"h${t - 1}"
+    s"""h$t AS MATERIALIZED (SELECT rt.state AS state,
+       |    CASE WHEN rt.state = 'purchase' OR rt.rtot = 0 THEN 0.0
+       |      ELSE 1.0 + COALESCE((SELECT
+       |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |            list(CAST(tr.c AS DOUBLE) * p.h ORDER BY tr.dst)),
+       |            (a, x) -> a + x)
+       |        FROM tr JOIN $prev p ON p.state = tr.dst
+       |        WHERE tr.src = rt.state), 0.0) / CAST(rt.rtot AS DOUBLE)
+       |    END AS h
+       |  FROM rt)""".stripMargin
+  }
+
   /** One Bradley–Terry MM round (q282): j-ascending denominator folds,
     * i-ascending normalization, prev-π fallback when the update is
     * degenerate — mirrors the engine's driver loop op-for-op. */
@@ -503,5 +520,125 @@ object OraclesPlus {
         |SELECT v.event_id AS event_id, p.r_value AS last_purchase_value
         |FROM views v ASOF LEFT JOIN purch p
         |  ON v.user_id = p.r_user AND v.ts >= p.r_ts
-        |ORDER BY v.event_id""".stripMargin)
+        |ORDER BY v.event_id""".stripMargin,
+
+    "q296_neg_sampling" ->
+      """WITH cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1),
+        |w AS (SELECT tok, cnt,
+        |    CAST(cnt AS DOUBLE) / sqrt(sqrt(CAST(cnt AS DOUBLE))) AS weight
+        |  FROM cnt),
+        |z AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(weight ORDER BY tok)), (a, x) -> a + x) AS z FROM w)
+        |SELECT tok, cnt, weight, weight / z AS prob,
+        |  sum(weight) OVER (ORDER BY tok
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / z AS cum_prob
+        |FROM w CROSS JOIN z ORDER BY tok""".stripMargin,
+
+    "q297_hitting_time" -> {
+      s"""WITH tr AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT event_type AS src,
+         |      lead(event_type) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id) AS dst
+         |    FROM events)
+         |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |st AS (SELECT DISTINCT s AS state FROM
+         |  (SELECT src AS s FROM tr UNION ALL SELECT dst FROM tr)),
+         |rt AS (SELECT st.state AS state,
+         |    COALESCE(CAST(sum(tr.c) AS BIGINT), CAST(0 AS BIGINT)) AS rtot
+         |  FROM st LEFT JOIN tr ON tr.src = st.state GROUP BY 1),
+         |h0 AS (SELECT state, CAST(0.0 AS DOUBLE) AS h FROM st),
+         |${(1 to 12).map(htIterCtes).mkString(",\n")}
+         |SELECT rt.state AS event_type, rt.rtot AS out_transitions,
+         |  h12.h AS exp_steps_to_purchase
+         |FROM rt JOIN h12 ON h12.state = rt.state ORDER BY 1""".stripMargin
+    },
+
+    "q298_cochran_armitage" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |        THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS r
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT user_id % 5 AS sc, r FROM u),
+        |gg AS (SELECT sc, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r) AS BIGINT) AS rr FROM g GROUP BY 1),
+        |a AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(rr) AS BIGINT) AS rt,
+        |    CAST(sum(sc * rr) AS BIGINT) AS ssr,
+        |    CAST(sum(sc * n) AS BIGINT) AS ssn,
+        |    CAST(sum(sc * sc * n) AS BIGINT) AS ss2n FROM gg)
+        |SELECT nn AS n_users, rt AS r_total,
+        |  CAST(nn * ((nn * ssr - rt * ssn) * (nn * ssr - rt * ssn))
+        |      AS DOUBLE)
+        |    / CAST(rt * (nn - rt) * (nn * ss2n - ssn * ssn) AS DOUBLE) AS z2,
+        |  CAST(nn * ((nn * ssr - rt * ssn) * (nn * ssr - rt * ssn))
+        |      AS DOUBLE)
+        |    / CAST(rt * (nn - rt) * (nn * ss2n - ssn * ssn) AS DOUBLE)
+        |    > 3.841458820694124 AS significant
+        |FROM a""".stripMargin,
+
+    "q299_kruskal_wallis" ->
+      """WITH docs AS (SELECT lang, n_chars AS v FROM documents),
+        |byv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM docs
+        |  GROUP BY 1),
+        |rk AS (SELECT v, c, COALESCE(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+        |    AS rlo FROM byv),
+        |rr AS (SELECT v, CAST(rlo * 2 + c - 1 AS BIGINT) AS ar2,
+        |    CAST(c * c * c - c AS BIGINT) AS tie3, c FROM rk),
+        |gv AS (SELECT lang, v, CAST(count(*) AS BIGINT) AS gc FROM docs
+        |  GROUP BY 1, 2),
+        |gr AS (SELECT lang, CAST(sum(gc) AS BIGINT) AS ng,
+        |    CAST(sum(gc * ar2) AS BIGINT) AS r2
+        |  FROM gv JOIN rr USING (v) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn,
+        |    CAST(sum(tie3) AS BIGINT) AS s3 FROM rr),
+        |l AS (SELECT list(struct_pack(lang := lang, ng := ng, r2 := r2)
+        |    ORDER BY lang) AS xs FROM gr),
+        |f AS (SELECT xs, nn, s3,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(xs, e ->
+        |        ((CAST(e.r2 AS DOUBLE) / 2.0) * (CAST(e.r2 AS DOUBLE) / 2.0))
+        |          / CAST(e.ng AS DOUBLE))), (a, x) -> a + x) AS sumr
+        |  FROM l CROSS JOIN tot),
+        |g AS (SELECT nn, s3, xs, sumr,
+        |    12.0 / CAST(nn * (nn + 1) AS DOUBLE) * sumr
+        |      - 3.0 * CAST(nn + 1 AS DOUBLE) AS h FROM f)
+        |SELECT nn AS n_docs, CAST(len(xs) AS BIGINT) AS n_groups, h,
+        |  h * CAST(nn * nn * nn - nn AS DOUBLE)
+        |    / CAST(nn * nn * nn - nn - s3 AS DOUBLE) AS h_tie_corrected
+        |FROM g""".stripMargin,
+
+    "q300_synth_curation" ->
+      """WITH ids AS (SELECT unnest(range(50000)) AS doc_id
+        |  UNION ALL SELECT unnest(range(20000)) AS doc_id),
+        |g AS (SELECT doc_id,
+        |    md5('g9c:a:' || CAST(doc_id AS VARCHAR)) AS ma,
+        |    md5('g9c:w:' || CAST(doc_id AS VARCHAR)) AS mw FROM ids),
+        |f AS (SELECT doc_id, mw,
+        |    8 + CAST(('0x' || substr(ma, 1, 8))::BIGINT % 25 AS INT)
+        |      AS n_words,
+        |    (['en','de','fr','es'])
+        |      [CAST(('0x' || substr(ma, 9, 2))::BIGINT % 4 AS INT) + 1]
+        |      AS lang,
+        |    (['web','wiki','code','news','forum'])
+        |      [CAST(('0x' || substr(ma, 11, 2))::BIGINT % 5 AS INT) + 1]
+        |      AS source
+        |  FROM g),
+        |gated AS (SELECT doc_id, lang, source,
+        |    CAST(n_words AS BIGINT) AS n_words,
+        |    substr(mw, 1, n_words) AS wkey
+        |  FROM f WHERE n_words >= 10 AND n_words <= 30),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY n_words, wkey
+        |    ORDER BY doc_id) AS rk FROM gated)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_gated,
+        |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unique,
+        |  CAST(count(*) - sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_rate,
+        |  CAST(sum(CASE WHEN rk = 1 THEN n_words ELSE 0 END) AS BIGINT)
+        |    AS tokens_kept
+        |FROM rk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }
