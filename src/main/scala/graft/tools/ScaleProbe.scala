@@ -154,7 +154,40 @@ object ScaleProbe {
       "q247_mmd_quad" -> { k: Int =>
         graft.queries.CatalogSci.mmdQuadOf(embs(k)).count() },
       "q264_grid_dbscan" -> { k: Int =>
-        graft.queries.CatalogSci.gridDbscanOf(embs(k)).count() })
+        graft.queries.CatalogSci.gridDbscanOf(embs(k)).count() },
+      // Round-9b heavies:
+      //  - q295: the custom AsofJoinExec on synthetic (key, time) frames —
+      //    one exchange+sort per side then a linear merge; expect the sort's
+      //    n log n.
+      //  - q278: blocked fuzzy match; per-copy name suffix lands each copy
+      //    in its own block-key space, so block geometry is constant and
+      //    block count grows — the banded-levenshtein work is linear.
+      "q295_asof_probe" -> { k: Int =>
+        val n = 400000L * k
+        val left = spark.range(n).select(
+          (col("id") % 997).as("k"), col("id").as("t"))
+        val right = spark.range(n / 4).select(
+          (col("id") % 997).as("rk"), (col("id") * 4 + 1).as("rt"),
+          (col("id") * 2).as("payload"))
+        graft.plans.AsofJoinOp.asofJoin(left, right,
+          Seq("k"), Seq("rk"), "t", "rt").count() },
+      "q278_fuzzy_probe" -> { k: Int =>
+        graft.plans.GraftPlans.ensureInjected(spark)
+        val custBase = Tables.customer(spark, "/root/testdata/sf0.1")
+          .select(col("c_name"))
+        val cust = (0 until k).map { i =>
+          custBase.select(concat(col("c_name"), lit(s"_$i")).as("c_name"))
+        }.reduce(_ unionByName _)
+        val bkey = (c: org.apache.spark.sql.Column) =>
+          substring(c, -4, 4)
+        val probes = cust.select(
+          concat(substring(col("c_name"), 1, 3), substring(col("c_name"), 5, 1000))
+            .as("probe"),
+          bkey(col("c_name")).as("bk")).distinct()
+        val cands = cust.select(col("c_name"), bkey(col("c_name")).as("bk"))
+        probes.join(cands, Seq("bk"))
+          .filter(levenshtein(col("probe"), col("c_name")) <= 1)
+          .count() })
     val ks = Seq(1, 4, 10)
     val filter = sys.env.get("SPARK_GRAFT_HEAVY_ONLY").map(_.split(',').toSet)
     var allSub = true
