@@ -1,0 +1,445 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-9 continuation wave 3: the survival/epidemiology pair the KM curve
+ * (q208) was missing (log-rank, Nelson–Aalen), stratified 2×2 epi analysis
+ * (Mantel–Haenszel), multi-rater and multi-item reliability (Fleiss' κ,
+ * Cronbach's α), normality/heteroscedasticity/autocorrelation diagnostics
+ * (Jarque–Bera, Brown–Forsythe Levene, Durbin–Watson, Grubbs), and the
+ * blocked nonparametric ANOVA (Friedman) that completes the q272/q299
+ * rank-test family. Same determinism contract as the rest of the catalog:
+ * integer sufficient statistics wherever the data allows, fixed
+ * parenthesization on every double combination, and key-ascending list
+ * folds for every order-sensitive float sum.
+ */
+object CatalogNext {
+
+  /** Sorted-key double fold: bit-identical to the oracle's
+    * `list_reduce(list_prepend(0.0, list(v ORDER BY k)))`. */
+  private def foldSorted(k: Column, v: Column): Column =
+    aggregate(
+      transform(sort_array(collect_list(struct(k.as("k"), v.as("v")))),
+        e => e("v")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Exact cents of a 2-decimal double dollar column (noise-free: the
+    * inputs are integral multiples of 0.01 so x*100 rounds cleanly). */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** q208's per-user survival frame: t = days from first event to first
+    * big purchase (value > 150), right-censored at the corpus end, with a
+    * deterministic two-arm split on user-id parity for the log-rank test. */
+  private def survivalFrame(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_d"),
+        min(when(col("event_type") === "purchase" && col("value") > 150.0,
+          to_date(col("ts")))).as("conv_d"))
+    val horizon = ev.agg(max(to_date(col("ts"))).as("max_d"))
+    users.crossJoin(broadcast(horizon))
+      .select((col("user_id") % 2).as("g"),
+        datediff(coalesce(col("conv_d"), col("max_d")), col("first_d"))
+          .cast("long").as("t"),
+        col("conv_d").isNotNull.cast("long").as("death"))
+  }
+
+  /** Two-sample log-rank test (Mantel 1966) comparing time-to-conversion
+    * between the two user arms: at every pooled death time, observed arm-0
+    * deaths vs the hypergeometric expectation d·n₀∕n and variance
+    * d·(n₀∕n)(n₁∕n)(n−d)∕(n−1); χ² = (O−E)²∕V. At-risk counts come from a
+    * cumulative window over the day-grain table (≤ calendar days rows —
+    * the distributed work is the per-user aggregate, one shuffle), deaths
+    * are exact integers, and the E/V sums are t-ascending folds, so both
+    * engines produce identical doubles. The censoring-aware A/B read of
+    * q205's conversion metric. */
+  def q301LogRank(s: SparkSession, dir: String): DataFrame = {
+    val life = survivalFrame(s, dir)
+    val byT = life.groupBy(col("t")).agg(
+      sum(when(col("g") === 0, lit(1L)).otherwise(lit(0L))).as("e1"),
+      sum(when(col("g") === 1, lit(1L)).otherwise(lit(0L))).as("e2"),
+      sum(when(col("g") === 0, col("death")).otherwise(lit(0L))).as("d1"),
+      sum(when(col("g") === 1, col("death")).otherwise(lit(0L))).as("d2"))
+    val tot = life.agg(
+      sum(when(col("g") === 0, lit(1L)).otherwise(lit(0L))).as("n1tot"),
+      sum(when(col("g") === 1, lit(1L)).otherwise(lit(0L))).as("n2tot"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val risk = byT.crossJoin(broadcast(tot))
+      .select(col("t"), col("d1"), col("d2"),
+        (col("n1tot") - coalesce(sum(col("e1")).over(wPrev), lit(0L))).as("n1"),
+        (col("n2tot") - coalesce(sum(col("e2")).over(wPrev), lit(0L))).as("n2"))
+    val terms = risk
+      .withColumn("dt", col("d1") + col("d2"))
+      .withColumn("nt", col("n1") + col("n2"))
+      .filter(col("dt") > 0)
+      .select(col("t"), col("d1"),
+        ((col("dt") * col("n1")).cast("double") / col("nt").cast("double"))
+          .as("eexp"),
+        when(col("nt") > 1,
+          ((col("dt") * col("n1")).cast("double") / col("nt").cast("double"))
+            * (col("n2").cast("double") / col("nt").cast("double"))
+            * ((col("nt") - col("dt")).cast("double")
+              / (col("nt") - 1).cast("double")))
+          .otherwise(lit(0.0)).as("v"))
+    terms.agg(count(lit(1)).as("n_times"), sum(col("d1")).as("o1"),
+        foldSorted(col("t"), col("eexp")).as("e1"),
+        foldSorted(col("t"), col("v")).as("v1"))
+      .select(col("n_times"), col("o1"), col("e1"), col("v1"),
+        ((col("o1").cast("double") - col("e1"))
+          * (col("o1").cast("double") - col("e1")) / col("v1")).as("chi2"))
+  }
+
+  /** Nelson–Aalen cumulative-hazard estimator over the q208 survival
+    * frame: H(t) = Σ_{t'≤t} d∕n with the standard variance estimate
+    * Σ d∕n² — the hazard-scale dual of the KM survival curve (Aalen
+    * 1978), preferred when curves are compared additively. Same two
+    * shuffles as q208; cumulative sums ride the t-ordered window (the
+    * q208-proven cumulative-double-window shape). */
+  def q302NelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    val life = survivalFrame(s, dir)
+    val byT = life.groupBy(col("t"))
+      .agg(count(lit(1)).as("ending"), sum(col("death")).as("d"))
+    val wRisk = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .select(col("t"), col("d"), sum(col("ending")).over(wRisk).as("n_risk"))
+      .filter(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d"),
+        (col("d").cast("double") / col("n_risk").cast("double")).as("hazard"),
+        sum(col("d").cast("double") / col("n_risk").cast("double")).over(wCum)
+          .as("na_cum"),
+        sum(col("d").cast("double")
+          / (col("n_risk").cast("double") * col("n_risk").cast("double")))
+          .over(wCum).as("var_cum"))
+      .orderBy(col("t"))
+  }
+
+  /** Mantel–Haenszel common odds ratio + χ² across nation strata:
+    * exposure = AUTOMOBILE market segment, outcome = account balance >
+    * 5000 — "does the segment associate with high balance, controlling
+    * for nation?" Each stratum contributes one 2×2 of exact integer
+    * counts; OR_MH = Σaᵢdᵢ∕nᵢ ∕ Σbᵢcᵢ∕nᵢ and the MH χ² use one divide
+    * per stratum with stratum-ascending folds (~25 rows after one
+    * shuffle, any customer count). The stratified-confounding companion
+    * to q225's stratified ATE. */
+  def q303MantelHaenszel(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val ex = col("c_mktsegment") === "AUTOMOBILE"
+    val out = col("c_acctbal") > 5000.0
+    val tab = c.groupBy(col("c_nationkey").as("stratum")).agg(
+        sum(when(ex && out, lit(1L)).otherwise(lit(0L))).as("a"),
+        sum(when(ex && !out, lit(1L)).otherwise(lit(0L))).as("b"),
+        sum(when(!ex && out, lit(1L)).otherwise(lit(0L))).as("c"),
+        sum(when(!ex && !out, lit(1L)).otherwise(lit(0L))).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .filter(col("n") > 1)
+    val terms = tab.select(col("stratum"), col("a"),
+      ((col("a") * col("d")).cast("double") / col("n").cast("double"))
+        .as("adn"),
+      ((col("b") * col("c")).cast("double") / col("n").cast("double"))
+        .as("bcn"),
+      (((col("a") + col("b")) * (col("a") + col("c"))).cast("double")
+        / col("n").cast("double")).as("e"),
+      (((col("a") + col("b")) * (col("c") + col("d"))).cast("double")
+        * ((col("a") + col("c")) * (col("b") + col("d"))).cast("double")
+        / (col("n").cast("double") * col("n").cast("double")
+          * (col("n") - 1).cast("double"))).as("v"))
+    terms.agg(count(lit(1)).as("n_strata"), sum(col("a")).as("sum_o"),
+        foldSorted(col("stratum"), col("adn")).as("sum_ad"),
+        foldSorted(col("stratum"), col("bcn")).as("sum_bc"),
+        foldSorted(col("stratum"), col("e")).as("sum_e"),
+        foldSorted(col("stratum"), col("v")).as("sum_v"))
+      .select(col("n_strata"), col("sum_o"), col("sum_e"), col("sum_v"),
+        (col("sum_ad") / col("sum_bc")).as("or_mh"),
+        ((col("sum_o").cast("double") - col("sum_e"))
+          * (col("sum_o").cast("double") - col("sum_e")) / col("sum_v"))
+          .as("chi2_mh"))
+  }
+
+  /** Fleiss' κ (1971) for three deterministic auto-labelers on the
+    * documents table: each rater reports the true lang except on an
+    * md5-drawn 1∕20 of docs where it reports an md5-drawn category —
+    * inter-rater chance-corrected agreement beyond q288's two-rater
+    * Cohen κ. Everything up to the final three divides is exact integer
+    * arithmetic (Σᵢⱼ nᵢⱼ² is an integer; category marginals are counts),
+    * and the chance term is a category-ascending fold over ≤5 rows. */
+  def q304FleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val langs = array(lit("de"), lit("en"), lit("es"), lit("fr"), lit("zh"))
+    def rater(j: Int): Column = {
+      val ma = md5(concat(lit(s"flk$j:"), col("doc_id")))
+      val flip = conv(substring(ma, 1, 4), 16, 10).cast("long") % 20
+      val pick = (conv(substring(ma, 5, 2), 16, 10).cast("long") % 5)
+        .cast("int") + 1
+      when(flip === 0, element_at(langs, pick)).otherwise(col("lang"))
+    }
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val ratings = docs.select(col("doc_id"),
+      explode(array(rater(1), rater(2), rater(3))).as("cat"))
+    val nij = ratings.groupBy(col("doc_id"), col("cat"))
+      .agg(count(lit(1)).as("nij"))
+    val sumSq = nij.agg(sum(col("nij") * col("nij")).as("ssq"),
+      (sum(col("nij")) / 3).cast("long").as("n_docs"))
+    val pj = ratings.groupBy(col("cat")).agg(count(lit(1)).as("cj"))
+    val pe = pj.crossJoin(broadcast(sumSq.select(col("n_docs"))))
+      .agg(foldSorted(col("cat"),
+        (col("cj").cast("double") / (col("n_docs") * 3).cast("double"))
+          * (col("cj").cast("double") / (col("n_docs") * 3).cast("double")))
+        .as("p_e"))
+    sumSq.crossJoin(broadcast(pe))
+      .select(col("n_docs"), lit(3L).as("n_raters"),
+        ((col("ssq") - col("n_docs") * 3).cast("double")
+          / (col("n_docs") * 6).cast("double")).as("p_bar"),
+        col("p_e"))
+      .withColumn("kappa",
+        (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")))
+  }
+
+  /** Jarque–Bera normality test (1980) on the daily order-count series:
+    * skewness and excess kurtosis from the first four raw moments, JB =
+    * n∕6·(S² + (K−3)²∕4). The four power sums are EXACT int64 (counts
+    * ≤ a few hundred per day, so ΣC⁴ fits with orders of magnitude to
+    * spare at any SF); the central-moment combination is a fixed
+    * parenthesization both engines replay, and m2^(3/2) is m2·√m2 — an
+    * IEEE-exact sqrt, no pow. One day-grain shuffle regardless of order
+    * volume. */
+  def q305JarqueBera(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"))
+      .agg(count(lit(1)).as("c"))
+    val mom = daily.agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+      sum(col("c") * col("c")).as("s2"),
+      sum(col("c") * col("c") * col("c")).as("s3"),
+      sum(col("c") * col("c") * col("c") * col("c")).as("s4"))
+    mom
+      .withColumn("m", col("s1").cast("double") / col("n").cast("double"))
+      .withColumn("m2", col("s2").cast("double") / col("n").cast("double")
+        - col("m") * col("m"))
+      .withColumn("m3", col("s3").cast("double") / col("n").cast("double")
+        - lit(3.0) * col("m") * (col("s2").cast("double") / col("n").cast("double"))
+        + lit(2.0) * col("m") * col("m") * col("m"))
+      .withColumn("m4", col("s4").cast("double") / col("n").cast("double")
+        - lit(4.0) * col("m") * (col("s3").cast("double") / col("n").cast("double"))
+        + lit(6.0) * (col("m") * col("m"))
+          * (col("s2").cast("double") / col("n").cast("double"))
+        - lit(3.0) * (col("m") * col("m")) * (col("m") * col("m")))
+      .withColumn("skew", col("m3") / (col("m2") * sqrt(col("m2"))))
+      .withColumn("kurt", col("m4") / (col("m2") * col("m2")))
+      .select(col("n").as("n_days"), col("m").as("mean_daily"), col("m2"),
+        col("skew"), col("kurt"),
+        (col("n").cast("double") / lit(6.0)
+          * (col("skew") * col("skew")
+            + (col("kurt") - lit(3.0)) * (col("kurt") - lit(3.0)) / lit(4.0)))
+          .as("jb"))
+  }
+
+  /** Brown–Forsythe Levene test (1974) for equal acctbal spread across
+    * market segments: one-way ANOVA F on |x − median_g|, the
+    * heteroscedasticity check that should precede q272's ANOVA. Exact
+    * machinery: balances become integer cents, group medians are exact
+    * order-statistic picks (lower median via `div`, custkey
+    * tie-break), the |deviation| values and their squares are integers,
+    * and the two sums of squares combine per-group integer sufficient
+    * statistics with group-ascending folds. Two shuffles (per-group
+    * rank, per-group moments) at any scale. */
+  def q306LeveneBf(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_mktsegment").as("seg"), col("c_custkey"),
+        cents(col("c_acctbal")).as("x"))
+    val w = Window.partitionBy(col("seg"))
+      .orderBy(col("x"), col("c_custkey"))
+    val med = c
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("seg"))))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("seg"), col("x").as("med"))
+    val z = c.join(med, Seq("seg"))
+      .select(col("seg"), abs(col("x") - col("med")).as("z"))
+    val grp = z.groupBy(col("seg")).agg(count(lit(1)).as("ng"),
+      sum(col("z")).as("sz"), sum(col("z") * col("z")).as("sz2"))
+    grp.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("sz")).as("szall"), sum(col("sz2")).as("sz2all"),
+        foldSorted(col("seg"),
+          col("sz").cast("double") * col("sz").cast("double")
+            / col("ng").cast("double")).as("fold_g"))
+      .select(col("k"), col("n"),
+        (col("fold_g") - col("szall").cast("double")
+          * col("szall").cast("double") / col("n").cast("double"))
+          .as("ss_between"),
+        (col("sz2all").cast("double") - col("fold_g")).as("ss_within"))
+      .withColumn("f_stat",
+        (col("ss_between") / (col("k") - 1).cast("double"))
+          / (col("ss_within") / (col("n") - col("k")).cast("double")))
+  }
+
+  /** Durbin–Watson autocorrelation diagnostic (1950) on the residuals of
+    * the daily-revenue-vs-time OLS line: DW = Σ(eₜ−eₜ₋₁)² ∕ Σeₜ². The
+    * regression's sufficient statistics are exact int64 (revenue in
+    * cents, Σi·y bounded ~1e15 at sf0.1; the final β combination is done
+    * in doubles with fixed parenthesization so the same code survives
+    * sf1+), residuals are per-day doubles, the lagged difference rides a
+    * day-ordered window, and both DW sums are day-ascending folds over
+    * the ≤2,500-row day grain. q259's regression diagnostics, extended
+    * to serial correlation. */
+  def q307DurbinWatson(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"))
+      .agg(sum(cents(col("o_totalprice"))).as("y"))
+    val idx = daily.withColumn("i",
+      row_number().over(Window.orderBy(col("ds"))).cast("long"))
+    val sums = idx.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+      sum(col("i") * col("y")).as("sxy"))
+    val fit = sums
+      .withColumn("sx", expr("n * (n + 1) div 2"))
+      .withColumn("sxx", expr("n * (n + 1) * (2 * n + 1) div 6"))
+      .withColumn("beta",
+        (col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+      .withColumn("alpha",
+        (col("sy").cast("double") - col("beta") * col("sx").cast("double"))
+          / col("n").cast("double"))
+    val resid = idx.crossJoin(broadcast(fit.select(col("n"), col("beta"), col("alpha"))))
+      .withColumn("e",
+        col("y").cast("double") - (col("alpha") + col("beta") * col("i").cast("double")))
+      .withColumn("ep", lag(col("e"), 1).over(Window.orderBy(col("i"))))
+    resid.agg(max(col("n")).as("n_days"), max(col("beta")).as("beta"),
+        max(col("alpha")).as("alpha"),
+        foldSorted(col("i"),
+          when(col("ep").isNull, lit(0.0))
+            .otherwise((col("e") - col("ep")) * (col("e") - col("ep"))))
+          .as("dnum"),
+        foldSorted(col("i"), col("e") * col("e")).as("dden"))
+      .select(col("n_days"), col("beta"), col("alpha"),
+        (col("dnum") / col("dden")).as("dw"))
+  }
+
+  /** Grubbs' single-outlier test (1950) on customer balances: G =
+    * max|x−x̄|∕s with the argmax row identified (custkey tie-break).
+    * Mean and sample variance come from exact integer cent sums (the
+    * S·mean cross term is combined in doubles with fixed parenthesization
+    * so the identical code survives scales where S² would overflow
+    * int64); the max-deviation pick is a TakeOrdered top-1. One scan +
+    * one reduce + one top-1 at any scale. */
+  def q308Grubbs(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), cents(col("c_acctbal")).as("x"))
+    val st = c.agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      .withColumn("mean", col("s1").cast("double") / col("n").cast("double"))
+      .withColumn("s", sqrt(
+        (col("s2").cast("double") - col("s1").cast("double") * col("mean"))
+          / (col("n") - 1).cast("double")))
+    c.crossJoin(broadcast(st))
+      .withColumn("dev", abs(col("x").cast("double") - col("mean")))
+      .orderBy(col("dev").desc, col("c_custkey"))
+      .limit(1)
+      .select(col("n").as("n_cust"),
+        (col("mean") / lit(100.0)).as("mean_bal"),
+        (col("dev") / col("s")).as("g_stat"),
+        col("c_custkey").as("outlier_custkey"),
+        (col("x").cast("double") / lit(100.0)).as("outlier_bal"))
+  }
+
+  /** Friedman blocked rank test (1937): do the five event types keep the
+    * same traffic ordering across days? Blocks = days, treatments =
+    * event types, values = daily counts; within-block midranks use the
+    * q299 distinct-value frame (2·midrank stays integer), rank sums are
+    * exact integers, and the tie-corrected statistic divides two numbers
+    * both derived from integer sufficient statistics. Day-grain work
+    * only — the scan reduces to b·k cells in one shuffle. */
+  def q309Friedman(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("ds"),
+        col("event_type"))
+      .agg(count(lit(1)).as("v"))
+    val byv = cells.groupBy(col("ds"), col("v")).agg(count(lit(1)).as("c"))
+    val wb = Window.partitionBy(col("ds")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val ranked = byv
+      .withColumn("rlo", coalesce(sum(col("c")).over(wb), lit(0L)) + 1)
+      .select(col("ds"), col("v"), (col("rlo") * 2 + col("c") - 1).as("ar2"),
+        (col("c") * col("c") * col("c") - col("c")).as("tie3"))
+    val perTreat = cells.join(ranked, Seq("ds", "v"))
+      .groupBy(col("event_type")).agg(sum(col("ar2")).as("r2"))
+    val base = cells.agg(count_distinct(col("ds")).as("b"),
+      count_distinct(col("event_type")).as("k"))
+    val ties = ranked.agg(sum(col("tie3")).as("tsum"))
+    perTreat
+      .agg(foldSorted(col("event_type"),
+        (col("r2").cast("double") / lit(2.0))
+          * (col("r2").cast("double") / lit(2.0))).as("sumr2"))
+      .crossJoin(broadcast(base)).crossJoin(broadcast(ties))
+      .withColumn("q_stat",
+        lit(12.0) / (col("b").cast("double") * col("k").cast("double")
+          * (col("k") + 1).cast("double")) * col("sumr2")
+          - lit(3.0) * col("b").cast("double") * (col("k") + 1).cast("double"))
+      .withColumn("c_ties", lit(1.0) - col("tsum").cast("double")
+        / (col("b") * (col("k") * col("k") * col("k") - col("k"))).cast("double"))
+      .select(col("b").as("n_blocks"), col("k").as("n_treatments"),
+        col("q_stat"),
+        when(col("c_ties") > 0.0, col("q_stat") / col("c_ties"))
+          .otherwise(lit(Double.NaN)).as("q_tie_corrected"))
+  }
+
+  /** Cronbach's α (1951) treating the five event types as items and each
+    * user's per-type activity count as the item score: internal
+    * consistency of the "engagement scale", α = k∕(k−1)·(1 −
+    * Σvarᵢ∕var_total). The dense user×item grid comes from a broadcast
+    * explode of the fixed item list (missing cells are true zeros); all
+    * variances reduce to integer Σx/Σx² per item and per user-total, and
+    * the item-variance sum is an item-ascending 5-row fold. One shuffle
+    * on user_id at any event volume. */
+  def q310Cronbach(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val ev = Tables.events(s, dir)
+    val counts = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val itemsDf = s.range(1)
+      .select(explode(array(types.map(lit): _*)).as("item"))
+    val grid = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(itemsDf))
+    val x = grid.join(counts,
+        grid("user_id") === counts("user_id")
+          && grid("item") === counts("event_type"), "left")
+      .select(grid("user_id"), grid("item"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+    val perItem = x.groupBy(col("item")).agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sx2"))
+    val itemVar = perItem.agg(max(col("n")).as("n_users"),
+      foldSorted(col("item"),
+        (col("sx2").cast("double") - col("sx").cast("double")
+          * (col("sx").cast("double") / col("n").cast("double")))
+          / (col("n") - 1).cast("double")).as("sum_item_var"))
+    val totals = x.groupBy(col("user_id")).agg(sum(col("x")).as("t"))
+      .agg(count(lit(1)).as("nt"), sum(col("t")).as("st"),
+        sum(col("t") * col("t")).as("st2"))
+      .select(((col("st2").cast("double") - col("st").cast("double")
+        * (col("st").cast("double") / col("nt").cast("double")))
+        / (col("nt") - 1).cast("double")).as("total_var"))
+    itemVar.crossJoin(broadcast(totals))
+      .select(lit(5L).as("k"), col("n_users"), col("sum_item_var"),
+        col("total_var"),
+        ((lit(5.0) / lit(4.0))
+          * (lit(1.0) - col("sum_item_var") / col("total_var"))).as("alpha"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_logrank"         -> q301LogRank _,
+    "q302_nelson_aalen"    -> q302NelsonAalen _,
+    "q303_mantel_haenszel" -> q303MantelHaenszel _,
+    "q304_fleiss_kappa"    -> q304FleissKappa _,
+    "q305_jarque_bera"     -> q305JarqueBera _,
+    "q306_levene_bf"       -> q306LeveneBf _,
+    "q307_durbin_watson"   -> q307DurbinWatson _,
+    "q308_grubbs"          -> q308Grubbs _,
+    "q309_friedman"        -> q309Friedman _,
+    "q310_cronbach"        -> q310Cronbach _)
+}

@@ -1,0 +1,363 @@
+package graft.queries
+
+/** DuckDB mirrors for [[CatalogNext]]. Same determinism discipline as the
+  * rest of the oracle surface: exact integer sufficient statistics, fixed
+  * parenthesization on every double combination, `list(v ORDER BY k)` folds
+  * for order-sensitive float sums, exactly-representable decimal literals
+  * only. */
+object OraclesNext {
+
+  /** Shared survival-frame CTEs (q208's derivation + the q301 arm split). */
+  private val lifeCtes: String =
+    """users AS (SELECT user_id,
+      |    min(CAST(ts AS DATE)) AS first_d,
+      |    min(CASE WHEN event_type = 'purchase' AND value > 150.0
+      |      THEN CAST(ts AS DATE) END) AS conv_d
+      |  FROM events GROUP BY 1),
+      |horizon AS (SELECT max(CAST(ts AS DATE)) AS max_d FROM events),
+      |life AS (SELECT user_id % 2 AS g,
+      |    CAST(date_diff('day', first_d, COALESCE(conv_d, max_d)) AS BIGINT)
+      |      AS t,
+      |    CASE WHEN conv_d IS NOT NULL
+      |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS death
+      |  FROM users CROSS JOIN horizon)""".stripMargin
+
+  val all: Map[String, String] = Map(
+
+    "q301_logrank" ->
+      s"""WITH $lifeCtes,
+        |byt AS (SELECT t,
+        |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+        |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS e2,
+        |    CAST(sum(CASE WHEN g = 0 THEN death ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN g = 1 THEN death ELSE 0 END) AS BIGINT) AS d2
+        |  FROM life GROUP BY 1),
+        |tot AS (SELECT
+        |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1tot,
+        |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2tot
+        |  FROM life),
+        |risk AS (SELECT t, d1, d2,
+        |    n1tot - COALESCE(sum(e1) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+        |    n2tot - COALESCE(sum(e2) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+        |  FROM byt CROSS JOIN tot),
+        |terms AS (SELECT t, d1,
+        |    CAST((d1 + d2) * n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS eexp,
+        |    CASE WHEN n1 + n2 > 1 THEN
+        |      CAST((d1 + d2) * n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+        |        * (CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+        |        * (CAST((n1 + n2) - (d1 + d2) AS DOUBLE)
+        |          / CAST((n1 + n2) - 1 AS DOUBLE))
+        |    ELSE CAST(0.0 AS DOUBLE) END AS v
+        |  FROM risk WHERE d1 + d2 > 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_times,
+        |  CAST(sum(d1) AS BIGINT) AS o1,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(eexp ORDER BY t)), (a, x) -> a + x) AS e1,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(v ORDER BY t)), (a, x) -> a + x) AS v1,
+        |  (CAST(sum(d1) AS DOUBLE)
+        |      - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list(eexp ORDER BY t)), (a, x) -> a + x))
+        |    * (CAST(sum(d1) AS DOUBLE)
+        |      - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list(eexp ORDER BY t)), (a, x) -> a + x))
+        |    / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list(v ORDER BY t)), (a, x) -> a + x) AS chi2
+        |FROM terms""".stripMargin,
+
+    "q302_nelson_aalen" ->
+      s"""WITH $lifeCtes,
+        |byt AS (SELECT t, CAST(count(*) AS BIGINT) AS ending,
+        |    CAST(sum(death) AS BIGINT) AS d
+        |  FROM life GROUP BY 1),
+        |risk AS (SELECT t, d,
+        |    CAST(sum(ending) OVER (ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |      AS n_risk
+        |  FROM byt),
+        |steps AS (SELECT t, n_risk, d,
+        |    CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hazard,
+        |    CAST(d AS DOUBLE)
+        |      / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)) AS vterm
+        |  FROM risk WHERE d > 0)
+        |SELECT t, n_risk, d, hazard,
+        |  sum(hazard) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS na_cum,
+        |  sum(vterm) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS var_cum
+        |FROM steps ORDER BY t""".stripMargin,
+
+    "q303_mantel_haenszel" ->
+      """WITH tab AS (SELECT c_nationkey AS stratum,
+        |    CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+        |      AND c_acctbal > 5000.0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+        |      AND NOT c_acctbal > 5000.0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT c_mktsegment = 'AUTOMOBILE'
+        |      AND c_acctbal > 5000.0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT c_mktsegment = 'AUTOMOBILE'
+        |      AND NOT c_acctbal > 5000.0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM customer GROUP BY 1),
+        |tab2 AS (SELECT stratum, a, b, c, d, a + b + c + d AS n FROM tab
+        |  WHERE a + b + c + d > 1),
+        |terms AS (SELECT stratum, a,
+        |    CAST(a * d AS DOUBLE) / CAST(n AS DOUBLE) AS adn,
+        |    CAST(b * c AS DOUBLE) / CAST(n AS DOUBLE) AS bcn,
+        |    CAST((a + b) * (a + c) AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+        |    CAST((a + b) * (c + d) AS DOUBLE)
+        |      * CAST((a + c) * (b + d) AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * CAST(n - 1 AS DOUBLE)) AS v
+        |  FROM tab2),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum(a) AS BIGINT) AS sum_o,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(adn ORDER BY stratum)), (a, x) -> a + x) AS sum_ad,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(bcn ORDER BY stratum)), (a, x) -> a + x) AS sum_bc,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(e ORDER BY stratum)), (a, x) -> a + x) AS sum_e,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(v ORDER BY stratum)), (a, x) -> a + x) AS sum_v
+        |  FROM terms)
+        |SELECT n_strata, sum_o, sum_e, sum_v,
+        |  sum_ad / sum_bc AS or_mh,
+        |  (CAST(sum_o AS DOUBLE) - sum_e) * (CAST(sum_o AS DOUBLE) - sum_e)
+        |    / sum_v AS chi2_mh
+        |FROM agg""".stripMargin,
+
+    "q304_fleiss_kappa" ->
+      """WITH rated AS (
+        |  SELECT doc_id, 1 AS rater,
+        |    md5('flk1:' || CAST(doc_id AS VARCHAR)) AS ma, lang
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, 2,
+        |    md5('flk2:' || CAST(doc_id AS VARCHAR)), lang FROM documents
+        |  UNION ALL SELECT doc_id, 3,
+        |    md5('flk3:' || CAST(doc_id AS VARCHAR)), lang FROM documents),
+        |ratings AS (SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(ma, 1, 4))::BIGINT % 20 = 0
+        |      THEN (['de','en','es','fr','zh'])
+        |        [CAST(('0x' || substr(ma, 5, 2))::BIGINT % 5 AS INT) + 1]
+        |      ELSE lang END AS cat
+        |  FROM rated),
+        |nij AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS nij
+        |  FROM ratings GROUP BY 1, 2),
+        |sq AS (SELECT CAST(sum(nij * nij) AS BIGINT) AS ssq,
+        |    CAST(sum(nij) / 3 AS BIGINT) AS n_docs FROM nij),
+        |pj AS (SELECT cat, CAST(count(*) AS BIGINT) AS cj
+        |  FROM ratings GROUP BY 1),
+        |pe AS (SELECT
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list((CAST(cj AS DOUBLE) / CAST(n_docs * 3 AS DOUBLE))
+        |        * (CAST(cj AS DOUBLE) / CAST(n_docs * 3 AS DOUBLE))
+        |        ORDER BY cat)), (a, x) -> a + x) AS p_e
+        |  FROM pj CROSS JOIN (SELECT n_docs FROM sq) s)
+        |SELECT n_docs, CAST(3 AS BIGINT) AS n_raters,
+        |  CAST(ssq - n_docs * 3 AS DOUBLE) / CAST(n_docs * 6 AS DOUBLE)
+        |    AS p_bar,
+        |  p_e,
+        |  (CAST(ssq - n_docs * 3 AS DOUBLE) / CAST(n_docs * 6 AS DOUBLE)
+        |    - p_e) / (1.0 - p_e) AS kappa
+        |FROM sq CROSS JOIN pe""".stripMargin,
+
+    "q305_jarque_bera" ->
+      """WITH daily AS (SELECT
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS ds,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s1,
+        |    CAST(sum(c * c) AS BIGINT) AS s2,
+        |    CAST(sum(c * c * c) AS BIGINT) AS s3,
+        |    CAST(sum(c * c * c * c) AS BIGINT) AS s4
+        |  FROM daily),
+        |m1 AS (SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m
+        |  FROM mom),
+        |m2c AS (SELECT *,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - m * m AS m2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - 3.0 * m * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + 2.0 * m * m * m AS m3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - 4.0 * m * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + 6.0 * (m * m) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      - 3.0 * (m * m) * (m * m) AS m4
+        |  FROM m1),
+        |sk AS (SELECT *, m3 / (m2 * sqrt(m2)) AS skew,
+        |    m4 / (m2 * m2) AS kurt FROM m2c)
+        |SELECT n AS n_days, m AS mean_daily, m2, skew, kurt,
+        |  CAST(n AS DOUBLE) / 6.0
+        |    * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0) AS jb
+        |FROM sk""".stripMargin,
+
+    "q306_levene_bf" ->
+      """WITH c AS (SELECT c_mktsegment AS seg, c_custkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x FROM customer),
+        |rk AS (SELECT seg, x,
+        |    row_number() OVER (PARTITION BY seg ORDER BY x, c_custkey)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY seg) AS cnt
+        |  FROM c),
+        |med AS (SELECT seg, x AS med FROM rk WHERE rn = (cnt + 1) // 2),
+        |z AS (SELECT c.seg, abs(x - med) AS z FROM c JOIN med USING (seg)),
+        |grp AS (SELECT seg, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(z) AS BIGINT) AS sz,
+        |    CAST(sum(z * z) AS BIGINT) AS sz2
+        |  FROM z GROUP BY 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(sz) AS BIGINT) AS szall,
+        |    CAST(sum(sz2) AS BIGINT) AS sz2all,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+        |        / CAST(ng AS DOUBLE) ORDER BY seg)),
+        |      (a, x) -> a + x) AS fold_g
+        |  FROM grp),
+        |ss AS (SELECT k, n,
+        |    fold_g - CAST(szall AS DOUBLE) * CAST(szall AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS ss_between,
+        |    CAST(sz2all AS DOUBLE) - fold_g AS ss_within
+        |  FROM agg)
+        |SELECT k, n, ss_between, ss_within,
+        |  (ss_between / CAST(k - 1 AS DOUBLE))
+        |    / (ss_within / CAST(n - k AS DOUBLE)) AS f_stat
+        |FROM ss""".stripMargin,
+
+    "q307_durbin_watson" ->
+      """WITH daily AS (SELECT
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS ds,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT ds, y,
+        |    CAST(row_number() OVER (ORDER BY ds) AS BIGINT) AS i
+        |  FROM daily),
+        |sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(i * y) AS BIGINT) AS sxy
+        |  FROM idx),
+        |fit AS (SELECT n, sy, sxy,
+        |    n * (n + 1) // 2 AS sx,
+        |    n * (n + 1) * (2 * n + 1) // 6 AS sxx
+        |  FROM sums),
+        |fit2 AS (SELECT n,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta, sy, sx
+        |  FROM fit),
+        |fit3 AS (SELECT n, beta,
+        |    (CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS alpha
+        |  FROM fit2),
+        |resid AS (SELECT i, n, beta, alpha,
+        |    CAST(y AS DOUBLE) - (alpha + beta * CAST(i AS DOUBLE)) AS e
+        |  FROM idx CROSS JOIN fit3),
+        |resid2 AS (SELECT i, n, beta, alpha, e,
+        |    lag(e, 1) OVER (ORDER BY i) AS ep
+        |  FROM resid)
+        |SELECT max(n) AS n_days, max(beta) AS beta, max(alpha) AS alpha,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(CASE WHEN ep IS NULL THEN 0.0
+        |      ELSE (e - ep) * (e - ep) END ORDER BY i)),
+        |    (a, x) -> a + x)
+        |  / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(e * e ORDER BY i)), (a, x) -> a + x) AS dw
+        |FROM resid2""".stripMargin,
+
+    "q308_grubbs" ->
+      """WITH c AS (SELECT c_custkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x FROM customer),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s1,
+        |    CAST(sum(x * x) AS BIGINT) AS s2
+        |  FROM c),
+        |st2 AS (SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    s1, s2 FROM st),
+        |st3 AS (SELECT n, mean,
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * mean)
+        |      / CAST(n - 1 AS DOUBLE)) AS s
+        |  FROM st2)
+        |SELECT n AS n_cust, mean / 100.0 AS mean_bal,
+        |  abs(CAST(x AS DOUBLE) - mean) / s AS g_stat,
+        |  c_custkey AS outlier_custkey,
+        |  CAST(x AS DOUBLE) / 100.0 AS outlier_bal
+        |FROM c CROSS JOIN st3
+        |ORDER BY abs(CAST(x AS DOUBLE) - mean) DESC, c_custkey
+        |LIMIT 1""".stripMargin,
+
+    "q309_friedman" ->
+      """WITH cells AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS ds,
+        |    event_type, CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |byv AS (SELECT ds, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM cells GROUP BY 1, 2),
+        |ranked AS (SELECT ds, v,
+        |    COALESCE(sum(c) OVER (PARTITION BY ds ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+        |      AS rlo,
+        |    c, CAST(c * c * c - c AS BIGINT) AS tie3
+        |  FROM byv),
+        |ranked2 AS (SELECT ds, v, rlo * 2 + c - 1 AS ar2, tie3
+        |  FROM ranked),
+        |pt AS (SELECT event_type, CAST(sum(ar2) AS BIGINT) AS r2
+        |  FROM cells JOIN ranked2 USING (ds, v) GROUP BY 1),
+        |base AS (SELECT
+        |    CAST(count(DISTINCT ds) AS BIGINT) AS b,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS k
+        |  FROM cells),
+        |ties AS (SELECT CAST(sum(tie3) AS BIGINT) AS tsum FROM ranked2),
+        |sr AS (SELECT
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list((CAST(r2 AS DOUBLE) / 2.0) * (CAST(r2 AS DOUBLE) / 2.0)
+        |        ORDER BY event_type)), (a, x) -> a + x) AS sumr2
+        |  FROM pt),
+        |qs AS (SELECT b, k, tsum, sumr2,
+        |    12.0 / (CAST(b AS DOUBLE) * CAST(k AS DOUBLE)
+        |      * CAST(k + 1 AS DOUBLE)) * sumr2
+        |      - 3.0 * CAST(b AS DOUBLE) * CAST(k + 1 AS DOUBLE) AS q_stat,
+        |    1.0 - CAST(tsum AS DOUBLE)
+        |      / CAST(b * (k * k * k - k) AS DOUBLE) AS c_ties
+        |  FROM sr CROSS JOIN base CROSS JOIN ties)
+        |SELECT b AS n_blocks, k AS n_treatments, q_stat,
+        |  CASE WHEN c_ties > 0.0 THEN q_stat / c_ties
+        |    ELSE CAST('nan' AS DOUBLE) END AS q_tie_corrected
+        |FROM qs""".stripMargin,
+
+    "q310_cronbach" ->
+      """WITH items AS (SELECT unnest(
+        |    ['click','error','purchase','signup','view']) AS item),
+        |us AS (SELECT DISTINCT user_id FROM events),
+        |counts AS (SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT us.user_id, items.item,
+        |    COALESCE(cnt, CAST(0 AS BIGINT)) AS x
+        |  FROM us CROSS JOIN items
+        |  LEFT JOIN counts ON counts.user_id = us.user_id
+        |    AND counts.event_type = items.item),
+        |per_item AS (SELECT item, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sx2
+        |  FROM x GROUP BY 1),
+        |iv AS (SELECT max(n) AS n_users,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)
+        |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |        / CAST(n - 1 AS DOUBLE) ORDER BY item)),
+        |      (a, x) -> a + x) AS sum_item_var
+        |  FROM per_item),
+        |ut AS (SELECT user_id, CAST(sum(x) AS BIGINT) AS t FROM x
+        |  GROUP BY 1),
+        |tv AS (SELECT
+        |    (CAST(sum(t * t) AS DOUBLE) - CAST(sum(t) AS DOUBLE)
+        |      * (CAST(sum(t) AS DOUBLE) / CAST(count(*) AS DOUBLE)))
+        |      / CAST(count(*) - 1 AS DOUBLE) AS total_var
+        |  FROM ut)
+        |SELECT CAST(5 AS BIGINT) AS k, n_users, sum_item_var, total_var,
+        |  (5.0 / 4.0) * (1.0 - sum_item_var / total_var) AS alpha
+        |FROM iv CROSS JOIN tv""".stripMargin)
+}
