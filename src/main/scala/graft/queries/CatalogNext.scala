@@ -431,6 +431,403 @@ object CatalogNext {
           * (lit(1.0) - col("sum_item_var") / col("total_var"))).as("alpha"))
   }
 
+  /** md5-prefix uniform u32 ∈ [0, 2³²) of an arbitrary string column. */
+  private def u32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  private def lg(x: Column): Column = graft.curation.Curation.lg(x)
+
+  /** Maximum drawdown of the daily-revenue "equity curve" (cumulative
+    * deviation from the mean daily revenue, scaled by n so every value
+    * stays an exact int64: Eᵈ = n·Σᵢ≤ᵈ yᵢ − d·Σy). Running max and
+    * drawdown are integer window ops; the only doubles are the final
+    * dollar conversions. The trough is the max-drawdown argmax (date
+    * tie-break), the peak is the earliest prefix day attaining the
+    * running max. Day-grain work after one shuffle at any volume — the
+    * classic risk statistic over q179/q263's daily series. */
+  def q311MaxDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"))
+      .agg(sum(cents(col("o_totalprice"))).as("y"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val wCum = Window.orderBy(col("ds"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val eq = daily.crossJoin(broadcast(tot))
+      .withColumn("rn", row_number().over(Window.orderBy(col("ds"))).cast("long"))
+      .withColumn("e", col("n") * sum(col("y")).over(wCum) - col("rn") * col("sy"))
+      .withColumn("runmax", max(col("e")).over(wCum))
+      .withColumn("dd", col("runmax") - col("e"))
+    val trough = eq.orderBy(col("dd").desc, col("ds")).limit(1)
+      .select(col("n").as("n_days"), col("ds").as("trough_ds"),
+        col("runmax").as("rm"), col("dd"))
+    val peak = eq.join(broadcast(trough), eq("e") === trough("rm")
+        && eq("ds") <= trough("trough_ds"))
+      .agg(min(eq("ds")).as("peak_ds"))
+    trough.crossJoin(broadcast(peak))
+      .select(col("n_days"), col("peak_ds"), col("trough_ds"),
+        (col("dd").cast("double") / (col("n_days").cast("double") * lit(100.0)))
+          .as("max_drawdown"))
+  }
+
+  /** Historical VaR/CVaR (95%) on day-over-day revenue changes: the k =
+    * ⌈n∕20⌉ worst changes are exact integer order-statistic picks (cent
+    * diffs, date tie-break), VaR is the k-th worst and CVaR the mean of
+    * the k worst — one divide. No interpolated quantiles, no
+    * distributional assumption; the whole tail is integer arithmetic.
+    * Day-grain sort of ~2.4k rows regardless of order volume. */
+  def q312VarCvar(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"))
+      .agg(sum(cents(col("o_totalprice"))).as("y"))
+    val diffs = daily
+      .withColumn("dy", col("y") - lag(col("y"), 1).over(Window.orderBy(col("ds"))))
+      .filter(col("dy").isNotNull)
+    val ranked = diffs
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("dy"), col("ds"))).cast("long"))
+      .crossJoin(broadcast(diffs.agg(count(lit(1)).as("n"))))
+      .withColumn("k", expr("(n + 19) div 20"))
+    ranked.filter(col("rn") <= col("k"))
+      .groupBy(col("n"), col("k"))
+      .agg(max(col("dy")).as("kth"), sum(col("dy")).as("tailsum"))
+      .select(col("n").as("n_changes"), col("k").as("k_tail"),
+        (-(col("kth").cast("double") / lit(100.0))).as("var95_loss"),
+        (-(col("tailsum").cast("double")
+          / (col("k").cast("double") * lit(100.0)))).as("cvar95_loss"))
+  }
+
+  /** Additive Holt–Winters (period 7, α=1∕2, β=1∕4, γ=1∕2 — all
+    * exactly-representable) over the daily event series: level, trend,
+    * seasonal slot and one-step forecast per day. Distributed work is
+    * the day-grain count; the inherently sequential recurrence runs
+    * driver-side over the collected day series (calendar-bounded, q289's
+    * pattern) with exactly the arithmetic the oracle's recursive CTE
+    * replays — seasonal state rides a 7-slot rotating vector initialized
+    * to zeros. */
+  def q313HoltWinters(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("ds"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("ds"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val out = Array.newBuilder[(Long, String, Long, Double, Double, Double, Option[Double])]
+    var l = 0.0; var t = 0.0
+    var sv = Vector.fill(7)(0.0)
+    daily.zipWithIndex.foreach { case ((ds, c), i0) =>
+      val i = i0 + 1L
+      if (i == 1L) {
+        l = c.toDouble; t = 0.0
+        out += ((i, ds, c, l, t, 0.0, None))
+      } else {
+        val sh = sv(0)
+        val fcst = l + t + sh
+        val lNew = 0.5 * (c.toDouble - sh) + 0.5 * (l + t)
+        val tNew = 0.25 * (lNew - l) + 0.75 * t
+        val sNew = 0.5 * (c.toDouble - lNew) + 0.5 * sh
+        sv = sv.tail :+ sNew
+        l = lNew; t = tNew
+        out += ((i, ds, c, l, t, sh, Some(fcst)))
+      }
+    }
+    import s.implicits._
+    out.result().toSeq
+      .toDF("i", "ds", "c", "level", "trend", "seasonal", "fcst")
+      .orderBy(col("i"))
+  }
+
+  /** Partial autocorrelation (lags 1–5) of the daily event series via
+    * Durbin–Levinson. The engine computes the autocovariance sufficient
+    * statistics EXACTLY (q207's centered-integer trick: cₜ = n·xₜ − Σx
+    * stays int64; lag products and their sums are exact integers), so
+    * the five ρₖ are one divide each; the Levinson recursion is
+    * state-sized driver math with j-ascending accumulation, unrolled
+    * CTE-for-CTE by the oracle. */
+  def q314Pacf(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val tot = daily.agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    val cser = daily.crossJoin(broadcast(tot))
+      .select(col("d"), (col("n") * col("x") - col("sx")).as("c"))
+    val w = Window.orderBy(col("d"))
+    val lagged = cser.select(
+      col("c") +: (1 to 5).map(k => lag(col("c"), k).over(w).as(s"c$k")): _*)
+    val aggCols = sum(col("c") * col("c")).as("den") +:
+      (1 to 5).map(k => sum(col("c") * col(s"c$k")).as(s"num$k"))
+    val row = lagged.agg(aggCols.head, aggCols.tail: _*).collect().head
+    val den = row.getAs[Long]("den").toDouble
+    val r = (1 to 5).map(k => row.getAs[Long](s"num$k").toDouble / den).toArray
+    // Durbin–Levinson, j-ascending partial sums (mirrors the oracle).
+    val phi = Array.ofDim[Double](6, 6)
+    val pacf = Array.ofDim[Double](6)
+    var v = 0.0
+    phi(1)(1) = r(0); pacf(1) = r(0); v = 1.0 - r(0) * r(0)
+    for (k <- 2 to 5) {
+      var acc = 0.0
+      for (j <- 1 until k) acc += phi(k - 1)(j) * r(k - 1 - j)
+      val pkk = (r(k - 1) - acc) / v
+      for (j <- 1 until k) phi(k)(j) = phi(k - 1)(j) - pkk * phi(k - 1)(k - j)
+      phi(k)(k) = pkk; pacf(k) = pkk
+      v = v * (1.0 - pkk * pkk)
+    }
+    import s.implicits._
+    (1 to 5).map(k => (k.toLong, r(k - 1), pacf(k))).toDF("lag", "acf", "pacf")
+      .orderBy(col("lag"))
+  }
+
+  /** Single change-point detection on daily revenue (binary segmentation,
+    * first split): argmin over t of SSE(1..t)+SSE(t+1..n) from integer
+    * prefix sums (whole-dollar revenue keeps ΣY² in int64 at tested
+    * scales; each candidate's SSE is two fixed-shape divides). The scan
+    * reduces to the day grain, the candidate sweep is a window over
+    * ~2.4k rows, and the pick is an exact (sse, t) ordering — the
+    * mean-shift counterpart of q136's CUSUM drift alarm. */
+  def q315Changepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"))
+      .agg(sum(round(col("o_totalprice")).cast("long")).as("y"))
+    val wCum = Window.orderBy(col("ds"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = daily
+      .withColumn("i", row_number().over(Window.orderBy(col("ds"))).cast("long"))
+      .withColumn("p", sum(col("y")).over(wCum))
+      .withColumn("q", sum(col("y") * col("y")).over(wCum))
+    val tot = pre.agg(max(col("i")).as("n"), max(col("p")).as("pn"),
+      max(col("q")).as("qn"))
+    val cand = pre.crossJoin(broadcast(tot))
+      .filter(col("i") >= 2 && col("i") <= col("n") - 2)
+      .withColumn("sse_l", col("q").cast("double")
+        - col("p").cast("double") * col("p").cast("double") / col("i").cast("double"))
+      .withColumn("sse_r", (col("qn") - col("q")).cast("double")
+        - (col("pn") - col("p")).cast("double") * (col("pn") - col("p")).cast("double")
+          / (col("n") - col("i")).cast("double"))
+      .withColumn("sse_split", col("sse_l") + col("sse_r"))
+    cand.orderBy(col("sse_split"), col("i")).limit(1)
+      .select(col("n").as("n_days"), col("i").as("split_i"),
+        col("ds").as("split_ds"),
+        (col("qn").cast("double") - col("pn").cast("double")
+          * col("pn").cast("double") / col("n").cast("double")).as("sse_full"),
+        col("sse_split"),
+        (col("p").cast("double") / col("i").cast("double")).as("mean_left"),
+        ((col("pn") - col("p")).cast("double")
+          / (col("n") - col("i")).cast("double")).as("mean_right"))
+  }
+
+  /** Geo radius self-join with grid blocking: customers get deterministic
+    * md5-derived positions on an integer micro-degree lattice (2°×2°
+    * box), points are bucketed into 0.02° cells, and each point probes
+    * its 3×3 cell neighborhood — an EQUI join on the cell key, so the
+    * candidate set is density-bounded instead of n². Squared distance
+    * stays exact int64; the 10 closest pairs are an exact (d², key)
+    * pick. The meters column is illustrative (1 µdeg ≈ 0.11132 m at this
+    * latitude, embedded e0-form). The spatial-blocking discipline a
+    * 100 TB point corpus needs — same shape as the LSH band joins. */
+  def q316GeoRadiusJoin(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.customer(s, dir).select(col("c_custkey").as("key"),
+      (u32(concat(lit("glat:"), col("c_custkey"))) % 2000000L).as("ilat"),
+      (u32(concat(lit("glon:"), col("c_custkey"))) % 2000000L).as("ilon"))
+    val cells = pts
+      .withColumn("cl", expr("ilat div 20000"))
+      .withColumn("cn", expr("ilon div 20000"))
+    val probes = cells.select(col("key").as("a"), col("ilat").as("alat"),
+        col("ilon").as("alon"),
+        explode(array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+          struct((col("cl") + dx).as("pl"), (col("cn") + dy).as("pn")))): _*))
+          .as("p"))
+      .select(col("a"), col("alat"), col("alon"),
+        col("p.pl").as("pl"), col("p.pn").as("pn"))
+    val pairs = probes.join(cells,
+        probes("pl") === cells("cl") && probes("pn") === cells("cn")
+          && probes("a") < cells("key"))
+      .select(col("a"), col("key").as("b"),
+        ((col("alat") - col("ilat")) * (col("alat") - col("ilat"))
+          + (col("alon") - col("ilon")) * (col("alon") - col("ilon"))).as("d2"))
+    pairs.orderBy(col("d2"), col("a"), col("b")).limit(10)
+      .select(col("a").as("a_key"), col("b").as("b_key"), col("d2"),
+        (sqrt(col("d2").cast("double")) * lit(0.11132e0)).as("meters"))
+  }
+
+  /** Multinomial naive Bayes language classifier trained in-engine:
+    * hashed-word features (1024 buckets), Laplace smoothing, and
+    * per-(doc, lang) log-likelihoods in exact-lg bits — every lg
+    * argument is an integer count, the per-doc fold runs in token-
+    * position order, and the constant −n_tok·lg(c_L+1024) term is one
+    * multiply. Train counts broadcast (≤ 5·1024 rows); scoring is one
+    * shuffle on doc_id. Output: resubstitution confusion matrix — the
+    * generatively-trained counterpart of q123's discriminative LR. (On
+    * this corpus the vocabulary is shared across langs — no lexical
+    * signal — so the classifier provably falls back to the prior; the
+    * spec asserts exactly that behavior.) */
+  def q317NaiveBayes(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      col("text"))
+    val toks = docs
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("f", u32(concat(lit("nbf:"), col("w"))) % 1024L)
+    val cf = toks.groupBy(col("true_lang").as("l"), col("f"))
+      .agg(count(lit(1)).as("cf"))
+    val cl = toks.groupBy(col("true_lang").as("l")).agg(count(lit(1)).as("cl"))
+    val nd = docs.groupBy(col("lang").as("l")).agg(count(lit(1)).as("nd"))
+    val ndTot = docs.agg(count(lit(1)).as("ndtot"))
+    val langsDf = nd.select(col("l"))
+    val scored = toks.select(col("doc_id"), col("pos"), col("f"))
+      .crossJoin(broadcast(langsDf))
+      .join(broadcast(cf), Seq("l", "f"), "left")
+      .select(col("doc_id"), col("l"), col("pos"),
+        lg(coalesce(col("cf"), lit(0L)) + 1).as("lgterm"))
+      .groupBy(col("doc_id"), col("l"))
+      .agg(count(lit(1)).as("ntok"),
+        foldSorted(col("pos"), col("lgterm")).as("sumlg"))
+    val full = scored
+      .join(broadcast(cl), Seq("l"))
+      .join(broadcast(nd), Seq("l"))
+      .crossJoin(broadcast(ndTot))
+      .withColumn("score",
+        (lg(col("nd")) - lg(col("ndtot"))) + col("sumlg")
+          - col("ntok").cast("double") * lg(col("cl") + 1024L))
+    val pred = full
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("l"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("l").as("pred_lang"))
+    docs.join(pred, Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** Mean average precision @10 for token-overlap retrieval: queries are
+    * the 10 lowest doc_ids, candidates are scored by EXACT distinct-
+    * token intersection (integer overlap via the inverted index — one
+    * token-key shuffle, candidate set bounded by document frequency, the
+    * q122/q25 scale shape), relevance = same source. AP stays rational:
+    * hit-rank reciprocals are lcm(1..10)=2520-scaled integers, so each
+    * query contributes num∕(2520·min(R,10)) with ONE divide, folded
+    * query-ascending into MAP. */
+  def q318MapRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val dtok = docs.select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w")).distinct()
+    val qd = dtok.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"), col("source").as("qsrc"), col("w"))
+    val cd = dtok.filter(col("doc_id") >= 10)
+      .select(col("doc_id").as("cid"), col("source").as("csrc"), col("w"))
+    val ov = qd.join(cd, Seq("w"))
+      .groupBy(col("qid"), col("qsrc"), col("cid"), col("csrc"))
+      .agg(count(lit(1)).as("ov"))
+    val ranked = ov
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("ov").desc, col("cid"))).cast("long"))
+      .filter(col("rk") <= 10)
+      .withColumn("rel", (col("csrc") === col("qsrc")).cast("long"))
+      .withColumn("hits", sum(col("rel")).over(
+        Window.partitionBy(col("qid")).orderBy(col("rk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val rtot = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"), col("source").as("qsrc"))
+      .join(docs.filter(col("doc_id") >= 10)
+        .groupBy(col("source").as("qsrc")).agg(count(lit(1)).as("nrel")),
+        Seq("qsrc"), "left")
+      .select(col("qid"),
+        least(coalesce(col("nrel"), lit(0L)), lit(10L)).as("rq"))
+    val ap = ranked
+      .withColumn("apterm",
+        when(col("rel") === 1, col("hits") * expr("2520 div rk"))
+          .otherwise(lit(0L)))
+      .groupBy(col("qid")).agg(sum(col("apterm")).as("apnum"))
+      .join(rtot, Seq("qid"))
+      .filter(col("rq") > 0)
+      .select(col("qid"),
+        (col("apnum").cast("double")
+          / (lit(2520.0) * col("rq").cast("double"))).as("ap"))
+    ap.agg(count(lit(1)).as("n_queries"),
+      (foldSorted(col("qid"), col("ap"))
+        / count(lit(1)).cast("double")).as("map10"))
+  }
+
+  /** Item–item cosine similarity on the user×item interaction-count
+    * matrix (events props.k): dot products and norms are exact integers
+    * (one user-key shuffle builds co-occurrence, the q156 shape), cosine
+    * is one divide by two exact sqrts, and each low-id item's top-5
+    * neighbors are an exact (cosine, item) window pick. The weighted
+    * upgrade of q156's binary co-visitation lift — the classic
+    * neighborhood recommender. */
+  def q319ItemCosine(s: SparkSession, dir: String): DataFrame = {
+    val ui = Tables.events(s, dir)
+      .select(col("user_id").as("u"),
+        variant_get(parse_json(col("props")), "$.k", "bigint").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("u"), col("item")).agg(count(lit(1)).as("c"))
+    val norms = ui.groupBy(col("item")).agg(sum(col("c") * col("c")).as("n2"))
+    val pairs = ui.alias("x")
+      .join(ui.alias("y"), col("x.u") === col("y.u")
+        && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("i"), col("y.item").as("j"))
+      .agg(sum(col("x.c") * col("y.c")).as("dot"))
+    val cos = pairs
+      .join(norms.select(col("item").as("i"), col("n2").as("ni")), Seq("i"))
+      .join(norms.select(col("item").as("j"), col("n2").as("nj")), Seq("j"))
+      .withColumn("cosine", col("dot").cast("double")
+        / (sqrt(col("ni").cast("double")) * sqrt(col("nj").cast("double"))))
+    cos.filter(col("i") < 10)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("i")).orderBy(col("cosine").desc, col("j"))))
+      .filter(col("rk") <= 5)
+      .select(col("i").as("item"), col("j").as("neighbor"), col("dot"),
+        col("cosine"), col("rk").cast("long").as("rk"))
+      .orderBy(col("item"), col("rk"))
+  }
+
+  /** Rank-1 ALS recommender trained in-engine: 3 alternating rounds of
+    * the exact scalar least-squares updates uᵢ = Σrᵢⱼvⱼ∕Σvⱼ² (over the
+    * user's rated items, item-ascending folds) and the symmetric item
+    * update — every round is one groupBy per side, all folds
+    * key-ascending so the oracle replays the whole training loop
+    * CTE-for-CTE (q282/q290's trained-in-engine discipline). Output:
+    * top-10 items by latent score with the global training RMSE (fold
+    * over (u, item)-ordered residuals). */
+  def q320AlsRank1(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.events(s, dir)
+      .select(col("user_id").as("u"),
+        variant_get(parse_json(col("props")), "$.k", "bigint").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("u"), col("item")).agg(count(lit(1)).as("c"))
+      .select(col("u"), col("item"), col("c").cast("double").as("r"))
+    // v0 = 1.0 for every item
+    var v = r.select(col("item")).distinct().withColumn("v", lit(1.0))
+    var u: DataFrame = null
+    for (_ <- 1 to 3) {
+      u = r.join(v, Seq("item"))
+        .groupBy(col("u"))
+        .agg((foldSorted(col("item"), col("r") * col("v"))
+          / foldSorted(col("item"), col("v") * col("v"))).as("uv"))
+        .select(col("u"), col("uv").as("v_u"))
+      v = r.join(u, Seq("u"))
+        .groupBy(col("item"))
+        .agg((foldSorted(col("u"), col("r") * col("v_u"))
+          / foldSorted(col("u"), col("v_u") * col("v_u"))).as("v"))
+    }
+    val pred = r.join(u, Seq("u")).join(v, Seq("item"))
+      .select(col("u"), col("item"), col("r"),
+        (col("v_u") * col("v")).as("p"))
+    val rmse = pred
+      .agg(sqrt(
+        aggregate(
+          transform(sort_array(collect_list(struct(col("u").as("k1"),
+            col("item").as("k2"),
+            ((col("r") - col("p")) * (col("r") - col("p"))).as("sq")))),
+            e => e("sq")),
+          lit(0.0), (a, x) => a + x)
+        / count(lit(1)).cast("double")).as("rmse"))
+    v.orderBy(col("v").desc, col("item")).limit(10)
+      .crossJoin(broadcast(rmse))
+      .select(col("item"), col("v").as("v_score"), col("rmse"))
+      .orderBy(col("v_score").desc, col("item"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q301_logrank"         -> q301LogRank _,
     "q302_nelson_aalen"    -> q302NelsonAalen _,
@@ -441,5 +838,15 @@ object CatalogNext {
     "q307_durbin_watson"   -> q307DurbinWatson _,
     "q308_grubbs"          -> q308Grubbs _,
     "q309_friedman"        -> q309Friedman _,
-    "q310_cronbach"        -> q310Cronbach _)
+    "q310_cronbach"        -> q310Cronbach _,
+    "q311_max_drawdown"    -> q311MaxDrawdown _,
+    "q312_var_cvar"        -> q312VarCvar _,
+    "q313_holt_winters"    -> q313HoltWinters _,
+    "q314_pacf"            -> q314Pacf _,
+    "q315_changepoint"     -> q315Changepoint _,
+    "q316_geo_radius"      -> q316GeoRadiusJoin _,
+    "q317_naive_bayes"     -> q317NaiveBayes _,
+    "q318_map_retrieval"   -> q318MapRetrieval _,
+    "q319_item_cosine"     -> q319ItemCosine _,
+    "q320_als_rank1"       -> q320AlsRank1 _)
 }

@@ -7,6 +7,8 @@ package graft.queries
   * only. */
 object OraclesNext {
 
+  private val lg = OraclesExt.lgSqlOf _
+
   /** Shared survival-frame CTEs (q208's derivation + the q301 arm split). */
   private val lifeCtes: String =
     """users AS (SELECT user_id,
@@ -359,5 +361,344 @@ object OraclesNext {
         |  FROM ut)
         |SELECT CAST(5 AS BIGINT) AS k, n_users, sum_item_var, total_var,
         |  (5.0 / 4.0) * (1.0 - sum_item_var / total_var) AS alpha
-        |FROM iv CROSS JOIN tv""".stripMargin)
+        |FROM iv CROSS JOIN tv""".stripMargin,
+
+    "q311_max_drawdown" ->
+      """WITH daily AS (SELECT
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS ds,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy FROM daily),
+        |eq AS (SELECT ds, n,
+        |    n * sum(y) OVER (ORDER BY ds
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - CAST(row_number() OVER (ORDER BY ds) AS BIGINT) * sy AS e
+        |  FROM daily CROSS JOIN tot),
+        |eq2 AS (SELECT ds, n, e,
+        |    max(e) OVER (ORDER BY ds
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+        |  FROM eq),
+        |eq3 AS (SELECT ds, n, e, runmax, runmax - e AS dd FROM eq2),
+        |trough AS (SELECT n AS n_days, ds AS trough_ds, runmax AS rm, dd
+        |  FROM eq3 ORDER BY dd DESC, ds LIMIT 1),
+        |peak AS (SELECT min(eq3.ds) AS peak_ds
+        |  FROM eq3 JOIN trough ON eq3.e = trough.rm
+        |    AND eq3.ds <= trough.trough_ds)
+        |SELECT n_days, peak_ds, trough_ds,
+        |  CAST(dd AS DOUBLE) / (CAST(n_days AS DOUBLE) * 100.0)
+        |    AS max_drawdown
+        |FROM trough CROSS JOIN peak""".stripMargin,
+
+    "q312_var_cvar" ->
+      """WITH daily AS (SELECT
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS ds,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM orders GROUP BY 1),
+        |diffs AS (SELECT ds, y - lag(y, 1) OVER (ORDER BY ds) AS dy
+        |  FROM daily),
+        |dd AS (SELECT ds, dy FROM diffs WHERE dy IS NOT NULL),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dd),
+        |rk AS (SELECT dy,
+        |    CAST(row_number() OVER (ORDER BY dy, ds) AS BIGINT) AS rn,
+        |    n, (n + 19) // 20 AS k
+        |  FROM dd CROSS JOIN nn)
+        |SELECT n AS n_changes, k AS k_tail,
+        |  -(CAST(max(dy) AS DOUBLE) / 100.0) AS var95_loss,
+        |  -(CAST(sum(dy) AS DOUBLE) / (CAST(k AS DOUBLE) * 100.0))
+        |    AS cvar95_loss
+        |FROM rk WHERE rn <= k GROUP BY n, k""".stripMargin,
+
+    "q313_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS ds,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT ds, c,
+        |    CAST(row_number() OVER (ORDER BY ds) AS BIGINT) AS i FROM daily),
+        |hw AS (
+        |  SELECT i, ds, c, CAST(c AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS t,
+        |    [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS s,
+        |    CAST(0.0 AS DOUBLE) AS seasonal, CAST(NULL AS DOUBLE) AS fcst
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.i, idx.ds, idx.c,
+        |    0.5 * (CAST(idx.c AS DOUBLE) - hw.s[1])
+        |      + 0.5 * (hw.l + hw.t),
+        |    0.25 * ((0.5 * (CAST(idx.c AS DOUBLE) - hw.s[1])
+        |        + 0.5 * (hw.l + hw.t)) - hw.l) + 0.75 * hw.t,
+        |    list_append(hw.s[2:7],
+        |      0.5 * (CAST(idx.c AS DOUBLE)
+        |          - (0.5 * (CAST(idx.c AS DOUBLE) - hw.s[1])
+        |            + 0.5 * (hw.l + hw.t)))
+        |        + 0.5 * hw.s[1]),
+        |    hw.s[1],
+        |    hw.l + hw.t + hw.s[1]
+        |  FROM hw JOIN idx ON idx.i = hw.i + 1)
+        |SELECT i, ds, c, l AS level, t AS trend, seasonal, fcst
+        |FROM hw ORDER BY i""".stripMargin,
+
+    "q314_pacf" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(count(*) AS BIGINT) AS n FROM daily),
+        |cser AS (SELECT d, n * x - sx AS c FROM daily CROSS JOIN tot),
+        |lagd AS (SELECT c,
+        |    lag(c, 1) OVER (ORDER BY d) AS c1,
+        |    lag(c, 2) OVER (ORDER BY d) AS c2,
+        |    lag(c, 3) OVER (ORDER BY d) AS c3,
+        |    lag(c, 4) OVER (ORDER BY d) AS c4,
+        |    lag(c, 5) OVER (ORDER BY d) AS c5
+        |  FROM cser),
+        |sums AS (SELECT CAST(sum(c * c) AS BIGINT) AS den,
+        |    CAST(sum(c * c1) AS BIGINT) AS num1,
+        |    CAST(sum(c * c2) AS BIGINT) AS num2,
+        |    CAST(sum(c * c3) AS BIGINT) AS num3,
+        |    CAST(sum(c * c4) AS BIGINT) AS num4,
+        |    CAST(sum(c * c5) AS BIGINT) AS num5
+        |  FROM lagd),
+        |rs AS (SELECT
+        |    CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+        |    CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2,
+        |    CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3,
+        |    CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE) AS r4,
+        |    CAST(num5 AS DOUBLE) / CAST(den AS DOUBLE) AS r5
+        |  FROM sums),
+        |dl1 AS (SELECT *, r1 AS p11, 1.0 - r1 * r1 AS v1 FROM rs),
+        |dl2 AS (SELECT *, (r2 - (p11 * r1)) / v1 AS p22 FROM dl1),
+        |dl2b AS (SELECT *, p11 - p22 * p11 AS p21,
+        |    v1 * (1.0 - p22 * p22) AS v2 FROM dl2),
+        |dl3 AS (SELECT *,
+        |    (r3 - ((p21 * r2) + (p22 * r1))) / v2 AS p33 FROM dl2b),
+        |dl3b AS (SELECT *, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32,
+        |    v2 * (1.0 - p33 * p33) AS v3 FROM dl3),
+        |dl4 AS (SELECT *,
+        |    (r4 - (((p31 * r3) + (p32 * r2)) + (p33 * r1))) / v3 AS p44
+        |  FROM dl3b),
+        |dl4b AS (SELECT *, p31 - p44 * p33 AS p41, p32 - p44 * p32 AS p42,
+        |    p33 - p44 * p31 AS p43, v3 * (1.0 - p44 * p44) AS v4 FROM dl4),
+        |dl5 AS (SELECT *,
+        |    (r5 - ((((p41 * r4) + (p42 * r3)) + (p43 * r2)) + (p44 * r1)))
+        |      / v4 AS p55
+        |  FROM dl4b)
+        |SELECT CAST(1 AS BIGINT) AS "lag", r1 AS acf, p11 AS pacf FROM dl5
+        |UNION ALL SELECT CAST(2 AS BIGINT), r2, p22 FROM dl5
+        |UNION ALL SELECT CAST(3 AS BIGINT), r3, p33 FROM dl5
+        |UNION ALL SELECT CAST(4 AS BIGINT), r4, p44 FROM dl5
+        |UNION ALL SELECT CAST(5 AS BIGINT), r5, p55 FROM dl5
+        |ORDER BY "lag"""".stripMargin,
+
+    "q315_changepoint" ->
+      """WITH daily AS (SELECT
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS ds,
+        |    CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |pre AS (SELECT ds,
+        |    CAST(row_number() OVER (ORDER BY ds) AS BIGINT) AS i,
+        |    sum(y) OVER (ORDER BY ds
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        |    sum(y * y) OVER (ORDER BY ds
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q
+        |  FROM daily),
+        |tot AS (SELECT max(i) AS n, max(p) AS pn, max(q) AS qn FROM pre),
+        |cand AS (SELECT ds, i, p, q, n, pn, qn,
+        |    CAST(q AS DOUBLE)
+        |      - CAST(p AS DOUBLE) * CAST(p AS DOUBLE) / CAST(i AS DOUBLE)
+        |      AS sse_l,
+        |    CAST(qn - q AS DOUBLE)
+        |      - CAST(pn - p AS DOUBLE) * CAST(pn - p AS DOUBLE)
+        |        / CAST(n - i AS DOUBLE) AS sse_r
+        |  FROM pre CROSS JOIN tot
+        |  WHERE i >= 2 AND i <= n - 2)
+        |SELECT n AS n_days, i AS split_i, ds AS split_ds,
+        |  CAST(qn AS DOUBLE)
+        |    - CAST(pn AS DOUBLE) * CAST(pn AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS sse_full,
+        |  sse_l + sse_r AS sse_split,
+        |  CAST(p AS DOUBLE) / CAST(i AS DOUBLE) AS mean_left,
+        |  CAST(pn - p AS DOUBLE) / CAST(n - i AS DOUBLE) AS mean_right
+        |FROM cand ORDER BY sse_l + sse_r, i LIMIT 1""".stripMargin,
+
+    "q316_geo_radius" ->
+      """WITH pts AS (SELECT c_custkey AS key,
+        |    ('0x' || substr(md5('glat:' || CAST(c_custkey AS VARCHAR)),
+        |      1, 8))::BIGINT % 2000000 AS ilat,
+        |    ('0x' || substr(md5('glon:' || CAST(c_custkey AS VARCHAR)),
+        |      1, 8))::BIGINT % 2000000 AS ilon
+        |  FROM customer),
+        |cells AS (SELECT key, ilat, ilon, ilat // 20000 AS cl,
+        |    ilon // 20000 AS cn FROM pts),
+        |probes AS (SELECT key AS a, ilat AS alat, ilon AS alon,
+        |    cl + dxs.dx AS pl, cn + dys.dy AS pn
+        |  FROM cells
+        |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) dxs
+        |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) dys),
+        |pairs AS (SELECT a, c2.key AS b,
+        |    (alat - c2.ilat) * (alat - c2.ilat)
+        |      + (alon - c2.ilon) * (alon - c2.ilon) AS d2
+        |  FROM probes JOIN cells c2
+        |    ON probes.pl = c2.cl AND probes.pn = c2.cn
+        |    AND probes.a < c2.key)
+        |SELECT a AS a_key, b AS b_key, d2,
+        |  sqrt(CAST(d2 AS DOUBLE)) * 0.11132e0 AS meters
+        |FROM pairs ORDER BY d2, a, b LIMIT 10""".stripMargin,
+
+    "q317_naive_bayes" -> {
+      s"""WITH toks AS (SELECT doc_id, lang AS true_lang,
+        |    unnest(string_split(text, ' ')) AS w,
+        |    CAST(generate_subscripts(string_split(text, ' '), 1) - 1
+        |      AS BIGINT) AS pos
+        |  FROM documents),
+        |tf AS (SELECT doc_id, true_lang, pos,
+        |    ('0x' || substr(md5('nbf:' || w), 1, 8))::BIGINT % 1024 AS f
+        |  FROM toks),
+        |cf AS (SELECT true_lang AS l, f, CAST(count(*) AS BIGINT) AS cf
+        |  FROM tf GROUP BY 1, 2),
+        |cl AS (SELECT true_lang AS l, CAST(count(*) AS BIGINT) AS cl
+        |  FROM tf GROUP BY 1),
+        |nd AS (SELECT lang AS l, CAST(count(*) AS BIGINT) AS nd
+        |  FROM documents GROUP BY 1),
+        |ndtot AS (SELECT CAST(count(*) AS BIGINT) AS ndtot FROM documents),
+        |scored AS (SELECT tf.doc_id, langs.l,
+        |    CAST(count(*) AS BIGINT) AS ntok,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(${lg("COALESCE(cf.cf, 0) + 1")} ORDER BY pos)),
+        |      (a, x) -> a + x) AS sumlg
+        |  FROM tf
+        |  CROSS JOIN (SELECT l FROM nd) langs
+        |  LEFT JOIN cf ON cf.l = langs.l AND cf.f = tf.f
+        |  GROUP BY 1, 2),
+        |fl AS (SELECT scored.doc_id, scored.l,
+        |    (${lg("nd.nd")} - ${lg("ndtot.ndtot")}) + scored.sumlg
+        |      - CAST(scored.ntok AS DOUBLE) * ${lg("cl.cl + 1024")}
+        |      AS score
+        |  FROM scored JOIN cl ON cl.l = scored.l
+        |  JOIN nd ON nd.l = scored.l CROSS JOIN ndtot),
+        |pred AS (SELECT doc_id, l AS pred_lang FROM (
+        |    SELECT doc_id, l, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, l) AS rk FROM fl)
+        |  WHERE rk = 1)
+        |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents JOIN pred USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "q318_map_retrieval" ->
+      """WITH dtok AS (SELECT DISTINCT doc_id, source, w FROM (
+        |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)),
+        |qd AS (SELECT doc_id AS qid, source AS qsrc, w FROM dtok
+        |  WHERE doc_id < 10),
+        |cd AS (SELECT doc_id AS cid, source AS csrc, w FROM dtok
+        |  WHERE doc_id >= 10),
+        |ov AS (SELECT qid, qsrc, cid, csrc,
+        |    CAST(count(*) AS BIGINT) AS ov
+        |  FROM qd JOIN cd USING (w) GROUP BY 1, 2, 3, 4),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY ov DESC, cid) AS BIGINT) AS rk FROM ov),
+        |topk AS (SELECT *, CASE WHEN csrc = qsrc THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS rel
+        |  FROM rk WHERE rk <= 10),
+        |hits AS (SELECT *, sum(rel) OVER (PARTITION BY qid ORDER BY rk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hits
+        |  FROM topk),
+        |apn AS (SELECT qid,
+        |    CAST(sum(CASE WHEN rel = 1 THEN hits * (2520 // rk)
+        |      ELSE 0 END) AS BIGINT) AS apnum
+        |  FROM hits GROUP BY 1),
+        |rtot AS (SELECT q.doc_id AS qid,
+        |    least(COALESCE(nr.nrel, CAST(0 AS BIGINT)),
+        |      CAST(10 AS BIGINT)) AS rq
+        |  FROM (SELECT doc_id, source FROM documents WHERE doc_id < 10) q
+        |  LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS nrel
+        |    FROM documents WHERE doc_id >= 10 GROUP BY 1) nr
+        |    ON q.source = nr.source),
+        |ap AS (SELECT apn.qid,
+        |    CAST(apnum AS DOUBLE) / (2520.0 * CAST(rq AS DOUBLE)) AS ap
+        |  FROM apn JOIN rtot ON rtot.qid = apn.qid WHERE rq > 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(ap ORDER BY qid)), (a, x) -> a + x)
+        |    / CAST(count(*) AS DOUBLE) AS map10
+        |FROM ap""".stripMargin,
+
+    "q319_item_cosine" ->
+      """WITH ui AS (SELECT user_id AS u,
+        |    json_extract(props, '$.k')::BIGINT AS item,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+        |  GROUP BY 1, 2),
+        |norms AS (SELECT item, CAST(sum(c * c) AS BIGINT) AS n2 FROM ui
+        |  GROUP BY 1),
+        |pairs AS (SELECT x.item AS i, y.item AS j,
+        |    CAST(sum(x.c * y.c) AS BIGINT) AS dot
+        |  FROM ui x JOIN ui y ON x.u = y.u AND x.item < y.item
+        |  GROUP BY 1, 2),
+        |cosd AS (SELECT i, j, dot,
+        |    CAST(dot AS DOUBLE)
+        |      / (sqrt(CAST(ni.n2 AS DOUBLE)) * sqrt(CAST(nj.n2 AS DOUBLE)))
+        |      AS cosine
+        |  FROM pairs JOIN norms ni ON pairs.i = ni.item
+        |  JOIN norms nj ON pairs.j = nj.item),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY i
+        |    ORDER BY cosine DESC, j) AS BIGINT) AS rk
+        |  FROM cosd WHERE i < 10)
+        |SELECT i AS item, j AS neighbor, dot, cosine, rk FROM rk
+        |WHERE rk <= 5 ORDER BY item, rk""".stripMargin,
+
+    "q320_als_rank1" ->
+      """WITH rr AS (SELECT user_id AS u,
+        |    json_extract(props, '$.k')::BIGINT AS item,
+        |    CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS r
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+        |  GROUP BY 1, 2),
+        |v0 AS (SELECT DISTINCT item, CAST(1.0 AS DOUBLE) AS v FROM rr),
+        |u1 AS MATERIALIZED (SELECT u,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(r * v ORDER BY item)), (a, x) -> a + x)
+        |    / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(v * v ORDER BY item)), (a, x) -> a + x) AS v_u
+        |  FROM rr JOIN v0 USING (item) GROUP BY u),
+        |v1 AS MATERIALIZED (SELECT item,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(r * v_u ORDER BY u)), (a, x) -> a + x)
+        |    / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(v_u * v_u ORDER BY u)), (a, x) -> a + x) AS v
+        |  FROM rr JOIN u1 USING (u) GROUP BY item),
+        |u2 AS MATERIALIZED (SELECT u,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(r * v ORDER BY item)), (a, x) -> a + x)
+        |    / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(v * v ORDER BY item)), (a, x) -> a + x) AS v_u
+        |  FROM rr JOIN v1 USING (item) GROUP BY u),
+        |v2 AS MATERIALIZED (SELECT item,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(r * v_u ORDER BY u)), (a, x) -> a + x)
+        |    / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(v_u * v_u ORDER BY u)), (a, x) -> a + x) AS v
+        |  FROM rr JOIN u2 USING (u) GROUP BY item),
+        |u3 AS MATERIALIZED (SELECT u,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(r * v ORDER BY item)), (a, x) -> a + x)
+        |    / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(v * v ORDER BY item)), (a, x) -> a + x) AS v_u
+        |  FROM rr JOIN v2 USING (item) GROUP BY u),
+        |v3 AS MATERIALIZED (SELECT item,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(r * v_u ORDER BY u)), (a, x) -> a + x)
+        |    / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(v_u * v_u ORDER BY u)), (a, x) -> a + x) AS v
+        |  FROM rr JOIN u3 USING (u) GROUP BY item),
+        |pred AS (SELECT rr.u, rr.item, rr.r, u3.v_u * v3.v AS p
+        |  FROM rr JOIN u3 USING (u) JOIN v3 USING (item)),
+        |rmse AS (SELECT sqrt(
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list((r - p) * (r - p) ORDER BY u, item)), (a, x) -> a + x)
+        |    / CAST(count(*) AS DOUBLE)) AS rmse FROM pred)
+        |SELECT item, v AS v_score, rmse
+        |FROM v3 CROSS JOIN rmse
+        |ORDER BY v_score DESC, item LIMIT 10""".stripMargin)
 }
