@@ -828,6 +828,456 @@ object CatalogNext {
       .orderBy(col("v_score").desc, col("item"))
   }
 
+  /** Driver-side twin of [[graft.curation.Curation.lg]] / the oracle's
+    * lgSqlOf: exact-lg bits of a positive integer, identical arithmetic
+    * shape ((len−1) + (x−p)∕p). */
+  private def lgL(x: Long): Double = {
+    val len = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val p = 1L << (len - 1)
+    (len - 1).toDouble + (x - p).toDouble / p.toDouble
+  }
+
+  /** Newman spectral community detection on the item co-visitation graph:
+    * 8 power iterations on the MODULARITY matrix B = A − ddᵀ∕2m, applied
+    * implicitly (Bx = Ax − d·(dᵀx)∕2m — one neighbor-join aggregate plus
+    * one broadcast scalar per round, never a materialized n×n matrix),
+    * ∞-norm rescale per round, community = sign. md5-seeded ±1 start;
+    * every fold neighbor-/item-ascending so the oracle replays all 8
+    * rounds CTE-for-CTE. The eigen-structure path to the q235/q264
+    * community questions — and the shape that scales: each round is one
+    * edge-key shuffle. */
+  def q321SpectralPartition(s: SparkSession, dir: String): DataFrame = {
+    val ui = Tables.events(s, dir)
+      .select(col("user_id").as("u"),
+        variant_get(parse_json(col("props")), "$.k", "bigint").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+    val edges = ui.alias("a")
+      .join(ui.alias("b"), col("a.u") === col("b.u")
+        && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("i"), col("j"))
+    val nbr = edges.select(col("i").as("a"), col("j").as("b"))
+      .unionAll(edges.select(col("j").as("a"), col("i").as("b")))
+    val deg = nbr.groupBy(col("a").as("item")).agg(count(lit(1)).as("d"))
+    val twom = deg.agg(sum(col("d")).as("twom"))
+    var x = deg.select(col("item"),
+      when(u32(concat(lit("sp:"), col("item"))) % 2 === 0, lit(1.0))
+        .otherwise(lit(-1.0)).as("x"))
+    for (_ <- 1 to 8) {
+      val ax = nbr.join(x.withColumnRenamed("item", "b")
+          .withColumnRenamed("x", "xb"), Seq("b"))
+        .groupBy(col("a").as("item"))
+        .agg(foldSorted(col("b"), col("xb")).as("ax"))
+      val sdx = deg.join(x, Seq("item"))
+        .agg(foldSorted(col("item"), col("d").cast("double") * col("x"))
+          .as("sdx"))
+      val bx = deg.join(ax, Seq("item"), "left")
+        .crossJoin(broadcast(sdx)).crossJoin(broadcast(twom))
+        .select(col("item"),
+          (coalesce(col("ax"), lit(0.0))
+            - col("d").cast("double") * col("sdx")
+              / col("twom").cast("double")).as("bx"))
+      val mx = bx.agg(max(abs(col("bx"))).as("mx"))
+      // per-round lineage cut: x is referenced twice next round (Ax and
+      // dᵀx), so without the cut the logical plan doubles per iteration
+      // (the q83 PageRank lesson)
+      x = graft.dedup.Dedup.lineageCutLazy(
+        bx.crossJoin(broadcast(mx))
+          .select(col("item"), (col("bx") / col("mx")).as("x")))
+    }
+    x.select(col("item"), col("x").as("score"),
+        when(col("x") >= 0.0, lit(1L)).otherwise(lit(0L)).as("community"))
+      .orderBy(col("item"))
+  }
+
+  /** Interpolated Kneser–Ney bigram cross-entropy (Kneser & Ney 1995,
+    * D=3∕4) over the corpus: P(w₂|w₁) = max(c₁₂−D,0)∕c₁ +
+    * D·N₁₊(w₁·)∕c₁ · N₁₊(·w₂)∕types. The whole probability collapses to
+    * ONE integer ratio per bigram — ((4c₁₂−3)·types + 3·N₁₊(w₁·)·
+    * N₁₊(·w₂)) ∕ (4c₁·types) — so the per-occurrence log2 is exact-lg of
+    * two int64s, folded (doc, pos)-ascending. The discounting upgrade of
+    * q97/q120's MLE bigram model; counts are two shuffles, scoring one
+    * broadcast join. */
+  def q322KneserNey(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "w")))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = toks
+      .withColumn("w1", lag(col("w"), 1).over(wDoc))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), col("pos"), col("w1"), col("w").as("w2"))
+    val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"),
+      count(lit(1)).as("n1w1"))
+    val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("ncont2"))
+    val types = c12.agg(count(lit(1)).as("ntypes"))
+    val scored = big
+      .join(broadcast(c12), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .join(broadcast(cont), Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("doc_id"), col("pos"), col("ntypes"),
+        (lg((col("c12") * 4 - 3) * col("ntypes")
+          + col("n1w1") * col("ncont2") * 3)
+          - lg(col("c1") * 4 * col("ntypes"))).as("lgp"))
+    scored.agg(count(lit(1)).as("n_bigrams"),
+        max(col("ntypes")).as("n_bigram_types"),
+        (-(foldSorted(struct(col("doc_id"), col("pos")), col("lgp"))
+          / count(lit(1)).cast("double"))).as("cross_entropy_bits"))
+  }
+
+  /** Competing-risks cumulative incidence (Aalen–Johansen, two causes):
+    * cause 1 = big-purchase conversion, cause 2 = first error event,
+    * right-censored at the corpus end. At-risk counts and per-cause
+    * deaths are exact integers on the day grain (q208's machinery); the
+    * inherently sequential S(t−)·d∕n recursion runs driver-side over the
+    * ≤31 death days with exactly the oracle's recursive-CTE arithmetic
+    * (q289 pattern). CIF₁+CIF₂+S stays a partition of 1 — the law the
+    * spec asserts. What q208's single-risk KM cannot express: which risk
+    * absorbs the users. */
+  def q323CompetingRisks(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_d"),
+        min(when(col("event_type") === "purchase" && col("value") > 150.0,
+          to_date(col("ts")))).as("ca_d"),
+        min(when(col("event_type") === "error", to_date(col("ts"))))
+          .as("cb_d"))
+    val horizon = ev.agg(max(to_date(col("ts"))).as("max_d"))
+    val life = users.crossJoin(broadcast(horizon))
+      .withColumn("ta", datediff(col("ca_d"), col("first_d")).cast("long"))
+      .withColumn("tb", datediff(col("cb_d"), col("first_d")).cast("long"))
+      .select(
+        when(col("ca_d").isNull && col("cb_d").isNull,
+          datediff(col("max_d"), col("first_d")).cast("long"))
+          .otherwise(least(coalesce(col("ta"), lit(Long.MaxValue)),
+            coalesce(col("tb"), lit(Long.MaxValue)))).as("t"),
+        when(col("ca_d").isNull && col("cb_d").isNull, lit(0L))
+          .when(col("cb_d").isNull
+            || (col("ca_d").isNotNull && col("ta") <= col("tb")), lit(1L))
+          .otherwise(lit(2L)).as("cause"))
+    val byT = life.groupBy(col("t")).agg(count(lit(1)).as("ending"),
+        sum((col("cause") === 1).cast("long")).as("da"),
+        sum((col("cause") === 2).cast("long")).as("db"))
+      .orderBy(col("t")).collect()
+    val totalUsers = byT.map(_.getAs[Long]("ending")).sum
+    var atRisk = totalUsers
+    var sCur = 1.0; var cifA = 0.0; var cifB = 0.0
+    val out = Array.newBuilder[(Long, Long, Long, Long, Double, Double, Double)]
+    byT.foreach { r =>
+      val t = r.getAs[Long]("t"); val e = r.getAs[Long]("ending")
+      val da = r.getAs[Long]("da"); val db = r.getAs[Long]("db")
+      if (da + db > 0) {
+        val sBefore = sCur
+        cifA = cifA + sBefore * (da.toDouble / atRisk.toDouble)
+        cifB = cifB + sBefore * (db.toDouble / atRisk.toDouble)
+        sCur = sCur * (1.0 - (da + db).toDouble / atRisk.toDouble)
+        out += ((t, atRisk, da, db, sBefore, cifA, cifB))
+      }
+      atRisk -= e
+    }
+    import s.implicits._
+    out.result().toSeq
+      .toDF("t", "n_risk", "d_a", "d_b", "s_before", "cif_a", "cif_b")
+      .orderBy(col("t"))
+  }
+
+  /** Tukey HSD studentized pairwise mean differences across the five
+    * market segments: q = |x̄ᵢ−x̄ⱼ| ∕ √(MSW∕2·(1∕nᵢ+1∕nⱼ)) with MSW from
+    * the one-way ANOVA decomposition — the post-hoc companion to q272's
+    * F test, all from integer cent sums with group-ascending folds and
+    * one fixed-shape sqrt per pair. 10 pair rows after one shuffle. */
+  def q324TukeyHsd(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_mktsegment").as("seg"), cents(col("c_acctbal")).as("x"))
+    val grp = c.groupBy(col("seg")).agg(count(lit(1)).as("ng"),
+      sum(col("x")).as("s1"), sum(col("x") * col("x")).as("s2"))
+    val msw = grp.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("s2")).as("s2all"),
+        foldSorted(col("seg"), col("s1").cast("double")
+          * col("s1").cast("double") / col("ng").cast("double")).as("fold_g"))
+      .select(col("k"), col("n"),
+        ((col("s2all").cast("double") - col("fold_g"))
+          / (col("n") - col("k")).cast("double")).as("msw"))
+    val a = grp.select(col("seg").as("seg_a"), col("ng").as("na"),
+      (col("s1").cast("double") / col("ng").cast("double")).as("ma"))
+    val b = grp.select(col("seg").as("seg_b"), col("ng").as("nb"),
+      (col("s1").cast("double") / col("ng").cast("double")).as("mb"))
+    a.join(b, col("seg_a") < col("seg_b"))
+      .crossJoin(broadcast(msw))
+      .select(col("seg_a"), col("seg_b"),
+        ((col("ma") - col("mb")) / lit(100.0)).as("diff_bal"),
+        (abs(col("ma") - col("mb"))
+          / sqrt(col("msw") / lit(2.0)
+            * (lit(1.0) / col("na").cast("double")
+              + lit(1.0) / col("nb").cast("double")))).as("q_stat"))
+      .orderBy(col("seg_a"), col("seg_b"))
+  }
+
+  /** 2-state HMM Viterbi decode of the daily traffic series (low/high
+    * regime): discrete emission buckets from integer day counts, all
+    * transition/emission log-probabilities are exact-lg of small
+    * integers (4∕5 stay, 1∕5 switch; triangular emissions (10−b)∕55 vs
+    * (b+1)∕55), so the DP scores are bit-reproducible doubles. The
+    * distributed work is the day-grain count; the O(days·states²) DP +
+    * backtrack runs driver-side (q289's calendar-bounded pattern), and
+    * the oracle replays BOTH passes — forward recursion carrying
+    * backpointer lists, then a recursive backtrack over them. */
+  def q325HmmViterbi(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("ds"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("ds")).collect().map(r => (r.getString(0), r.getLong(1)))
+    val minc = daily.map(_._2).min
+    val maxc = daily.map(_._2).max
+    val step = (maxc - minc) / 10 + 1
+    val bs = daily.map { case (ds, c) =>
+      (ds, c, math.min((c - minc) / step, 9L)) }
+    val lg5 = lgL(5L); val lg4 = lgL(4L); val lg1 = lgL(1L)
+    val lg2c = lgL(2L); val lg55 = lgL(55L)
+    def eLow(b: Long): Double = lgL(10L - b) - lg55
+    def eHigh(b: Long): Double = lgL(b + 1L) - lg55
+    val n = bs.length
+    val dl = new Array[Double](n + 1); val dh = new Array[Double](n + 1)
+    val bl = new Array[Int](n + 1); val bh = new Array[Int](n + 1)
+    bs.zipWithIndex.foreach { case ((_, _, b), i0) =>
+      val i = i0 + 1
+      if (i == 1) {
+        dl(1) = (lg1 - lg2c) + eLow(b); dh(1) = (lg1 - lg2c) + eHigh(b)
+        bl(1) = 0; bh(1) = 0
+      } else {
+        val toLowFromLow = dl(i - 1) + (lg4 - lg5)
+        val toLowFromHigh = dh(i - 1) + (lg1 - lg5)
+        if (toLowFromLow >= toLowFromHigh) {
+          dl(i) = toLowFromLow + eLow(b); bl(i) = 0
+        } else { dl(i) = toLowFromHigh + eLow(b); bl(i) = 1 }
+        val toHighFromLow = dl(i - 1) + (lg1 - lg5)
+        val toHighFromHigh = dh(i - 1) + (lg4 - lg5)
+        if (toHighFromLow >= toHighFromHigh) {
+          dh(i) = toHighFromLow + eHigh(b); bh(i) = 0
+        } else { dh(i) = toHighFromHigh + eHigh(b); bh(i) = 1 }
+      }
+    }
+    val path = new Array[Int](n + 1)
+    path(n) = if (dl(n) >= dh(n)) 0 else 1
+    for (j <- n - 1 to 1 by -1)
+      path(j) = if (path(j + 1) == 0) bl(j + 1) else bh(j + 1)
+    import s.implicits._
+    bs.zipWithIndex.map { case ((ds, c, b), i0) =>
+      val i = i0 + 1
+      (i.toLong, ds, c, b, dl(i), dh(i), path(i).toLong)
+    }.toSeq.toDF("i", "ds", "c", "bucket", "d_low", "d_high", "state")
+      .orderBy(col("i"))
+  }
+
+  /** Leave-one-out 5-NN classifier accuracy on the embeddings table:
+    * every 10th vector is a held-out query, scored against ALL other
+    * vectors by exact cosine (the q28 broadcast-scored contract —
+    * element-order dot folds, (cosine, id) tie-break), label = majority
+    * vote among the 5 neighbors (count desc, label asc). Output:
+    * label×predicted confusion counts — the supervised read of the
+    * vector space that q28/q192's retrieval metrics don't give. */
+  def q326KnnLoo(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
+    val q = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_v"),
+        col("label").as("q_label"))
+    val scored = emb.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("c_id"),
+        col("label").as("c_label"),
+        graft.functions.GraftFunctions.cosine(col("q_v"), col("embedding"))
+          .as("cosine"))
+    val top = scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("c_id"))))
+      .filter(col("rnk") <= 5)
+    val pred = top.groupBy(col("q_id"), col("q_label"), col("c_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("votes").desc, col("c_label"))))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("q_label").as("label"),
+        col("c_label").as("pred_label"))
+    pred.groupBy(col("label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pred_label"))
+  }
+
+  /** One pLSA EM round (Hofmann 1999), 2 topics, over the (doc, word)
+    * count matrix: md5-seeded θ/φ initializations are exact integer
+    * ratios, the E-step responsibility is one fixed-shape divide per
+    * (doc, word), and both M-step normalizations are key-ascending
+    * folds — the whole EM update is oracle-replayable. Output: each
+    * topic's top-5 words by the updated φ. The topic-model seed the
+    * corpus pipeline would iterate; one round shown, every further round
+    * is the same shuffle pair (doc-key, word-key). */
+  def q327PlsaEm(s: SparkSession, dir: String): DataFrame = {
+    val ndw = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+    val theta = ndw.select(col("doc_id")).distinct()
+      .withColumn("k0", u32(concat(lit("pl:"), col("doc_id"))) % 1000 + 500)
+      .select(col("doc_id"),
+        (col("k0").cast("double") / lit(2000.0)).as("th0"))
+      .withColumn("th1", lit(1.0) - col("th0"))
+    val phiRaw = ndw.select(col("w")).distinct()
+      .withColumn("k0", u32(concat(lit("pw:0:"), col("w"))) % 1000 + 500)
+      .withColumn("k1", u32(concat(lit("pw:1:"), col("w"))) % 1000 + 500)
+    val phiTot = phiRaw.agg(sum(col("k0")).as("t0"), sum(col("k1")).as("t1"))
+    val phi = phiRaw.crossJoin(broadcast(phiTot))
+      .select(col("w"),
+        (col("k0").cast("double") / col("t0").cast("double")).as("ph0"),
+        (col("k1").cast("double") / col("t1").cast("double")).as("ph1"))
+    val resp = ndw
+      .join(broadcast(theta), Seq("doc_id"))
+      .join(broadcast(phi), Seq("w"))
+      .withColumn("r0", col("th0") * col("ph0")
+        / (col("th0") * col("ph0") + col("th1") * col("ph1")))
+    val numW = resp.groupBy(col("w"))
+      .agg(foldSorted(col("doc_id"),
+          col("n").cast("double") * col("r0")).as("s0"),
+        foldSorted(col("doc_id"),
+          col("n").cast("double") * (lit(1.0) - col("r0"))).as("s1"))
+    val den = numW.agg(foldSorted(col("w"), col("s0")).as("d0"),
+      foldSorted(col("w"), col("s1")).as("d1"))
+    val phiNew = numW.crossJoin(broadcast(den))
+      .select(col("w"), (col("s0") / col("d0")).as("phi0"),
+        (col("s1") / col("d1")).as("phi1"))
+    val t0 = phiNew
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("phi0").desc, col("w"))))
+      .filter(col("rk") <= 5)
+      .select(lit(0L).as("topic"), col("w").as("word"),
+        col("phi0").as("phi"), col("rk").cast("long").as("rk"))
+    val t1 = phiNew
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("phi1").desc, col("w"))))
+      .filter(col("rk") <= 5)
+      .select(lit(1L).as("topic"), col("w").as("word"),
+        col("phi1").as("phi"), col("rk").cast("long").as("rk"))
+    t0.unionAll(t1).orderBy(col("topic"), col("rk"))
+  }
+
+  /** Closeness + harmonic centrality for the 10 lowest-id items of the
+    * co-visitation graph: per-seed BFS distances via 6 delta-frontier
+    * rounds keyed on (seed, node) — each round one join + one min-
+    * aggregate with a lineage cut (q175's multi-source BFS generalized
+    * to per-seed distance tracking). Distance sums are exact integers;
+    * harmonic = Σ1∕d is a node-ascending fold; closeness = one divide.
+    * The recursive-CTE oracle replays the same bounded expansion. */
+  def q328Centrality(s: SparkSession, dir: String): DataFrame = {
+    val ui = Tables.events(s, dir)
+      .select(col("user_id").as("u"),
+        variant_get(parse_json(col("props")), "$.k", "bigint").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+    val edges = ui.alias("a")
+      .join(ui.alias("b"), col("a.u") === col("b.u")
+        && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+      .agg(count(lit(1)).as("cw"))
+      .filter(col("cw") >= 2)
+      .select(col("i"), col("j"))
+    val nbr = edges.select(col("i").as("a"), col("j").as("b"))
+      .unionAll(edges.select(col("j").as("a"), col("i").as("b")))
+    val seeds = nbr.select(col("a").as("item")).distinct()
+      .orderBy(col("item")).limit(10)
+    var dist = seeds.select(col("item").as("seed"), col("item").as("node"),
+      lit(0L).as("d"))
+    for (r <- 1 to 6) {
+      val frontier = dist.filter(col("d") === (r - 1))
+        .join(nbr, dist("node") === nbr("a"))
+        .select(col("seed"), col("b").as("node"), lit(r.toLong).as("d"))
+      dist = graft.dedup.Dedup.lineageCutLazy(
+        dist.unionAll(frontier)
+          .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d")))
+    }
+    dist.filter(col("d") > 0)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("d")).as("sum_dist"),
+        foldSorted(col("node"), lit(1.0) / col("d").cast("double"))
+          .as("harmonic"))
+      .select(col("seed"), col("n_reached"), col("sum_dist"),
+        (col("n_reached").cast("double") / col("sum_dist").cast("double"))
+          .as("closeness"), col("harmonic"))
+      .orderBy(col("seed"))
+  }
+
+  /** Dynamic time warping between the first two weeks of daily traffic:
+    * the full 7×7 DP and the warping-path backtrack stay in EXACT
+    * integer arithmetic (|Δcount| costs, min-chains, diagonal-first tie
+    * rule), so this is bit-free of float concerns at any scale. Day
+    * grain in-engine; the O(49) DP runs driver-side (q289's pattern) and
+    * the oracle unrolls all 49 cells + a recursive backtrack. The
+    * alignment-aware alternative to q263's fixed-lag MASE comparison. */
+  def q329Dtw(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("ds"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("ds")).collect().map(_.getAs[Long]("c"))
+    require(daily.length >= 14, "need two weeks of days")
+    val a = daily.slice(0, 7); val b = daily.slice(7, 14)
+    val d = Array.ofDim[Long](8, 8)
+    for (i <- 1 to 7; j <- 1 to 7) {
+      val cost = math.abs(a(i - 1) - b(j - 1))
+      d(i)(j) =
+        if (i == 1 && j == 1) cost
+        else if (i == 1) cost + d(1)(j - 1)
+        else if (j == 1) cost + d(i - 1)(1)
+        else cost + math.min(d(i - 1)(j - 1), math.min(d(i - 1)(j), d(i)(j - 1)))
+    }
+    // backtrack, diagonal-first tie rule
+    var (i, j) = (7, 7); var steps = 1L
+    while (!(i == 1 && j == 1)) {
+      if (i == 1) j -= 1
+      else if (j == 1) i -= 1
+      else {
+        val dg = d(i - 1)(j - 1); val up = d(i - 1)(j); val lf = d(i)(j - 1)
+        if (dg <= up && dg <= lf) { i -= 1; j -= 1 }
+        else if (up <= lf) i -= 1
+        else j -= 1
+      }
+      steps += 1
+    }
+    import s.implicits._
+    Seq((d(7)(7), steps,
+      d(7)(7).toDouble / steps.toDouble))
+      .toDF("dtw_dist", "path_len", "dtw_norm")
+  }
+
+  /** Weekday-profile anomaly detection on the daily order series: each
+    * day's count is z-scored against ITS OWN weekday's mean/sd (the
+    * q145-style seasonal profile turned into an outlier detector), and
+    * the 5 most anomalous days are an exact (|z|, date) pick. Everything
+    * up to the final divide is integer sufficient statistics per the
+    * 7 weekday groups. */
+  def q330DowAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dow", weekday(to_date(col("ds"))).cast("long"))
+    val grp = daily.groupBy(col("dow")).agg(count(lit(1)).as("n"),
+      sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"))
+      .withColumn("mean", col("s1").cast("double") / col("n").cast("double"))
+      .withColumn("sd", sqrt(
+        (col("s2").cast("double") - col("s1").cast("double") * col("mean"))
+          / (col("n") - 1).cast("double")))
+    daily.join(broadcast(grp.select(col("dow"), col("mean"), col("sd"))),
+        Seq("dow"))
+      .withColumn("z", (col("c").cast("double") - col("mean")) / col("sd"))
+      .orderBy(abs(col("z")).desc, col("ds"))
+      .limit(5)
+      .select(col("ds"), col("dow"), col("c"), col("z"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q301_logrank"         -> q301LogRank _,
     "q302_nelson_aalen"    -> q302NelsonAalen _,
@@ -848,5 +1298,15 @@ object CatalogNext {
     "q317_naive_bayes"     -> q317NaiveBayes _,
     "q318_map_retrieval"   -> q318MapRetrieval _,
     "q319_item_cosine"     -> q319ItemCosine _,
-    "q320_als_rank1"       -> q320AlsRank1 _)
+    "q320_als_rank1"       -> q320AlsRank1 _,
+    "q321_spectral_split"  -> q321SpectralPartition _,
+    "q322_kneser_ney"      -> q322KneserNey _,
+    "q323_competing_risks" -> q323CompetingRisks _,
+    "q324_tukey_hsd"       -> q324TukeyHsd _,
+    "q325_hmm_viterbi"     -> q325HmmViterbi _,
+    "q326_knn_loo"         -> q326KnnLoo _,
+    "q327_plsa_em"         -> q327PlsaEm _,
+    "q328_centrality"      -> q328Centrality _,
+    "q329_dtw"             -> q329Dtw _,
+    "q330_dow_anomaly"     -> q330DowAnomaly _)
 }

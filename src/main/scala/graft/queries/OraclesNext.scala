@@ -9,6 +9,31 @@ object OraclesNext {
 
   private val lg = OraclesExt.lgSqlOf _
 
+  /** One q321 power-iteration round on the implicit modularity matrix:
+    * Ax via neighbor-ascending folds, the dᵀx scalar via an item-
+    * ascending fold, ∞-norm rescale — mirrors the engine loop
+    * op-for-op. */
+  private def spectralRound(k: Int): String = {
+    val prev = s"x${k - 1}"
+    s"""ax$k AS MATERIALIZED (SELECT nbr.a AS item,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list($prev.x ORDER BY nbr.b)), (a, x) -> a + x) AS ax
+       |  FROM nbr JOIN $prev ON $prev.item = nbr.b GROUP BY nbr.a),
+       |sdx$k AS MATERIALIZED (SELECT
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(CAST(d AS DOUBLE) * x ORDER BY item)), (a, x) -> a + x)
+       |      AS sdx
+       |  FROM deg JOIN $prev USING (item)),
+       |bx$k AS MATERIALIZED (SELECT deg.item,
+       |    COALESCE(ax, 0.0) - CAST(d AS DOUBLE) * sdx
+       |      / CAST(twom AS DOUBLE) AS bx
+       |  FROM deg LEFT JOIN ax$k ON ax$k.item = deg.item
+       |  CROSS JOIN sdx$k CROSS JOIN twom),
+       |mx$k AS MATERIALIZED (SELECT max(abs(bx)) AS mx FROM bx$k),
+       |x$k AS MATERIALIZED (SELECT item, bx / mx AS x
+       |  FROM bx$k CROSS JOIN mx$k)""".stripMargin
+  }
+
   /** Shared survival-frame CTEs (q208's derivation + the q301 arm split). */
   private val lifeCtes: String =
     """users AS (SELECT user_id,
@@ -700,5 +725,383 @@ object OraclesNext {
         |    / CAST(count(*) AS DOUBLE)) AS rmse FROM pred)
         |SELECT item, v AS v_score, rmse
         |FROM v3 CROSS JOIN rmse
-        |ORDER BY v_score DESC, item LIMIT 10""".stripMargin)
+        |ORDER BY v_score DESC, item LIMIT 10""".stripMargin,
+
+    "q321_spectral_split" -> {
+      s"""WITH ui AS (SELECT DISTINCT user_id AS u,
+        |    json_extract(props, '$$.k')::BIGINT AS item
+        |  FROM events WHERE json_extract(props, '$$.k') IS NOT NULL),
+        |edges AS (SELECT a.item AS i, b.item AS j
+        |  FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nbr AS (SELECT i AS a, j AS b FROM edges
+        |  UNION ALL SELECT j, i FROM edges),
+        |deg AS (SELECT a AS item, CAST(count(*) AS BIGINT) AS d FROM nbr
+        |  GROUP BY 1),
+        |twom AS (SELECT CAST(sum(d) AS BIGINT) AS twom FROM deg),
+        |x0 AS (SELECT item, CASE WHEN
+        |    ('0x' || substr(md5('sp:' || CAST(item AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 2 = 0
+        |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS x
+        |  FROM deg),
+        |${(1 to 8).map(spectralRound).mkString(",\n")}
+        |SELECT item, x AS score,
+        |  CASE WHEN x >= 0.0 THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS community
+        |FROM x8 ORDER BY item""".stripMargin
+    },
+
+    "q322_kneser_ney" -> {
+      s"""WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w,
+        |    CAST(generate_subscripts(string_split(text, ' '), 1) - 1
+        |      AS BIGINT) AS pos
+        |  FROM documents),
+        |big AS (SELECT doc_id, pos,
+        |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |    w AS w2
+        |  FROM toks),
+        |big2 AS (SELECT doc_id, pos, w1, w2 FROM big WHERE w1 IS NOT NULL),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big2
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |    CAST(count(*) AS BIGINT) AS n1w1 FROM c12 GROUP BY 1),
+        |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont2 FROM c12
+        |  GROUP BY 1),
+        |types AS (SELECT CAST(count(*) AS BIGINT) AS ntypes FROM c12),
+        |scored AS (SELECT doc_id, pos, ntypes,
+        |    ${lg("(c12 * 4 - 3) * ntypes + n1w1 * ncont2 * 3")}
+        |      - ${lg("c1 * 4 * ntypes")} AS lgp
+        |  FROM big2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |  JOIN cont USING (w2) CROSS JOIN types)
+        |SELECT CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  max(ntypes) AS n_bigram_types,
+        |  -(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(lgp ORDER BY doc_id, pos)), (a, x) -> a + x)
+        |    / CAST(count(*) AS DOUBLE)) AS cross_entropy_bits
+        |FROM scored""".stripMargin
+    },
+
+    "q323_competing_risks" ->
+      """WITH RECURSIVE users AS (SELECT user_id,
+        |    min(CAST(ts AS DATE)) AS first_d,
+        |    min(CASE WHEN event_type = 'purchase' AND value > 150.0
+        |      THEN CAST(ts AS DATE) END) AS ca_d,
+        |    min(CASE WHEN event_type = 'error'
+        |      THEN CAST(ts AS DATE) END) AS cb_d
+        |  FROM events GROUP BY 1),
+        |horizon AS (SELECT max(CAST(ts AS DATE)) AS max_d FROM events),
+        |life AS (SELECT
+        |    CASE WHEN ca_d IS NULL AND cb_d IS NULL
+        |      THEN CAST(date_diff('day', first_d, max_d) AS BIGINT)
+        |      ELSE least(
+        |        COALESCE(CAST(date_diff('day', first_d, ca_d) AS BIGINT),
+        |          9223372036854775807),
+        |        COALESCE(CAST(date_diff('day', first_d, cb_d) AS BIGINT),
+        |          9223372036854775807)) END AS t,
+        |    CASE WHEN ca_d IS NULL AND cb_d IS NULL THEN 0
+        |      WHEN cb_d IS NULL OR (ca_d IS NOT NULL AND
+        |        CAST(date_diff('day', first_d, ca_d) AS BIGINT) <=
+        |        CAST(date_diff('day', first_d, cb_d) AS BIGINT)) THEN 1
+        |      ELSE 2 END AS cause
+        |  FROM users CROSS JOIN horizon),
+        |byt AS (SELECT t, CAST(count(*) AS BIGINT) AS ending,
+        |    CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS da,
+        |    CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS db
+        |  FROM life GROUP BY 1),
+        |risk AS (SELECT t, da, db,
+        |    CAST(sum(ending) OVER (ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |      AS n_risk
+        |  FROM byt),
+        |deaths AS (SELECT t, da, db, n_risk,
+        |    CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i
+        |  FROM risk WHERE da + db > 0),
+        |aj AS (
+        |  SELECT i, t, n_risk, da, db, CAST(1.0 AS DOUBLE) AS s_before,
+        |    0.0 + 1.0 * (CAST(da AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      AS cif_a,
+        |    0.0 + 1.0 * (CAST(db AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      AS cif_b,
+        |    1.0 * (1.0 - CAST(da + db AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      AS s_after
+        |  FROM deaths WHERE i = 1
+        |  UNION ALL
+        |  SELECT d.i, d.t, d.n_risk, d.da, d.db,
+        |    aj.s_after,
+        |    aj.cif_a + aj.s_after
+        |      * (CAST(d.da AS DOUBLE) / CAST(d.n_risk AS DOUBLE)),
+        |    aj.cif_b + aj.s_after
+        |      * (CAST(d.db AS DOUBLE) / CAST(d.n_risk AS DOUBLE)),
+        |    aj.s_after * (1.0 - CAST(d.da + d.db AS DOUBLE)
+        |      / CAST(d.n_risk AS DOUBLE))
+        |  FROM aj JOIN deaths d ON d.i = aj.i + 1)
+        |SELECT t, n_risk, da AS d_a, db AS d_b, s_before, cif_a, cif_b
+        |FROM aj ORDER BY t""".stripMargin,
+
+    "q324_tukey_hsd" ->
+      """WITH c AS (SELECT c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x FROM customer),
+        |grp AS (SELECT seg, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(x) AS BIGINT) AS s1,
+        |    CAST(sum(x * x) AS BIGINT) AS s2
+        |  FROM c GROUP BY 1),
+        |msw AS (SELECT
+        |    (CAST(sum(s2) AS DOUBLE)
+        |      - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |            / CAST(ng AS DOUBLE) ORDER BY seg)), (a, x) -> a + x))
+        |      / CAST(sum(ng) - count(*) AS DOUBLE) AS msw
+        |  FROM grp),
+        |m AS (SELECT seg, ng,
+        |    CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE) AS mean FROM grp)
+        |SELECT a.seg AS seg_a, b.seg AS seg_b,
+        |  (a.mean - b.mean) / 100.0 AS diff_bal,
+        |  abs(a.mean - b.mean)
+        |    / sqrt(msw / 2.0 * (1.0 / CAST(a.ng AS DOUBLE)
+        |      + 1.0 / CAST(b.ng AS DOUBLE))) AS q_stat
+        |FROM m a JOIN m b ON a.seg < b.seg CROSS JOIN msw
+        |ORDER BY seg_a, seg_b""".stripMargin,
+
+    "q325_hmm_viterbi" -> {
+      val lg45 = s"(${lg("4")} - ${lg("5")})"
+      val lg15 = s"(${lg("1")} - ${lg("5")})"
+      s"""WITH RECURSIVE daily AS (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS ds,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |mm AS (SELECT CAST(min(c) AS BIGINT) AS minc,
+        |    CAST(max(c) AS BIGINT) AS maxc FROM daily),
+        |idx AS (SELECT ds, c,
+        |    CAST(row_number() OVER (ORDER BY ds) AS BIGINT) AS i,
+        |    least((c - minc) // ((maxc - minc) // 10 + 1),
+        |      CAST(9 AS BIGINT)) AS b
+        |  FROM daily CROSS JOIN mm),
+        |n1 AS (SELECT max(i) AS n FROM idx),
+        |fwd AS (
+        |  SELECT i, ds, c, b,
+        |    (${lg("1")} - ${lg("2")}) + (${lg("10 - b")} - ${lg("55")})
+        |      AS dl,
+        |    (${lg("1")} - ${lg("2")}) + (${lg("b + 1")} - ${lg("55")})
+        |      AS dh,
+        |    [0] AS bl, [0] AS bh
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.i, idx.ds, idx.c, idx.b,
+        |    CASE WHEN fwd.dl + $lg45 >= fwd.dh + $lg15
+        |      THEN (fwd.dl + $lg45)
+        |        + (${lg("10 - idx.b")} - ${lg("55")})
+        |      ELSE (fwd.dh + $lg15)
+        |        + (${lg("10 - idx.b")} - ${lg("55")}) END,
+        |    CASE WHEN fwd.dl + $lg15 >= fwd.dh + $lg45
+        |      THEN (fwd.dl + $lg15)
+        |        + (${lg("idx.b + 1")} - ${lg("55")})
+        |      ELSE (fwd.dh + $lg45)
+        |        + (${lg("idx.b + 1")} - ${lg("55")}) END,
+        |    list_append(fwd.bl,
+        |      CASE WHEN fwd.dl + $lg45 >= fwd.dh + $lg15
+        |        THEN 0 ELSE 1 END),
+        |    list_append(fwd.bh,
+        |      CASE WHEN fwd.dl + $lg15 >= fwd.dh + $lg45
+        |        THEN 0 ELSE 1 END)
+        |  FROM fwd JOIN idx ON idx.i = fwd.i + 1),
+        |lastrow AS (SELECT fwd.* FROM fwd CROSS JOIN n1 WHERE fwd.i = n),
+        |bt AS (
+        |  SELECT i AS j,
+        |    CASE WHEN dl >= dh THEN 0 ELSE 1 END AS st, bl, bh
+        |  FROM lastrow
+        |  UNION ALL
+        |  SELECT bt.j - 1,
+        |    CASE WHEN bt.st = 0 THEN bt.bl[CAST(bt.j AS INT)]
+        |      ELSE bt.bh[CAST(bt.j AS INT)] END,
+        |    bt.bl, bt.bh
+        |  FROM bt WHERE bt.j > 1)
+        |SELECT fwd.i, fwd.ds, fwd.c, fwd.b AS bucket, fwd.dl AS d_low,
+        |  fwd.dh AS d_high, CAST(bt.st AS BIGINT) AS state
+        |FROM fwd JOIN bt ON bt.j = fwd.i ORDER BY fwd.i""".stripMargin
+    },
+
+    "q326_knn_loo" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    CAST(label AS BIGINT) AS label FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM emb
+        |  WHERE vec_id % 10 = 0),
+        |sc AS (SELECT q.q_id, q.q_label, e.vec_id AS c_id,
+        |    e.label AS c_label,
+        |    list_dot_product(qv, e.v)
+        |      / (sqrt(list_dot_product(qv, qv))
+        |        * sqrt(list_dot_product(e.v, e.v))) AS cosine
+        |  FROM emb e CROSS JOIN q WHERE q.q_id <> e.vec_id),
+        |top AS (SELECT * FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cosine DESC, c_id) AS rnk FROM sc)
+        |  WHERE rnk <= 5),
+        |votes AS (SELECT q_id, q_label, c_label,
+        |    CAST(count(*) AS BIGINT) AS votes
+        |  FROM top GROUP BY 1, 2, 3),
+        |pred AS (SELECT q_id, q_label AS label, c_label AS pred_label
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY votes DESC, c_label) AS vr FROM votes)
+        |  WHERE vr = 1)
+        |SELECT label, pred_label, CAST(count(*) AS BIGINT) AS n
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q327_plsa_em" ->
+      """WITH ndw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) GROUP BY 1, 2),
+        |th0 AS (SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5('pl:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 1000 + 500 AS k0
+        |  FROM ndw),
+        |th AS (SELECT doc_id, CAST(k0 AS DOUBLE) / 2000.0 AS th0,
+        |    1.0 - CAST(k0 AS DOUBLE) / 2000.0 AS th1 FROM th0),
+        |pr AS (SELECT w,
+        |    ('0x' || substr(md5('pw:0:' || w), 1, 8))::BIGINT % 1000 + 500
+        |      AS k0,
+        |    ('0x' || substr(md5('pw:1:' || w), 1, 8))::BIGINT % 1000 + 500
+        |      AS k1
+        |  FROM (SELECT DISTINCT w FROM ndw)),
+        |pt AS (SELECT CAST(sum(k0) AS BIGINT) AS t0,
+        |    CAST(sum(k1) AS BIGINT) AS t1 FROM pr),
+        |phi AS (SELECT w, CAST(k0 AS DOUBLE) / CAST(t0 AS DOUBLE) AS ph0,
+        |    CAST(k1 AS DOUBLE) / CAST(t1 AS DOUBLE) AS ph1
+        |  FROM pr CROSS JOIN pt),
+        |resp AS (SELECT ndw.doc_id, ndw.w, ndw.n,
+        |    th0 * ph0 / (th0 * ph0 + th1 * ph1) AS r0
+        |  FROM ndw JOIN th USING (doc_id) JOIN phi USING (w)),
+        |numw AS (SELECT w,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(CAST(n AS DOUBLE) * r0 ORDER BY doc_id)),
+        |      (a, x) -> a + x) AS s0,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(CAST(n AS DOUBLE) * (1.0 - r0) ORDER BY doc_id)),
+        |      (a, x) -> a + x) AS s1
+        |  FROM resp GROUP BY 1),
+        |den AS (SELECT
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(s0 ORDER BY w)), (a, x) -> a + x) AS d0,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(s1 ORDER BY w)), (a, x) -> a + x) AS d1
+        |  FROM numw),
+        |pn AS (SELECT w, s0 / d0 AS phi0, s1 / d1 AS phi1
+        |  FROM numw CROSS JOIN den),
+        |top0 AS (SELECT CAST(0 AS BIGINT) AS topic, w AS word,
+        |    phi0 AS phi, CAST(rk AS BIGINT) AS rk
+        |  FROM (SELECT w, phi0, row_number() OVER
+        |    (ORDER BY phi0 DESC, w) AS rk FROM pn) WHERE rk <= 5),
+        |top1 AS (SELECT CAST(1 AS BIGINT) AS topic, w AS word,
+        |    phi1 AS phi, CAST(rk AS BIGINT) AS rk
+        |  FROM (SELECT w, phi1, row_number() OVER
+        |    (ORDER BY phi1 DESC, w) AS rk FROM pn) WHERE rk <= 5)
+        |SELECT * FROM top0 UNION ALL SELECT * FROM top1
+        |ORDER BY topic, rk""".stripMargin,
+
+    "q328_centrality" ->
+      """WITH RECURSIVE ui AS (SELECT DISTINCT user_id AS u,
+        |    json_extract(props, '$.k')::BIGINT AS item
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+        |edges AS (SELECT a.item AS i, b.item AS j
+        |  FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nbr AS (SELECT i AS a, j AS b FROM edges
+        |  UNION ALL SELECT j, i FROM edges),
+        |seeds AS (SELECT item FROM
+        |  (SELECT DISTINCT a AS item FROM nbr) ORDER BY item LIMIT 10),
+        |bfs AS (SELECT item AS seed, item AS node, CAST(0 AS BIGINT) AS d
+        |  FROM seeds
+        |  UNION
+        |  SELECT bfs.seed, nbr.b, bfs.d + 1
+        |  FROM bfs JOIN nbr ON nbr.a = bfs.node WHERE bfs.d < 6),
+        |mind AS (SELECT seed, node, CAST(min(d) AS BIGINT) AS d FROM bfs
+        |  GROUP BY 1, 2)
+        |SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+        |  CAST(sum(d) AS BIGINT) AS sum_dist,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(d) AS DOUBLE) AS closeness,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(1.0 / CAST(d AS DOUBLE) ORDER BY node)),
+        |    (a, x) -> a + x) AS harmonic
+        |FROM mind WHERE d > 0 GROUP BY seed ORDER BY seed""".stripMargin,
+
+    "q329_dtw" -> {
+      s"""WITH RECURSIVE daily AS MATERIALIZED (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS ds,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |idx AS MATERIALIZED (SELECT ds, c,
+        |    CAST(row_number() OVER (ORDER BY ds) AS BIGINT) AS i
+        |  FROM daily),
+        |wa AS MATERIALIZED (SELECT i, c FROM idx WHERE i <= 7),
+        |wb AS MATERIALIZED (SELECT i - 7 AS j, c FROM idx
+        |  WHERE i >= 8 AND i <= 14),
+        |$dtwCellCtes,
+        |cells AS MATERIALIZED ($dtwCellsUnion),
+        |pt AS (SELECT 7 AS i, 7 AS j
+        |  UNION ALL
+        |  SELECT CASE WHEN pt.i = 1 THEN 1
+        |      WHEN pt.j = 1 THEN pt.i - 1
+        |      WHEN dg.v <= up.v AND dg.v <= lf.v THEN pt.i - 1
+        |      WHEN up.v <= lf.v THEN pt.i - 1
+        |      ELSE pt.i END,
+        |    CASE WHEN pt.i = 1 THEN pt.j - 1
+        |      WHEN pt.j = 1 THEN 1
+        |      WHEN dg.v <= up.v AND dg.v <= lf.v THEN pt.j - 1
+        |      WHEN up.v <= lf.v THEN pt.j
+        |      ELSE pt.j - 1 END
+        |  FROM pt
+        |  LEFT JOIN cells dg ON dg.i = pt.i - 1 AND dg.j = pt.j - 1
+        |  LEFT JOIN cells up ON up.i = pt.i - 1 AND up.j = pt.j
+        |  LEFT JOIN cells lf ON lf.i = pt.i AND lf.j = pt.j - 1
+        |  WHERE NOT (pt.i = 1 AND pt.j = 1))
+        |SELECT (SELECT v FROM d7_7) AS dtw_dist,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pt) AS path_len,
+        |  CAST((SELECT v FROM d7_7) AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM pt) AS DOUBLE) AS dtw_norm""".stripMargin
+    },
+
+    "q330_dow_anomaly" ->
+      """WITH daily AS (SELECT
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS ds,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |dd AS (SELECT ds, c,
+        |    CAST(isodow(CAST(ds AS DATE)) - 1 AS BIGINT) AS dow
+        |  FROM daily),
+        |grp AS (SELECT dow, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s1,
+        |    CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM dd GROUP BY 1),
+        |g2 AS (SELECT dow, n, s1, s2,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean FROM grp),
+        |g3 AS (SELECT dow, mean,
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * mean)
+        |      / CAST(n - 1 AS DOUBLE)) AS sd
+        |  FROM g2)
+        |SELECT ds, dow, c,
+        |  (CAST(c AS DOUBLE) - mean) / sd AS z
+        |FROM dd JOIN g3 USING (dow)
+        |ORDER BY abs((CAST(c AS DOUBLE) - mean) / sd) DESC, ds
+        |LIMIT 5""".stripMargin)
+
+  /** q329: the 49 DTW DP cells, unrolled exactly as the engine's driver
+    * loop computes them (integer costs, least-of-three min chains). */
+  private def dtwCellCtes: String =
+    (for (i <- 1 to 7; j <- 1 to 7) yield {
+      val cost =
+        s"abs((SELECT c FROM wa WHERE i = $i) - (SELECT c FROM wb WHERE j = $j))"
+      val v =
+        if (i == 1 && j == 1) cost
+        else if (i == 1) s"$cost + (SELECT v FROM d1_${j - 1})"
+        else if (j == 1) s"$cost + (SELECT v FROM d${i - 1}_1)"
+        else s"$cost + least((SELECT v FROM d${i - 1}_${j - 1}), " +
+          s"(SELECT v FROM d${i - 1}_$j), (SELECT v FROM d${i}_${j - 1}))"
+      s"d${i}_$j AS MATERIALIZED (SELECT CAST($v AS BIGINT) AS v)"
+    }).mkString(",\n")
+
+  private def dtwCellsUnion: String =
+    (for (i <- 1 to 7; j <- 1 to 7) yield
+      s"SELECT $i AS i, $j AS j, (SELECT v FROM d${i}_$j) AS v")
+      .mkString(" UNION ALL ")
 }
