@@ -859,9 +859,13 @@ object CatalogNext {
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select(col("i"), col("j"))
-    val nbr = edges.select(col("i").as("a"), col("j").as("b"))
-      .unionAll(edges.select(col("j").as("a"), col("i").as("b")))
-    val deg = nbr.groupBy(col("a").as("item")).agg(count(lit(1)).as("d"))
+    // loop invariants materialized once: without the cut every round
+    // re-runs the events self-join that builds the graph (8x the cost)
+    val nbr = graft.dedup.Dedup.lineageCutLazy(
+      edges.select(col("i").as("a"), col("j").as("b"))
+        .unionAll(edges.select(col("j").as("a"), col("i").as("b"))))
+    val deg = graft.dedup.Dedup.lineageCutLazy(
+      nbr.groupBy(col("a").as("item")).agg(count(lit(1)).as("d")))
     val twom = deg.agg(sum(col("d")).as("twom"))
     var x = deg.select(col("item"),
       when(u32(concat(lit("sp:"), col("item"))) % 2 === 0, lit(1.0))
@@ -1186,8 +1190,11 @@ object CatalogNext {
       .agg(count(lit(1)).as("cw"))
       .filter(col("cw") >= 2)
       .select(col("i"), col("j"))
-    val nbr = edges.select(col("i").as("a"), col("j").as("b"))
-      .unionAll(edges.select(col("j").as("a"), col("i").as("b")))
+    // materialize the graph once — 6 frontier rounds would otherwise
+    // each re-run the events self-join
+    val nbr = graft.dedup.Dedup.lineageCutLazy(
+      edges.select(col("i").as("a"), col("j").as("b"))
+        .unionAll(edges.select(col("j").as("a"), col("i").as("b"))))
     val seeds = nbr.select(col("a").as("item")).distinct()
       .orderBy(col("item")).limit(10)
     var dist = seeds.select(col("item").as("seed"), col("item").as("node"),
