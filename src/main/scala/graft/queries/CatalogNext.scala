@@ -1285,6 +1285,349 @@ object CatalogNext {
       .select(col("ds"), col("dow"), col("c"), col("z"))
   }
 
+  /** Gehan–Wilcoxon weighted log-rank (weights = pooled at-risk count):
+    * emphasizes early survival differences where q301's unweighted
+    * statistic weights all death times equally. Same survival frame and
+    * at-risk machinery; U = Σnₜ(d₁ₜ−Eₜ), V = Σnₜ²Vₜ, χ² = U²∕V — exact
+    * integer weights on the q301 double terms, t-ascending folds. */
+  def q331GehanLogRank(s: SparkSession, dir: String): DataFrame = {
+    val life = survivalFrame(s, dir)
+    val byT = life.groupBy(col("t")).agg(
+      sum(when(col("g") === 0, lit(1L)).otherwise(lit(0L))).as("e1"),
+      sum(when(col("g") === 1, lit(1L)).otherwise(lit(0L))).as("e2"),
+      sum(when(col("g") === 0, col("death")).otherwise(lit(0L))).as("d1"),
+      sum(when(col("g") === 1, col("death")).otherwise(lit(0L))).as("d2"))
+    val tot = life.agg(
+      sum(when(col("g") === 0, lit(1L)).otherwise(lit(0L))).as("n1tot"),
+      sum(when(col("g") === 1, lit(1L)).otherwise(lit(0L))).as("n2tot"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val risk = byT.crossJoin(broadcast(tot))
+      .select(col("t"), col("d1"), col("d2"),
+        (col("n1tot") - coalesce(sum(col("e1")).over(wPrev), lit(0L))).as("n1"),
+        (col("n2tot") - coalesce(sum(col("e2")).over(wPrev), lit(0L))).as("n2"))
+    val terms = risk
+      .withColumn("dt", col("d1") + col("d2"))
+      .withColumn("nt", col("n1") + col("n2"))
+      .filter(col("dt") > 0)
+      .select(col("t"),
+        (col("nt").cast("double") * (col("d1").cast("double")
+          - (col("dt") * col("n1")).cast("double") / col("nt").cast("double")))
+          .as("u"),
+        when(col("nt") > 1,
+          (col("nt") * col("nt")).cast("double")
+            * ((col("dt") * col("n1")).cast("double") / col("nt").cast("double")
+              * (col("n2").cast("double") / col("nt").cast("double"))
+              * ((col("nt") - col("dt")).cast("double")
+                / (col("nt") - 1).cast("double"))))
+          .otherwise(lit(0.0)).as("vw"))
+    terms.agg(count(lit(1)).as("n_times"),
+        foldSorted(col("t"), col("u")).as("u_stat"),
+        foldSorted(col("t"), col("vw")).as("var_w"))
+      .select(col("n_times"), col("u_stat"), col("var_w"),
+        (col("u_stat") * col("u_stat") / col("var_w")).as("chi2"))
+  }
+
+  /** Generalized ESD outlier detection (Rosner 1983), 5 rounds, on the
+    * daily order-count series: each round removes the largest
+    * studentized deviation and recomputes mean/sd WITHOUT it — the
+    * masking-proof upgrade of q308's single-outlier Grubbs. Sufficient
+    * statistics stay exact integers across removals (subtract the
+    * removed value from S/S²/n), so the driver loop over 5 rounds is
+    * replayed CTE-for-CTE by the oracle. */
+  def q332EsdAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("ds")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("c")))
+    var n = daily.length.toLong
+    var s1 = daily.map(_._2).sum
+    var s2 = daily.map(v => v._2 * v._2).sum
+    var remaining = daily
+    val out = Array.newBuilder[(Long, String, Long, Double)]
+    for (round <- 1 to 5) {
+      val mean = s1.toDouble / n.toDouble
+      val sd = math.sqrt((s2.toDouble - s1.toDouble * mean) / (n - 1).toDouble)
+      // deterministic pick: max studentized deviation, then earliest date
+      val rs = remaining.map { case (d, v) =>
+        (d, v, math.abs(v.toDouble - mean) / sd) }
+      val mx = rs.map(_._3).max
+      val pick = rs.filter(_._3 == mx).minBy(_._1)
+      val (ds, c) = (pick._1, pick._2)
+      val r = math.abs(c.toDouble - mean) / sd
+      out += ((round.toLong, ds, c, r))
+      remaining = remaining.filterNot(_._1 == ds)
+      n -= 1; s1 -= c; s2 -= c * c
+    }
+    import s.implicits._
+    out.result().toSeq.toDF("round", "ds", "c", "r_stat")
+      .orderBy(col("round"))
+  }
+
+  /** STL-lite seasonal decomposition of daily order counts: trend = the
+    * centered 7-day moving average (integer window sum, only full
+    * windows), seasonal = weekday means of the 7×-scaled detrended
+    * series (7c − Σ₇ stays exact int64), remainder = the rest. Three
+    * fixed-shape divides per day; one day-grain shuffle + one 7-row
+    * broadcast. The decomposition q145's raw hour profiles and q330's
+    * z-scores both implicitly assume, made explicit. */
+  def q333StlLite(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"))
+      .agg(count(lit(1)).as("c"))
+    val w7 = Window.orderBy(col("ds")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("mov", sum(col("c")).over(w7))
+      .withColumn("nw", count(lit(1)).over(w7))
+      .filter(col("nw") === 7)
+      .withColumn("dow", weekday(to_date(col("ds"))).cast("long"))
+      .withColumn("detr", col("c") * 7 - col("mov"))
+    val seas = trended.groupBy(col("dow"))
+      .agg(sum(col("detr")).as("sd7"), count(lit(1)).as("nd"))
+      .select(col("dow"),
+        (col("sd7").cast("double") / col("nd").cast("double")).as("seas7"))
+    trended.join(broadcast(seas), Seq("dow"))
+      .select(col("ds"), col("dow"), col("c"),
+        (col("mov").cast("double") / lit(7.0)).as("trend"),
+        (col("seas7") / lit(7.0)).as("seasonal"))
+      .withColumn("remainder",
+        col("c").cast("double") - col("trend") - col("seasonal"))
+      .orderBy(col("ds"))
+  }
+
+  /** Degree assortativity (Newman 2002) of the co-visitation graph:
+    * Pearson correlation of endpoint degrees over directed edge ends —
+    * do heavily-shared items link to other heavily-shared items? All
+    * sufficient statistics (Σd, Σd², Σdᵢdⱼ over both orientations) are
+    * exact integers; one final fixed-shape divide. Completes the graph
+    * panel (q83/q113/q142/q149/q210/q235/q321/q328) with its mixing
+    * coefficient. */
+  def q334Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val ui = Tables.events(s, dir)
+      .select(col("user_id").as("u"),
+        variant_get(parse_json(col("props")), "$.k", "bigint").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+    val edges = ui.alias("a")
+      .join(ui.alias("b"), col("a.u") === col("b.u")
+        && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+      .agg(count(lit(1)).as("cw"))
+      .filter(col("cw") >= 2)
+      .select(col("i"), col("j"))
+    val nbr = edges.select(col("i").as("a"), col("j").as("b"))
+      .unionAll(edges.select(col("j").as("a"), col("i").as("b")))
+    val deg = nbr.groupBy(col("a").as("item")).agg(count(lit(1)).as("d"))
+    val ends = nbr
+      .join(deg.select(col("item").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("item").as("b"), col("d").as("db")), Seq("b"))
+    ends.agg(count(lit(1)).as("se"), sum(col("da")).as("sx"),
+        sum(col("da") * col("da")).as("sxx"),
+        sum(col("da") * col("db")).as("sxy"))
+      .withColumn("den", col("se").cast("double") * col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double"))
+      .select((col("se") / 2).cast("long").as("n_edges"),
+        when(col("den") === 0.0, lit(null).cast("double"))
+          .otherwise((col("se").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            / col("den"))
+          .as("assortativity"))
+  }
+
+  /** Price elasticity of demand from the discount grid: total quantity
+    * per discount level, OLS slope of lg(quantity) on lg(price) over the
+    * 11 levels — both logs are exact-lg of integers (quantities are
+    * integral; price enters as the exact integer 100−discount·100), so
+    * the regression's x/y series are bit-reproducible and the slope is
+    * one fixed-shape combination of bucket-ascending folds. log2∕log2
+    * ratios equal natural-log ratios, so the slope IS the elasticity. */
+  def q335Elasticity(s: SparkSession, dir: String): DataFrame = {
+    val buckets = Tables.lineitem(s, dir)
+      .groupBy(round(col("l_discount") * 100).cast("long").as("pctoff"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+      .select(col("pctoff"), (lit(100L) - col("pctoff")).as("p"), col("q"))
+    val pts = buckets.select(col("pctoff"), lg(col("p")).as("x"),
+      lg(col("q")).as("y"))
+    pts.agg(count(lit(1)).as("n"),
+        foldSorted(col("pctoff"), col("x")).as("sx"),
+        foldSorted(col("pctoff"), col("y")).as("sy"),
+        foldSorted(col("pctoff"), col("x") * col("x")).as("sxx"),
+        foldSorted(col("pctoff"), col("x") * col("y")).as("sxy"))
+      .select(col("n").as("n_buckets"),
+        ((col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+          / (col("n").cast("double") * col("sxx") - col("sx") * col("sx")))
+          .as("elasticity"))
+  }
+
+  /** Iterative proportional fitting (Deming–Stephan raking), 5 rounds:
+    * the observed event_type×weekday contingency table is raked to
+    * uniform row/column targets (N∕5, N∕7). Each half-round scales by
+    * target∕margin with the margin computed as a key-ascending fold —
+    * the whole fit is oracle-replayed (10 generated CTEs). The survey-
+    * weighting verb an A/B platform needs when segments are imbalanced;
+    * every round is two broadcast-sized aggregates. */
+  def q336RakingIpf(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .groupBy(col("event_type").as("et"),
+        weekday(to_date(col("ts"))).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum(col("n")).as("ntot"))
+    var w = cells.crossJoin(broadcast(tot))
+      .select(col("et"), col("dow"), col("n"), col("ntot"),
+        col("n").cast("double").as("w"))
+    for (_ <- 1 to 5) {
+      val rowm = w.groupBy(col("et").as("ret"))
+        .agg(foldSorted(col("dow"), col("w")).as("rm"))
+      w = w.join(broadcast(rowm), col("et") === col("ret"))
+        .select(col("et"), col("dow"), col("n"), col("ntot"),
+          (col("w") * ((col("ntot").cast("double") / lit(5.0)) / col("rm")))
+            .as("w"))
+      val colm = w.groupBy(col("dow").as("rdow"))
+        .agg(foldSorted(col("et"), col("w")).as("cm"))
+      w = w.join(broadcast(colm), col("dow") === col("rdow"))
+        .select(col("et"), col("dow"), col("n"), col("ntot"),
+          (col("w") * ((col("ntot").cast("double") / lit(7.0)) / col("cm")))
+            .as("w"))
+    }
+    w.select(col("et").as("event_type"), col("dow"), col("n"),
+        col("w").as("raked"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** Empirical-Bayes shrinkage of per-source English rates: beta-binomial
+    * prior fit by method of moments on the 20 source rates (mean and
+    * variance are source-ascending folds over one-divide rates), then
+    * every source's rate shrinks to (x+α)∕(n+α+β) — small sources move
+    * toward the prior, big ones barely. The multilevel-modeling verb
+    * behind q226's per-source Wilson intervals. */
+  def q337EbShrinkage(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("lang") === "en").cast("long")).as("x"))
+      .withColumn("rate", col("x").cast("double") / col("n").cast("double"))
+    val mom = src.agg(count(lit(1)).as("k"),
+        foldSorted(col("source"), col("rate")).as("sr"),
+        foldSorted(col("source"), col("rate") * col("rate")).as("srr"))
+      .withColumn("m", col("sr") / col("k").cast("double"))
+      .withColumn("v", (col("srr") - col("sr") * col("m"))
+        / (col("k") - 1).cast("double"))
+      .withColumn("ab", col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0))
+      .select(col("m"), col("v"), (col("m") * col("ab")).as("alpha"),
+        ((lit(1.0) - col("m")) * col("ab")).as("beta"))
+    src.crossJoin(broadcast(mom))
+      .select(col("source"), col("n"), col("x"), col("rate"),
+        ((col("x").cast("double") + col("alpha"))
+          / (col("n").cast("double") + col("alpha") + col("beta")))
+          .as("shrunk"))
+      .orderBy(col("source"))
+  }
+
+  /** Frisch–Waugh–Lovell double regression: the effect of daily order
+    * COUNT on daily REVENUE controlling for the time trend — partial the
+    * day index out of both sides with exact-integer-sum OLS (q307's
+    * machinery), then regress residual on residual (day-ascending
+    * folds). Output contrasts the naive slope with the detrended one —
+    * the "controlling for X" verb behind q259/q284/q291, done exactly. */
+  def q338FwlPartial(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"))
+      .agg(sum(cents(col("o_totalprice"))).as("y"), count(lit(1)).as("d"))
+      .withColumn("i",
+        row_number().over(Window.orderBy(col("ds"))).cast("long"))
+    val sums = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+      sum(col("d")).as("sd"), sum(col("i") * col("y")).as("siy"),
+      sum(col("i") * col("d")).as("sid"),
+      sum(col("d") * col("y")).as("sdy"),
+      sum(col("d") * col("d")).as("sdd"))
+    val fit = sums
+      .withColumn("sx", expr("n * (n + 1) div 2"))
+      .withColumn("sxx", expr("n * (n + 1) * (2 * n + 1) div 6"))
+      .withColumn("by", (col("n").cast("double") * col("siy").cast("double")
+        - col("sx").cast("double") * col("sy").cast("double"))
+        / (col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")))
+      .withColumn("ay", (col("sy").cast("double")
+        - col("by") * col("sx").cast("double")) / col("n").cast("double"))
+      .withColumn("bd", (col("n").cast("double") * col("sid").cast("double")
+        - col("sx").cast("double") * col("sd").cast("double"))
+        / (col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")))
+      .withColumn("ad", (col("sd").cast("double")
+        - col("bd") * col("sx").cast("double")) / col("n").cast("double"))
+      .withColumn("naive",
+        (col("n").cast("double") * col("sdy").cast("double")
+          - col("sd").cast("double") * col("sy").cast("double"))
+        / (col("n").cast("double") * col("sdd").cast("double")
+          - col("sd").cast("double") * col("sd").cast("double")))
+    val resid = daily.crossJoin(broadcast(
+        fit.select(col("n"), col("by"), col("ay"), col("bd"), col("ad"),
+          col("naive"))))
+      .withColumn("ry", col("y").cast("double")
+        - (col("ay") + col("by") * col("i").cast("double")))
+      .withColumn("rd", col("d").cast("double")
+        - (col("ad") + col("bd") * col("i").cast("double")))
+    resid.agg(max(col("n")).as("n_days"), max(col("naive")).as("beta_naive"),
+        max(col("by")).as("trend_y"), max(col("bd")).as("trend_d"),
+        (foldSorted(col("i"), col("rd") * col("ry"))
+          / foldSorted(col("i"), col("rd") * col("rd"))).as("beta_fwl"))
+  }
+
+  /** Weekday seasonal quantile bands: exact P10/P50/P90 order-statistic
+    * picks of the daily order count WITHIN each weekday (rank =
+    * ⌈q·n⌉ via integer `div`, date tie-break) — the forecast envelope
+    * q330's z-scores alarm against, with zero distributional
+    * assumptions. Integer picks only; one day-grain shuffle. */
+  def q339DowBands(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dow", weekday(to_date(col("ds"))).cast("long"))
+    val ranked = daily
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("dow")).orderBy(col("c"), col("ds"))).cast("long"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("dow"))))
+    def pick(q10: Int): Column =
+      max(when(col("rn") === expr(s"(nd * $q10 + 9) div 10"), col("c")))
+    ranked.groupBy(col("dow"))
+      .agg(max(col("nd")).as("n_days"), pick(1).as("p10"), pick(5).as("p50"),
+        pick(9).as("p90"))
+      .orderBy(col("dow"))
+  }
+
+  /** Wald instrumental-variable estimate: instrument = first half of the
+    * calendar (deterministic, correlated with order count through the
+    * data's drift, excludable by construction in this fixture), effect
+    * of daily order count on daily revenue = Δȳ∕Δd̄ across instrument
+    * arms. Four integer sums, three divides — the simplest consistent
+    * IV estimator, completing the causal panel (q225/q248/q283/q284/
+    * q291/q338). */
+  def q340IvWald(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"))
+      .agg(sum(cents(col("o_totalprice"))).as("y"), count(lit(1)).as("d"))
+      .withColumn("i",
+        row_number().over(Window.orderBy(col("ds"))).cast("long"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    val arms = daily.crossJoin(broadcast(n))
+      .withColumn("z", (col("i") <= expr("n div 2")).cast("long"))
+      .groupBy(col("z"))
+      .agg(count(lit(1)).as("nz"), sum(col("y")).as("sy"),
+        sum(col("d")).as("sd"))
+      .select(col("z"),
+        (col("sy").cast("double") / col("nz").cast("double")).as("my"),
+        (col("sd").cast("double") / col("nz").cast("double")).as("md"))
+    val z1 = arms.filter(col("z") === 1)
+      .select(col("my").as("my1"), col("md").as("md1"))
+    val z0 = arms.filter(col("z") === 0)
+      .select(col("my").as("my0"), col("md").as("md0"))
+    z1.crossJoin(z0)
+      .select(col("my1"), col("my0"), col("md1"), col("md0"),
+        ((col("my1") - col("my0")) / (col("md1") - col("md0")))
+          .as("wald_estimate"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q301_logrank"         -> q301LogRank _,
     "q302_nelson_aalen"    -> q302NelsonAalen _,
@@ -1315,5 +1658,15 @@ object CatalogNext {
     "q327_plsa_em"         -> q327PlsaEm _,
     "q328_centrality"      -> q328Centrality _,
     "q329_dtw"             -> q329Dtw _,
-    "q330_dow_anomaly"     -> q330DowAnomaly _)
+    "q330_dow_anomaly"     -> q330DowAnomaly _,
+    "q331_gehan_logrank"   -> q331GehanLogRank _,
+    "q332_esd_anomalies"   -> q332EsdAnomalies _,
+    "q333_stl_lite"        -> q333StlLite _,
+    "q334_assortativity"   -> q334Assortativity _,
+    "q335_elasticity"      -> q335Elasticity _,
+    "q336_raking_ipf"      -> q336RakingIpf _,
+    "q337_eb_shrinkage"    -> q337EbShrinkage _,
+    "q338_fwl_partial"     -> q338FwlPartial _,
+    "q339_dow_bands"       -> q339DowBands _,
+    "q340_iv_wald"         -> q340IvWald _)
 }

@@ -1083,7 +1083,314 @@ object OraclesNext {
         |  (CAST(c AS DOUBLE) - mean) / sd AS z
         |FROM dd JOIN g3 USING (dow)
         |ORDER BY abs((CAST(c AS DOUBLE) - mean) / sd) DESC, ds
-        |LIMIT 5""".stripMargin)
+        |LIMIT 5""".stripMargin,
+
+    "q331_gehan_logrank" ->
+      s"""WITH $lifeCtes,
+        |byt AS (SELECT t,
+        |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+        |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS e2,
+        |    CAST(sum(CASE WHEN g = 0 THEN death ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN g = 1 THEN death ELSE 0 END) AS BIGINT) AS d2
+        |  FROM life GROUP BY 1),
+        |tot AS (SELECT
+        |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1tot,
+        |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2tot
+        |  FROM life),
+        |risk AS (SELECT t, d1, d2,
+        |    n1tot - COALESCE(sum(e1) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+        |    n2tot - COALESCE(sum(e2) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+        |  FROM byt CROSS JOIN tot),
+        |terms AS (SELECT t,
+        |    CAST(n1 + n2 AS DOUBLE) * (CAST(d1 AS DOUBLE)
+        |      - CAST((d1 + d2) * n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+        |      AS u,
+        |    CASE WHEN n1 + n2 > 1 THEN
+        |      CAST((n1 + n2) * (n1 + n2) AS DOUBLE)
+        |        * (CAST((d1 + d2) * n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+        |          * (CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+        |          * (CAST((n1 + n2) - (d1 + d2) AS DOUBLE)
+        |            / CAST((n1 + n2) - 1 AS DOUBLE)))
+        |    ELSE CAST(0.0 AS DOUBLE) END AS vw
+        |  FROM risk WHERE d1 + d2 > 0),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_times,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(u ORDER BY t)), (a, x) -> a + x) AS u_stat,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(vw ORDER BY t)), (a, x) -> a + x) AS var_w
+        |  FROM terms)
+        |SELECT n_times, u_stat, var_w,
+        |  u_stat * u_stat / var_w AS chi2
+        |FROM agg""".stripMargin,
+
+    "q332_esd_anomalies" -> {
+      s"""WITH daily AS (SELECT
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS ds,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |rem0 AS MATERIALIZED (SELECT ds, c FROM daily),
+        |${(1 to 5).map(esdRound).mkString(",\n")}
+        |SELECT CAST(1 AS BIGINT) AS round, ds, c, r AS r_stat FROM pick1
+        |UNION ALL SELECT CAST(2 AS BIGINT), ds, c, r FROM pick2
+        |UNION ALL SELECT CAST(3 AS BIGINT), ds, c, r FROM pick3
+        |UNION ALL SELECT CAST(4 AS BIGINT), ds, c, r FROM pick4
+        |UNION ALL SELECT CAST(5 AS BIGINT), ds, c, r FROM pick5
+        |ORDER BY round""".stripMargin
+    },
+
+    "q333_stl_lite" ->
+      """WITH daily AS (SELECT
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS ds,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |mv AS (SELECT ds, c,
+        |    CAST(sum(c) OVER (ORDER BY ds
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS mov,
+        |    count(*) OVER (ORDER BY ds
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+        |  FROM daily),
+        |tr AS (SELECT ds, c, mov,
+        |    CAST(isodow(CAST(ds AS DATE)) - 1 AS BIGINT) AS dow,
+        |    c * 7 - mov AS detr
+        |  FROM mv WHERE nw = 7),
+        |seas AS (SELECT dow,
+        |    CAST(sum(detr) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS seas7
+        |  FROM tr GROUP BY 1),
+        |j AS (SELECT ds, tr.dow, c,
+        |    CAST(mov AS DOUBLE) / 7.0 AS trend,
+        |    seas7 / 7.0 AS seasonal
+        |  FROM tr JOIN seas ON tr.dow = seas.dow)
+        |SELECT ds, dow, c, trend, seasonal,
+        |  CAST(c AS DOUBLE) - trend - seasonal AS remainder
+        |FROM j ORDER BY ds""".stripMargin,
+
+    "q334_assortativity" ->
+      """WITH ui AS (SELECT DISTINCT user_id AS u,
+        |    json_extract(props, '$.k')::BIGINT AS item
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+        |edges AS (SELECT a.item AS i, b.item AS j
+        |  FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nbr AS (SELECT i AS a, j AS b FROM edges
+        |  UNION ALL SELECT j, i FROM edges),
+        |deg AS (SELECT a AS item, CAST(count(*) AS BIGINT) AS d FROM nbr
+        |  GROUP BY 1),
+        |ends AS (SELECT da.d AS da, db.d AS db
+        |  FROM nbr JOIN deg da ON da.item = nbr.a
+        |  JOIN deg db ON db.item = nbr.b),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS se,
+        |    CAST(sum(da) AS BIGINT) AS sx,
+        |    CAST(sum(da * da) AS BIGINT) AS sxx,
+        |    CAST(sum(da * db) AS BIGINT) AS sxy
+        |  FROM ends)
+        |SELECT se // 2 AS n_edges,
+        |  CASE WHEN CAST(se AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+        |    THEN CAST(NULL AS DOUBLE)
+        |    ELSE (CAST(se AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / (CAST(se AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END
+        |    AS assortativity
+        |FROM agg""".stripMargin,
+
+    "q335_elasticity" -> {
+      s"""WITH b AS (SELECT
+        |    CAST(round(l_discount * 100) AS BIGINT) AS pctoff,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1),
+        |b2 AS (SELECT pctoff, 100 - pctoff AS p, q FROM b),
+        |pts AS (SELECT pctoff, ${lg("p")} AS x, ${lg("q")} AS y FROM b2),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(x ORDER BY pctoff)), (a, x) -> a + x) AS sx,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(y ORDER BY pctoff)), (a, x) -> a + x) AS sy,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(x * x ORDER BY pctoff)), (a, x) -> a + x) AS sxx,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(x * y ORDER BY pctoff)), (a, x) -> a + x) AS sxy
+        |  FROM pts)
+        |SELECT n AS n_buckets,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n AS DOUBLE) * sxx - sx * sx) AS elasticity
+        |FROM agg""".stripMargin
+    },
+
+    "q336_raking_ipf" -> {
+      s"""WITH cells AS (SELECT event_type AS et,
+        |    CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS dow,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM cells),
+        |w0 AS (SELECT et, dow, n, ntot, CAST(n AS DOUBLE) AS w
+        |  FROM cells CROSS JOIN tot),
+        |${(1 to 5).map(ipfRound).mkString(",\n")}
+        |SELECT et AS event_type, dow, n, w AS raked
+        |FROM wb5 ORDER BY event_type, dow""".stripMargin
+    },
+
+    "q337_eb_shrinkage" ->
+      """WITH src AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x
+        |  FROM documents GROUP BY 1),
+        |src2 AS (SELECT source, n, x,
+        |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS rate FROM src),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(rate ORDER BY source)), (a, x) -> a + x) AS sr,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(rate * rate ORDER BY source)), (a, x) -> a + x) AS srr
+        |  FROM src2),
+        |m2 AS (SELECT k, sr, srr, sr / CAST(k AS DOUBLE) AS m FROM mom),
+        |m3 AS (SELECT k, m,
+        |    (srr - sr * m) / CAST(k - 1 AS DOUBLE) AS v FROM m2),
+        |m4 AS (SELECT m, v, m * (1.0 - m) / v - 1.0 AS ab FROM m3),
+        |m5 AS (SELECT m, v, m * ab AS alpha, (1.0 - m) * ab AS beta
+        |  FROM m4)
+        |SELECT source, n, x, rate,
+        |  (CAST(x AS DOUBLE) + alpha)
+        |    / (CAST(n AS DOUBLE) + alpha + beta) AS shrunk
+        |FROM src2 CROSS JOIN m5 ORDER BY source""".stripMargin,
+
+    "q338_fwl_partial" ->
+      """WITH daily AS (SELECT
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS ds,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS y,
+        |    CAST(count(*) AS BIGINT) AS d
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT ds, y, d,
+        |    CAST(row_number() OVER (ORDER BY ds) AS BIGINT) AS i
+        |  FROM daily),
+        |sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(d) AS BIGINT) AS sd,
+        |    CAST(sum(i * y) AS BIGINT) AS siy,
+        |    CAST(sum(i * d) AS BIGINT) AS sid,
+        |    CAST(sum(d * y) AS BIGINT) AS sdy,
+        |    CAST(sum(d * d) AS BIGINT) AS sdd
+        |  FROM idx),
+        |f1 AS (SELECT *, n * (n + 1) // 2 AS sx,
+        |    n * (n + 1) * (2 * n + 1) // 6 AS sxx FROM sums),
+        |f2 AS (SELECT *,
+        |    (CAST(n AS DOUBLE) * CAST(siy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS by
+        |  FROM f1),
+        |f3 AS (SELECT *,
+        |    (CAST(sy AS DOUBLE) - by * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS ay,
+        |    (CAST(n AS DOUBLE) * CAST(sid AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sd AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS bd
+        |  FROM f2),
+        |f4 AS (SELECT *,
+        |    (CAST(sd AS DOUBLE) - bd * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS ad,
+        |    (CAST(n AS DOUBLE) * CAST(sdy AS DOUBLE)
+        |      - CAST(sd AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+        |        - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) AS naive
+        |  FROM f3),
+        |resid AS (SELECT idx.i, f4.n, f4.naive, f4.by, f4.bd,
+        |    CAST(y AS DOUBLE) - (ay + by * CAST(i AS DOUBLE)) AS ry,
+        |    CAST(d AS DOUBLE) - (ad + bd * CAST(i AS DOUBLE)) AS rd
+        |  FROM idx CROSS JOIN f4)
+        |SELECT max(n) AS n_days, max(naive) AS beta_naive,
+        |  max(by) AS trend_y, max(bd) AS trend_d,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(rd * ry ORDER BY i)), (a, x) -> a + x)
+        |  / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(rd * rd ORDER BY i)), (a, x) -> a + x) AS beta_fwl
+        |FROM resid""".stripMargin,
+
+    "q339_dow_bands" ->
+      """WITH daily AS (SELECT
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS ds,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |dd AS (SELECT ds, c,
+        |    CAST(isodow(CAST(ds AS DATE)) - 1 AS BIGINT) AS dow
+        |  FROM daily),
+        |rk AS (SELECT ds, c, dow,
+        |    CAST(row_number() OVER (PARTITION BY dow ORDER BY c, ds)
+        |      AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY dow) AS nd
+        |  FROM dd)
+        |SELECT dow, CAST(max(nd) AS BIGINT) AS n_days,
+        |  max(CASE WHEN rn = (nd * 1 + 9) // 10 THEN c END) AS p10,
+        |  max(CASE WHEN rn = (nd * 5 + 9) // 10 THEN c END) AS p50,
+        |  max(CASE WHEN rn = (nd * 9 + 9) // 10 THEN c END) AS p90
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q340_iv_wald" ->
+      """WITH daily AS (SELECT
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS ds,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS y,
+        |    CAST(count(*) AS BIGINT) AS d
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT ds, y, d,
+        |    CAST(row_number() OVER (ORDER BY ds) AS BIGINT) AS i
+        |  FROM daily),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+        |arms AS (SELECT
+        |    CASE WHEN i <= n // 2 THEN CAST(1 AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS z,
+        |    CAST(count(*) AS BIGINT) AS nz,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(d) AS BIGINT) AS sd
+        |  FROM idx CROSS JOIN nn GROUP BY 1),
+        |m AS (SELECT z, CAST(sy AS DOUBLE) / CAST(nz AS DOUBLE) AS my,
+        |    CAST(sd AS DOUBLE) / CAST(nz AS DOUBLE) AS md FROM arms)
+        |SELECT a.my AS my1, b.my AS my0, a.md AS md1, b.md AS md0,
+        |  (a.my - b.my) / (a.md - b.md) AS wald_estimate
+        |FROM (SELECT * FROM m WHERE z = 1) a
+        |CROSS JOIN (SELECT * FROM m WHERE z = 0) b""".stripMargin)
+
+  /** One q332 gESD round: mean/sd from the surviving integer sums, the
+    * (r DESC, ds) argmax pick, and the anti-joined remainder. */
+  private def esdRound(k: Int): String = {
+    val prev = if (k == 1) "rem0" else s"rem${k - 1}"
+    s"""st$k AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(c) AS BIGINT) AS s1,
+       |    CAST(sum(c * c) AS BIGINT) AS s2 FROM $prev),
+       |st${k}b AS (SELECT n, s1, s2,
+       |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean FROM st$k),
+       |st${k}c AS (SELECT n, mean,
+       |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * mean)
+       |      / CAST(n - 1 AS DOUBLE)) AS sd FROM st${k}b),
+       |pick$k AS MATERIALIZED (SELECT ds, c,
+       |    abs(CAST(c AS DOUBLE) - mean) / sd AS r
+       |  FROM $prev CROSS JOIN st${k}c
+       |  ORDER BY abs(CAST(c AS DOUBLE) - mean) / sd DESC, ds LIMIT 1),
+       |rem$k AS MATERIALIZED (SELECT $prev.ds, $prev.c FROM $prev
+       |  WHERE $prev.ds NOT IN (SELECT ds FROM pick$k))""".stripMargin
+  }
+
+  /** One q336 IPF round: row rake then column rake, margins as
+    * key-ascending folds. */
+  private def ipfRound(k: Int): String = {
+    val prev = if (k == 1) "w0" else s"wb${k - 1}"
+    s"""rm$k AS MATERIALIZED (SELECT et AS ret,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(w ORDER BY dow)), (a, x) -> a + x) AS rm
+       |  FROM $prev GROUP BY et),
+       |wa$k AS MATERIALIZED (SELECT et, dow, n, ntot,
+       |    w * ((CAST(ntot AS DOUBLE) / 5.0) / rm) AS w
+       |  FROM $prev JOIN rm$k ON et = ret),
+       |cm$k AS MATERIALIZED (SELECT dow AS rdow,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(w ORDER BY et)), (a, x) -> a + x) AS cm
+       |  FROM wa$k GROUP BY dow),
+       |wb$k AS MATERIALIZED (SELECT et, dow, n, ntot,
+       |    w * ((CAST(ntot AS DOUBLE) / 7.0) / cm) AS w
+       |  FROM wa$k JOIN cm$k ON dow = rdow)""".stripMargin
+  }
 
   /** q329: the 49 DTW DP cells, unrolled exactly as the engine's driver
     * loop computes them (integer costs, least-of-three min chains). */
