@@ -1628,6 +1628,357 @@ object CatalogNext {
           .as("wald_estimate"))
   }
 
+  /** Golden-record survivorship (MDM merge): every 10th customer gains a
+    * deterministic md5-corrupted duplicate (name with 4th char deleted,
+    * balance shifted by a md5-drawn cent delta, distinct recency), and
+    * the merge applies classic survivorship rules — name from the most
+    * recent record, balance = max, segment = lexicographic min — all
+    * exact integer/ordering picks. The record-linkage family's (q278/
+    * q119) missing last step: what to KEEP once duplicates are found. */
+  def q341Survivorship(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("k"), col("c_name").as("nm"),
+        cents(col("c_acctbal")).as("bal"), col("c_mktsegment").as("seg"),
+        (u32(concat(lit("rc:"), col("c_custkey"))) % 100).as("recency"),
+        lit("crm").as("src"))
+    val clone = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("k"),
+        concat(substring(col("c_name"), 1, 3), substring(col("c_name"), 5, 1000))
+          .as("nm"),
+        (cents(col("c_acctbal"))
+          + (u32(concat(lit("bd:"), col("c_custkey"))) % 10001L - 5000L))
+          .as("bal"),
+        col("c_mktsegment").as("seg"),
+        (u32(concat(lit("rw:"), col("c_custkey"))) % 100).as("recency"),
+        lit("web").as("src"))
+    val recs = base.unionAll(clone)
+    val wRec = Window.partitionBy(col("k"))
+      .orderBy(col("recency").desc, col("src"))
+    recs
+      .withColumn("rk", row_number().over(wRec))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_records"),
+        max(when(col("rk") === 1, col("nm"))).as("name_surv"),
+        max(col("bal")).as("bal_cents"),
+        min(col("seg")).as("seg_surv"))
+      .select(col("k").as("custkey"), col("n_records"), col("name_surv"),
+        (col("bal_cents").cast("double") / lit(100.0)).as("bal_surv"),
+        col("seg_surv"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Cost-sensitive threshold selection: predict "doc is English" from
+    * n_chars over 32 equal-width cutoffs, with FN costing 5× an FP. The
+    * whole sweep is integer confusion counts from two cumulative windows
+    * over the (bin, label) sufficient statistics; the pick is an exact
+    * (cost, threshold) argmin. q121's calibration sweep turned into a
+    * DECISION — the step a production filter actually ships. */
+  def q342CostThreshold(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("n_chars"), (col("lang") === "en").cast("long").as("y"))
+    val rng = d.agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+    val binned = d.crossJoin(broadcast(rng))
+      .select(least(expr("(n_chars - lo) * 32 div (hi - lo + 1)"), lit(31L))
+        .as("bin"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val tot = binned.agg(sum(col("n")).as("nt"), sum(col("pos")).as("pt"))
+    // threshold t = "predict positive iff bin >= t": below-t positives are
+    // FN, below-t negatives are TN
+    val sweep = binned.crossJoin(broadcast(tot))
+      .withColumn("fn", coalesce(sum(col("pos")).over(wCum), lit(0L)))
+      .withColumn("below", coalesce(sum(col("n")).over(wCum), lit(0L)))
+      .select(col("bin").as("thr"), col("fn"),
+        (col("pt") - col("fn")).as("tp"),
+        ((col("nt") - col("below")) - (col("pt") - col("fn"))).as("fp"),
+        (col("fn") * 5 + ((col("nt") - col("below")) - (col("pt") - col("fn"))))
+          .as("cost"))
+    sweep.orderBy(col("cost"), col("thr")).limit(1)
+  }
+
+  /** Exact average precision of the full n_chars ranking against the
+    * English labels: AP = (1∕R)·Σ_{rel k} hits_k∕k with hits from a
+    * rank-ordered cumulative window and the sum a rank-ascending fold —
+    * the single-ranking corpus twin of q318's MAP@10 and the
+    * trapezoid-free alternative to q281's AUC. */
+  def q343AvgPrecision(s: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables.documents(s, dir)
+      .select(col("doc_id"), (col("lang") === "en").cast("long").as("rel"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .withColumn("k", row_number().over(
+        Window.orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+      .withColumn("hits", sum(col("rel")).over(
+        Window.orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.agg(count(lit(1)).as("n_docs"), sum(col("rel")).as("n_rel"),
+        foldSorted(col("k"),
+          when(col("rel") === 1,
+            col("hits").cast("double") / col("k").cast("double"))
+            .otherwise(lit(0.0))).as("apsum"))
+      .select(col("n_docs"), col("n_rel"),
+        (col("apsum") / col("n_rel").cast("double")).as("avg_precision"))
+  }
+
+  /** Team-draft interleaving (Radlinski 2008, strict-alternation
+    * variant): ranker A (longest docs first) and ranker B (lowest ids
+    * first) alternately draft from their top-20 lists, skipping already-
+    * drafted docs, 10 picks; credit = English picks per team. The
+    * unbiased online-eval verb behind q121/q181's offline metrics. The
+    * draft is inherently sequential — driver-side over the two collected
+    * top-20 lists (bounded), recursive-CTE replay with a picked-list
+    * state. */
+  def q344Interleave(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), (col("lang") === "en").as("rel"))
+    val topA = docs.orderBy(col("n_chars").desc, col("doc_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    val topB = docs.orderBy(col("doc_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    val picked = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Boolean)]
+    var ai = 0; var bi = 0
+    for (pos <- 1 to 10) {
+      if (pos % 2 == 1) { // A drafts
+        while (ai < topA.length && picked.contains(topA(ai)._1)) ai += 1
+        if (ai < topA.length) { picked(topA(ai)._1) = (0L, topA(ai)._2); ai += 1 }
+      } else {
+        while (bi < topB.length && picked.contains(topB(bi)._1)) bi += 1
+        if (bi < topB.length) { picked(topB(bi)._1) = (1L, topB(bi)._2); bi += 1 }
+      }
+    }
+    import s.implicits._
+    picked.toSeq.zipWithIndex
+      .map { case ((id, (team, rel)), i) =>
+        (i + 1L, id, team, if (rel) 1L else 0L) }
+      .toDF("pos", "doc_id", "team", "rel")
+      .orderBy(col("pos"))
+  }
+
+  /** 0/1 knapsack under a token budget, exact DP vs the density greedy:
+    * 35 candidate docs (weight = ⌈n_chars∕50⌉-ish integer, value =
+    * distinct tokens), capacity 60. The DP table stays integer; the
+    * oracle replays it as a recursive CTE carrying the 61-slot row as a
+    * list. Output contrasts optimal with greedy — the verb that shows
+    * when q189's greedy token-budget selection leaves value on the
+    * table. */
+  def q345KnapsackDp(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.documents(s, dir)
+      .filter(col("doc_id") < 35)
+      .select(col("doc_id"),
+        (expr("n_chars div 50") + 1).as("w"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("v"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cap = 60
+    val dp = Array.fill(cap + 1)(0L)
+    items.foreach { case (_, w, v) =>
+      for (c <- cap to w.toInt by -1)
+        dp(c) = math.max(dp(c), dp(c - w.toInt) + v)
+    }
+    // density greedy: v/w desc (double), doc_id tie-break
+    var rem = cap.toLong; var greedy = 0L
+    items.sortBy { case (id, w, v) => (-v.toDouble / w.toDouble, id) }
+      .foreach { case (_, w, v) => if (w <= rem) { rem -= w; greedy += v } }
+    import s.implicits._
+    Seq((items.length.toLong, cap.toLong, dp(cap), greedy))
+      .toDF("n_items", "capacity", "best_value", "greedy_value")
+  }
+
+  /** MERGE INTO semantics applied as a batch: a deterministic changelog
+    * (every 7th key updates +$1, every 11th deletes — delete wins on
+    * overlap — and 50 fresh keys insert) against the customer snapshot,
+    * with exact integer audit counts and a cent-sum checksum. The
+    * CDC-apply verb that completes q90's SCD2 and q95's latest-per-key:
+    * one outer join, no per-row driver logic. */
+  def q346MergeApply(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey").as("k"), cents(col("c_acctbal")).as("bal"))
+    val maxK = base.agg(max(col("k")).as("mk"))
+    val updates = base.filter(col("k") % 7 === 0)
+      .select(col("k"), lit("U").as("op"), (col("bal") + 100L).as("nbal"))
+    val deletes = base.filter(col("k") % 11 === 0)
+      .select(col("k"), lit("D").as("op"), lit(null).cast("long").as("nbal"))
+    val inserts = maxK.select(explode(sequence(lit(1), lit(50))).as("i"),
+        col("mk"))
+      .select((col("mk") + col("i")).as("k"), lit("I").as("op"),
+        (col("mk") + col("i")).cast("long").as("nbal"))
+    // precedence D > U within the changelog
+    val chg = updates.unionByName(deletes).unionByName(inserts)
+      .withColumn("pri", when(col("op") === "D", 0).when(col("op") === "U", 1)
+        .otherwise(2))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("pri"))))
+      .filter(col("rk") === 1)
+      .select(col("k"), col("op"), col("nbal"))
+    val merged = base.join(chg, Seq("k"), "full_outer")
+      .withColumn("keep", col("op").isNull || col("op") =!= "D")
+      .withColumn("fbal", when(col("op") === "U", col("nbal"))
+        .when(col("op") === "I", col("nbal")).otherwise(col("bal")))
+    merged.agg(
+      sum(col("op").isNull.cast("long")).as("n_unchanged"),
+      sum((col("op") === "I").cast("long")).as("n_inserted"),
+      sum((col("op") === "U").cast("long")).as("n_updated"),
+      sum((col("op") === "D").cast("long")).as("n_deleted"),
+      sum(col("keep").cast("long")).as("n_final"),
+      sum(when(col("keep"), col("fbal")).otherwise(lit(0L))).as("sum_bal_cents"))
+  }
+
+  /** Two-way ANOVA (segment × custkey-parity on balance cents,
+    * sequential sum-of-squares decomposition): SSA/SSB from margin
+    * totals, the interaction from cell totals, SSE as the remainder —
+    * every sufficient statistic an exact integer, every SS a fixed
+    * combination of key-ascending folds, F ratios one divide each.
+    * Extends q272's one-way F to factorial designs. */
+  def q347TwoWayAnova(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.customer(s, dir)
+      .select(col("c_mktsegment").as("a"), (col("c_custkey") % 2).as("b"),
+        cents(col("c_acctbal")).as("y"))
+    val cells = d.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("nc"), sum(col("y")).as("tc"))
+    val tot = d.agg(count(lit(1)).as("n"), sum(col("y")).as("t"),
+      sum(col("y") * col("y")).as("syy"))
+    val ssa = cells.groupBy(col("a"))
+      .agg(sum(col("nc")).as("na"), sum(col("tc")).as("ta"))
+      .agg(foldSorted(col("a"), col("ta").cast("double")
+        * col("ta").cast("double") / col("na").cast("double")).as("fa"))
+    val ssb = cells.groupBy(col("b"))
+      .agg(sum(col("nc")).as("nb"), sum(col("tc")).as("tb"))
+      .agg(foldSorted(col("b"), col("tb").cast("double")
+        * col("tb").cast("double") / col("nb").cast("double")).as("fb"))
+    val ssc = cells
+      .agg(foldSorted(struct(col("a"), col("b")), col("tc").cast("double")
+        * col("tc").cast("double") / col("nc").cast("double")).as("fc"),
+        count(lit(1)).as("ncells"))
+    tot.crossJoin(broadcast(ssa)).crossJoin(broadcast(ssb))
+      .crossJoin(broadcast(ssc))
+      .withColumn("cm", col("t").cast("double") * col("t").cast("double")
+        / col("n").cast("double"))
+      .withColumn("ss_a", col("fa") - col("cm"))
+      .withColumn("ss_b", col("fb") - col("cm"))
+      .withColumn("ss_ab", col("fc") - col("fa") - col("fb") + col("cm"))
+      .withColumn("ss_err", col("syy").cast("double") - col("fc"))
+      .withColumn("df_err", (col("n") - col("ncells")).cast("double"))
+      .select(col("n").as("n_cust"), col("ss_a"), col("ss_b"), col("ss_ab"),
+        col("ss_err"),
+        ((col("ss_a") / lit(4.0)) / (col("ss_err") / col("df_err")))
+          .as("f_a"),
+        ((col("ss_b") / lit(1.0)) / (col("ss_err") / col("df_err")))
+          .as("f_b"),
+        ((col("ss_ab") / lit(4.0)) / (col("ss_err") / col("df_err")))
+          .as("f_ab"))
+  }
+
+  /** TextRank keywords (Mihalcea 2004): PageRank (damping 3∕4, 6 rounds)
+    * on the word-adjacency graph — undirected co-occurrence edges from
+    * consecutive tokens, transition weights wᵢⱼ∕Wⱼ. Loop invariants
+    * materialized once, per-round lineage cuts (the q83/q321
+    * discipline), all folds neighbor-ascending so the oracle replays
+    * every round. Top-15 keywords — the graph-centrality alternative to
+    * q99's TF-IDF. */
+  def q348Textrank(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "w")))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = toks
+      .withColumn("w1", lag(col("w"), 1).over(wDoc))
+      .filter(col("w1").isNotNull && col("w1") =!= col("w"))
+      .select(least(col("w1"), col("w")).as("x"),
+        greatest(col("w1"), col("w")).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cw"))
+    val nbr = graft.dedup.Dedup.lineageCutLazy(
+      pairs.select(col("x").as("a"), col("y").as("b"), col("cw"))
+        .unionAll(pairs.select(col("y").as("a"), col("x").as("b"), col("cw"))))
+    val wout = graft.dedup.Dedup.lineageCutLazy(
+      nbr.groupBy(col("b").as("node")).agg(sum(col("cw")).as("wj")))
+    val nNodes = wout.agg(count(lit(1)).as("nn"))
+    var pr = wout.select(col("node"), lit(1.0).as("pr"))
+    for (_ <- 1 to 6) {
+      val contrib = nbr
+        .join(pr.withColumnRenamed("node", "b").withColumnRenamed("pr", "prb"),
+          Seq("b"))
+        .join(wout.withColumnRenamed("node", "b2").withColumnRenamed("wj", "wjb"),
+          col("b") === col("b2"))
+        .groupBy(col("a").as("node"))
+        .agg(foldSorted(col("b"),
+          col("prb") * (col("cw").cast("double") / col("wjb").cast("double")))
+          .as("inflow"))
+      pr = graft.dedup.Dedup.lineageCutLazy(
+        wout.select(col("node"))
+          .join(contrib, Seq("node"), "left")
+          .crossJoin(broadcast(nNodes))
+          .select(col("node"),
+            (lit(0.25) / col("nn").cast("double")
+              + lit(0.75) * coalesce(col("inflow"), lit(0.0))).as("pr")))
+    }
+    pr.orderBy(col("pr").desc, col("node")).limit(15)
+      .select(col("node").as("word"), col("pr").as("textrank"))
+  }
+
+  /** Simpson's-paradox audit: does the AUTOMOBILE↔high-balance
+    * association FLIP direction inside any nation stratum vs the
+    * aggregate? Direction compares a·d vs b·c — pure int64 cross
+    * products, no divisions at all. Output: aggregate direction, strata
+    * counts by agreement. The q303 Mantel–Haenszel machinery turned into
+    * the confounding alarm. */
+  def q349SimpsonAudit(s: SparkSession, dir: String): DataFrame = {
+    val ex = col("c_mktsegment") === "AUTOMOBILE"
+    val out = col("c_acctbal") > 5000.0
+    val strata = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").as("stratum")).agg(
+        sum(when(ex && out, lit(1L)).otherwise(lit(0L))).as("a"),
+        sum(when(ex && !out, lit(1L)).otherwise(lit(0L))).as("b"),
+        sum(when(!ex && out, lit(1L)).otherwise(lit(0L))).as("c"),
+        sum(when(!ex && !out, lit(1L)).otherwise(lit(0L))).as("d"))
+    val agg = strata.agg(sum(col("a")).as("a"), sum(col("b")).as("b"),
+        sum(col("c")).as("c"), sum(col("d")).as("d"))
+      .select(signum((col("a") * col("d") - col("b") * col("c")).cast("double"))
+        .cast("long").as("agg_dir"))
+    strata
+      .select(col("stratum"),
+        signum((col("a") * col("d") - col("b") * col("c")).cast("double"))
+          .cast("long").as("dir"))
+      .crossJoin(broadcast(agg))
+      .agg(max(col("agg_dir")).as("aggregate_direction"),
+        count(lit(1)).as("n_strata"),
+        sum((col("dir") === col("agg_dir")).cast("long")).as("n_agree"),
+        sum((col("dir") === -col("agg_dir")).cast("long")).as("n_reversed"),
+        sum((col("dir") === 0).cast("long")).as("n_null"))
+  }
+
+  /** Quantile treatment effects: decile-by-decile balance gaps between
+    * the AUTOMOBILE segment and everyone else — exact ⌈q·n⌉ order-
+    * statistic picks per arm (custkey tie-break), one row per decile.
+    * Where q225/q248's average effects hide distributional shifts, this
+    * shows WHERE in the distribution the arms differ. */
+  def q350Qte(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.customer(s, dir)
+      .select((col("c_mktsegment") === "AUTOMOBILE").cast("long").as("z"),
+        cents(col("c_acctbal")).as("yv"), col("c_custkey"))
+    val ranked = d
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("z")).orderBy(col("yv"), col("c_custkey")))
+        .cast("long"))
+      .withColumn("nz", count(lit(1)).over(Window.partitionBy(col("z"))))
+    val qs = (1 to 9).map { q =>
+      ranked.filter(col("rn") === expr(s"(nz * $q + 9) div 10"))
+        .groupBy(col("z")).agg(max(col("yv")).as("yq"))
+        .withColumn("decile", lit(q.toLong))
+    }.reduce(_ unionByName _)
+    val t = qs.filter(col("z") === 1).select(col("decile"),
+      (col("yq").cast("double") / lit(100.0)).as("y_treat"))
+    val c = qs.filter(col("z") === 0).select(col("decile"),
+      (col("yq").cast("double") / lit(100.0)).as("y_ctrl"))
+    t.join(c, Seq("decile"))
+      .select(col("decile"), col("y_treat"), col("y_ctrl"),
+        (col("y_treat") - col("y_ctrl")).as("qte"))
+      .orderBy(col("decile"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q301_logrank"         -> q301LogRank _,
     "q302_nelson_aalen"    -> q302NelsonAalen _,
@@ -1668,5 +2019,15 @@ object CatalogNext {
     "q337_eb_shrinkage"    -> q337EbShrinkage _,
     "q338_fwl_partial"     -> q338FwlPartial _,
     "q339_dow_bands"       -> q339DowBands _,
-    "q340_iv_wald"         -> q340IvWald _)
+    "q340_iv_wald"         -> q340IvWald _,
+    "q341_survivorship"    -> q341Survivorship _,
+    "q342_cost_threshold"  -> q342CostThreshold _,
+    "q343_avg_precision"   -> q343AvgPrecision _,
+    "q344_interleave"      -> q344Interleave _,
+    "q345_knapsack_dp"     -> q345KnapsackDp _,
+    "q346_merge_apply"     -> q346MergeApply _,
+    "q347_two_way_anova"   -> q347TwoWayAnova _,
+    "q348_textrank"        -> q348Textrank _,
+    "q349_simpson_audit"   -> q349SimpsonAudit _,
+    "q350_qte"             -> q350Qte _)
 }

@@ -1350,7 +1350,329 @@ object OraclesNext {
         |SELECT a.my AS my1, b.my AS my0, a.md AS md1, b.md AS md0,
         |  (a.my - b.my) / (a.md - b.md) AS wald_estimate
         |FROM (SELECT * FROM m WHERE z = 1) a
-        |CROSS JOIN (SELECT * FROM m WHERE z = 0) b""".stripMargin)
+        |CROSS JOIN (SELECT * FROM m WHERE z = 0) b""".stripMargin,
+
+    "q341_survivorship" ->
+      """WITH base AS (SELECT c_custkey AS k, c_name AS nm,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+        |    c_mktsegment AS seg,
+        |    ('0x' || substr(md5('rc:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 100 AS recency,
+        |    'crm' AS src
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |clone AS (SELECT c_custkey AS k,
+        |    substr(c_name, 1, 3) || substr(c_name, 5, 1000) AS nm,
+        |    CAST(round(c_acctbal * 100) AS BIGINT)
+        |      + (('0x' || substr(md5('bd:' || CAST(c_custkey AS VARCHAR)),
+        |          1, 8))::BIGINT % 10001 - 5000) AS bal,
+        |    c_mktsegment AS seg,
+        |    ('0x' || substr(md5('rw:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 100 AS recency,
+        |    'web' AS src
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |recs AS (SELECT * FROM base UNION ALL SELECT * FROM clone),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY k
+        |    ORDER BY recency DESC, src) AS rn FROM recs)
+        |SELECT k AS custkey, CAST(count(*) AS BIGINT) AS n_records,
+        |  max(CASE WHEN rn = 1 THEN nm END) AS name_surv,
+        |  CAST(max(bal) AS DOUBLE) / 100.0 AS bal_surv,
+        |  min(seg) AS seg_surv
+        |FROM rk GROUP BY k ORDER BY custkey""".stripMargin,
+
+    "q342_cost_threshold" ->
+      """WITH d AS (SELECT n_chars,
+        |    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS y
+        |  FROM documents),
+        |rng AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM d),
+        |binned AS (SELECT
+        |    least((n_chars - lo) * 32 // (hi - lo + 1), 31) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+        |  FROM d CROSS JOIN rng GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(pos) AS BIGINT) AS pt FROM binned),
+        |sweep AS (SELECT bin AS thr,
+        |    COALESCE(CAST(sum(pos) OVER w AS BIGINT), CAST(0 AS BIGINT))
+        |      AS fn,
+        |    COALESCE(CAST(sum(n) OVER w AS BIGINT), CAST(0 AS BIGINT))
+        |      AS below,
+        |    nt, pt
+        |  FROM binned CROSS JOIN tot
+        |  WINDOW w AS (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT thr, fn, (pt - fn) AS tp,
+        |  ((nt - below) - (pt - fn)) AS fp,
+        |  (fn * 5 + ((nt - below) - (pt - fn))) AS cost
+        |FROM sweep ORDER BY cost, thr LIMIT 1""".stripMargin,
+
+    "q343_avg_precision" ->
+      """WITH ranked AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS rel,
+        |    CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+        |      AS BIGINT) AS k
+        |  FROM documents),
+        |hits AS (SELECT rel, k,
+        |    CAST(sum(rel) OVER (ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS hits
+        |  FROM ranked)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(rel) AS BIGINT) AS n_rel,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(CASE WHEN rel = 1
+        |        THEN CAST(hits AS DOUBLE) / CAST(k AS DOUBLE)
+        |        ELSE 0.0 END ORDER BY k)),
+        |    (a, x) -> a + x) / CAST(sum(rel) AS DOUBLE) AS avg_precision
+        |FROM hits""".stripMargin,
+
+    "q344_interleave" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, n_chars,
+        |    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS rel
+        |  FROM documents),
+        |ta AS (SELECT * FROM (SELECT doc_id, rel,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+        |  FROM docs) WHERE r <= 20),
+        |tb AS (SELECT * FROM (SELECT doc_id, rel,
+        |    row_number() OVER (ORDER BY doc_id) AS r
+        |  FROM docs) WHERE r <= 20),
+        |la AS (SELECT list(doc_id ORDER BY r) AS ids,
+        |    list(rel ORDER BY r) AS rels FROM ta),
+        |lb AS (SELECT list(doc_id ORDER BY r) AS ids,
+        |    list(rel ORDER BY r) AS rels FROM tb),
+        |draft AS (
+        |  SELECT CAST(0 AS BIGINT) AS pos, CAST([] AS BIGINT[]) AS picked,
+        |    CAST([] AS BIGINT[]) AS team, CAST([] AS BIGINT[]) AS rel
+        |  UNION ALL
+        |  SELECT d.pos + 1,
+        |    list_append(d.picked, CASE WHEN (d.pos + 1) % 2 = 1
+        |      THEN list_filter(la.ids,
+        |        x -> NOT list_contains(d.picked, x))[1]
+        |      ELSE list_filter(lb.ids,
+        |        x -> NOT list_contains(d.picked, x))[1] END),
+        |    list_append(d.team, CASE WHEN (d.pos + 1) % 2 = 1
+        |      THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END),
+        |    list_append(d.rel, CASE WHEN (d.pos + 1) % 2 = 1
+        |      THEN la.rels[list_position(la.ids, list_filter(la.ids,
+        |        x -> NOT list_contains(d.picked, x))[1])]
+        |      ELSE lb.rels[list_position(lb.ids, list_filter(lb.ids,
+        |        x -> NOT list_contains(d.picked, x))[1])] END)
+        |  FROM draft d CROSS JOIN la CROSS JOIN lb
+        |  WHERE d.pos < 10)
+        |SELECT CAST(i AS BIGINT) AS pos, picked[i] AS doc_id,
+        |  team[i] AS team, rel[i] AS rel
+        |FROM draft CROSS JOIN range(1, 11) t(i)
+        |WHERE pos = 10 ORDER BY pos""".stripMargin,
+
+    "q345_knapsack_dp" ->
+      """WITH RECURSIVE items AS (SELECT doc_id,
+        |    n_chars // 50 + 1 AS w,
+        |    CAST(length(list_distinct(string_split(text, ' ')))
+        |      AS BIGINT) AS v
+        |  FROM documents WHERE doc_id < 35),
+        |it AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT)
+        |    AS r, w, v FROM items),
+        |nit AS (SELECT CAST(count(*) AS BIGINT) AS n FROM it),
+        |dp AS (
+        |  SELECT CAST(0 AS BIGINT) AS r,
+        |    list_transform(range(0, 61), c -> CAST(0 AS BIGINT)) AS dpv
+        |  UNION ALL
+        |  SELECT d.r + 1,
+        |    list_transform(range(0, 61), c ->
+        |      CASE WHEN c >= it.w
+        |        THEN greatest(d.dpv[CAST(c + 1 AS INTEGER)],
+        |          d.dpv[CAST(c - it.w + 1 AS INTEGER)] + it.v)
+        |        ELSE d.dpv[CAST(c + 1 AS INTEGER)] END)
+        |  FROM dp d JOIN it ON it.r = d.r + 1),
+        |gitems AS (SELECT CAST(row_number() OVER (
+        |    ORDER BY CAST(v AS DOUBLE) / CAST(w AS DOUBLE) DESC, doc_id)
+        |    AS BIGINT) AS r, w, v FROM items),
+        |gr AS (
+        |  SELECT CAST(0 AS BIGINT) AS r, CAST(60 AS BIGINT) AS rem,
+        |    CAST(0 AS BIGINT) AS tot
+        |  UNION ALL
+        |  SELECT g.r,
+        |    CASE WHEN g.w <= gr.rem THEN gr.rem - g.w ELSE gr.rem END,
+        |    CASE WHEN g.w <= gr.rem THEN gr.tot + g.v ELSE gr.tot END
+        |  FROM gr JOIN gitems g ON g.r = gr.r + 1)
+        |SELECT (SELECT n FROM nit) AS n_items,
+        |  CAST(60 AS BIGINT) AS capacity,
+        |  (SELECT dpv[61] FROM dp JOIN nit ON dp.r = nit.n) AS best_value,
+        |  (SELECT tot FROM gr JOIN nit ON gr.r = nit.n) AS greedy_value
+        |""".stripMargin,
+
+    "q346_merge_apply" ->
+      """WITH base AS (SELECT c_custkey AS k,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+        |mx AS (SELECT max(k) AS mk FROM base),
+        |chg0 AS (
+        |  SELECT k, 'U' AS op, bal + 100 AS nbal FROM base WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, 'D' AS op, CAST(NULL AS BIGINT) AS nbal FROM base
+        |  WHERE k % 11 = 0
+        |  UNION ALL
+        |  SELECT mk + i AS k, 'I' AS op, CAST(mk + i AS BIGINT) AS nbal
+        |  FROM mx CROSS JOIN range(1, 51) t(i)),
+        |chg AS (SELECT k, op, nbal FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY
+        |      CASE WHEN op = 'D' THEN 0 WHEN op = 'U' THEN 1 ELSE 2 END)
+        |    AS rk
+        |  FROM chg0) WHERE rk = 1),
+        |merged AS (SELECT base.bal, chg.op, chg.nbal
+        |  FROM base FULL OUTER JOIN chg ON base.k = chg.k)
+        |SELECT
+        |  CAST(sum(CASE WHEN op IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unchanged,
+        |  CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_inserted,
+        |  CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_updated,
+        |  CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_deleted,
+        |  CAST(sum(CASE WHEN op IS NULL OR op <> 'D' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_final,
+        |  CAST(sum(CASE WHEN op IS NULL OR op <> 'D' THEN
+        |      CASE WHEN op = 'U' OR op = 'I' THEN nbal ELSE bal END
+        |    ELSE 0 END) AS BIGINT) AS sum_bal_cents
+        |FROM merged""".stripMargin,
+
+    "q347_two_way_anova" ->
+      """WITH d AS (SELECT c_mktsegment AS a, c_custkey % 2 AS b,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS y FROM customer),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS nc,
+        |    CAST(sum(y) AS BIGINT) AS tc FROM d GROUP BY a, b),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS t,
+        |    CAST(sum(y * y) AS BIGINT) AS syy FROM d),
+        |ma AS (SELECT a, CAST(sum(nc) AS BIGINT) AS na,
+        |    CAST(sum(tc) AS BIGINT) AS ta FROM cells GROUP BY a),
+        |fa AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(CAST(ta AS DOUBLE) * CAST(ta AS DOUBLE)
+        |      / CAST(na AS DOUBLE) ORDER BY a)),
+        |    (acc, x) -> acc + x) AS fa FROM ma),
+        |mb AS (SELECT b, CAST(sum(nc) AS BIGINT) AS nb,
+        |    CAST(sum(tc) AS BIGINT) AS tb FROM cells GROUP BY b),
+        |fb AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(CAST(tb AS DOUBLE) * CAST(tb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE) ORDER BY b)),
+        |    (acc, x) -> acc + x) AS fb FROM mb),
+        |fc AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(CAST(tc AS DOUBLE) * CAST(tc AS DOUBLE)
+        |      / CAST(nc AS DOUBLE) ORDER BY a, b)),
+        |    (acc, x) -> acc + x) AS fc,
+        |    CAST(count(*) AS BIGINT) AS ncells FROM cells),
+        |fin AS (SELECT n, syy, fa, fb, fc, ncells,
+        |    CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS cm
+        |  FROM tot CROSS JOIN fa CROSS JOIN fb CROSS JOIN fc)
+        |SELECT n AS n_cust, fa - cm AS ss_a, fb - cm AS ss_b,
+        |  fc - fa - fb + cm AS ss_ab,
+        |  CAST(syy AS DOUBLE) - fc AS ss_err,
+        |  ((fa - cm) / 4.0)
+        |    / ((CAST(syy AS DOUBLE) - fc) / CAST(n - ncells AS DOUBLE))
+        |    AS f_a,
+        |  ((fb - cm) / 1.0)
+        |    / ((CAST(syy AS DOUBLE) - fc) / CAST(n - ncells AS DOUBLE))
+        |    AS f_b,
+        |  ((fc - fa - fb + cm) / 4.0)
+        |    / ((CAST(syy AS DOUBLE) - fc) / CAST(n - ncells AS DOUBLE))
+        |    AS f_ab
+        |FROM fin""".stripMargin,
+
+    "q348_textrank" -> {
+      s"""WITH toks AS MATERIALIZED (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w,
+        |    CAST(generate_subscripts(string_split(text, ' '), 1)
+        |      AS BIGINT) AS pos
+        |  FROM documents),
+        |lagged AS (SELECT doc_id, pos, w,
+        |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        |  FROM toks),
+        |pairs AS MATERIALIZED (SELECT least(w1, w) AS x,
+        |    greatest(w1, w) AS y, CAST(count(*) AS BIGINT) AS cw
+        |  FROM lagged WHERE w1 IS NOT NULL AND w1 <> w GROUP BY 1, 2),
+        |nbr AS MATERIALIZED (SELECT x AS a, y AS b, cw FROM pairs
+        |  UNION ALL SELECT y, x, cw FROM pairs),
+        |wout AS MATERIALIZED (SELECT b AS node,
+        |    CAST(sum(cw) AS BIGINT) AS wj FROM nbr GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM wout),
+        |pr0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS pr
+        |  FROM wout),
+        |${(1 to 6).map(trRound).mkString(",\n")}
+        |SELECT node AS word, pr AS textrank FROM pr6
+        |ORDER BY pr DESC, node LIMIT 15""".stripMargin
+    },
+
+    "q349_simpson_audit" ->
+      """WITH strata AS (SELECT c_nationkey AS stratum,
+        |    CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+        |      AND c_acctbal > 5000.0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+        |      AND NOT c_acctbal > 5000.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b,
+        |    CAST(sum(CASE WHEN c_mktsegment <> 'AUTOMOBILE'
+        |      AND c_acctbal > 5000.0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN c_mktsegment <> 'AUTOMOBILE'
+        |      AND NOT c_acctbal > 5000.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d
+        |  FROM customer GROUP BY 1),
+        |agg AS (SELECT CAST(sign(CAST(sum(a) * sum(d) - sum(b) * sum(c)
+        |    AS DOUBLE)) AS BIGINT) AS agg_dir FROM strata),
+        |dirs AS (SELECT stratum,
+        |    CAST(sign(CAST(a * d - b * c AS DOUBLE)) AS BIGINT) AS dir
+        |  FROM strata)
+        |SELECT max(agg_dir) AS aggregate_direction,
+        |  CAST(count(*) AS BIGINT) AS n_strata,
+        |  CAST(sum(CASE WHEN dir = agg_dir THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_agree,
+        |  CAST(sum(CASE WHEN dir = -agg_dir THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_reversed,
+        |  CAST(sum(CASE WHEN dir = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null
+        |FROM dirs CROSS JOIN agg""".stripMargin,
+
+    "q350_qte" ->
+      """WITH d AS (SELECT
+        |    CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(1 AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS z,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS yv, c_custkey
+        |  FROM customer),
+        |ranked AS (SELECT z, yv,
+        |    CAST(row_number() OVER (PARTITION BY z
+        |      ORDER BY yv, c_custkey) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY z) AS BIGINT) AS nz
+        |  FROM d),
+        |qs AS (SELECT z, CAST(i AS BIGINT) AS decile,
+        |    CAST(max(yv) AS BIGINT) AS yq
+        |  FROM ranked CROSS JOIN range(1, 10) t(i)
+        |  WHERE rn = (nz * i + 9) // 10 GROUP BY 1, 2)
+        |SELECT t.decile, CAST(t.yq AS DOUBLE) / 100.0 AS y_treat,
+        |  CAST(c.yq AS DOUBLE) / 100.0 AS y_ctrl,
+        |  CAST(t.yq AS DOUBLE) / 100.0 - CAST(c.yq AS DOUBLE) / 100.0
+        |    AS qte
+        |FROM (SELECT * FROM qs WHERE z = 1) t
+        |JOIN (SELECT * FROM qs WHERE z = 0) c USING (decile)
+        |ORDER BY decile""".stripMargin)
+
+  /** One q348 TextRank round: inflow via neighbor-ascending folds over
+    * the weighted transition wᵢⱼ∕Wⱼ, then the damped update — mirrors
+    * the engine loop op-for-op (0.25∕n + 0.75·inflow). */
+  private def trRound(k: Int): String = {
+    val prev = s"pr${k - 1}"
+    s"""ct$k AS MATERIALIZED (SELECT nbr.a AS node,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list($prev.pr * (CAST(nbr.cw AS DOUBLE)
+       |        / CAST(wout.wj AS DOUBLE)) ORDER BY nbr.b)),
+       |      (acc, x) -> acc + x) AS inflow
+       |  FROM nbr JOIN $prev ON $prev.node = nbr.b
+       |  JOIN wout ON wout.node = nbr.b
+       |  GROUP BY nbr.a),
+       |pr$k AS MATERIALIZED (SELECT wout.node,
+       |    0.25 / CAST(nn AS DOUBLE) + 0.75 * COALESCE(inflow, 0.0) AS pr
+       |  FROM wout LEFT JOIN ct$k ON ct$k.node = wout.node
+       |  CROSS JOIN nn)""".stripMargin
+  }
 
   /** One q332 gESD round: mean/sd from the surviving integer sums, the
     * (r DESC, ds) argmax pick, and the anti-joined remainder. */
