@@ -34,7 +34,7 @@ object CatalogNext {
   /** q208's per-user survival frame: t = days from first event to first
     * big purchase (value > 150), right-censored at the corpus end, with a
     * deterministic two-arm split on user-id parity for the log-rank test. */
-  private def survivalFrame(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def survivalFrame(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val users = ev.groupBy(col("user_id"))
       .agg(min(to_date(col("ts"))).as("first_d"),

@@ -35,7 +35,7 @@ object OraclesNext {
   }
 
   /** Shared survival-frame CTEs (q208's derivation + the q301 arm split). */
-  private val lifeCtes: String =
+  private[queries] val lifeCtes: String =
     """users AS (SELECT user_id,
       |    min(CAST(ts AS DATE)) AS first_d,
       |    min(CASE WHEN event_type = 'purchase' AND value > 150.0
