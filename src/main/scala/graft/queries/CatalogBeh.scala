@@ -129,6 +129,11 @@ object CatalogBeh {
       .groupBy(col("a.item").as("x"), col("b.item").as("y"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
       .select(col("x"), col("y"))
+    threeCoreOf(edges)
+  }
+
+  /** q374's peel on an explicit (x, y) edge frame (ScaleProbe). */
+  private[graft] def threeCoreOf(edges: DataFrame): DataFrame = {
     var nbr = graft.dedup.Dedup.lineageCutLazy(
       edges.select(col("x").as("a"), col("y").as("b"))
         .unionAll(edges.select(col("y").as("a"), col("x").as("b"))))
@@ -235,6 +240,13 @@ object CatalogBeh {
         (u32(concat(lit("mw:"), col("id"))) % 2592000L
           + 1704067200L).as("s2"))
       .withColumn("e2", col("s2") + 21600L)
+    overlapOf(spans, wins)
+  }
+
+  /** q377's bucketed overlap join on explicit span/window frames
+    * (ScaleProbe entry point). */
+  private[graft] def overlapOf(spans: DataFrame, wins: DataFrame): DataFrame = {
+    val bucket = 604800L
     val sb = spans.withColumn("bk", explode(sequence(
       expr(s"s1 div $bucket"), expr(s"(e1 - 1) div $bucket"))))
     val wb = wins.withColumn("bk", explode(sequence(

@@ -38,8 +38,11 @@ object CatalogDec {
     * RATIONAL in θ, so six Newton rounds (t-ascending folds, one-row θ
     * state) replay bit-for-bit in the oracle with zero transcendentals.
     * Score at θ=1 is exactly the log-rank O−E (q301 cross-check law). */
-  def q361CoxPh(s: SparkSession, dir: String): DataFrame = {
-    val life = CatalogNext.survivalFrame(s, dir)
+  def q361CoxPh(s: SparkSession, dir: String): DataFrame =
+    coxOf(s, CatalogNext.survivalFrame(s, dir))
+
+  /** q361's core on an explicit (g, t, death) life frame (ScaleProbe). */
+  private[graft] def coxOf(s: SparkSession, life: DataFrame): DataFrame = {
     val byT = life.groupBy(col("t")).agg(
       sum(when(col("g") === 1, lit(1L)).otherwise(lit(0L))).as("e1"),
       sum(when(col("g") === 0, lit(1L)).otherwise(lit(0L))).as("e0"),

@@ -1879,8 +1879,12 @@ object CatalogNext {
     * discipline), all folds neighbor-ascending so the oracle replays
     * every round. Top-15 keywords — the graph-centrality alternative to
     * q99's TF-IDF. */
-  def q348Textrank(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+  def q348Textrank(s: SparkSession, dir: String): DataFrame =
+    textrankOf(Tables.documents(s, dir))
+
+  /** q348's core on an explicit docs frame (ScaleProbe entry point). */
+  private[graft] def textrankOf(docsDf: DataFrame): DataFrame = {
+    val toks = docsDf
       .select(col("doc_id"), posexplode(split(col("text"), " "))
         .as(Seq("pos", "w")))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

@@ -187,7 +187,58 @@ object ScaleProbe {
         val cands = cust.select(col("c_name"), bkey(col("c_name")).as("bk"))
         probes.join(cands, Seq("bk"))
           .filter(levenshtein(col("probe"), col("c_name")) <= 1)
-          .count() })
+          .count() },
+      // Round-9c heavies (this session's iterative additions):
+      //  - q348: suffixed tokens make each copy's vocabulary DISJOINT, so
+      //    the word graph grows linearly in nodes+edges while the 6
+      //    PageRank rounds stay fixed — expect alpha ~ 1 (node-sized
+      //    shuffles per round, the q83 shape).
+      //  - q361: replicated users (id offset) grow the per-user aggregate
+      //    linearly while the day-grain risk table — and so every Newton
+      //    fold — stays CONSTANT-sized: the dominant cost is the one
+      //    groupBy over users.
+      //  - q374: disjoint edge copies, peel rounds fixed at 12; per-round
+      //    cost is one degree aggregate + semi-joins over the surviving
+      //    (linearly growing) edge set.
+      //  - q377: span copies with offset user ids against the FIXED 40
+      //    maintenance windows — candidate pairs grow linearly because
+      //    the bucket join keys stay put.
+      "q348_textrank" -> { k: Int =>
+        graft.queries.CatalogNext.textrankOf(docs(k)).count() },
+      "q361_cox" -> { k: Int =>
+        val evBase = Tables.events(spark, "/root/testdata/sf0.1")
+        val ev = (0 until k).map { i =>
+          evBase.select((col("user_id") + lit(i * 10000000L)).as("user_id"),
+            col("ts"), col("event_type"), col("value"))
+        }.reduce(_ unionByName _)
+        val users = ev.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("first_d"),
+            min(when(col("event_type") === "purchase" && col("value") > 150.0,
+              to_date(col("ts")))).as("conv_d"))
+        val horizon = ev.agg(max(to_date(col("ts"))).as("max_d"))
+        val life = users.crossJoin(broadcast(horizon))
+          .select((col("user_id") % 2).as("g"),
+            datediff(coalesce(col("conv_d"), col("max_d")), col("first_d"))
+              .cast("long").as("t"),
+            col("conv_d").isNotNull.cast("long").as("death"))
+        graft.queries.CatalogDec.coxOf(spark, life).count() },
+      "q374_three_core" -> { k: Int =>
+        graft.queries.CatalogBeh.threeCoreOf(
+          edges(k).select(col("src").as("x"), col("dst").as("y"))).count() },
+      "q377_interval_overlap" -> { k: Int =>
+        val evBase = Tables.events(spark, "/root/testdata/sf0.1")
+        val spans = (0 until k).map { i =>
+          evBase.select((col("user_id") + lit(i * 10000000L)).as("user_id"),
+            col("ts"))
+        }.reduce(_ unionByName _)
+          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(unix_seconds(min(col("ts"))).as("s1"),
+            (unix_seconds(max(col("ts"))) + 1L).as("e1"))
+        val wins = spark.range(40).select(col("id").as("w"),
+            (conv(substring(md5(concat(lit("mw:"), col("id"))), 1, 8), 16, 10)
+              .cast("long") % 2592000L + 1704067200L).as("s2"))
+          .withColumn("e2", col("s2") + 21600L)
+        graft.queries.CatalogBeh.overlapOf(spans, wins).count() })
     val ks = Seq(1, 4, 10)
     val filter = sys.env.get("SPARK_GRAFT_HEAVY_ONLY").map(_.split(',').toSet)
     var allSub = true
