@@ -1477,18 +1477,24 @@ object CatalogNext {
       .select(col("et"), col("dow"), col("n"), col("ntot"),
         col("n").cast("double").as("w"))
     for (_ <- 1 to 5) {
+      // each half-round references w TWICE (margin agg + re-join): without
+      // a per-round lineage cut the plan doubles twice per round and the
+      // 35-row grid costs a full recomputation cascade (measured 58.7 s at
+      // sf0.1 in BENCH_r9 before the cut — the q83/q321 lesson, again)
       val rowm = w.groupBy(col("et").as("ret"))
         .agg(foldSorted(col("dow"), col("w")).as("rm"))
-      w = w.join(broadcast(rowm), col("et") === col("ret"))
-        .select(col("et"), col("dow"), col("n"), col("ntot"),
-          (col("w") * ((col("ntot").cast("double") / lit(5.0)) / col("rm")))
-            .as("w"))
+      w = graft.dedup.Dedup.lineageCutLazy(
+        w.join(broadcast(rowm), col("et") === col("ret"))
+          .select(col("et"), col("dow"), col("n"), col("ntot"),
+            (col("w") * ((col("ntot").cast("double") / lit(5.0)) / col("rm")))
+              .as("w")))
       val colm = w.groupBy(col("dow").as("rdow"))
         .agg(foldSorted(col("et"), col("w")).as("cm"))
-      w = w.join(broadcast(colm), col("dow") === col("rdow"))
-        .select(col("et"), col("dow"), col("n"), col("ntot"),
-          (col("w") * ((col("ntot").cast("double") / lit(7.0)) / col("cm")))
-            .as("w"))
+      w = graft.dedup.Dedup.lineageCutLazy(
+        w.join(broadcast(colm), col("dow") === col("rdow"))
+          .select(col("et"), col("dow"), col("n"), col("ntot"),
+            (col("w") * ((col("ntot").cast("double") / lit(7.0)) / col("cm")))
+              .as("w")))
     }
     w.select(col("et").as("event_type"), col("dow"), col("n"),
         col("w").as("raked"))
