@@ -24,9 +24,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
  */
 object KvStreamSink {
 
-  /** The per-batch handler (public for direct spec-level law testing). */
-  def handleBatch(path: String, keyCol: String, buckets: Int)(
-      batch: DataFrame, epoch: Long): Unit = {
+  /** The per-batch handler (public for direct spec-level law testing).
+    * `compactOver`: after the epoch commits, run [[graft.sources.KvCompact]]
+    * when the live segment count exceeds it — the LSM policy that keeps
+    * per-bucket read amplification bounded FOREVER under continuous
+    * ingest (compaction happens after the `_epoch` bump, so a crash
+    * mid-compaction is invisible: the epoch is already durable and
+    * compaction itself is manifest-atomic). 0 disables. */
+  def handleBatch(path: String, keyCol: String, buckets: Int,
+      compactOver: Int = 0)(batch: DataFrame, epoch: Long): Unit = {
     val root = Paths.get(path)
     val marker = root.resolve("_epoch")
     val last =
@@ -42,14 +48,18 @@ object KvStreamSink {
     Files.write(tmp, epoch.toString.getBytes)
     Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    if (compactOver > 0)
+      graft.sources.KvCompact.maybeCompact(path, compactOver)
   }
 
   /** Start a streaming query that upserts `stream` into the graft-kv
-    * table at `path` keyed by `keyCol`. */
+    * table at `path` keyed by `keyCol`, compacting whenever the live
+    * segment count exceeds `compactOver` (0 = never). */
   def run(stream: DataFrame, path: String, keyCol: String,
-      checkpoint: String, buckets: Int = 8): StreamingQuery =
+      checkpoint: String, buckets: Int = 8,
+      compactOver: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch(handleBatch(path, keyCol, buckets) _)
+      .foreachBatch(handleBatch(path, keyCol, buckets, compactOver) _)
       .start()
 }

@@ -76,4 +76,25 @@ class KvStreamSinkSpec extends SparkSpec {
       assert(state(path) === Map("doc-1" -> 5L, "doc-2" -> 2L))
     } finally q.stop()
   }
+
+  test("compactOver policy: segments stay bounded under continuous ingest; state unchanged") {
+    val path = tmpDir("kvcompactstream")
+    def segs: Int = graft.sources.KvStore
+      .readManifest(java.nio.file.Paths.get(path)).map(_.segments.size)
+      .getOrElse(0)
+    val handler = KvStreamSink.handleBatch(path, "data_key", 2,
+      compactOver = 3) _
+    (0 until 8).foreach { e =>
+      handler(Seq((s"k${e % 3}", e.toLong), ("hot", e.toLong * 10))
+        .toDF("data_key", "v"), e.toLong)
+      assert(segs <= 3 + 2,
+        s"epoch $e left $segs live segments (cap 3 + <=2-bucket burst)")
+    }
+    // state equals the full recompute over everything ingested
+    assert(state(path) === Map("k0" -> 6L, "k1" -> 7L, "k2" -> 5L,
+      "hot" -> 70L))
+    // replay of an old epoch after compaction is still a no-op
+    handler(Seq(("hot", 999L)).toDF("data_key", "v"), 2L)
+    assert(state(path)("hot") === 70L)
+  }
 }
