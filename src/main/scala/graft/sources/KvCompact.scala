@@ -20,11 +20,22 @@ import scala.jdk.CollectionConverters._
  *  - the manifest rename is the commit point: a crash anywhere before it
  *    leaves the previous generation fully intact (old segments are only
  *    deleted AFTER the rename);
+ *  - snapshot isolation with one-generation grace: GC retains the
+ *    previous manifest generation AND every data file it references, so
+ *    a reader that planned its scan against the pre-compaction manifest
+ *    reads the identical snapshot while/after compaction runs; only
+ *    strictly older generations are garbage. (At 100 TB this is the
+ *    standard table-format retention window — readers are expected to
+ *    finish within one maintenance cycle, and the window is one knob
+ *    away from N generations if they don't.)
  *  - a concurrent/replayed append is safe: appends stack a new
  *    generation on whatever manifest they read, and compaction of gen G
  *    produces gen G+1 — the monotone-generation rule the streaming
  *    sink's `_epoch` guard already relies on (compaction never touches
- *    `_epoch`).
+ *    `_epoch`). Two writers racing to the SAME generation cannot lose
+ *    an update silently: `KvStore.writeManifest` commits by hard-link,
+ *    which fails on an existing target, so the loser gets an
+ *    IllegalStateException and must re-read + retry.
  *
  * At 100 TB the per-bucket loop is an embarrassingly parallel job (one
  * task per bucket — the same partitioning the reader plans); on this
@@ -50,7 +61,7 @@ object KvCompact {
       .fromDDL(m.schemaDdl).fieldIndex(m.keyCol)
     val committed = (0 until m.buckets).flatMap { b =>
       val prefix = f"b$b%04d-"
-      val segs = m.segments.filter(_.substring(8).startsWith(prefix))
+      val segs = m.segments.filter(s => KvStore.bucketPart(s).startsWith(prefix))
       if (segs.isEmpty) None
       else {
         // the reader's resolution, verbatim: manifest order, last write
@@ -80,13 +91,30 @@ object KvCompact {
     }
     KvStore.writeManifest(root, KvStore.Manifest(gen, m.schemaDdl,
       m.keyCol, m.buckets, committed))
-    // the new manifest is live — previous-generation data files and old
-    // manifest jsons are now garbage
-    m.segments.foreach { seg =>
-      Files.deleteIfExists(root.resolve("data").resolve(seg))
+    // The new manifest is live. GC with one-generation grace: the
+    // previous manifest (gen m.gen) and every segment it references
+    // survive so concurrent readers of that snapshot finish cleanly;
+    // data files from generations < the new one that the previous
+    // manifest does NOT reference are garbage from older cycles.
+    // Files stamped with the new generation are never touched (they are
+    // either ours or an in-flight append's staging-moved segments).
+    val retained = m.segments.toSet
+    val dataDir = root.resolve("data")
+    Files.list(dataDir).iterator().asScala.toSeq.foreach { p =>
+      val n = p.getFileName.toString
+      if (segGen(n).exists(g => g < gen) && !retained.contains(n))
+        Files.deleteIfExists(p)
     }
-    gcManifests(root, keep = gen)
+    gcManifests(root, keepFrom = m.gen)
     (before, committed.size)
+  }
+
+  /** Generation stamp of a committed segment name `g<gen>-...`, if the
+    * name parses (staging/stray files don't — they are left alone). */
+  private def segGen(name: String): Option[Long] = {
+    val i = name.indexOf('-')
+    if (i <= 1 || name.charAt(0) != 'g') None
+    else try Some(name.substring(1, i).toLong) catch { case _: NumberFormatException => None }
   }
 
   /** LSM policy hook: compact only when the live segment count exceeds
@@ -99,12 +127,12 @@ object KvCompact {
     }
   }
 
-  private def gcManifests(root: Path, keep: Long): Unit = {
+  private def gcManifests(root: Path, keepFrom: Long): Unit = {
     val md = root.resolve("manifest")
     if (!Files.isDirectory(md)) return
     Files.list(md).iterator().asScala.toSeq.foreach { p =>
       val n = p.getFileName.toString
-      if (n.endsWith(".json") && n.stripSuffix(".json").toLong < keep)
+      if (n.endsWith(".json") && n.stripSuffix(".json").toLong < keepFrom)
         Files.deleteIfExists(p)
     }
   }

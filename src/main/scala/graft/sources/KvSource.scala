@@ -59,6 +59,12 @@ object KvStore {
   def bucketOf(key: String, buckets: Int): Int =
     ((key.hashCode % buckets) + buckets) % buckets
 
+  /** Strip the generation prefix (`g<gen>-`) from a committed segment
+    * name, leaving the bucket-leading task-local part (`b%04d-...`).
+    * Parsed after the first '-' rather than at a fixed offset so a
+    * generation wider than %06d still resolves to its bucket. */
+  def bucketPart(seg: String): String = seg.substring(seg.indexOf('-') + 1)
+
   /** Serialize one field (Spark internal representation) to text. */
   def fieldToText(row: InternalRow, i: Int, dt: DataType): String = {
     if (row.isNullAt(i)) return Null
@@ -115,8 +121,19 @@ object KvStore {
       s"""{"gen": ${m.gen}, "schema": ${q(m.schemaDdl)}, "keyCol": ${q(m.keyCol)}, "buckets": ${m.buckets}, "segments": [${m.segments.map(q).mkString(", ")}]}"""
     val tmp = dir.resolve("manifest").resolve(f".${m.gen}%020d.tmp")
     Files.write(tmp, json.getBytes(UTF_8))
-    Files.move(tmp, dir.resolve("manifest").resolve(f"${m.gen}%020d.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    // Commit via hard-link, which atomically FAILS if the target already
+    // exists (POSIX rename would silently replace it): two writers racing
+    // to the same generation surface as an error instead of a lost update.
+    val target = dir.resolve("manifest").resolve(f"${m.gen}%020d.json")
+    try Files.createLink(target, tmp)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"graft-kv: manifest generation ${m.gen} was already committed " +
+            "by a concurrent writer; re-read the manifest and retry", e)
+    }
+    Files.deleteIfExists(tmp)
   }
 
   /** Latest committed manifest, if any (orphan tmp files ignored). */
@@ -341,7 +358,8 @@ private[sources] class KvScan(dir: String, m: KvStore.Manifest,
     (0 until m.buckets).map { b =>
       val prefix = f"b$b%04d-"
       // segment names: g<gen>-b<bucket>-...; manifest order is commit order
-      KvBucketPartition(b, m.segments.filter(_.substring(8).startsWith(prefix)))
+      KvBucketPartition(b, m.segments.filter(s =>
+        KvStore.bucketPart(s).startsWith(prefix)))
     }.filter(_.segments.nonEmpty).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =

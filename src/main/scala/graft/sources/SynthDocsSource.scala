@@ -121,12 +121,16 @@ private[sources] class SynthScanBuilder(rows: Long, seed: String, parts: Int)
            LessThanOrEqual("doc_id", _: Long) | IsNotNull(_) => true
       case _ => false
     }
+    // saturating successor: v+1 at Long.MaxValue would wrap to MinValue and
+    // (since these filters are reported fully handled) silently flip the
+    // bound; MaxValue itself is a correct saturation because doc_id < rows.
+    def succ(v: Long): Long = if (v == Long.MaxValue) Long.MaxValue else v + 1
     accepted.foreach {
-      case EqualTo("doc_id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
-      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1)
+      case EqualTo("doc_id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, succ(v))
+      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, succ(v))
       case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v)
       case LessThan("doc_id", v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1)
+      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, succ(v))
       case IsNotNull(_) => ()
     }
     pushed = accepted
