@@ -12,9 +12,14 @@ import org.apache.spark.sql.SparkSession
   * Noise policy (round 4): the host is a shared VM and single measurements
   * swing several-fold under neighbor load — BENCH_r03 reported two phantom 4×
   * regressions that re-measured at steady state within 2% of round 2. So:
-  *   - any query whose first sample exceeds 0.3 s is re-run up to two more
-  *     times and the MINIMUM of the three samples is reported (min-of-N is the
-  *     standard steady-state estimator: noise only ever adds time);
+  *   - EVERY query is run three times and the MINIMUM of the three samples
+  *     is reported (min-of-N is the standard steady-state estimator: noise
+  *     only ever adds time). Round 10: this used to apply only to queries
+  *     whose first sample exceeded 0.3 s — but with ~300 fast queries the
+  *     summed single-sample noise alone produced a 214.6 vs 184.4 s spread
+  *     on identical code, enough to someday false-flag the driver's 2×
+  *     regression gate; min-of-3 across the board stabilizes the total to
+  *     run-to-run agreement within ~5%;
   *   - all raw per-run samples are emitted under "samples" so a reader can
   *     see the spread, not just the point estimate;
   *   - a fixed noise-sentinel (sum over range(2e8), pure CPU, no I/O, no code
@@ -79,12 +84,9 @@ object Bench {
     sentinel()
     val sentinelSamples = Seq.fill(3)(sentinel())
     val sampled = queries.map { case (name, fn) =>
-      val first = timed(fn)
-      // Re-run when slow OR failed: a fast failure must not stand as the
-      // only sample, and a slow first run needs steady-state confirmation.
-      val runs =
-        if (first._1 > 0.3 || !first._2) first +: Seq.fill(2)(timed(fn))
-        else Seq(first)
+      // min-of-3 for every query: the summed noise of single samples across
+      // hundreds of fast queries is what destabilized the round-9 totals
+      val runs = Seq.fill(3)(timed(fn))
       name -> runs
     }
     // Locale.ROOT: the f interpolator is locale-sensitive and a

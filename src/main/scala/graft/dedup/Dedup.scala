@@ -580,38 +580,17 @@ object Dedup {
 
   // ---------------------------------------------------------- clustering ----
 
-  /** Per-round lineage cut for iterative dataflows: reliable `checkpoint`
-    * when the session has a checkpoint dir configured (the fault-tolerant
-    * cluster path — a lost executor replays from the checkpoint files, so a
-    * 100 TB run survives mid-loop failures), else eager `localCheckpoint`
-    * (the local fast path; executor-held blocks, documented as
-    * non-fault-tolerant, fine on local[n]). Callers opt into reliability
-    * with `sparkContext.setCheckpointDir(...)` — no API change.
-    *
-    * DISK NOTE for the reliable path: each cut writes a snapshot to the
-    * checkpoint dir and Spark deletes superseded ones only when
-    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
-    * context-start conf, default false — files otherwise persist until the
-    * application exits). Set it on any long-running cluster job using the
-    * iterative operators here, or point the checkpoint dir at
-    * storage-lifecycle-managed scratch space. */
+  /** Eager per-round lineage cut — canonical implementation and full
+    * semantics now live in [[graft.ops.IterativeLoop.cut]] (round 10:
+    * the loop discipline was extracted into one shared combinator). */
   private[graft] def lineageCut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+    graft.ops.IterativeLoop.cut(df)
 
-  /** Lineage cut for FIXED-ITERATION loops (PageRank, PCA): the local
-    * branch defers materialization to the final action, so the whole loop
-    * runs as one job instead of one eager-checkpoint job per round
-    * (measured on q83: 20.6 s → ~4 s at sf0.1). The reliable branch stays
-    * EAGER on purpose: Spark's non-eager `checkpoint(false)` neither
-    * persists nor reliably writes intermediate marked RDDs
-    * (checkpointAllMarkedAncestors defaults to false), so a lazy reliable
-    * cut would silently skip the fault-tolerance checkpoint it claims to
-    * provide. Convergence-driven loops (connectedComponents) use
-    * [[lineageCut]] — they act every round anyway. */
+  /** Lazy lineage cut for fixed-iteration loops — see
+    * [[graft.ops.IterativeLoop.cutLazy]] for the local-vs-reliable
+    * branch semantics. */
   private[graft] def lineageCutLazy(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(false)
+    graft.ops.IterativeLoop.cutLazy(df)
 
   /**
    * Connected components over a near-dup pair list: labels every document

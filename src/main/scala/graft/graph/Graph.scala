@@ -53,21 +53,19 @@ object Graph {
     val eWithDeg = lazyCut(e.join(outdeg, "src"))
     val nTotal = nodes.agg(count(lit(1)).as("n_nodes"))
     val base = lazyCut(nodes.crossJoin(broadcast(nTotal)))
-    var ranks = base
+    val ranks0 = base
       .select(col("node"), expr(s"CAST($scale AS BIGINT) div n_nodes").as("rank"))
-    for (_ <- 1 to iterations) {
+    graft.ops.IterativeLoop.fixed(ranks0, iterations) { (ranks, _) =>
       val contrib = eWithDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst"))
         .agg(sum(expr("rank div outdeg")).as("contrib"))
-      ranks = lazyCut(
-        base
-          .join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"),
-            (expr(s"((15 * CAST($scale AS BIGINT)) div 100) div n_nodes") +
-              expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100")).as("rank")))
+      base
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (expr(s"((15 * CAST($scale AS BIGINT)) div 100) div n_nodes") +
+            expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100")).as("rank"))
     }
-    ranks
   }
 
   /**
@@ -214,7 +212,7 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 32,
       s"need k >= 1 and rounds in [1, 32], got k=$k rounds=$rounds")
-    var e = edges
+    val e0 = edges
       .select(least(col("a_id"), col("b_id")).as("u"),
         greatest(col("a_id"), col("b_id")).as("v"))
       .filter(col("u") =!= col("v"))
@@ -222,12 +220,11 @@ object Graph {
     def degrees(ed: DataFrame) = ed.select(col("u").as("id"))
       .union(ed.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
-    for (_ <- 1 to rounds) {
-      val keep = degrees(e).filter(col("degree") >= k).select(col("id"))
-      e = graft.dedup.Dedup.lineageCutLazy(
-        e.join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
-          .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
-          .select(col("u"), col("v")))
+    val e = graft.ops.IterativeLoop.fixed(e0, rounds) { (ed, _) =>
+      val keep = degrees(ed).filter(col("degree") >= k).select(col("id"))
+      ed.join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
     }
     degrees(e)
   }
@@ -279,11 +276,11 @@ object Graph {
     require(rounds >= 1 && rounds <= 32, s"rounds must be in [1, 32], got $rounds")
     val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-    var labels = nodes.select(col("id"), col("seed").as("lab"),
+    val labels0 = nodes.select(col("id"), col("seed").as("lab"),
       col("seed").isNotNull.as("seeded"))
-    for (_ <- 1 to rounds) {
+    val labels = graft.ops.IterativeLoop.fixed(labels0, rounds) { (labs, _) =>
       val votes = und
-        .join(labels.filter(col("lab").isNotNull)
+        .join(labs.filter(col("lab").isNotNull)
           .select(col("id").as("src"), col("lab")), "src")
         .groupBy(col("dst"), col("lab"))
         .agg(count(lit(1)).as("c"))
@@ -291,12 +288,11 @@ object Graph {
         .groupBy(col("dst"))
         .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("w"))
         .select(col("dst"), (-col("w.nl")).as("wlab"))
-      labels = graft.dedup.Dedup.lineageCutLazy(
-        labels.join(winner, col("id") === col("dst"), "left")
-          .select(col("id"),
-            when(col("seeded"), col("lab"))
-              .otherwise(coalesce(col("wlab"), col("lab"))).as("lab"),
-            col("seeded")))
+      labs.join(winner, col("id") === col("dst"), "left")
+        .select(col("id"),
+          when(col("seeded"), col("lab"))
+            .otherwise(coalesce(col("wlab"), col("lab"))).as("lab"),
+          col("seeded"))
     }
     labels.select(col("id"), col("seeded"), col("lab").as("label"))
   }

@@ -99,7 +99,7 @@ object QualityLr {
     val w0 = feat.agg(count(lit(1)).as("n"))
       .select(lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"),
         lit(0L).as("w3"), col("n"))
-    (1 to rounds).foldLeft(w0)((w, _) => round(feat, w))
+    graft.ops.IterativeLoop.fixed(w0, rounds)((w, _) => round(feat, w))
   }
 
   /** Score every doc under the trained weights: z (scaled logit), p

@@ -112,13 +112,20 @@ object CatalogBeh {
           / col("det")).as("beta2"))
   }
 
-  /** 3-core of the item co-occurrence graph by fixed-point peeling: 12
-    * rounds of "keep nodes with degree ≥ 3 among survivors", each round
-    * one degree aggregate + one semi-join, per-round lineage cuts (the
-    * q83 discipline — without them the plan doubles each round). At
-    * these scales the peel converges long before round 12; the closure
-    * law (every surviving node has ≥ 3 surviving neighbors) certifies
-    * the fixed point was reached. */
+  /** 3-core of the item co-occurrence graph by fixed-point peeling, with
+    * INCREMENTAL degree maintenance (round 10; was the catalog's worst
+    * measured scale exponent at α 0.75): instead of recomputing the
+    * degree aggregate over all surviving edges every round, each round
+    * subtracts from every survivor the count of its neighbors removed
+    * THAT round — synchronous-peel-equivalent because prior rounds'
+    * removals were already subtracted, so the running degree always
+    * counts exactly the still-alive neighbors. Per-round work is then
+    * proportional to the edges incident to the removed frontier (plus a
+    * node-sized filter), not the surviving edge set; the incident-list
+    * is partitioned by the removed-endpoint side once so the delta join
+    * co-partitions. 12 synchronous rounds, replayed exactly by the
+    * oracle; the closure law (every surviving node has ≥ 3 surviving
+    * neighbors) certifies the fixed point was reached. */
   def q374ThreeCore(s: SparkSession, dir: String): DataFrame = {
     val ui = Tables.events(s, dir)
       .select(col("user_id").as("u"),
@@ -134,18 +141,30 @@ object CatalogBeh {
 
   /** q374's peel on an explicit (x, y) edge frame (ScaleProbe). */
   private[graft] def threeCoreOf(edges: DataFrame): DataFrame = {
-    var nbr = graft.dedup.Dedup.lineageCutLazy(
+    // loop invariant, cut once and partitioned by the b side: the
+    // per-round delta join (which removed neighbors did each survivor
+    // lose?) is keyed on b, so rounds exchange only removed- and
+    // node-sized frames, never the edge list
+    val nbr = graft.ops.IterativeLoop.cutLazy(
       edges.select(col("x").as("a"), col("y").as("b"))
-        .unionAll(edges.select(col("y").as("a"), col("x").as("b"))))
-    for (_ <- 1 to 12) {
-      val keep = nbr.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= 3).select(col("a").as("keep"))
-      nbr = graft.dedup.Dedup.lineageCutLazy(
-        nbr.join(keep.withColumnRenamed("keep", "a"), Seq("a"), "left_semi")
-          .join(keep.withColumnRenamed("keep", "b"), Seq("b"), "left_semi")
-          .select(col("a"), col("b")))
+        .unionAll(edges.select(col("y").as("a"), col("x").as("b")))
+        .repartition(col("b")))
+    val deg0 = nbr.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val deg = graft.ops.IterativeLoop.fixed(deg0, 12) { (deg, _) =>
+      // synchronous round: remove deg<3 nodes, survivors lose exactly
+      // their edges into the removed set (all earlier removals were
+      // already subtracted, so `deg` counts still-alive neighbors only)
+      val removed = deg.filter(col("deg") < 3).select(col("a").as("b"))
+      val lost = nbr.join(removed, Seq("b"))
+        .groupBy(col("a")).agg(count(lit(1)).as("lost"))
+      deg.filter(col("deg") >= 3)
+        .join(lost, Seq("a"), "left")
+        .select(col("a"), (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
     }
-    nbr.groupBy(col("a").as("item")).agg(count(lit(1)).as("core_degree"))
+    // deg = 0 survivors lost every neighbor in the final round: the
+    // edge-set formulation has no row for them, so neither do we
+    deg.filter(col("deg") > 0)
+      .select(col("a").as("item"), col("deg").as("core_degree"))
       .orderBy(col("item"))
   }
 

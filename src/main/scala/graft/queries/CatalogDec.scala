@@ -41,8 +41,12 @@ object CatalogDec {
   def q361CoxPh(s: SparkSession, dir: String): DataFrame =
     coxOf(s, CatalogNext.survivalFrame(s, dir))
 
-  /** q361's core on an explicit (g, t, death) life frame (ScaleProbe). */
-  private[graft] def coxOf(s: SparkSession, life: DataFrame): DataFrame = {
+  /** q361's core on an explicit (g, t, death) life frame (ScaleProbe;
+    * Newton round count exposed for the IterativeLoopSpec convergence
+    * law — 6 rounds put a smooth 1-d Newton at machine precision, so an
+    * extra round must not move the estimate). */
+  private[graft] def coxOf(s: SparkSession, life: DataFrame,
+      rounds: Int = 6): DataFrame = {
     val byT = life.groupBy(col("t")).agg(
       sum(when(col("g") === 1, lit(1L)).otherwise(lit(0L))).as("e1"),
       sum(when(col("g") === 0, lit(1L)).otherwise(lit(0L))).as("e0"),
@@ -53,15 +57,17 @@ object CatalogDec {
       sum(when(col("g") === 0, lit(1L)).otherwise(lit(0L))).as("n0tot"))
     val wPrev = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    val risk = byT.crossJoin(broadcast(tot))
+    // loop invariant, cut once: every Newton round folds over the risk
+    // table, so without the cut round k replays the window k times
+    val risk = graft.ops.IterativeLoop.cutLazy(byT.crossJoin(broadcast(tot))
       .withColumn("n1", col("n1tot") - coalesce(sum(col("e1")).over(wPrev), lit(0L)))
       .withColumn("n0", col("n0tot") - coalesce(sum(col("e0")).over(wPrev), lit(0L)))
       .filter(col("d") > 0)
-      .select(col("t"), col("s"), col("d"), col("n1"), col("n0"))
+      .select(col("t"), col("s"), col("d"), col("n1"), col("n0")))
     def x(th: Column): Column =
       col("n0").cast("double") + col("n1").cast("double") * th
-    var th: DataFrame = s.range(1).select(lit(1.0).as("th"))
-    for (_ <- 1 to 6) {
+    val th0: DataFrame = s.range(1).select(lit(1.0).as("th"))
+    val th = graft.ops.IterativeLoop.fixed(th0, rounds) { (th, _) =>
       val g = risk.crossJoin(broadcast(th)).agg(
         max(col("th")).as("thv"),
         foldSorted(col("t"),
@@ -73,7 +79,7 @@ object CatalogDec {
             * (col("n1").cast("double") / x(col("th")))
             * (col("n1").cast("double") / x(col("th")))
             - col("s").cast("double") / col("th") / col("th")).as("gp"))
-      th = g.select((col("thv") - col("g") / col("gp")).as("th"))
+      g.select((col("thv") - col("g") / col("gp")).as("th"))
     }
     val score1 = risk.agg(
       count(lit(1)).as("n_times"),

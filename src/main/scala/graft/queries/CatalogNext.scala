@@ -34,7 +34,7 @@ object CatalogNext {
   /** q208's per-user survival frame: t = days from first event to first
     * big purchase (value > 150), right-censored at the corpus end, with a
     * deterministic two-arm split on user-id parity for the log-rank test. */
-  private[queries] def survivalFrame(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def survivalFrame(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val users = ev.groupBy(col("user_id"))
       .agg(min(to_date(col("ts"))).as("first_d"),
@@ -846,7 +846,13 @@ object CatalogNext {
     * rounds CTE-for-CTE. The eigen-structure path to the q235/q264
     * community questions — and the shape that scales: each round is one
     * edge-key shuffle. */
-  def q321SpectralPartition(s: SparkSession, dir: String): DataFrame = {
+  def q321SpectralPartition(s: SparkSession, dir: String): DataFrame =
+    spectralPartitionOf(s, dir, rounds = 8)
+
+  /** q321's core with the power-iteration round count exposed (the
+    * IterativeLoopSpec contraction law compares round counts). */
+  private[graft] def spectralPartitionOf(s: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
     val ui = Tables.events(s, dir)
       .select(col("user_id").as("u"),
         variant_get(parse_json(col("props")), "$.k", "bigint").as("item"))
@@ -867,10 +873,12 @@ object CatalogNext {
     val deg = graft.dedup.Dedup.lineageCutLazy(
       nbr.groupBy(col("a").as("item")).agg(count(lit(1)).as("d")))
     val twom = deg.agg(sum(col("d")).as("twom"))
-    var x = deg.select(col("item"),
+    val x0 = deg.select(col("item"),
       when(u32(concat(lit("sp:"), col("item"))) % 2 === 0, lit(1.0))
         .otherwise(lit(-1.0)).as("x"))
-    for (_ <- 1 to 8) {
+    // x is referenced twice per round (Ax and dᵀx) — IterativeLoop's
+    // per-round cut is what keeps the plan from doubling (the q83 lesson)
+    val x = graft.ops.IterativeLoop.fixed(x0, rounds) { (x, _) =>
       val ax = nbr.join(x.withColumnRenamed("item", "b")
           .withColumnRenamed("x", "xb"), Seq("b"))
         .groupBy(col("a").as("item"))
@@ -885,12 +893,8 @@ object CatalogNext {
             - col("d").cast("double") * col("sdx")
               / col("twom").cast("double")).as("bx"))
       val mx = bx.agg(max(abs(col("bx"))).as("mx"))
-      // per-round lineage cut: x is referenced twice next round (Ax and
-      // dᵀx), so without the cut the logical plan doubles per iteration
-      // (the q83 PageRank lesson)
-      x = graft.dedup.Dedup.lineageCutLazy(
-        bx.crossJoin(broadcast(mx))
-          .select(col("item"), (col("bx") / col("mx")).as("x")))
+      bx.crossJoin(broadcast(mx))
+        .select(col("item"), (col("bx") / col("mx")).as("x"))
     }
     x.select(col("item"), col("x").as("score"),
         when(col("x") >= 0.0, lit(1L)).otherwise(lit(0L)).as("community"))
@@ -1467,34 +1471,43 @@ object CatalogNext {
     * the whole fit is oracle-replayed (10 generated CTEs). The survey-
     * weighting verb an A/B platform needs when segments are imbalanced;
     * every round is two broadcast-sized aggregates. */
-  def q336RakingIpf(s: SparkSession, dir: String): DataFrame = {
+  def q336RakingIpf(s: SparkSession, dir: String): DataFrame =
+    rakingIpfOf(s, dir, rounds = 5)
+
+  /** q336's core with the raking round count exposed (the
+    * IterativeLoopSpec margin-convergence law runs extra rounds). */
+  private[graft] def rakingIpfOf(s: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
     val cells = Tables.events(s, dir)
       .groupBy(col("event_type").as("et"),
         weekday(to_date(col("ts"))).cast("long").as("dow"))
       .agg(count(lit(1)).as("n"))
     val tot = cells.agg(sum(col("n")).as("ntot"))
-    var w = cells.crossJoin(broadcast(tot))
+    val w0 = cells.crossJoin(broadcast(tot))
       .select(col("et"), col("dow"), col("n"), col("ntot"),
         col("n").cast("double").as("w"))
-    for (_ <- 1 to 5) {
-      // each half-round references w TWICE (margin agg + re-join): without
-      // a per-round lineage cut the plan doubles twice per round and the
-      // 35-row grid costs a full recomputation cascade (measured 58.7 s at
-      // sf0.1 in BENCH_r9 before the cut — the q83/q321 lesson, again)
-      val rowm = w.groupBy(col("et").as("ret"))
-        .agg(foldSorted(col("dow"), col("w")).as("rm"))
-      w = graft.dedup.Dedup.lineageCutLazy(
+    // each half-round references w TWICE (margin agg + re-join): the
+    // combinator's per-half-round cut is what keeps the plan from doubling
+    // twice per round (measured 58.7 s at sf0.1 in BENCH_r9 without it —
+    // the q83/q321 lesson, again). 5 full rounds = 10 half-rounds, odd
+    // halves rake the row margin to ntot/5, even halves the column margin
+    // to ntot/7.
+    val w = graft.ops.IterativeLoop.fixed(w0, 2 * rounds) { (w, half) =>
+      if (half % 2 == 1) {
+        val rowm = w.groupBy(col("et").as("ret"))
+          .agg(foldSorted(col("dow"), col("w")).as("rm"))
         w.join(broadcast(rowm), col("et") === col("ret"))
           .select(col("et"), col("dow"), col("n"), col("ntot"),
             (col("w") * ((col("ntot").cast("double") / lit(5.0)) / col("rm")))
-              .as("w")))
-      val colm = w.groupBy(col("dow").as("rdow"))
-        .agg(foldSorted(col("et"), col("w")).as("cm"))
-      w = graft.dedup.Dedup.lineageCutLazy(
+              .as("w"))
+      } else {
+        val colm = w.groupBy(col("dow").as("rdow"))
+          .agg(foldSorted(col("et"), col("w")).as("cm"))
         w.join(broadcast(colm), col("dow") === col("rdow"))
           .select(col("et"), col("dow"), col("n"), col("ntot"),
             (col("w") * ((col("ntot").cast("double") / lit(7.0)) / col("cm")))
-              .as("w")))
+              .as("w"))
+      }
     }
     w.select(col("et").as("event_type"), col("dow"), col("n"),
         col("w").as("raked"))
@@ -1889,7 +1902,15 @@ object CatalogNext {
     textrankOf(Tables.documents(s, dir))
 
   /** q348's core on an explicit docs frame (ScaleProbe entry point). */
-  private[graft] def textrankOf(docsDf: DataFrame): DataFrame = {
+  private[graft] def textrankOf(docsDf: DataFrame): DataFrame =
+    textrankScores(docsDf, rounds = 6)
+      .orderBy(col("pr").desc, col("node")).limit(15)
+      .select(col("node").as("word"), col("pr").as("textrank"))
+
+  /** Full (node, pr) TextRank state after `rounds` rounds — the
+    * IterativeLoopSpec contraction law compares round counts over the
+    * complete vector, not just the top-15 report. */
+  private[graft] def textrankScores(docsDf: DataFrame, rounds: Int): DataFrame = {
     val toks = docsDf
       .select(col("doc_id"), posexplode(split(col("text"), " "))
         .as(Seq("pos", "w")))
@@ -1906,8 +1927,8 @@ object CatalogNext {
     val wout = graft.dedup.Dedup.lineageCutLazy(
       nbr.groupBy(col("b").as("node")).agg(sum(col("cw")).as("wj")))
     val nNodes = wout.agg(count(lit(1)).as("nn"))
-    var pr = wout.select(col("node"), lit(1.0).as("pr"))
-    for (_ <- 1 to 6) {
+    val pr0 = wout.select(col("node"), lit(1.0).as("pr"))
+    val pr = graft.ops.IterativeLoop.fixed(pr0, rounds) { (pr, _) =>
       val contrib = nbr
         .join(pr.withColumnRenamed("node", "b").withColumnRenamed("pr", "prb"),
           Seq("b"))
@@ -1917,16 +1938,14 @@ object CatalogNext {
         .agg(foldSorted(col("b"),
           col("prb") * (col("cw").cast("double") / col("wjb").cast("double")))
           .as("inflow"))
-      pr = graft.dedup.Dedup.lineageCutLazy(
-        wout.select(col("node"))
-          .join(contrib, Seq("node"), "left")
-          .crossJoin(broadcast(nNodes))
-          .select(col("node"),
-            (lit(0.25) / col("nn").cast("double")
-              + lit(0.75) * coalesce(col("inflow"), lit(0.0))).as("pr")))
+      wout.select(col("node"))
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nNodes))
+        .select(col("node"),
+          (lit(0.25) / col("nn").cast("double")
+            + lit(0.75) * coalesce(col("inflow"), lit(0.0))).as("pr"))
     }
-    pr.orderBy(col("pr").desc, col("node")).limit(15)
-      .select(col("node").as("word"), col("pr").as("textrank"))
+    pr
   }
 
   /** Simpson's-paradox audit: does the AUTOMOBILE↔high-balance

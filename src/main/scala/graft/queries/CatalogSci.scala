@@ -351,7 +351,7 @@ object CatalogSci {
           (col("swq").cast("double") / col("sw").cast("double") /
             lit(scale.toDouble)).as("coord"))
     }
-    val x4 = (1 to 4).foldLeft(x0)((x, _) => iterate(x).localCheckpoint())
+    val x4 = graft.ops.IterativeLoop.fixedEager(x0, 4)((x, _) => iterate(x))
     x4.select(col("label"), col("pos").cast("long").as("pos"), col("coord"))
       .orderBy(col("label"), col("pos"))
   }
@@ -951,9 +951,9 @@ object CatalogSci {
             col("sw").cast("double"))
         .select(col("slope"), col("intercept"), col("n_down"))
     }
-    val r4 = (1 to 4).foldLeft(ols.withColumn("n_down", lit(0L)))(
-      (f, _) => iterate(f.select(col("slope"), col("intercept")))
-        .localCheckpoint())
+    val r4 = graft.ops.IterativeLoop.fixedEager(
+      ols.withColumn("n_down", lit(0L)), 4)(
+      (f, _) => iterate(f.select(col("slope"), col("intercept"))))
     r4.select(col("slope"), col("intercept"), col("n_down"))
   }
 
