@@ -1802,9 +1802,14 @@ object CatalogNext {
     var rem = cap.toLong; var greedy = 0L
     items.sortBy { case (id, w, v) => (-v.toDouble / w.toDouble, id) }
       .foreach { case (_, w, v) => if (w <= rem) { rem -= w; greedy += v } }
+    // no-silent-caps: the candidate pool is a doc_id<35 demonstration cap
+    // (exact DP is O(n·capacity) driver-side by design) — surface both
+    // the cap and the full corpus size so the truncation is visible
+    val nTotal = Tables.documents(s, dir).count()
     import s.implicits._
-    Seq((items.length.toLong, cap.toLong, dp(cap), greedy))
-      .toDF("n_items", "capacity", "best_value", "greedy_value")
+    Seq((items.length.toLong, nTotal, 35L, cap.toLong, dp(cap), greedy))
+      .toDF("n_items", "n_docs_total", "doc_id_cap", "capacity",
+        "best_value", "greedy_value")
   }
 
   /** MERGE INTO semantics applied as a batch: a deterministic changelog

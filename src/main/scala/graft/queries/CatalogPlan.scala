@@ -384,13 +384,20 @@ object CatalogPlan {
           .otherwise(signum((col("b.activity") - col("a.activity"))
             .cast("double"))).cast("long").as("dir"))
       .filter(col("permissible") === 1)
+    // no-silent-caps: the audit runs on the md5 bottom-400 user sample
+    // (pairs are O(sample²) by construction) — surface the sample size
+    // and the full user universe so the truncation is visible
+    val totals = users.agg(count(lit(1)).as("n_users_total"))
     pairs.agg(count(lit(1)).as("n_permissible"),
         sum((col("dir") === 1).cast("long")).as("concordant"),
         sum((col("dir") === -1).cast("long")).as("discordant"),
         sum((col("dir") === 0).cast("long")).as("tied"))
+      .crossJoin(broadcast(totals))
       .select(col("n_permissible"), col("concordant"), col("discordant"),
         ((col("concordant").cast("double") + lit(0.5) * col("tied").cast("double"))
-          / col("n_permissible").cast("double")).as("c_index"))
+          / col("n_permissible").cast("double")).as("c_index"),
+        col("n_users_total"),
+        least(lit(400L), col("n_users_total")).as("n_sampled"))
   }
 
   /** ABC∕XYZ inventory classification of parts: ABC by cumulative revenue

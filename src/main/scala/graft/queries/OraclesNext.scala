@@ -1497,6 +1497,8 @@ object OraclesNext {
         |    CASE WHEN g.w <= gr.rem THEN gr.tot + g.v ELSE gr.tot END
         |  FROM gr JOIN gitems g ON g.r = gr.r + 1)
         |SELECT (SELECT n FROM nit) AS n_items,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs_total,
+        |  CAST(35 AS BIGINT) AS doc_id_cap,
         |  CAST(60 AS BIGINT) AS capacity,
         |  (SELECT dpv[61] FROM dp JOIN nit ON dp.r = nit.n) AS best_value,
         |  (SELECT tot FROM gr JOIN nit ON gr.r = nit.n) AS greedy_value

@@ -360,7 +360,9 @@ object OraclesPlan {
         |  (CAST(sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    + 0.5 * CAST(sum(CASE WHEN dir = 0 THEN 1 ELSE 0 END)
         |      AS DOUBLE))
-        |    / CAST(count(*) AS DOUBLE) AS c_index
+        |    / CAST(count(*) AS DOUBLE) AS c_index,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM users) AS n_users_total,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM life) AS n_sampled
         |FROM pairs WHERE permissible = 1""".stripMargin,
 
     "q395_abc_xyz" ->
