@@ -1731,14 +1731,20 @@ object OraclesExt {
          |  FROM e JOIN $prev ON $prev.node = e.src JOIN od ON od.src = e.src
          |  GROUP BY e.dst) c ON c.dst = nodes.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH p AS (SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+    // MATERIALIZED on the loop INVARIANTS too (round 10): every round
+    // references e/nodes/nn/od, and each of those references e (itself a
+    // 2-way dedup over the lineitem⋈orders pair build) — DuckDB's default
+    // inlining recomputed the whole edge build ~6× per round, which at the
+    // ×10 gate spilled >79 GB (ENOSPC) before any round finished. The same
+    // oracle-side lineage-cut rule the engine's IterativeLoop enforces.
+    s"""WITH p AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-       |e AS (SELECT 2*ck AS src, 2*sk + 1 AS dst FROM p
+       |e AS MATERIALIZED (SELECT 2*ck AS src, 2*sk + 1 AS dst FROM p
        |      UNION SELECT 2*sk + 1 AS src, 2*ck AS dst FROM p),
-       |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
-       |nn AS (SELECT count(*) AS n FROM nodes),
-       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
-       |r0 AS (SELECT node, CAST(CAST($scale AS BIGINT) // nn.n AS BIGINT) AS rank
+       |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |r0 AS MATERIALIZED (SELECT node, CAST(CAST($scale AS BIGINT) // nn.n AS BIGINT) AS rank
        |       FROM nodes CROSS JOIN nn),
        |$rounds
        |SELECT node, rank FROM r$k""".stripMargin
@@ -2047,6 +2053,12 @@ object OraclesExt {
     * (inlined as a derived table), then `rounds` chained synchronous
     * majority CTEs mirroring [[graft.graph.Graph.labelPropagation]]. */
   private def labelPropSql(rounds: Int): String = {
+    // MATERIALIZED is load-bearing on pairs/und/l_t (round 10): each l_t
+    // references l_{t-1} TWICE (the vote join and the carry-forward), so
+    // default inlining re-evaluates the chain 2^rounds times — and every
+    // re-evaluation re-runs the full LSH pair pipeline, whose 4-bit/16-
+    // bucket candidate join is ~50M pairs at the ×10 gate (it spilled
+    // >79 GB before finishing). Materialized, the pipeline runs once.
     val roundCtes = (1 to rounds).map { t =>
       s"""v$t AS (SELECT u.dst, l.lab, CAST(count(*) AS BIGINT) AS c
          |  FROM und u JOIN l${t - 1} l ON l.id = u.src
@@ -2054,13 +2066,13 @@ object OraclesExt {
          |w$t AS (SELECT dst, lab AS wlab FROM (
          |  SELECT dst, lab, row_number() OVER (PARTITION BY dst
          |    ORDER BY c DESC, lab ASC) AS rn FROM v$t) WHERE rn = 1),
-         |l$t AS (SELECT l.id,
+         |l$t AS MATERIALIZED (SELECT l.id,
          |    CASE WHEN l.seeded THEN l.lab ELSE coalesce(w.wlab, l.lab) END AS lab,
          |    l.seeded
          |  FROM l${t - 1} l LEFT JOIN w$t w ON w.dst = l.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (SELECT a_id, b_id FROM ($embedLshSql)),
-       |und AS (SELECT a_id AS src, b_id AS dst FROM pairs
+    s"""WITH pairs AS MATERIALIZED (SELECT a_id, b_id FROM ($embedLshSql)),
+       |und AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pairs
        |        UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
        |l0 AS (SELECT vec_id AS id,
        |    CASE WHEN vec_id % 5 = 0 THEN CAST(label AS BIGINT) END AS lab,

@@ -91,7 +91,51 @@ object BuildX10 {
     replicate("lineitem", Seq("l_orderkey", "l_suppkey"))
     replicate("events", Seq("event_id", "user_id"))
     replicate("documents", Seq("doc_id"), suffixTokensIn = Some("text"))
-    replicate("embeddings", Seq("vec_id"))
+    replicateEmbeddings(spark, src, out, copies)
     spark.stop()
+  }
+
+  /** Embeddings get the disjointness treatment vectors need: copy i > 0
+    * is multiplied element-wise by a deterministic ±1 mask. The SAME mask
+    * on both vectors of a pair preserves every within-copy dot product
+    * and norm EXACTLY ((v⊙s)·(w⊙s) = Σ vᵢwᵢsᵢ² = v·w, and ±1 multiplies
+    * are exact in float), so each copy's similarity/LSH/clustering
+    * structure is bit-identical to the base corpus — while cross-copy
+    * cosines scramble to ~0 and cross-copy LSH signatures decorrelate.
+    * Verbatim copies instead made every vector a 10-way exact duplicate:
+    * LSH buckets grew ×10, bucket pairs ×100 at cosine 1.0, and the
+    * q132 oracle spilled >79 GB (the planted-duplication blowup, which
+    * is a workload choice — this gate measures the algorithms). */
+  private def replicateEmbeddings(spark: SparkSession, src: String,
+      out: String, copies: Int): Unit = {
+    val base = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    def mask(i: Int): Array[Float] =
+      Array.tabulate(dim) { j =>
+        // splitmix-style bit mix; deterministic per (copy, position)
+        var z = i.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+        z ^= z >>> 31; z *= 0x94D049BB133111EBL; z ^= z >>> 27
+        if ((z & 1L) == 0L) 1.0f else -1.0f
+      }
+    val df = (0 until copies).map { i =>
+      val d = base.withColumn("vec_id",
+        (col("vec_id") + lit(i * Off)).cast("long"))
+      if (i == 0) d
+      else {
+        val m = typedlit(mask(i))
+        d.withColumn("embedding",
+          zip_with(col("embedding"), m, (x, s) => x * s))
+      }
+    }.reduce(_ unionByName _)
+    val tmp = s"$out/_tmp_embeddings"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, Paths.get(s"$out/embeddings.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.list(Paths.get(tmp)).iterator().asScala.toSeq
+      .foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(Paths.get(tmp))
+    println(s"[x10] embeddings: ${spark.read.parquet(s"$out/embeddings.parquet").count()} rows (sign-masked copies)")
   }
 }

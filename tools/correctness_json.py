@@ -19,7 +19,9 @@ def main(sf_dir: str, out_dir: str, out_json: str) -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     rec, failed = {}, 0
+    import time
     for name, sql in sorted(oracle.items()):
+        t0 = time.time()
         row = {"rows_match": False, "schema_match": False, "hash_match": False,
                "spark_rows": None, "oracle_rows": None, "err": None}
         try:
@@ -36,6 +38,8 @@ def main(sf_dir: str, out_dir: str, out_json: str) -> int:
         if not row["hash_match"]:
             failed += 1
         rec[name] = row
+        print(f"[oracle] {name} {time.time() - t0:6.1f}s hash={row['hash_match']}"
+              + (f" err={row['err']}" if row["err"] else ""), flush=True)
     json.dump(rec, open(out_json, "w"), indent=1)
     n = len(oracle)
     print(f"{'PASS' if failed == 0 else 'FAIL'}: {n - failed}/{n} hash-matched -> {out_json}")
