@@ -1,0 +1,124 @@
+package graft.text
+
+import graft.ops.{DistributedRank, IterativeLoop}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Suffix-array construction as dataflow: prefix doubling (Manber–Myers)
+ * expressed in joins, group-ranks and windows — the index layer behind
+ * exact-substring dedup (Lee et al.-style span work already lives in
+ * [[graft.dedup.Dedup]]; this adds the full suffix ORDER, from which BWT
+ * compressibility and repeated-substring structure follow).
+ *
+ * Two shapes, two distribution strategies:
+ *
+ *  - [[globalRanks]]: ONE order over every suffix of every document —
+ *    the cross-document index. Ranks are computed with
+ *    [[DistributedRank]] (range-partition + offset), never a
+ *    single-partition window, so the sort scales with the corpus.
+ *  - [[perDocBwt]]: per-document suffix order (documents are the unit of
+ *    parallelism — windows PARTITION BY doc, so a 100 TB corpus
+ *    distributes across documents and each doc's index stays local).
+ *
+ * Both start from rank-0 on a [[Base]]-char gram (string order == byte
+ *  order for the ASCII corpus) and double the compared span each round:
+ * rank_k orders suffixes by their first Base·2^k chars, with the
+ * "suffix ends inside the window" case encoded by the gram's own length
+ * (a proper prefix sorts first, exactly like string compare) and the
+ * missing-right-half case by the -1 sentinel. ceil(lg(maxLen/Base))
+ * rounds — 7 for the ~600-char testdata docs, 17 for megabyte docs —
+ * each a constant number of key-partitioned shuffles, all through
+ * [[IterativeLoop]] so per-round lineage stays cut.
+ */
+object SuffixIndex {
+
+  /** rank-0 gram width: doubling starts from an 8-char compare, saving
+    * lg(8)=3 rounds over per-char initialization. */
+  private val Base = 8
+
+  private def rounds(maxLen: Int): Int = {
+    var k = 0
+    while (Base.toLong << k < maxLen.toLong) k += 1
+    math.max(1, k)
+  }
+
+  /** Global suffix ranks: one row per (doc, pos), `suffix_rank` = 1-based
+    * position in the corpus-wide lexicographic order of all suffixes
+    * (equal suffix strings tie-broken by (doc_id, pos), matching
+    * `row_number() OVER (ORDER BY suffix, doc_id, pos)`). */
+  def globalRanks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Spark's sequence(1, n) DESCENDS for n < 1 (it never returns empty);
+    // guard the degenerate empty-text row out, matching generate_series.
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .filter(length(col("text")) >= 1)
+    // bounded driver scalar: the round count (a plan-shape decision, like
+    // the BPE merge count) needs the corpus max length up front.
+    val maxLen = base.agg(max(length(col("text"))).as("m")).head().getInt(0)
+    val grams = base
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")))).as("p"), col("text"))
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        expr(s"substring(text, p, $Base)").as("g"))
+    val init = DistributedRank.denseGroupRank(grams, Seq("g"), "r")
+      .select(col("doc_id"), col("pos"), col("r"))
+    val ranked = IterativeLoop.fixed(init, rounds(maxLen)) { (st, k) =>
+      val step = Base.toLong << (k - 1)
+      val right = st.select(col("doc_id"),
+        (col("pos") - step).as("pos"), col("r").as("r2"))
+      val paired = st.join(right, Seq("doc_id", "pos"), "left")
+        .withColumn("r2", coalesce(col("r2"), lit(-1L)))
+      DistributedRank.denseGroupRank(paired, Seq("r", "r2"), "nr")
+        .select(col("doc_id"), col("pos"), col("nr").as("r"))
+    }
+    DistributedRank
+      .withRowNumber(ranked, "suffix_rank", col("r"), col("doc_id"), col("pos"))
+      .select(col("doc_id"), col("pos"), col("suffix_rank"))
+  }
+
+  /** Per-document BWT summary: append a sentinel (TAB — below every
+    * corpus char, so all suffixes are distinct and rotation order ==
+    * suffix order), rank suffixes per doc, and read the BWT as each
+    * suffix's cyclic predecessor char in rank order. Emits the
+    * compressibility signal (BWT clusters equal context-chars, so
+    * run count ≪ length means repetitive text): doc_id, n (=len+1),
+    * bwt_runs, and the first `headLen` BWT chars as a spot-checkable
+    * prefix. */
+  def perDocBwt(docs: DataFrame, idCol: String, textCol: String,
+      headLen: Int = 24): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      concat(col(textCol), lit("\t")).as("t"))
+    val maxLen = base.agg(max(length(col("t"))).as("m")).head().getInt(0)
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val grams = base
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("t")))).as("p"), col("t"))
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        expr(s"substring(t, p, $Base)").as("g"),
+        when(col("p") === 1, expr("substring(t, length(t), 1)"))
+          .otherwise(expr("substring(t, p - 1, 1)")).as("bc"))
+    val init = grams
+      .withColumn("r", dense_rank().over(wDoc.orderBy(col("g"))).cast("long"))
+      .select(col("doc_id"), col("pos"), col("bc"), col("r"))
+    val ranked = IterativeLoop.fixed(init, rounds(maxLen)) { (st, k) =>
+      val step = Base.toLong << (k - 1)
+      val right = st.select(col("doc_id"),
+        (col("pos") - step).as("pos"), col("r").as("r2"))
+      st.join(right, Seq("doc_id", "pos"), "left")
+        .withColumn("r2", coalesce(col("r2"), lit(-1L)))
+        .withColumn("nr",
+          dense_rank().over(wDoc.orderBy(col("r"), col("r2"))).cast("long"))
+        .select(col("doc_id"), col("pos"), col("bc"), col("nr").as("r"))
+    }
+    ranked
+      .withColumn("prev", lag(col("bc"), 1).over(wDoc.orderBy(col("r"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("prev").isNull || col("prev") =!= col("bc"), lit(1L))
+          .otherwise(lit(0L))).as("bwt_runs"),
+        array_join(slice(
+          transform(sort_array(collect_list(struct(col("r"), col("bc")))),
+            e => e("bc")), 1, headLen), "").as("bwt_head"))
+  }
+}
