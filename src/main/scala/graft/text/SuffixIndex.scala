@@ -34,12 +34,17 @@ import org.apache.spark.sql.functions._
  */
 object SuffixIndex {
 
-  /** rank-0 gram width: doubling starts from a 32-char compare, saving
-    * lg(32)=5 rounds over per-char initialization (the output is
-    * Base-invariant — rank-0 on a B-char gram orders by the first B
-    * chars exactly like lg(B) doubling rounds would; measured on the
-    * bench, 8→32 cut q396 from 7 rounds/19.8 s to 5 rounds at sf0.1).
-    * The one-shuffle cost is a 32-byte sort key on the rank-0 pass. */
+  /** rank-0 gram width (output is Base-invariant — rank-0 on a B-char
+    * gram orders by the first B chars exactly like lg(B) doubling rounds
+    * would). Triage notes from the sf0.1 bench, so nobody re-walks them:
+    * 8 vs 32 both land ≈20 s — round count is NOT the bottleneck at this
+    * scale (each round is ~4 small key-partitioned stages; scheduling
+    * overhead dominates 1.5M-row data). What DOES matter is rank-0
+    * class granularity: a packed-7-chars-into-a-long rank-0 (zero-shuffle
+    * projection) measured 3× WORSE (59 s) because 7-char classes on
+    * low-entropy token text are huge tie groups, range partitioning maps
+    * equal keys to ONE partition, and every rank exchange skews. 32-char
+    * grams keep classes fine from round 0 and the exchanges balanced. */
   private val Base = 32
 
   private def rounds(maxLen: Int): Int = {
