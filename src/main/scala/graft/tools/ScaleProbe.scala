@@ -238,7 +238,27 @@ object ScaleProbe {
             (conv(substring(md5(concat(lit("mw:"), col("id"))), 1, 8), 16, 10)
               .cast("long") % 2592000L + 1704067200L).as("s2"))
           .withColumn("e2", col("s2") + 21600L)
-        graft.queries.CatalogBeh.overlapOf(spans, wins).count() })
+        graft.queries.CatalogBeh.overlapOf(spans, wins).count() },
+      // Round-10 heavies (indexing wave):
+      //  - q396: suffixed-token copies keep per-copy suffix structure
+      //    isomorphic while total suffixes grow linearly; the round count
+      //    is ceil(lg(maxLen/32)) — constant in k (doc length doesn't grow)
+      //    — so the whole pipeline is k rounds of key-partitioned
+      //    shuffles over linearly growing rows. At ×1 it is
+      //    stage-overhead-bound (see SuffixIndex scaladoc), so expect a
+      //    LOW alpha until data volume dominates scheduling.
+      //  - q399: winnowing is one window pass per doc plus a print-keyed
+      //    df join; suffixed tokens keep selected-print df structure
+      //    per copy, so prints and shared-print counts grow linearly.
+      "q396_suffix_ranks" -> { k: Int =>
+        graft.text.SuffixIndex.globalRanks(docs(k), "doc_id", "text")
+          .count() },
+      "q399_winnowing" -> { k: Int =>
+        val prints = graft.queries.CatalogIdx.winnowingPrints(
+          docs(k), "doc_id", "text")
+        val sel = prints.select(col("doc_id"), col("h")).distinct()
+        val df = sel.groupBy(col("h")).agg(count(lit(1)).as("hdf"))
+        sel.join(df, Seq("h")).filter(col("hdf") >= 2).count() })
     val ks = Seq(1, 4, 10)
     val filter = sys.env.get("SPARK_GRAFT_HEAVY_ONLY").map(_.split(',').toSet)
     var allSub = true
