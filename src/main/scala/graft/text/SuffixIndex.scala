@@ -86,16 +86,17 @@ object SuffixIndex {
       .select(col("doc_id"), col("pos"), col("suffix_rank"))
   }
 
-  /** Per-document BWT summary: append a sentinel (TAB — below every
-    * corpus char, so all suffixes are distinct and rotation order ==
-    * suffix order), rank suffixes per doc, and read the BWT as each
-    * suffix's cyclic predecessor char in rank order. Emits the
-    * compressibility signal (BWT clusters equal context-chars, so
-    * run count ≪ length means repetitive text): doc_id, n (=len+1),
-    * bwt_runs, and the first `headLen` BWT chars as a spot-checkable
-    * prefix. */
-  def perDocBwt(docs: DataFrame, idCol: String, textCol: String,
-      headLen: Int = 24): DataFrame = {
+  /** Per-document suffix ranks over the sentinel-appended text
+    * (`text + TAB`, TAB below every corpus char so all suffixes are
+    * distinct): (doc_id, pos, bc, r) with `r` the 1-based rank of the
+    * suffix starting at `pos` within its doc and `bc` the suffix's
+    * cyclic predecessor char (the BWT char). Documents are the unit of
+    * parallelism — per-doc dense_rank windows, prefix doubling as in
+    * [[globalRanks]]. Appending the sentinel preserves the relative
+    * order of the original suffixes (TAB sorts below everything, so a
+    * prefix still sorts first), which is what the LCP consumers rely
+    * on. */
+  def perDocRanks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"),
       concat(col(textCol), lit("\t")).as("t"))
     val maxLen = base.agg(max(length(col("t"))).as("m")).head().getInt(0)
@@ -110,7 +111,7 @@ object SuffixIndex {
     val init = grams
       .withColumn("r", dense_rank().over(wDoc.orderBy(col("g"))).cast("long"))
       .select(col("doc_id"), col("pos"), col("bc"), col("r"))
-    val ranked = IterativeLoop.fixed(init, rounds(maxLen)) { (st, k) =>
+    IterativeLoop.fixed(init, rounds(maxLen)) { (st, k) =>
       val step = Base.toLong << (k - 1)
       val right = st.select(col("doc_id"),
         (col("pos") - step).as("pos"), col("r").as("r2"))
@@ -120,6 +121,18 @@ object SuffixIndex {
           dense_rank().over(wDoc.orderBy(col("r"), col("r2"))).cast("long"))
         .select(col("doc_id"), col("pos"), col("bc"), col("nr").as("r"))
     }
+  }
+
+  /** Per-document BWT summary over [[perDocRanks]]: the BWT read as each
+    * suffix's cyclic predecessor char in rank order. Emits the
+    * compressibility signal (BWT clusters equal context-chars, so
+    * run count ≪ length means repetitive text): doc_id, n (=len+1),
+    * bwt_runs, and the first `headLen` BWT chars as a spot-checkable
+    * prefix. */
+  def perDocBwt(docs: DataFrame, idCol: String, textCol: String,
+      headLen: Int = 24): DataFrame = {
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val ranked = perDocRanks(docs, idCol, textCol)
     ranked
       .withColumn("prev", lag(col("bc"), 1).over(wDoc.orderBy(col("r"))))
       .groupBy(col("doc_id"))
