@@ -73,6 +73,29 @@ object IterativeLoop {
     (1 to rounds).foldLeft(init)((df, i) => cut(step(df, i)))
   }
 
+  /** Stats-fresh lazy cut for REPEATED-SQUARING loops (the next round
+    * self-joins the previous round, e.g. pointer doubling / path
+    * squaring). [[cutLazy]]'s `localCheckpoint` carries the source
+    * plan's statistics into the `LogicalRDD` (`originStats`), so a
+    * squaring loop SQUARES the inherited sizeInBytes estimate every
+    * round — after 20 doublings the stats visitor multiplies
+    * million-digit BigIntegers and planning spins for minutes on the
+    * driver (observed on the q417 rho map; the same shape at 4 rounds,
+    * q407, merely inflates 16×). This cut rebuilds the frame with
+    * default statistics so the estimate stays bounded. Trade-off: the
+    * optimizer loses the size estimate (no auto-broadcast off this
+    * frame) — squaring loops shuffle-join by design, so nothing is
+    * lost there; prefer [[cutLazy]] everywhere else. */
+  def cutFresh(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftSqlShim.freshLocalCheckpoint(df)
+
+  /** [[fixed]] with the stats-fresh cut — the combinator for
+    * repeated-squaring loops. */
+  def fixedFresh(init: DataFrame, rounds: Int)(step: (DataFrame, Int) => DataFrame): DataFrame = {
+    require(rounds >= 1, s"need at least one round, got $rounds")
+    (1 to rounds).foldLeft(init)((df, i) => cutFresh(step(df, i)))
+  }
+
   /** Fixed-point law hook: max over join keys of |step(df) − df| on
     * `valueCol` (absent keys on either side contribute their full
     * magnitude via the outer join's zero-fill — a key appearing or

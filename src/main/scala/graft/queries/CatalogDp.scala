@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.IterativeLoop
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-10d wave: discrete-algorithm verbs — Huffman code lengths over
+ * the token vocabulary (the optimal-prefix-code baseline every entropy
+ * coder is judged against; the merge heap is vocabulary-sized by
+ * construction, the same driver-fold contract as the BPE merge table),
+ * longest increasing subsequence per user event stream (synchronous
+ * longest-path relaxation over the in-user precedence pairs), and the
+ * cycle structure of a hash self-map over the customer-key domain
+ * (Flajolet–Odlyzko random-mapping statistics: cycle nodes via 2^k
+ * pointer squaring, cycle ids via min-label jumping, tail lengths via
+ * the binary descend — the hash-chain / RNG-period analysis shape).
+ * Determinism contract as everywhere: integer state, md5 randomness,
+ * total-order tiebreaks.
+ */
+object CatalogDp {
+
+  // ---------------------------------------------------------------- q415
+
+  /** Huffman code lengths for the corpus token vocabulary: classic
+    * two-smallest merging with a CANONICAL total-order tiebreak — heap
+    * entries are (weight, sorted member list) compared by weight then
+    * lexicographic member list (elementwise, shorter-prefix-first),
+    * exactly DuckDB's struct/list comparison, so both engines replay
+    * the identical merge sequence. The heap is vocabulary-sized by
+    * construction (driver fold, same contract as the BPE merge table);
+    * the corpus-sized work is one token-count aggregate. */
+  def q415Huffman(s: SparkSession, dir: String): DataFrame = {
+    import scala.math.Ordering.Implicits.seqOrdering
+    val counts = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    require(counts.size <= 65536, s"vocabulary-bounded fold: ${counts.size}")
+    val lens = scala.collection.mutable.Map(counts.map(c => c._1 -> 0L): _*)
+    implicit val ord: Ordering[(Long, List[String])] =
+      Ordering.Tuple2(Ordering.Long, seqOrdering[List, String])
+    var heap = counts.map { case (t, w) => (w, List(t)) }.sorted.toList
+    while (heap.length > 1) {
+      val a :: b :: rest = heap: @unchecked
+      (a._2 ++ b._2).foreach(t => lens(t) += 1L)
+      heap = (rest :+ ((a._1 + b._1, (a._2 ++ b._2).sorted))).sorted
+    }
+    val rows = counts.map { case (t, w) => (t, w, lens(t)) }
+    val spark = s
+    import spark.implicits._
+    val df = rows.toDF("tok", "cnt", "code_len")
+    val tot = df.agg(sum(col("cnt") * col("code_len")).as("total_bits"))
+    df.crossJoin(broadcast(tot)).orderBy(col("tok"))
+  }
+
+  // ---------------------------------------------------------------- q416
+
+  private[graft] val LisRounds = 32
+
+  /** Longest strictly-increasing subsequence of each user's event-value
+    * stream (time order): synchronous longest-path relaxation
+    * L(i) ← max(L(i), 1 + max over precedence pairs L(j)) for 32 rounds
+    * (converges once rounds ≥ the LIS itself; E[LIS] ≈ 2√n ≈ 20 at 99
+    * events/user — the fixpoint law guards the margin). The precedence
+    * pair set (j before i, vⱼ < vᵢ) is built ONCE per user (user streams
+    * are bounded — the sessionization contract) and each round is one
+    * pair join + max aggregate. */
+  def q416UserLis(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
+        .cast("long"))
+      .select(col("user_id"), col("rn"), col("v"))
+    val evc = IterativeLoop.cutLazy(ev)
+    val pairs = IterativeLoop.cutLazy(
+      evc.select(col("user_id"), col("rn").as("rj"), col("v").as("vj"))
+        .join(evc.select(col("user_id"), col("rn").as("ri"), col("v").as("vi")),
+          Seq("user_id"))
+        .filter(col("rj") < col("ri") && col("vj") < col("vi"))
+        .select(col("user_id"), col("rj"), col("ri")))
+    val l0 = evc.select(col("user_id"), col("rn"), lit(1L).as("l"))
+    val fin = IterativeLoop.fixed(l0, LisRounds) { (lf, _) =>
+      val best = pairs
+        .join(lf.select(col("user_id"), col("rn").as("rj"), col("l")),
+          Seq("user_id", "rj"))
+        .groupBy(col("user_id"), col("ri").as("rn"))
+        .agg((max(col("l")) + 1L).as("cand"))
+      lf.join(best, Seq("user_id", "rn"), "left")
+        .select(col("user_id"), col("rn"),
+          greatest(col("l"), coalesce(col("cand"), lit(0L))).as("l"))
+    }
+    fin.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("l")).as("lis_len"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---------------------------------------------------------------- q417
+
+  private[graft] val RhoK = 20 // 2^20 ≥ any local/x10 key domain
+
+  /** Random-mapping (rho) cycle structure of the md5 self-map
+    * h(v) = md5("rho:"+v) mod N over the customer-key domain: cycle
+    * nodes are the image of h^(2^K) (all tails consumed once 2^K ≥ N —
+    * require()d), cycle ids are the cycle-minimum via pointer-jumping
+    * min-label (K rounds), tail lengths via the binary descend over the
+    * stored 2^j-step maps (greedy high-bit jumps that stay off-cycle ⇒
+    * exact distance), basins by landing cycle. Every step is an
+    * equi-join on the key domain — the Pollard-rho / hash-chain /
+    * RNG-period analysis, distributed. Output: per-cycle length, basin
+    * size and max tail (Flajolet–Odlyzko statistics, exactly). */
+  def q417RhoCycles(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.customer(s, dir).select(col("c_custkey").as("v"))
+    val n = keys.count()
+    require(n < (1L << RhoK), s"rho descend covers 2^$RhoK; domain $n")
+    val h = IterativeLoop.cutLazy(keys.select(col("v"),
+      pmod(conv(substring(md5(concat(lit("rho:"), col("v"))), 1, 10), 16, 10)
+        .cast("long"), lit(n)).as("hv")))
+    // maps(j): v -> h^(2^j)(v), j = 0..K-1, by repeated squaring
+    val maps = new Array[DataFrame](RhoK)
+    maps(0) = h.select(col("v"), col("hv").as("m"))
+    // squaring loop: cutFresh, not cutLazy — the checkpoint-inherited
+    // size estimate would square every round (see IterativeLoop.cutFresh)
+    for (j <- 1 until RhoK)
+      maps(j) = IterativeLoop.cutFresh(
+        maps(j - 1).join(
+          maps(j - 1).select(col("v").as("m"), col("m").as("m2")), "m")
+          .select(col("v"), col("m2").as("m")))
+    // z = h^(2^K)(v): one more squaring; its image is exactly the cycle set
+    val z = IterativeLoop.cutFresh(
+      maps(RhoK - 1).join(
+        maps(RhoK - 1).select(col("v").as("m"), col("m").as("m2")), "m")
+        .select(col("v"), col("m2").as("z")))
+    val cyc = IterativeLoop.cutLazy(z.select(col("z").as("c")).distinct())
+    // cycle id = min label over the cycle, pointer-jumping in K rounds
+    val st0 = cyc.join(h.select(col("v").as("c"), col("hv").as("p")), "c")
+      .select(col("c"), col("p"), least(col("c"), col("p")).as("mn"))
+    val lab = IterativeLoop.fixedFresh(st0, RhoK) { (st, _) =>
+      st.join(st.select(col("c").as("p"), col("p").as("p2"),
+          col("mn").as("mn2")), "p")
+        .select(col("c"), col("p2").as("p"),
+          least(col("mn"), col("mn2")).as("mn"))
+    }.select(col("c"), col("mn").as("cycle_id"))
+    // tail length: binary descend over maps(K-1 .. 0)
+    val isCyc = cyc.select(col("c").as("cur"), lit(true).as("oncyc"))
+    var desc = keys.select(col("v"), col("v").as("cur"), lit(0L).as("d"))
+    for (j <- (0 until RhoK).reverse) {
+      val cand = desc.join(maps(j).select(col("v").as("cur"),
+          col("m").as("nxt")), "cur")
+        .join(isCyc.select(col("cur").as("nxt"), col("oncyc")),
+          Seq("nxt"), "left")
+      desc = IterativeLoop.cutFresh(cand.select(col("v"),
+        when(col("oncyc").isNull, col("nxt")).otherwise(col("cur")).as("cur"),
+        when(col("oncyc").isNull, col("d") + (1L << j)).otherwise(col("d"))
+          .as("d")))
+    }
+    val tails = desc
+      .join(isCyc.select(col("cur").as("v"), col("oncyc").as("von")),
+        Seq("v"), "left")
+      .select(col("v"),
+        when(col("von").isNotNull, lit(0L)).otherwise(col("d") + 1L).as("tail"))
+    // basin: v belongs to the cycle its landmark z(v) labels
+    val basin = z.join(lab.select(col("c").as("z"), col("cycle_id")), "z")
+      .select(col("v"), col("cycle_id"))
+    val cycLen = lab.groupBy(col("cycle_id")).agg(count(lit(1)).as("cycle_len"))
+    basin.join(tails, "v")
+      .groupBy(col("cycle_id"))
+      .agg(count(lit(1)).as("basin_size"), max(col("tail")).as("max_tail"))
+      .join(cycLen, Seq("cycle_id"))
+      .select(col("cycle_id"), col("cycle_len"), col("basin_size"),
+        col("max_tail"))
+      .orderBy(col("cycle_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q415_huffman"    -> q415Huffman _,
+    "q416_user_lis"   -> q416UserLis _,
+    "q417_rho_cycles" -> q417RhoCycles _)
+}

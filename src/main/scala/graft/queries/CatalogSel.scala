@@ -272,7 +272,8 @@ object CatalogSel {
     val p0 = nodes.filter(col("v") >= 10)
       .select(col("v"), (col("v") / 10).cast("long").as("anc"), lit(1L).as("d"))
     // 4 squaring rounds close depth ≤ 16 (custkey 10^16 — far past any SF)
-    val pairs = IterativeLoop.fixed(IterativeLoop.cutLazy(p0), 4) { (pr, _) =>
+    // squaring loop: stats-fresh cut (see IterativeLoop.cutFresh)
+    val pairs = IterativeLoop.fixedFresh(IterativeLoop.cutLazy(p0), 4) { (pr, _) =>
       // squaring join: ancestors at distance d+d2; (v, anc) determines
       // the distance on a tree, so duplicates are exact triples
       pr.unionByName(
