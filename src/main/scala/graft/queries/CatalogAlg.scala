@@ -225,8 +225,14 @@ object CatalogAlg {
       .join(after, Seq("doc_id"))
       .filter(col("b_node") =!= col("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_gained"))
-    nb.join(na, Seq("node"), "full_outer")
-      .join(moved, Seq("node"), "full_outer")
+    // report from the literal 8-node spine, not a full_outer of the three
+    // aggregates: a node that wins zero documents before AND after must
+    // still emit its zero row (the oracle's nodesl spine does; a
+    // full_outer would drop it on small corpora)
+    val spine = s.range(0, 8).select(concat(lit("node"), col("id")).as("node"))
+    spine.join(nb, Seq("node"), "left")
+      .join(na, Seq("node"), "left")
+      .join(moved, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("n_before"), lit(0L)).as("n_before"),
         coalesce(col("n_after"), lit(0L)).as("n_after"),

@@ -38,15 +38,27 @@ object CatalogDp {
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
-    require(counts.size <= 65536, s"vocabulary-bounded fold: ${counts.size}")
+    // The fold's member-list bookkeeping is O(V²) in the vocabulary — the
+    // bound is what that cost structure actually affords on a driver, not
+    // the BPE table's 65536. The tiebreak compares member lists as Scala
+    // UTF-16 strings vs DuckDB's UTF-8 memcmp; those orders agree only
+    // for ASCII tokens, so the assumption is enforced, not assumed.
+    require(counts.size <= 4096, s"vocabulary-bounded fold: ${counts.size}")
+    require(counts.forall(_._1.forall(_ < 128)),
+      "canonical tiebreak requires ASCII tokens (UTF-16 vs UTF-8 order)")
     val lens = scala.collection.mutable.Map(counts.map(c => c._1 -> 0L): _*)
     implicit val ord: Ordering[(Long, List[String])] =
       Ordering.Tuple2(Ordering.Long, seqOrdering[List, String])
-    var heap = counts.map { case (t, w) => (w, List(t)) }.sorted.toList
-    while (heap.length > 1) {
-      val a :: b :: rest = heap: @unchecked
+    // TreeSet instead of re-sorting the whole heap per merge: entries are
+    // (weight, disjoint member list) so never equal; first two elements
+    // ARE the two smallest under the identical canonical order.
+    val heap = scala.collection.mutable.TreeSet.empty[(Long, List[String])]
+    counts.foreach { case (t, w) => heap += ((w, List(t))) }
+    while (heap.size > 1) {
+      val a = heap.head; heap -= a
+      val b = heap.head; heap -= b
       (a._2 ++ b._2).foreach(t => lens(t) += 1L)
-      heap = (rest :+ ((a._1 + b._1, (a._2 ++ b._2).sorted))).sorted
+      heap += ((a._1 + b._1, (a._2 ++ b._2).sorted))
     }
     val rows = counts.map { case (t, w) => (t, w, lens(t)) }
     val spark = s
@@ -94,8 +106,17 @@ object CatalogDp {
         .select(col("user_id"), col("rn"),
           greatest(col("l"), coalesce(col("cand"), lit(0L))).as("l"))
     }
+    // Cap saturation must fail loudly, not hash-match a wrong answer: after
+    // r rounds L = min(true LIS, r+1), so lis_len == LisRounds+1 is
+    // indistinguishable from a longer truth. In-plan assert_true (not a
+    // driver-side re-aggregate, which would force the whole relaxation a
+    // second time): assert_true yields NULL when the guard holds, so the
+    // coalesce-filter keeps every row and raises on the first violation.
     fin.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), max(col("l")).as("lis_len"))
+      .filter(coalesce(assert_true(col("lis_len") <= lit(LisRounds.toLong),
+        lit(s"LIS relaxation cap saturated: lis_len reached ${LisRounds + 1}; " +
+          "raise LisRounds")), lit(true)))
       .orderBy(col("user_id"))
   }
 
@@ -117,9 +138,21 @@ object CatalogDp {
     val keys = Tables.customer(s, dir).select(col("c_custkey").as("v"))
     val n = keys.count()
     require(n < (1L << RhoK), s"rho descend covers 2^$RhoK; domain $n")
+    // h must be a SELF-map on the actual key set, whatever its shape —
+    // md5 mod n alone lands in [0,n), which only coincides with the keys
+    // when they happen to be 0..n-1 (true at sf0.01/sf0.1, FALSE for the
+    // ×10 replicas, whose copies are offset by 10M). So the hash picks an
+    // index and the index maps through the rank of the key set: h(v) =
+    // key_at_rank(md5(v) mod n). On contiguous 0-based keys rank(v) = v
+    // and h is bit-identical to the plain mod map.
+    val ranked = IterativeLoop.cutLazy(
+      graft.ops.DistributedRank.withRowNumber(keys, "idx", col("v"))
+        .select(col("v"), (col("idx") - 1L).as("idx")))
     val h = IterativeLoop.cutLazy(keys.select(col("v"),
-      pmod(conv(substring(md5(concat(lit("rho:"), col("v"))), 1, 10), 16, 10)
-        .cast("long"), lit(n)).as("hv")))
+        pmod(conv(substring(md5(concat(lit("rho:"), col("v"))), 1, 10), 16, 10)
+          .cast("long"), lit(n)).as("hidx"))
+      .join(ranked.select(col("idx").as("hidx"), col("v").as("hv")), "hidx")
+      .select(col("v"), col("hv")))
     // maps(j): v -> h^(2^j)(v), j = 0..K-1, by repeated squaring
     val maps = new Array[DataFrame](RhoK)
     maps(0) = h.select(col("v"), col("hv").as("m"))

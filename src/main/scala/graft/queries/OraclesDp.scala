@@ -89,10 +89,14 @@ object OraclesDp {
     "q417_rho_cycles" ->
       s"""WITH keys AS MATERIALIZED (SELECT c_custkey AS v FROM customer),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM keys),
-         |h AS MATERIALIZED (SELECT v,
-         |    ('0x' || substr(md5('rho:' || CAST(v AS VARCHAR)), 1, 10))::BIGINT
-         |      % (SELECT n FROM nn) AS hv
+         |rk AS MATERIALIZED (SELECT v,
+         |    CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS idx
          |  FROM keys),
+         |h AS MATERIALIZED (SELECT k.v, r.v AS hv FROM (
+         |    SELECT v, ('0x' || substr(md5('rho:' || CAST(v AS VARCHAR)),
+         |        1, 10))::BIGINT % (SELECT n FROM nn) AS hidx
+         |    FROM keys) k
+         |  JOIN rk r ON r.idx = k.hidx),
          |m0 AS MATERIALIZED (SELECT v, hv AS m FROM h),
          |${(1 to 19).map(rhoSquare).mkString(",\n")},
          |z AS MATERIALIZED (SELECT a.v, b.m AS z

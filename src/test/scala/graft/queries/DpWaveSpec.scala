@@ -67,50 +67,67 @@ class DpWaveSpec extends SparkSpec {
   }
 
   test("rho: per-cycle rows match a driver-side brute-force walk of h") {
-    val out = CatalogDp.q417RhoCycles(spark, sf).collect()
-      .map(r => r.getAs[Long]("cycle_id") ->
-        (r.getAs[Long]("cycle_len"), r.getAs[Long]("basin_size"),
-          r.getAs[Long]("max_tail"))).toMap
-    // reconstruct h exactly as the query defines it and walk it
-    val keys = graft.Tables.customer(spark, sf)
-      .select(col("c_custkey").as("v")).collect().map(_.getLong(0))
-    val n = keys.length.toLong
-    val hm = graft.Tables.customer(spark, sf)
-      .select(col("c_custkey").as("v"),
-        pmod(conv(substring(md5(concat(lit("rho:"), col("c_custkey"))), 1, 10),
-          16, 10).cast("long"), lit(n)).as("hv"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // find cycle nodes: iterate far enough that every walk is on-cycle
-    def land(v: Long): Long = {
-      var x = v; var steps = 0L
-      while (steps < 2 * n) { x = hm(x); steps += 1 }
-      x
-    }
-    // cycle membership: x on cycle iff walking from land(x) returns to it
-    val cyc = scala.collection.mutable.Set[Long]()
-    keys.foreach { v =>
-      val c = land(v)
-      if (!cyc.contains(c)) {
-        var x = hm(c)
-        val ring = scala.collection.mutable.Set(c)
-        while (x != c) { ring += x; x = hm(x) }
-        cyc ++= ring
+    // O(n) functional-graph analysis so the law affords sf0.1 (15k keys)
+    // as well as sf0.01; h reconstructed exactly as the query defines it:
+    // md5 picks an INDEX, the index maps through the rank of the key set
+    // (the self-map contract that survives non-contiguous x10 domains).
+    Seq(sf, "/root/testdata/sf0.1").foreach { d =>
+      val out = CatalogDp.q417RhoCycles(spark, d).collect()
+        .map(r => r.getAs[Long]("cycle_id") ->
+          (r.getAs[Long]("cycle_len"), r.getAs[Long]("basin_size"),
+            r.getAs[Long]("max_tail"))).toMap
+      val keys = graft.Tables.customer(spark, d)
+        .select(col("c_custkey")).collect().map(_.getLong(0)).sorted
+      val n = keys.length
+      val mdv = java.security.MessageDigest.getInstance("MD5")
+      def hIdx(v: Long): Int = {
+        val hex = mdv.digest(s"rho:$v".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(10)
+        (java.lang.Long.parseLong(hex, 16) % n).toInt
       }
+      val h: Array[Int] = keys.map(hIdx)
+      // cycle detection by path coloring: 0 unvisited, 1 on current path,
+      // 2 finished
+      val state = Array.fill(n)(0)
+      val onCycle = Array.fill(n)(false)
+      for (s0 <- 0 until n if state(s0) == 0) {
+        val path = scala.collection.mutable.ArrayBuffer[Int]()
+        var x = s0
+        while (state(x) == 0) { state(x) = 1; path += x; x = h(x) }
+        if (state(x) == 1) {
+          var j = path.indexOf(x)
+          while (j < path.length) { onCycle(path(j)) = true; j += 1 }
+        }
+        path.foreach(state(_) = 2)
+      }
+      // cycle id = min KEY on the ring; tails + landing cycle by memoized
+      // recursion unrolled onto an explicit stack
+      val cid = Array.fill(n)(-1L)
+      for (i <- 0 until n if onCycle(i) && cid(i) < 0) {
+        var x = i; var mn = keys(i)
+        while ({ x = h(x); x != i }) mn = math.min(mn, keys(x))
+        cid(i) = mn
+        x = i
+        while ({ x = h(x); x != i }) cid(x) = mn
+      }
+      val tail = Array.fill(n)(-1L)
+      val land = Array.fill(n)(-1L)
+      for (i <- 0 until n) {
+        val stack = scala.collection.mutable.ArrayBuffer[Int]()
+        var x = i
+        while (!onCycle(x) && tail(x) < 0) { stack += x; x = h(x) }
+        var t = if (onCycle(x)) 0L else tail(x)
+        val c = if (onCycle(x)) cid(x) else land(x)
+        for (y <- stack.reverseIterator) { t += 1L; tail(y) = t; land(y) = c }
+      }
+      val brute = (0 until n)
+        .groupBy(i => if (onCycle(i)) cid(i) else land(i))
+        .map { case (c, vs) =>
+          c -> ((0 until n).count(i => onCycle(i) && cid(i) == c).toLong,
+            vs.size.toLong,
+            vs.map(i => if (onCycle(i)) 0L else tail(i)).max)
+        }
+      assert(out === brute, s"at $d")
     }
-    def cycleId(c: Long): Long = {
-      var x = hm(c); var mn = c
-      while (x != c) { mn = math.min(mn, x); x = hm(x) }
-      mn
-    }
-    def tail(v: Long): Long = {
-      var x = v; var t = 0L
-      while (!cyc.contains(x)) { x = hm(x); t += 1 }
-      t
-    }
-    val brute = keys.groupBy(v => cycleId(land(v))).map { case (cid, vs) =>
-      val ring = cyc.filter(c => cycleId(c) == cid)
-      cid -> (ring.size.toLong, vs.length.toLong, vs.map(tail).max)
-    }
-    assert(out === brute)
   }
 }
