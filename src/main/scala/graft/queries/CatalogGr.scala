@@ -35,11 +35,19 @@ object CatalogGr {
     * contract as q28/q192; sums accumulate in element order so both
     * engines agree bit-for-bit. */
   def q418DimRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val dims = Seq(4, 8, 16, 32, 64)
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
     val q = e.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // brute-force by DESIGN (offline eval harness, q28 contract) — but the
+    // design only holds for a bounded query batch: guard it so a corpus
+    // where the % 25 convention stops being small fails loudly instead of
+    // silently running an all-pairs scan (the scale path is q30/q35 ANN)
+    val nq = q.count()
+    require(nq <= 1000,
+      s"dim-recall is an offline eval over a bounded query batch; got $nq queries")
     val pairs = q.crossJoin(e.filter(col("vec_id") % 25 =!= 0)
         .select(col("vec_id").as("c_id"), col("v").as("cv")))
     val byDim = dims.map { d =>
@@ -171,7 +179,7 @@ object CatalogGr {
         f.join(f.select(col("l").as("p"), col("p").as("p2")), "p")
           .select(col("l"), col("p2").as("p"))
       }
-      val newLbls = lbls.join(flat.select(col("lbl").as("__old"), col("p")),
+      val newLbls = lbls.join(flat.select(col("l").as("__old"), col("p")),
           col("lbl") === col("__old"))
         .select(lit("l").as("kind"), col("n"), col("p").as("lbl"),
           lit(0L).as("ex"), lit(0L).as("ey"), lit(0L).as("ewt"))

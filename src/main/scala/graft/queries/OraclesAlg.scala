@@ -11,7 +11,7 @@ package graft.queries
  */
 object OraclesAlg {
 
-  private val partEdgesSql =
+  private[queries] val partEdgesSql =
     """pp AS MATERIALIZED (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       |e0 AS MATERIALIZED (SELECT a.pk AS x, b.pk AS y
