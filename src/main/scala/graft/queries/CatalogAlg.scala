@@ -71,13 +71,16 @@ object CatalogAlg {
   private[graft] val LcpMax = 1024 // 32 blocks — require()d ≥ max doc len
 
   /** Append an exact `lcp` column for head columns `ha`/`hb` — two-tier
-    * and codegen'd: whole 32-char blocks first (≤ 32 block probes), then
-    * a 32-char per-char fine scan. Exact up to [[LcpMax]]; never a
-    * per-char fold over the full cap. */
-  private[graft] def withLcp(df: DataFrame, ha: String, hb: String): DataFrame = {
+    * and codegen'd: whole 32-char blocks first (≤ cap/32 block probes),
+    * then a 32-char per-char fine scan. Exact up to `cap` (default
+    * [[LcpMax]]); never a per-char fold over the full cap. `cap` must be
+    * a multiple of [[LcpBlock]]. */
+  private[graft] def withLcp(df: DataFrame, ha: String, hb: String,
+      cap: Int = LcpMax): DataFrame = {
     val B = LcpBlock
+    require(cap % B == 0, s"cap $cap must be a multiple of $B")
     df.withColumn("__blk", expr(
-        s"""aggregate(sequence(0, ${LcpMax / B - 1}), 0, (acc, i) ->
+        s"""aggregate(sequence(0, ${cap / B - 1}), 0, (acc, i) ->
            |  CASE WHEN acc = i * $B AND (i + 1) * $B <= least(length($ha), length($hb))
            |    AND substring($ha, i * $B + 1, $B) = substring($hb, i * $B + 1, $B)
            |  THEN (i + 1) * $B ELSE acc END)""".stripMargin))
@@ -102,7 +105,7 @@ object CatalogAlg {
     val maxLen = docs.agg(max(length(col("text"))).as("m")).head().getInt(0)
     require(maxLen < LcpMax,
       s"distinct-substring LCP kernel is exact to $LcpMax chars; corpus max $maxLen")
-    val ranked = graft.text.SuffixIndex.perDocRanks(docs, "doc_id", "text")
+    val ranked = graft.text.SuffixIndex.perDocRanksCached(s, dir)
     // sentinel suffix ("\t") is ALWAYS rank 1 (TAB sorts below every
     // corpus char), so the original suffixes carry contiguous ranks
     // 2..n+1 — adjacency needs no re-rank, just r-1

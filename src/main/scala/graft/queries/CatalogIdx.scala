@@ -31,16 +31,15 @@ object CatalogIdx {
     * rank step is range-partition + offset, never a single-partition
     * window, so the index scales with the corpus. */
   def q396SuffixRanks(s: SparkSession, dir: String): DataFrame =
-    graft.text.SuffixIndex.globalRanks(
-      Tables.documents(s, dir), "doc_id", "text")
+    graft.text.SuffixIndex.globalRanksCached(s, dir)
 
   /** Per-document BWT compressibility: suffix order per doc (documents
     * are the unit of parallelism), BWT read as cyclic predecessors in
     * rank order; run count ≪ length flags repetitive text the way
     * deflate-ratio does, but with exact integer structure. */
   def q397BwtRuns(s: SparkSession, dir: String): DataFrame =
-    graft.text.SuffixIndex.perDocBwt(
-      Tables.documents(s, dir), "doc_id", "text")
+    graft.text.SuffixIndex.bwtOf(
+      graft.text.SuffixIndex.perDocRanksCached(s, dir))
 
   /** Pareto skyline of orders (maximize price AND recency). The
     * all-pairs dominance test is O(n²); this runs the scalable form:

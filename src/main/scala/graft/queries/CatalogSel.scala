@@ -234,7 +234,12 @@ object CatalogSel {
   def q406LcpRepeats(s: SparkSession, dir: String): DataFrame = {
     val cap = LcpCap
     val docs = Tables.documents(s, dir)
-    val ranks = graft.text.SuffixIndex.globalRanks(docs, "doc_id", "text")
+    // the session-memoized index (one build serves q396/q397/q406/q411)
+    // + the two-tier codegen'd LCP kernel (block probes then a fine
+    // scan, q411's plan) — this query used to rebuild the ranks AND run
+    // a 96-step per-char HOF fold per adjacent pair, and was the single
+    // most expensive bench entry for it
+    val ranks = graft.text.SuffixIndex.globalRanksCached(s, dir)
     val heads = IterativeLoop.cutLazy(
       ranks.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
         .select(col("doc_id"), col("pos"), col("suffix_rank"),
@@ -243,12 +248,7 @@ object CatalogSel {
       col("suffix_rank").as("rk"), col("hd").as("ha"))
     val bSide = heads.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
       (col("suffix_rank") - 1).as("rk"), col("hd").as("hb"))
-    aSide.join(bSide, "rk")
-      .withColumn("lcp", expr(
-        s"""aggregate(sequence(1, $cap), 0, (acc, i) ->
-           |  CASE WHEN acc = i - 1 AND i <= least(length(ha), length(hb))
-           |    AND substring(ha, i, 1) = substring(hb, i, 1)
-           |  THEN i ELSE acc END)""".stripMargin).cast("long"))
+    CatalogAlg.withLcp(aSide.join(bSide, "rk"), "ha", "hb", cap)
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
         col("lcp"), (col("lcp") === cap).as("lcp_capped"),
         substring(col("ha"), 1, 40).as("snippet"))

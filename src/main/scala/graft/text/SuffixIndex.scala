@@ -123,6 +123,20 @@ object SuffixIndex {
     }
   }
 
+  /** [[globalRanks]] over the standard corpus read, memoized per session
+    * via [[graft.ops.FrameMemo]] — one index build serves every query in
+    * a Verify/Bench session (the deployment model: a materialized index
+    * table, not a per-query rebuild). */
+  def globalRanksCached(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.ops.FrameMemo.cached(s, s"suffix-global:$dir")(
+      globalRanks(graft.Tables.documents(s, dir), "doc_id", "text"))
+
+  /** [[perDocRanks]] over the standard corpus read, memoized like
+    * [[globalRanksCached]]. */
+  def perDocRanksCached(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.ops.FrameMemo.cached(s, s"suffix-perdoc:$dir")(
+      perDocRanks(graft.Tables.documents(s, dir), "doc_id", "text"))
+
   /** Per-document BWT summary over [[perDocRanks]]: the BWT read as each
     * suffix's cyclic predecessor char in rank order. Emits the
     * compressibility signal (BWT clusters equal context-chars, so
@@ -130,9 +144,13 @@ object SuffixIndex {
     * bwt_runs, and the first `headLen` BWT chars as a spot-checkable
     * prefix. */
   def perDocBwt(docs: DataFrame, idCol: String, textCol: String,
-      headLen: Int = 24): DataFrame = {
+      headLen: Int = 24): DataFrame =
+    bwtOf(perDocRanks(docs, idCol, textCol), headLen)
+
+  /** [[perDocBwt]] body over an already-built [[perDocRanks]] frame, so
+    * callers can feed the session-memoized index. */
+  def bwtOf(ranked: DataFrame, headLen: Int = 24): DataFrame = {
     val wDoc = Window.partitionBy(col("doc_id"))
-    val ranked = perDocRanks(docs, idCol, textCol)
     ranked
       .withColumn("prev", lag(col("bc"), 1).over(wDoc.orderBy(col("r"))))
       .groupBy(col("doc_id"))
