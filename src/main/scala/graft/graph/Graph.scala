@@ -55,6 +55,11 @@ object Graph {
     val base = lazyCut(nodes.crossJoin(broadcast(nTotal)))
     val ranks0 = base
       .select(col("node"), expr(s"CAST($scale AS BIGINT) div n_nodes").as("rank"))
+    // NOT fixedUntil: damped deltas shrink like scale·0.85^k, so hitting
+    // an EXACT integer fixed point needs ~log(scale)/log(1/0.85) ≈ 170
+    // rounds — an 8-round contract can never exit early and the per-round
+    // convergence probes are pure overhead (measured: +25% on q83 when
+    // this loop briefly ran through fixedUntil in round 11).
     graft.ops.IterativeLoop.fixed(ranks0, iterations) { (ranks, _) =>
       val contrib = eWithDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -119,6 +124,10 @@ object Graph {
     var hubs = lazyCut(nodes.crossJoin(broadcast(nTotal))
       .select(col("node"), expr(s"CAST($scale AS BIGINT) div n_nodes").as("hub")))
     var auths: DataFrame = hubs.select(col("node"), col("hub").as("auth"))
+    // No early-exit probe here for the same reason as PageRank: the
+    // L1-renormalized integer scores keep moving by ±1 quanta for far
+    // longer than any contracted round count, so a bit-exact fixed point
+    // is unreachable inside the oracle-replayed 8 rounds.
     for (_ <- 1 to iterations) {
       auths = normalized(
         e.join(hubs.withColumnRenamed("node", "src"), "src")

@@ -96,6 +96,64 @@ object IterativeLoop {
     (1 to rounds).foldLeft(init)((df, i) => cutFresh(step(df, i)))
   }
 
+  /** Result of [[fixedUntil]]: the converged (or cap-round) frame, the
+    * number of `step` rounds actually materialized, and whether an exact
+    * fixed point was observed before the cap. */
+  final case class FixedResult(df: DataFrame, rounds: Int, converged: Boolean)
+
+  /** Exact multiset equality — `exceptAll` both directions. The default
+    * (always-sound) [[fixedUntil]] probe; two state-frame-sized shuffles
+    * per round. */
+  val multisetEqual: (DataFrame, DataFrame) => Boolean =
+    (a, b) => b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty
+
+  /** Build a cheap [[fixedUntil]] probe from a driver-scalar summary:
+    * converged when the summary repeats. SOUND ONLY when the caller can
+    * argue summary-stationary ⟺ fixed point — e.g. a per-key MONOTONE
+    * loop with an invariant key set, where sum(value) is stationary iff
+    * no value moved. One map-side-combinable aggregate per round instead
+    * of [[multisetEqual]]'s two shuffles. */
+  def stationaryAgg(summary: DataFrame => Seq[Any]): (DataFrame, DataFrame) => Boolean =
+    (prev, next) => summary(next) == summary(prev)
+
+  /** Run `step` until an EXACT fixed point, with `maxRounds` as the
+    * guard: lazy cut per round (the probe's action is what materializes
+    * it — one job per round, not two), then `sameAs` against the previous
+    * round. Early exit is hash-identical to [[fixed]]`(maxRounds)` by
+    * construction — a deterministic `step` satisfies step(fp) = fp, so
+    * every skipped round is a no-op. Use when the round cap is a SAFETY
+    * NET over a loop that genuinely converges in integer state (LIS
+    * relaxation, label propagation); loops whose round count IS the
+    * contract (the oracle replays exactly k rounds and the values are
+    * still moving at k — e.g. the scaled-BIGINT PageRank/HITS whose
+    * deltas need ~log₀.₈₅(scale⁻¹) rounds to quantize out) keep
+    * [[fixed]] — there the probes are pure overhead, measured +25% on q83.
+    *
+    * `requireConverged = true` turns cap exhaustion into a loud failure —
+    * for loops whose RESULT is only exact at the fixed point (q416's LIS:
+    * after r rounds the value is min(truth, r+1), so a saturated cap
+    * hash-matches a silently wrong answer in BOTH engines).
+    */
+  def fixedUntil(init: DataFrame, maxRounds: Int,
+      requireConverged: Boolean = false,
+      sameAs: (DataFrame, DataFrame) => Boolean = multisetEqual)(
+      step: (DataFrame, Int) => DataFrame): FixedResult = {
+    require(maxRounds >= 1, s"need at least one round, got $maxRounds")
+    var cur = cutLazy(init)
+    var i = 0
+    var conv = false
+    while (i < maxRounds && !conv) {
+      val next = cutLazy(step(cur, i + 1))
+      conv = sameAs(cur, next)
+      cur = next
+      i += 1
+    }
+    require(!requireConverged || conv,
+      s"fixedUntil: no fixed point within $maxRounds rounds — the cap is " +
+        "too small for this data; a capped result would be silently wrong")
+    FixedResult(cur, i, conv)
+  }
+
   /** Fixed-point law hook: max over join keys of |step(df) − df| on
     * `valueCol` (absent keys on either side contribute their full
     * magnitude via the outer join's zero-fill — a key appearing or

@@ -73,14 +73,38 @@ object CatalogDp {
   private[graft] val LisRounds = 32
 
   /** Longest strictly-increasing subsequence of each user's event-value
-    * stream (time order): synchronous longest-path relaxation
-    * L(i) ← max(L(i), 1 + max over precedence pairs L(j)) for 32 rounds
-    * (converges once rounds ≥ the LIS itself; E[LIS] ≈ 2√n ≈ 20 at 99
-    * events/user — the fixpoint law guards the margin). The precedence
-    * pair set (j before i, vⱼ < vᵢ) is built ONCE per user (user streams
-    * are bounded — the sessionization contract) and each round is one
-    * pair join + max aggregate. */
+    * stream (time order). LIS is a per-user statistic, so the production
+    * shape is ONE shuffle on user_id and a local O(n log n) patience
+    * computation per group ([[graft.functions.LisAgg]], partial-agg
+    * friendly, group size require()-capped) — each event moves exactly
+    * once, vs the former synchronous relaxation that re-joined the
+    * O(Σ n_u²) precedence-pair frame once per round for max-LIS rounds.
+    * The relaxation survives as [[lisByRelaxation]], the spec's
+    * independent cross-implementation law baseline (DpWaveSpec asserts
+    * aggregator ≡ relaxation on real data; the DuckDB oracle replays the
+    * relaxation rounds, so the hash-match crosses implementations too). */
   def q416UserLis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"),
+        round(col("value") * 100).cast("long").as("v"))
+      .as[(Long, Long, Long, Long)]
+    ev.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3, r._4))
+      .agg(graft.functions.LisAgg.lis.toColumn.name("r"))
+      .toDF("user_id", "r")
+      .select(col("user_id"), col("r._1").as("n_events"), col("r._2").as("lis_len"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The synchronous longest-path relaxation form of [[q416UserLis]]:
+    * L(i) ← max(L(i), 1 + max over precedence pairs L(j)) until the exact
+    * fixed point (early exit via the monotone stationary-sum probe;
+    * 32-round cap as the loud-failure guard — after r rounds L is
+    * min(truth, r+1), so a saturated cap would be silently wrong in both
+    * engines). Retained as the law baseline the patience aggregator is
+    * checked against, and as the fixedUntil exemplar. */
+  private[graft] def lisByRelaxation(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("ts"),
         round(col("value") * 100).cast("long").as("v"))
@@ -96,7 +120,18 @@ object CatalogDp {
         .filter(col("rj") < col("ri") && col("vj") < col("vi"))
         .select(col("user_id"), col("rj"), col("ri")))
     val l0 = evc.select(col("user_id"), col("rn"), lit(1L).as("l"))
-    val fin = IterativeLoop.fixed(l0, LisRounds) { (lf, _) =>
+    // fixedUntil: the relaxation converges after max-LIS rounds (E[LIS]
+    // ≈ 2√n ≈ 20 at 99 events/user), so the 32-round cap is a guard, not
+    // the workload — early exit is hash-identical (step(fp)=fp) and
+    // requireConverged turns cap saturation into a loud failure at the
+    // loop itself, complementing the in-plan assert below. The probe is
+    // the cheap stationary-sum form, sound here because l is per-key
+    // MONOTONE non-decreasing over an invariant (user, rn) key set:
+    // sum(l) unchanged ⟺ no l moved ⟺ fixed point.
+    val fin = IterativeLoop.fixedUntil(l0, LisRounds, requireConverged = true,
+        sameAs = IterativeLoop.stationaryAgg(
+          df => df.agg(sum(col("l"))).collect().toSeq.map(_.getLong(0)))) {
+        (lf, _) =>
       val best = pairs
         .join(lf.select(col("user_id"), col("rn").as("rj"), col("l")),
           Seq("user_id", "rj"))
@@ -112,7 +147,7 @@ object CatalogDp {
     // driver-side re-aggregate, which would force the whole relaxation a
     // second time): assert_true yields NULL when the guard holds, so the
     // coalesce-filter keeps every row and raises on the first violation.
-    fin.groupBy(col("user_id"))
+    fin.df.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), max(col("l")).as("lis_len"))
       .filter(coalesce(assert_true(col("lis_len") <= lit(LisRounds.toLong),
         lit(s"LIS relaxation cap saturated: lis_len reached ${LisRounds + 1}; " +

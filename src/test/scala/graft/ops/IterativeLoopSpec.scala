@@ -42,6 +42,50 @@ class IterativeLoopSpec extends SparkSpec {
       s"plan grew with round count: 2 rounds -> $plan2 chars, 12 -> $plan12")
   }
 
+  test("fixedUntil: bit-identical to fixed(cap), exits before the cap on a " +
+      "converging map, and reports the round count") {
+    // integer halving hits its exact fixed point (0) after 7 rounds
+    val init = Seq((1L, 100L), (2L, 3L)).toDF("k", "v")
+    def step(df: DataFrame): DataFrame =
+      df.select(col("k"), (col("v") / 2).cast("long").as("v"))
+    val viaCap = IterativeLoop.fixed(init, 32)((df, _) => step(df))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val res = IterativeLoop.fixedUntil(init, 32, requireConverged = true)(
+      (df, _) => step(df))
+    assert(res.converged)
+    assert(res.rounds < 32, s"no early exit: ran ${res.rounds} rounds")
+    assert(res.rounds >= 7, s"exited before the fixed point: ${res.rounds}")
+    val viaUntil = res.df.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaUntil === viaCap)
+  }
+
+  test("fixedUntil: requireConverged turns cap saturation into a loud " +
+      "failure; without it the cap result matches fixed(cap)") {
+    // +1 never converges
+    val init = Seq((1L, 0L)).toDF("k", "v")
+    def step(df: DataFrame): DataFrame =
+      df.select(col("k"), (col("v") + 1L).as("v"))
+    val e = intercept[IllegalArgumentException] {
+      IterativeLoop.fixedUntil(init, 4, requireConverged = true)((df, _) => step(df))
+    }
+    assert(e.getMessage.contains("no fixed point"))
+    val res = IterativeLoop.fixedUntil(init, 4)((df, _) => step(df))
+    assert(!res.converged && res.rounds === 4)
+    assert(res.df.collect()(0).getLong(1) === 4L)
+  }
+
+  test("fixedUntil: a multiset-level change (key churn at constant count) " +
+      "is NOT a fixed point — the probe is exceptAll both directions") {
+    // rotate keys: same row count and same value multiset per column
+    // would fool a count- or sum-probe; exceptAll catches it
+    val init = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    def rot(df: DataFrame): DataFrame =
+      df.select((col("k") % 2 + 1).as("k"), col("v"))
+    val res = IterativeLoop.fixedUntil(init, 3)((df, _) => rot(df))
+    assert(!res.converged && res.rounds === 3)
+  }
+
   test("fixedPointGap: zero at a genuine fixed point, detects key churn") {
     val stable = Seq((1L, 5.0), (2L, 7.0)).toDF("k", "v")
     assert(IterativeLoop.fixedPointGap(stable, Seq("k"), "v")(df => df) === 0.0)

@@ -43,6 +43,20 @@ class DpWaveSpec extends SparkSpec {
     assert(out === Map("a" -> 2L, "b" -> 3L, "c" -> 4L, "d" -> 4L, "e" -> 1L))
   }
 
+  test("LIS: the patience aggregator matches the retained relaxation " +
+      "implementation row for row (cross-implementation law), and the " +
+      "relaxation converges before its round cap") {
+    val agg = CatalogDp.q416UserLis(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("lis_len"))).toSet
+    // requireConverged=true inside: reaching the cap still moving throws,
+    // so a green run IS the convergence-before-cap assertion
+    val relax = CatalogDp.lisByRelaxation(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("lis_len"))).toSet
+    assert(agg === relax)
+  }
+
   test("LIS: relaxation matches an independent patience-sort computation") {
     val out = CatalogDp.q416UserLis(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("lis_len")).toMap
