@@ -100,8 +100,12 @@ object Bench {
     // END of the whole pass — a genuine regression reproduces in
     // isolation, transient neighbor/JVM pressure does not. Previous mins
     // come from the last committed detail file (optional env).
+    // Default to the repo's committed detail artifact so the DRIVER's
+    // bench run (which sets only SPARK_GRAFT_SF_DIR) gets the
+    // second-chance pass against last round's mins automatically.
     val prevMins: Map[String, Double] =
-      sys.env.get("SPARK_GRAFT_BENCH_PREV").flatMap { p =>
+      sys.env.get("SPARK_GRAFT_BENCH_PREV")
+        .orElse(Some("/root/repo/BENCH_DETAIL.json")).flatMap { p =>
         try {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(p)), "UTF-8")
@@ -177,7 +181,12 @@ object Bench {
       s"""{"metric":"detail","queries":$qs,"sf":"$sfDir","errors":$errorsJson,"unit":"sec","sentinel_sec":${fmt(sentinelSamples.min)},"value":${fmt(total)}}"""
     val summaryLine =
       s"""{"metric":"total","sf":"$sfDir","n_queries":${queries.size},"errors":$errorsJson,"unit":"sec","sentinel_sec":${fmt(sentinelSamples.min)},"value":${fmt(total)}}"""
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    // Partial (SPARK_GRAFT_ONLY) runs must not clobber the committed
+    // full-run artifact — it doubles as next run's second-chance
+    // baseline (a 3-query iteration once overwrote the full detail file
+    // and got swept into a commit).
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      if (only.isDefined) "BENCH_DETAIL_partial.json" else "BENCH_DETAIL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (samplesLine + "\n" + detailLine + "\n").getBytes("UTF-8"))
     println(samplesLine)
