@@ -158,70 +158,24 @@ object CatalogGp {
 
   // ---------------------------------------------------------------- q424
 
-  private[graft] val QuantBins = 256L
-  private[graft] val QuantMaxRounds = 16
-
   /** Exact corpus quantiles (p50/p90/p99 of l_extendedprice in cents) by
-    * distributed histogram refinement: each pass counts rows into
-    * [[QuantBins]] sub-bins of every still-open quantile's value
-    * interval (ONE conditional aggregate over the cached column — no
-    * sort, no single-partition window, no per-row rank), the driver
-    * walks the ≤ 3×256 counts to narrow each interval, and intervals of
-    * width 1 are exact. O(log₂₅₆ range) passes — 3 for 32-bit cents —
-    * with O(quantiles × bins) driver state at any corpus size; the
-    * textbook alternative (global sort, or a rank window) moves the
-    * whole column. */
+    * distributed histogram refinement ([[graft.ops.Quantiles]], the
+    * no-sort k-th-smallest primitive — q431 composes the same op into
+    * MAD outlier detection): O(log₂₅₆ range) counting passes — 3 for
+    * 32-bit cents — with O(quantiles × bins) driver state at any corpus
+    * size; the textbook alternative (global sort, or a rank window)
+    * moves the whole column. */
   def q424ExactQuantiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cents = IterativeLoop.cutLazy(Tables.lineitem(s, dir)
       .select(round(col("l_extendedprice") * 100).cast("long").as("c")))
     val n = cents.count()
     require(n > 0, "empty corpus")
-    val bounds = cents.agg(min(col("c")), max(col("c"))).head()
-    val (gMin, gMax) = (bounds.getLong(0), bounds.getLong(1))
     // k-th smallest targets, ceil(p·n) in exact integer arithmetic
     val targets = Seq(("p50", (n + 1L) / 2L), ("p90", (9L * n + 9L) / 10L),
       ("p99", (99L * n + 99L) / 100L))
-    // (name, k, lo, hi, below): k-th smallest lies in [lo, hi];
-    // `below` = rows with c < lo already accounted for
-    var state = targets.map { case (nm, k) => (nm, k, gMin, gMax, 0L) }
-    var rounds = 0
-    while (state.exists(t => t._3 < t._4)) {
-      rounds += 1
-      require(rounds <= QuantMaxRounds,
-        s"quantile refinement exceeded $QuantMaxRounds passes — interval " +
-          "arithmetic bug, failing loudly")
-      val open = state.filter(t => t._3 < t._4)
-      // one pass: every open target's interval binned at once
-      val grids = open.map { case (nm, _, lo, hi, _) =>
-        val w = math.max(1L, (hi - lo) / QuantBins + 1L)
-        (nm, lo, hi, w)
-      }
-      val gridDf = grids.toDF("nm", "lo", "hi", "w")
-      val counts = cents.join(broadcast(gridDf),
-          col("c") >= col("lo") && col("c") <= col("hi"))
-        .groupBy(col("nm"), expr("(c - lo) div w").as("bin"))
-        .agg(count(lit(1)).as("cnt"))
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-      state = state.map {
-        case t @ (_, _, lo, hi, _) if lo == hi => t
-        case (nm, k, lo, _, below) =>
-          val (_, _, hi, w) = grids.find(_._1 == nm).get
-          val nBins = (hi - lo) / w + 1L
-          var acc = below
-          var bin = 0L
-          while (bin < nBins && acc + counts.getOrElse((nm, bin), 0L) < k) {
-            acc += counts.getOrElse((nm, bin), 0L)
-            bin += 1L
-          }
-          require(bin < nBins, s"$nm: k=$k not located — count bug")
-          val nLo = lo + bin * w
-          val nHi = math.min(hi, nLo + w - 1L)
-          (nm, k, nLo, nHi, acc)
-      }
-    }
-    state.map { case (nm, k, lo, _, _) => (nm, k, n, lo) }
+    graft.ops.Quantiles.kthSmallest(cents, "c", targets)
+      .map { case (nm, k, v) => (nm, k, n, v) }
       .toDF("q", "k", "n", "value")
       .orderBy(col("q"))
   }
