@@ -173,9 +173,52 @@ object CatalogMl {
       .orderBy(col("nation"), col("segment"))
   }
 
+  // ---------------------------------------------------------------- q434
+
+  private[graft] val WoeBins = 10L
+
+  /** Weight-of-evidence / information-value feature audit (the
+    * credit-scoring feature-selection classic, next to q426's split
+    * finding and q429's target encoding): event value binned into
+    * [[WoeBins]] equi-width bins against the is-purchase target;
+    * WOE_b = lg(2p_b+1) − lg(2P+B) − lg(2n_b+1) + lg(2N+B) in the
+    * engine's exact piecewise lg (the ×2+1 scaling is the 0.5-Laplace
+    * smoothing kept in INTEGER lg arguments, so empty cells are defined
+    * and both engines agree bit for bit); IV = Σ_b (p_b/P − n_b/N)·WOE_b
+    * as a fixed-order fold over bins ascending. */
+  def q434WoeIv(s: SparkSession, dir: String): DataFrame = {
+    import graft.curation.Curation.lg
+    val ev = Tables.events(s, dir).select(
+      round(col("value") * 100).cast("long").as("c"),
+      (col("event_type") === "purchase").cast("long").as("y"))
+    val mm = ev.agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
+      count(lit(1)).as("n"), sum(col("y")).as("p"))
+    val bins = ev.crossJoin(broadcast(mm))
+      .select(expr(s"(c - mn) div ((mx - mn) div $WoeBins + 1)").as("bin"),
+        col("y"), col("n"), col("p"))
+      .groupBy(col("bin"), col("n"), col("p"))
+      .agg(count(lit(1)).as("f"), sum(col("y")).as("fp"))
+      .select(col("bin"), col("fp").as("n_pos"), (col("f") - col("fp")).as("n_neg"),
+        col("p").as("tp"), (col("n") - col("p")).as("tn"))
+    val scored = bins.withColumn("woe",
+        lg(lit(2L) * col("n_pos") + 1L) - lg(lit(2L) * col("tp") + lit(WoeBins))
+          - (lg(lit(2L) * col("n_neg") + 1L)
+            - lg(lit(2L) * col("tn") + lit(WoeBins))))
+      .withColumn("term",
+        (col("n_pos").cast("double") / col("tp").cast("double")
+          - col("n_neg").cast("double") / col("tn").cast("double")) * col("woe"))
+    val iv = scored.agg(aggregate(
+      array_sort(collect_list(struct(col("bin"), col("term")))), lit(0.0),
+      (acc, x) => acc + x.getField("term")).as("iv"))
+    scored.crossJoin(broadcast(iv))
+      .select(col("bin"), col("n_pos"), col("n_neg"), col("woe"), col("iv"))
+      .orderBy(col("bin"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q426_best_split"    -> q426BestSplit _,
     "q427_seq_patterns"  -> q427SeqPatterns _,
     "q428_covisit_lift"  -> q428CovisitLift _,
-    "q429_target_encode" -> q429TargetEncode _)
+    "q429_target_encode" -> q429TargetEncode _,
+    "q434_woe_iv"        -> q434WoeIv _)
 }

@@ -82,6 +82,36 @@ object OraclesMl {
         |SELECT x, y, rnk, cxy, lift FROM ranked
         |WHERE rnk <= 5 ORDER BY x, rnk""".stripMargin,
 
+    "q434_woe_iv" ->
+      s"""WITH ev AS MATERIALIZED (
+         |  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+         |    CASE WHEN event_type = 'purchase' THEN CAST(1 AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS y
+         |  FROM events),
+         |mm AS (SELECT min(c) AS mn, max(c) AS mx,
+         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p FROM ev),
+         |bins AS MATERIALIZED (
+         |  SELECT (c - mn) // ((mx - mn) // 10 + 1) AS bin,
+         |    CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+         |    p AS tp, n - p AS tn
+         |  FROM ev, mm GROUP BY 1, p, n),
+         |scored AS MATERIALIZED (SELECT bin, n_pos, n_neg,
+         |    (${OraclesExt.lgSqlOf("2 * n_pos + 1")}
+         |      - ${OraclesExt.lgSqlOf("2 * tp + 10")})
+         |     - (${OraclesExt.lgSqlOf("2 * n_neg + 1")}
+         |      - ${OraclesExt.lgSqlOf("2 * tn + 10")}) AS woe,
+         |    tp, tn
+         |  FROM bins),
+         |iv AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list((CAST(n_pos AS DOUBLE) / CAST(tp AS DOUBLE)
+         |      - CAST(n_neg AS DOUBLE) / CAST(tn AS DOUBLE)) * woe
+         |      ORDER BY bin)),
+         |    (a, x) -> a + x) AS iv
+         |  FROM scored)
+         |SELECT bin, n_pos, n_neg, woe, iv.iv
+         |FROM scored, iv ORDER BY bin""".stripMargin,
+
     "q429_target_encode" ->
       """WITH o AS MATERIALIZED (
         |  SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,

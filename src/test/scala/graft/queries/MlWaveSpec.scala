@@ -102,6 +102,43 @@ class MlWaveSpec extends SparkSpec {
     assert(got === top)
   }
 
+  test("q434 WOE/IV matches a driver recount through the same piecewise " +
+      "lg, including the integer-Laplace smoothing and the fold order") {
+    def lgL(x: Long): Double = {
+      val len = 64 - java.lang.Long.numberOfLeadingZeros(x)
+      val p = 1L << (len - 1)
+      (len - 1).toDouble + (x - p).toDouble / p.toDouble
+    }
+    val got = CatalogMl.q434WoeIv(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val rows = graft.Tables.events(spark, sf)
+      .select(round(col("value") * 100).cast("long").as("c"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (mn, mx) = (rows.map(_._1).min, rows.map(_._1).max)
+    val w = (mx - mn) / CatalogMl.WoeBins + 1L
+    val (tp, tn) = (rows.map(_._2).sum, rows.length.toLong - rows.map(_._2).sum)
+    val byBin = rows.groupBy { case (c, _) => (c - mn) / w }
+    val woe = byBin.map { case (b, v) =>
+      val p = v.map(_._2).sum
+      val n = v.length.toLong - p
+      b -> (p, n,
+        (lgL(2 * p + 1) - lgL(2 * tp + CatalogMl.WoeBins)) -
+          (lgL(2 * n + 1) - lgL(2 * tn + CatalogMl.WoeBins)))
+    }
+    val iv = woe.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (_, (p, n, wv))) =>
+      acc + (p.toDouble / tp.toDouble - n.toDouble / tn.toDouble) * wv
+    }
+    assert(got.keySet === woe.keySet)
+    woe.foreach { case (b, (p, n, wv)) =>
+      val (gp, gn, gw, gi) = got(b)
+      assert(gp === p && gn === n, s"bin $b counts")
+      assert(gw === wv, s"bin $b woe")
+      assert(gi === iv, s"bin $b iv")
+    }
+  }
+
   test("q429 encoding shrinks toward the global mean and matches a " +
       "driver recount bit for bit") {
     val got = CatalogMl.q429TargetEncode(spark, sf).collect()
