@@ -45,6 +45,18 @@ class GpWaveSpec extends SparkSpec {
         }
     }
     assert(got === dist.toMap)
+    // the hop-bounded contract, unconditionally: dist after the cap
+    // equals a driver-side Bellman–Ford run for exactly cap rounds
+    // (equal to Dijkstra here because the loop converged, but this is
+    // the semantics the ×10 denser graph falls back to)
+    var bf = Map(src -> 0L)
+    (1 to CatalogGp.SsspRounds).foreach { _ =>
+      val cand = bf.toSeq.flatMap { case (v, d) =>
+        adj.getOrElse(v, Array.empty[(Long, Long)]).map { case (w, c) => w -> (d + c) }
+      }
+      bf = (bf.toSeq ++ cand).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+    }
+    assert(got === bf)
   }
 
   test("q422 critical path equals a driver-side topological DP, the DAG " +
