@@ -41,6 +41,14 @@ object ScaleProbeDirs {
         val n = fn(spark, d).count()
         val t = (System.nanoTime() - t0) / 1e9
         println(f"[dscale] $name%-24s x$k%-3d $t%7.1f s rows=$n")
+        // release this leg's blocks before the next: the probe runs the
+        // memo-backed index queries at three scales in ONE JVM, and the
+        // x10 legs cannot afford to share the heap with the x1/x4
+        // generations (the single-JVM caveat SCALE.md records)
+        graft.ops.FrameMemo.invalidate()
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         t
       }
       val alpha = math.log(ts(2) / ts(1)) / math.log(10.0 / 4.0)
