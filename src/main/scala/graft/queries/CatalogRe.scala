@@ -112,7 +112,43 @@ object CatalogRe {
         lit(thr).as("threshold"), col("n"), col("n_low"), col("n_high"))
   }
 
+  // ---------------------------------------------------------------- q435
+
+  private[graft] val CoordPct = 5L
+
+  /** Coordinated (join-consistent) sampling: orders AND lineitems are
+    * both sampled by the SAME md5 predicate on the JOIN KEY
+    * (md5(okey) mod 100 < [[CoordPct]]), so the sampled child table is
+    * exactly the sampled parents' children — the debug-at-scale
+    * technique that lets a 5% slice answer join-shaped questions a
+    * per-table Bernoulli sample destroys (independent 5% samples keep
+    * only ~0.25% of join pairs). Output: per-orderpriority sampled
+    * order/line counts plus the basket-size mean as one exact divide —
+    * the statistic a coordinated slice estimates and an uncoordinated
+    * one cannot. FK-closure (every sampled order keeps ALL its lines)
+    * is the spec law. */
+  def q435CoordSample(s: SparkSession, dir: String): DataFrame = {
+    def keep(k: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit("cs:"), k)), 1, 8), 16, 10)
+        .cast("long") % 100L < CoordPct
+    val o = Tables.orders(s, dir)
+      .filter(keep(col("o_orderkey")))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val l = Tables.lineitem(s, dir)
+      .filter(keep(col("l_orderkey")))
+      .select(col("l_orderkey"))
+    val lc = l.groupBy(col("l_orderkey")).agg(count(lit(1)).as("nl"))
+    o.join(lc, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(coalesce(col("nl"), lit(0L))).as("n_lines"))
+      .withColumn("mean_basket",
+        col("n_lines").cast("double") / col("n_orders").cast("double"))
+      .orderBy(col("priority"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q430_merkle_diff"  -> q430MerkleDiff _,
-    "q431_mad_outliers" -> q431MadOutliers _)
+    "q431_mad_outliers" -> q431MadOutliers _,
+    "q435_coord_sample" -> q435CoordSample _)
 }

@@ -71,6 +71,24 @@ object OraclesRe {
         |    AS n_updated
         |FROM kinds GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    "q435_coord_sample" ->
+      """WITH o AS MATERIALIZED (
+        |  SELECT o_orderkey, o_orderpriority FROM orders
+        |  WHERE ('0x' || substr(md5('cs:' || CAST(o_orderkey AS VARCHAR)),
+        |    1, 8))::BIGINT % 100 < 5),
+        |lc AS MATERIALIZED (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS nl FROM lineitem
+        |  WHERE ('0x' || substr(md5('cs:' || CAST(l_orderkey AS VARCHAR)),
+        |    1, 8))::BIGINT % 100 < 5
+        |  GROUP BY l_orderkey)
+        |SELECT o.o_orderpriority AS priority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(coalesce(lc.nl, 0)) AS BIGINT) AS n_lines,
+        |  CAST(sum(coalesce(lc.nl, 0)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mean_basket
+        |FROM o LEFT JOIN lc ON lc.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority ORDER BY priority""".stripMargin,
+
     "q431_mad_outliers" ->
       """WITH c AS MATERIALIZED (
         |  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events),

@@ -70,6 +70,38 @@ class ReWaveSpec extends SparkSpec {
     assert(out.getAs[Long]("n_high") === cs.count(_ > med + 5L * mad).toLong)
   }
 
+  test("q435 coordinated sample preserves FK closure (every sampled order " +
+      "keeps ALL its lineitems) and the totals match a driver recount") {
+    val out = CatalogRe.q435CoordSample(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def md5mod100(k: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cs:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100L
+    }
+    val orders = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val lines = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey")).collect().map(_.getLong(0))
+    val keptO = orders.filter(t => md5mod100(t._1) < CatalogRe.CoordPct)
+    val keptOKeys = keptO.map(_._1).toSet
+    val keptL = lines.filter(k => md5mod100(k) < CatalogRe.CoordPct)
+    // FK closure both ways: the key predicate is identical, so the
+    // sampled lines are EXACTLY the sampled orders' lines
+    val linesByOrder = lines.groupBy(identity).view.mapValues(_.length).toMap
+    keptOKeys.foreach { k =>
+      assert(keptL.count(_ == k) === linesByOrder.getOrElse(k, 0), s"order $k")
+    }
+    assert(keptL.forall(keptOKeys.contains), "orphan sampled line")
+    val expect = keptO.groupBy(_._2).map { case (p, os) =>
+      p -> (os.length.toLong, os.map(o => linesByOrder.getOrElse(o._1, 0))
+        .sum.toLong)
+    }
+    assert(out === expect)
+  }
+
   test("Quantiles.kthSmallest pins the endpoints: k=1 is min, k=n is max, " +
       "and interior ks match the sorted array") {
     import spark.implicits._
