@@ -206,6 +206,78 @@ object Graph {
   }
 
   /**
+   * Connected components by Borůvka-style hook + flatten contraction —
+   * the STRUCTURALLY O(log n)-round CC for high-diameter graphs (the
+   * round-11 percolation finding: min-label + label-jump propagation
+   * spreads the component minimum one hop per round at local-minimum
+   * basin boundaries, so near-critical sparse graphs — polynomial
+   * diameter — defeat any small round cap; `Dedup.connectedComponents`
+   * stays the cheaper choice on the shallow graphs dedup actually
+   * produces, and fails loudly past its cap).
+   *
+   * Per outer round: (1) contract — every label with a smaller adjacent
+   * label HOOKS to its minimum adjacent label (the hook forest points
+   * strictly downward, so it is acyclic by construction; between any two
+   * adjacent labels at least the larger hooks, so the number of live
+   * labels per component at least HALVES per round — ⌈log₂ n⌉ outer
+   * rounds suffice for ANY graph, no diameter dependence); (2) flatten —
+   * pointer-square the hook forest to its roots (inner squaring doubles
+   * depth coverage per step; descending chains bound depth by live
+   * labels, so the inner cap shares the outer's log₂ bound). Both loops
+   * run on [[graft.ops.IterativeLoop.fixedUntil]] monotone stationarity
+   * probes with requireConverged — the caps are loud guards, not
+   * semantics.
+   *
+   * Scale shape: every step is an equi-join/aggregate on label-sized
+   * frames; contraction shrinks the live label set geometrically, so
+   * late rounds are near-free. Output: (id, component) with component =
+   * the component MINIMUM (same contract as Dedup.connectedComponents).
+   */
+  def hookComponents(edges: DataFrame, aCol: String = "x",
+      bCol: String = "y", maxOuter: Int = 20): DataFrame = {
+    import graft.ops.IterativeLoop
+    // self-loops kept: they mention a node, which therefore appears as a
+    // singleton — the Dedup.connectedComponents contract
+    val und = lazyCut(edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .unionAll(edges.select(col(bCol).cast("long").as("u"),
+        col(aCol).cast("long").as("v")))
+      .distinct())
+    val init = und.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    val probe = IterativeLoop.stationaryAgg(df =>
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).collect().toSeq.map(_.toSeq))
+    IterativeLoop.fixedUntil(init, maxOuter, requireConverged = true,
+        sameAs = probe) { (labs, _) =>
+      // label-graph edges (cross-label only): the contracted view
+      val el = und
+        .join(labs.select(col("id").as("u"), col("lbl").as("lu")), "u")
+        .join(labs.select(col("id").as("v"), col("lbl").as("lv")), "v")
+        .filter(col("lu") =!= col("lv"))
+        .select(col("lu"), col("lv"))
+      // hook: each label's minimum adjacent label, kept only when smaller
+      val hooks = el.groupBy(col("lu").as("l"))
+        .agg(min(col("lv")).as("p"))
+        .filter(col("p") < col("l"))
+      // flatten the (acyclic, strictly descending) hook forest to roots
+      // by pointer squaring; stats-fresh cuts (repeated-squaring loop)
+      val f0 = labs.select(col("lbl")).distinct()
+        .join(hooks.select(col("l").as("lbl"), col("p")), Seq("lbl"), "left")
+        .select(col("lbl").as("l"), coalesce(col("p"), col("lbl")).as("p"))
+      val flat = IterativeLoop.fixedUntil(f0, maxOuter,
+          requireConverged = true, sameAs = IterativeLoop.stationaryAgg(df =>
+            df.agg(sum(col("p").cast("decimal(38,0)"))).collect().toSeq.map(_.toSeq))) {
+        (f, _) =>
+          IterativeLoop.cutFresh(
+            f.join(f.select(col("l").as("p"), col("p").as("p2")), "p")
+              .select(col("l"), col("p2").as("p")))
+      }.df
+      labs.join(flat.select(col("l").as("lbl"), col("p")), "lbl")
+        .select(col("id"), col("p").as("lbl"))
+    }.df.select(col("id"), col("lbl").as("component"))
+  }
+
+  /**
    * k-core peeling (Seidman 1983; the standard iterative reduction): drop
    * every node with degree < k, recompute degrees, repeat `rounds` times —
    * the surviving subgraph approaches the k-core (it IS the k-core once a
