@@ -646,6 +646,27 @@ object Dedup {
   def connectedComponentsWithRounds(pairs: DataFrame,
       aCol: String = "a_id", bCol: String = "b_id",
       maxIter: Int = 20, hotLabelThreshold: Option[Long] = None): (DataFrame, Int) = {
+    val (labels, iter, changed) =
+      connectedComponentsAttempt(pairs, aCol, bCol, maxIter, hotLabelThreshold)
+    // no silent caps: returning a non-fixpoint labeling would be wrong
+    // data, not degraded data — fail loudly instead (deeper graphs need a
+    // larger maxIter; pointer-jumped propagation converges in O(log diameter))
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) - raise maxIter for this graph")
+    (labels, iter)
+  }
+
+  /** [[connectedComponentsWithRounds]] body WITHOUT the loud cap failure:
+    * (labels, rounds, labels-still-changing-at-exit). ONLY for callers
+    * that treat a non-zero `changed` as a signal to fall back on a
+    * structurally-bounded CC ([[graft.graph.Graph.ccAuto]] restarts on
+    * hookComponents when the min-label loop stalls — the high-diameter /
+    * local-minimum-basin regime); everyone else goes through the throwing
+    * wrappers, because a capped labeling is silently wrong data. */
+  private[graft] def connectedComponentsAttempt(pairs: DataFrame,
+      aCol: String = "a_id", bCol: String = "b_id",
+      maxIter: Int = 20, hotLabelThreshold: Option[Long] = None): (DataFrame, Int, Long) = {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
@@ -720,13 +741,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    // no silent caps: returning a non-fixpoint labeling would be wrong
-    // data, not degraded data — fail loudly instead (deeper graphs need a
-    // larger maxIter; pointer-jumped propagation converges in O(log diameter))
-    if (changed > 0) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds " +
-        s"($changed labels still changing) - raise maxIter for this graph")
-    (labels, iter)
+    (labels, iter, changed)
   }
 
   /** Keep-canonical filter over a labeling: drops every doc whose component

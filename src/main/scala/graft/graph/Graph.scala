@@ -217,10 +217,21 @@ object Graph {
    *
    * Per outer round: (1) contract — every label with a smaller adjacent
    * label HOOKS to its minimum adjacent label (the hook forest points
-   * strictly downward, so it is acyclic by construction; between any two
-   * adjacent labels at least the larger hooks, so the number of live
-   * labels per component at least HALVES per round — ⌈log₂ n⌉ outer
-   * rounds suffice for ANY graph, no diameter dependence); (2) flatten —
+   * strictly downward, so it is acyclic by construction). Round bound,
+   * stated honestly as the AMORTIZED argument (the naive "labels halve
+   * every round" is false — in a star whose hub is the label maximum
+   * only the hub hooks, k → k−1): every label that is not a LOCAL
+   * MINIMUM of the label graph hooks, so a round's survivors form an
+   * independent set of the pre-contraction label graph, and pathologies
+   * like the max-hub star collapse on the following round (its
+   * contraction is a MIN-hub star, which resolves in one). Convergence
+   * is therefore fast because it depends on live-LABEL structure, never
+   * on graph diameter — the scrambled-path probes (ProbeHookCc: 500k-hop
+   * diameter) resolve in a handful of outer rounds where any
+   * min-label-propagation scheme needs O(diameter) — but the default
+   * maxOuter=20 cap is an EMPIRICAL margin, not a proven ⌈log₂ n⌉
+   * theorem; `requireConverged` keeps a cap overrun a loud failure,
+   * never a wrong answer; (2) flatten —
    * pointer-square the hook forest to its roots (inner squaring doubles
    * depth coverage per step; descending chains bound depth by live
    * labels, so the inner cap shares the outer's log₂ bound). Both loops
@@ -275,6 +286,34 @@ object Graph {
       labs.join(flat.select(col("l").as("lbl"), col("p")), "lbl")
         .select(col("id"), col("p").as("lbl"))
     }.df.select(col("id"), col("lbl").as("component"))
+  }
+
+  /**
+   * Auto-selecting connected components — removes the one remaining way
+   * to hit a loud CC cap in production. Try the cheap min-label +
+   * pointer-jump CC ([[graft.dedup.Dedup.connectedComponents]] — the
+   * right default on the shallow, cluster-shaped graphs dedup actually
+   * produces) for up to `stallRounds`; if its labels are still moving at
+   * the cap (the label-stall signature of the high-diameter /
+   * local-minimum-basin regime, where the pointer jump only shortcuts
+   * along monotone label chains), RESTART on [[hookComponents]], whose
+   * live-label contraction does not depend on diameter.
+   *
+   * Switching is SAFE because both algorithms compute the same canonical
+   * function — component = component MINIMUM, the unique fixpoint — so
+   * the selector changes cost, never the answer (CcAutoSpec holds all
+   * three equal on the shallow regime, and ccAuto equal to hookComponents
+   * plus ground truth on a scrambled path where min-label CC throws at
+   * this same cap). Fallback waste is bounded: `stallRounds` label-frame
+   * rounds, each one edges⋈labels join — the probe cost of learning the
+   * graph is deep, paid only on graphs that ARE deep.
+   */
+  def ccAuto(edges: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+      stallRounds: Int = 10, hookMaxOuter: Int = 20): DataFrame = {
+    val (labels, _, changed) = graft.dedup.Dedup.connectedComponentsAttempt(
+      edges, aCol, bCol, stallRounds, None)
+    if (changed == 0L) labels
+    else hookComponents(edges, aCol, bCol, hookMaxOuter)
   }
 
   /**

@@ -30,15 +30,35 @@ object FrameMemo {
   private val prot = scala.collection.mutable.Set.empty[Int]
 
   /** Get-or-build the frame for `key`, materializing through an eager
-    * lineage cut on first use. */
+    * lineage cut on first use.
+    *
+    * Only the FINAL cut's RDD ids are protected: `build` may itself run
+    * cut-per-round loops (the suffix prefix-doubling does), and those
+    * intermediate localCheckpoint blocks are unreachable once the final
+    * frame's lineage is cut — protecting them would pin dead blocks for
+    * the whole session, exempt from every bench sweep. They are
+    * unpersisted here instead (safe: the final cut is EAGER, so by the
+    * time we drop them nothing reads through them again).
+    *
+    * Builds are serialized under one lock (synchronized is reentrant, so
+    * a build that calls `cached` for another key still works):
+    * TrieMap.getOrElseUpdate does not guarantee single evaluation under
+    * concurrent first access, and a double build would double-persist. */
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((spark, key), {
-      val before = spark.sparkContext.getPersistentRDDs.keySet
-      val cp = IterativeLoop.cut(build)
-      val after = spark.sparkContext.getPersistentRDDs.keySet
-      prot.synchronized { prot ++= (after -- before) }
-      cp
-    })
+    memo.synchronized {
+      memo.getOrElseUpdate((spark, key), {
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        val built = build
+        val mid = spark.sparkContext.getPersistentRDDs.keySet
+        val cp = IterativeLoop.cut(built)
+        val after = spark.sparkContext.getPersistentRDDs.keySet
+        prot.synchronized { prot ++= (after -- mid) }
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if ((mid -- before).contains(id)) rdd.unpersist(blocking = false)
+        }
+        cp
+      })
+    }
 
   /** RDD ids backing live memo entries — exempt from bench unpersist. */
   def protectedIds: Set[Int] = prot.synchronized(prot.toSet)

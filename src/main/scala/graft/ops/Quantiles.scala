@@ -26,6 +26,10 @@ object Quantiles {
   def kthSmallest(values: DataFrame, valueCol: String,
       targets: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
     require(targets.nonEmpty, "no targets")
+    // per-target state and the counts map are keyed by NAME — a duplicate
+    // name would silently cross-wire intervals between targets
+    require(targets.map(_._1).distinct.size == targets.size,
+      s"duplicate target names: ${targets.map(_._1).mkString(", ")}")
     val cents = values.select(col(valueCol).cast("long").as("c"))
     val bounds = cents.agg(min(col("c")), max(col("c")), count(lit(1))).head()
     val (gMin, gMax, n) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))

@@ -47,10 +47,11 @@ object CatalogGp {
 
   /** Monotone-frame convergence probe: (row count, Σ value as
     * DECIMAL(38,0) — overflow-proof at any scale). Sound for the loops
-    * here: values move in ONE direction on a key set that only grows
-    * (SSSP/BFS: keys appear, assigned min-dists never change; DAG ect:
-    * fixed keys, values only grow), so a stationary (count, sum) IS the
-    * fixed point. */
+    * here: keys only ever APPEAR (never vanish) and each key's value
+    * moves MONOTONICALLY (SSSP dists only decrease — a later round may
+    * find a cheaper longer-hop path; DAG ect values only grow), so a
+    * stationary (count, sum) means no key appeared and no value moved —
+    * i.e. it IS a fixed point. */
   private def countSumProbe(valueCol: String): (DataFrame, DataFrame) => Boolean =
     IterativeLoop.stationaryAgg(df =>
       df.agg(count(lit(1)), sum(col(valueCol).cast("decimal(38,0)")))

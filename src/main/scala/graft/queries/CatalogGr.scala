@@ -195,8 +195,49 @@ object CatalogGr {
       .orderBy(col("x"), col("y"))
   }
 
+  // ---------------------------------------------------------------- q436
+
+  private[graft] val CcSegLen = 4096L
+
+  /** High-diameter connected components via
+    * [[graft.graph.Graph.hookComponents]] — the oracle-graded catalog row
+    * for the Borůvka hook+flatten CC (SURVEY X422c; until round 12 it was
+    * spec/probe-graded only). Graph construction: documents ranked by
+    * md5 ([[graft.ops.DistributedRank]] — no single-partition window),
+    * consecutive ranks joined into PATH segments of [[CcSegLen]] (the
+    * rank-i—i+1 edge is dropped where i mod CcSegLen = 0), node ids =
+    * the original doc_ids — so every segment is a scrambled-id path of
+    * diameter CcSegLen−1 (499 at sf0.01's 500 docs; 4095 from sf0.1 up),
+    * the exact regime where round-capped min-label propagation stalls at
+    * local-minimum basins (the round-11 percolation finding) and the
+    * hook CC's live-label contraction converges in a handful of rounds
+    * regardless of diameter.
+    *
+    * Oracle: GROUND TRUTH by construction — the components ARE the rank
+    * segments, and the component label is the segment's min doc_id (the
+    * hookComponents output contract). No round replay is needed, unlike
+    * q83/q113: a CC's fixpoint is canonical (round-count independent),
+    * and `requireConverged` turns any cap overrun into a loud failure,
+    * never a wrong answer — which is precisely the principled cross-scale
+    * margin whose absence withdrew the round-11 percolation query. */
+  def q436HookComponents(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    // cutLazy: the ranked frame feeds BOTH sides of the consecutive-rank
+    // self-join (the DistributedRank double-reference lesson)
+    val r = IterativeLoop.cutLazy(graft.ops.DistributedRank.withRowNumber(
+      docs, "rnk",
+      md5(concat(lit("cc:"), col("doc_id").cast("string"))), col("doc_id")))
+    val edges = r.select(col("doc_id").as("x"), col("rnk"))
+      .join(r.select(col("doc_id").as("y"), (col("rnk") - 1).as("rnk")), "rnk")
+      .filter(col("rnk") % CcSegLen =!= 0)
+      .select(col("x"), col("y"))
+    graft.graph.Graph.hookComponents(edges, "x", "y")
+      .select(col("id"), col("component"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q418_dim_recall"   -> q418DimRecall _,
-    "q419_luby_mis"     -> q419LubyMis _,
-    "q420_boruvka_mst"  -> q420BoruvkaMst _)
+    "q418_dim_recall"      -> q418DimRecall _,
+    "q419_luby_mis"        -> q419LubyMis _,
+    "q420_boruvka_mst"     -> q420BoruvkaMst _,
+    "q436_hook_components" -> q436HookComponents _)
 }

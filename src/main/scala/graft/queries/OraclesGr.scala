@@ -130,5 +130,24 @@ object OraclesGr {
          |  FROM nodes),
          |${(1 to 6).map(boruvkaRound(_, 6)).mkString(",\n")}
          |SELECT DISTINCT ex AS x, ey AS y, ewt AS wt
-         |FROM st6 WHERE kind = 'e' ORDER BY x, y""".stripMargin)
+         |FROM st6 WHERE kind = 'e' ORDER BY x, y""".stripMargin,
+
+    // q436: NOT a round replay — a CC's fixpoint is canonical, so the
+    // oracle states ground truth by construction: the md5-rank segments
+    // ARE the components, labeled by their min doc_id. Segments of size 1
+    // (possible only when n_docs ≡ 1 mod 4096) appear in no edge, so the
+    // engine never sees them — mirrored by the n >= 2 filter.
+    "q436_hook_components" ->
+      """WITH r AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    row_number() OVER (
+        |      ORDER BY md5('cc:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents),
+        |seg AS (SELECT doc_id, (rnk - 1) // 4096 AS seg FROM r),
+        |comp AS (SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY seg) AS component,
+        |    count(*) OVER (PARTITION BY seg) AS n
+        |  FROM seg)
+        |SELECT doc_id AS id, component FROM comp WHERE n >= 2
+        |ORDER BY id""".stripMargin)
 }
