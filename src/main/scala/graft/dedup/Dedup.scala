@@ -773,15 +773,25 @@ object Dedup {
   def dropNearDups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, threshold: Double = 0.6): DataFrame =
     keepCanonical(docs, idCol,
-      connectedComponents(jaccardPairsAuto(docs, idCol, textCol, n, threshold)))
+      graft.graph.Graph.ccAuto(jaccardPairsAuto(docs, idCol, textCol, n, threshold)))
 
   /** [[dropNearDups]] for embedding-space near-dups: pairs from the
     * sign-LSH scale path ([[embeddingNearDupPairsLsh]]), same
-    * components + keep-canonical composition. */
+    * components + keep-canonical composition.
+    *
+    * Round 12: both composition pipelines cluster through
+    * [[graft.graph.Graph.ccAuto]] — on the shallow graphs near-dup
+    * pairing actually produces, the min-label probe converges and the
+    * cost is IDENTICAL to calling [[connectedComponents]] directly; on a
+    * pathological deep pair graph the old path threw at its round cap,
+    * while ccAuto restarts on the diameter-free hook CC and returns the
+    * same canonical component-minimum labeling (so downstream
+    * keep-canonical output is unchanged whenever both converge — the
+    * CcAutoSpec law). */
   def dropNearDupsByEmbedding(rows: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 16, maxHamming: Int = 3): DataFrame =
     keepCanonical(rows, idCol,
-      connectedComponents(
+      graft.graph.Graph.ccAuto(
         embeddingNearDupPairsLsh(rows, idCol, vecCol, threshold, planes, maxHamming)))
 
   // ----------------------------------------------------------- embedding ----

@@ -38,31 +38,43 @@ object OraclesAlg {
          |SELECT c AS color, CAST(count(*) AS BIGINT) AS n_nodes
          |FROM c3 GROUP BY 1 ORDER BY n_nodes DESC, color""".stripMargin,
 
+    // Round-12 reformulation, forced by a real resource wall: the
+    // original oracle ranked tab-appended suffixes with row_number,
+    // self-joined rank-adjacent rows, and MATERIALIZED three stages each
+    // carrying two ~suffix-length strings per suffix — at the ×10 corpus
+    // (19.7M suffixes, 4.8G chars) DuckDB spilled >90 GB of sort/join
+    // temp and exhausted the host disk, with or without the hints. Same
+    // mathematical definition, cheaper plan: rank-adjacency IS lead()
+    // over the sorted frame (no self-join), and the tab sentinel is
+    // unnecessary for ADJACENCY — within a doc all suffixes are
+    // distinct, and plain string comparison already orders a prefix
+    // before its extensions, so tab-less order equals the sentinel
+    // order with the pure-sentinel row (old rank 1) dropped. The last
+    // suffix leads to '' (lcp 0), exactly the old left-join NULL → ''.
+    // lmin caps at 1024 to mirror the engine's LcpMax contract (inert:
+    // the engine require()s every doc < 1024 chars). Strings are
+    // dropped in `l`'s projection, so only the one suffix sort pays.
     "q411_distinct_substrings" ->
-      """WITH s0 AS MATERIALIZED (SELECT doc_id, text, text || chr(9) AS t,
-        |    unnest(generate_series(1, length(text) + 1)) AS p
+      """WITH s0 AS MATERIALIZED (SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text))) AS p
         |  FROM documents),
-        |sf AS MATERIALIZED (SELECT doc_id, text, CAST(p AS BIGINT) AS pos,
-        |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY substring(t, CAST(p AS INT))) AS r
+        |sf AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+        |    substring(text, CAST(p AS INT)) AS hd
         |  FROM s0),
-        |g AS MATERIALIZED (SELECT doc_id,
-        |    CAST(length(text) AS BIGINT) AS n, r - 1 AS rr,
-        |    substring(text, CAST(pos AS INT), 1024) AS hd
-        |  FROM sf WHERE pos <= length(text)),
-        |pr AS MATERIALIZED (SELECT a.doc_id, a.n, a.hd AS ha,
-        |    coalesce(b.hd, '') AS hb,
-        |    least(length(a.hd), coalesce(length(b.hd), 0)) AS lmin
-        |  FROM g a LEFT JOIN g b
-        |    ON b.doc_id = a.doc_id AND b.rr = a.rr + 1),
-        |bj AS MATERIALIZED (SELECT *,
+        |pr AS (SELECT doc_id, n, hd AS ha,
+        |    coalesce(lead(hd) OVER (PARTITION BY doc_id ORDER BY hd), '') AS hb,
+        |    least(length(hd),
+        |      coalesce(length(lead(hd) OVER (PARTITION BY doc_id ORDER BY hd)), 0),
+        |      1024) AS lmin
+        |  FROM sf),
+        |bj AS (SELECT *,
         |    (SELECT coalesce(max(gs.j), 0)
         |      FROM generate_series(32, 1024, 32) AS gs(j)
         |      WHERE gs.j <= lmin
         |        AND substring(ha, 1, CAST(gs.j AS INT)) =
         |            substring(hb, 1, CAST(gs.j AS INT))) AS bjv
         |  FROM pr),
-        |l AS MATERIALIZED (SELECT doc_id, n,
+        |l AS (SELECT doc_id, n,
         |    CAST(coalesce((SELECT max(bjv + gs.d)
         |      FROM generate_series(1, 31) AS gs(d)
         |      WHERE bjv + gs.d <= lmin
