@@ -48,6 +48,19 @@ class HookComponentsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("max-hub star — the amortized-argument pathology: only the hub " +
+      "hooks in round one (k -> k-1), its contraction is a MIN-hub star " +
+      "that collapses next round; converges well inside the cap") {
+    // hub 1000 is the label MAXIMUM; every leaf 0..499 is a local
+    // minimum of the label graph, so round 1 removes exactly one label —
+    // the case that falsifies the naive per-round halving claim
+    val edges = (0L until 500L).map(i => (i, 1000L)).toDF("x", "y")
+    val lbl = Graph.hookComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(lbl.length === 501)
+    assert(lbl.map(_._2).distinct.toSeq === Seq(0L))
+  }
+
   test("disjoint components get their own minima; isolated edges work") {
     val edges = Seq((10L, 7L), (7L, 9L), (100L, 42L), (3L, 3L), (55L, 56L))
       .toDF("x", "y")
