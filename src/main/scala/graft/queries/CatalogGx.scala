@@ -143,10 +143,18 @@ object CatalogGx {
     val we = IterativeLoop.cutLazy(edges(s, dir).select(col("x"), col("y"),
       conv(substring(md5(concat(lit("mm:"), col("x"), lit(","), col("y"))),
         1, 12), 16, 10).cast("long").as("wt")))
+    matchingOf(we, MatchRounds).orderBy(col("x"), col("y"))
+  }
+
+  /** Local-dominance matching core on a weighted (x, y, wt) edge frame
+    * with DISTINCT weights — returns (x, y, wt, round). Shared by q438
+    * (md5-weighted co-order graph) and q442 (fuzzy-linkage one-to-one
+    * assignment, where wt encodes similarity rank). */
+  private[graft] def matchingOf(we: DataFrame, rounds: Int): DataFrame = {
     // state: kind 'e' = live edge; kind 'm' = matched edge (+ round)
     val init = we.select(lit("e").as("kind"), col("x"), col("y"), col("wt"),
       lit(0L).as("rnd"))
-    val fin = IterativeLoop.fixedUntil(init, MatchRounds,
+    val fin = IterativeLoop.fixedUntil(init, rounds,
       requireConverged = true,
       sameAs = IterativeLoop.stationaryAgg(
         _.filter(col("kind") === "e").agg(count(lit(1))).collect()
@@ -173,7 +181,6 @@ object CatalogGx {
     }
     fin.df.filter(col("kind") === "m")
       .select(col("x"), col("y"), col("wt"), col("rnd").as("round"))
-      .orderBy(col("x"), col("y"))
   }
 
   // ---------------------------------------------------------------- q439

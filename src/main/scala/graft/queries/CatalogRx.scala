@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.Tables
+import graft.curation.Curation.lg
+import graft.ops.IterativeLoop
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-12 second wave (q442–q444) — three operators closing gaps the
+ * r12 graph wave opened or the survey audit surfaced:
+ *
+ *   - q442 one-to-one linkage assignment: the record-linkage step
+ *     BETWEEN pair scoring (q119/q278/q405 produce candidate pairs)
+ *     and merge — each record joined to at most ONE partner, best
+ *     scores first, via the q438 local-dominance matching core on
+ *     similarity-ranked weights. Pairs alone over-merge (a record in
+ *     three pairs would merge into two masters); the matching is the
+ *     standard greedy 1:1 assignment, distributed.
+ *   - q443 AMS tug-of-war F2 sketch (Alon–Matias–Szegedy 1996):
+ *     completes the sketch canon (CMS=frequency q77, HLL=cardinality
+ *     q135, Bloom=membership q182, KMV=distinct/set-algebra
+ *     q236/q404, AMS=second moment): 16 ±1-signed estimators of
+ *     Σf² — the self-join size / skew statistic — next to the exact
+ *     audit, mergeable by construction (S_j is a plain sum).
+ *   - q444 Dunning log-likelihood (G²) collocations: the
+ *     significance-testing complement of q129's PMI (PMI over-ranks
+ *     rare pairs; G² weighs evidence): 2·ΣO·(lg O+lg N−lg R−lg C)
+ *     over the 2×2 bigram contingency — every lg argument an INTEGER,
+ *     so the engine's exact piecewise lg applies unchanged.
+ */
+object CatalogRx {
+
+  // ---------------------------------------------------------------- q442
+
+  /** One-to-one fuzzy-linkage assignment over the q119 candidate pairs
+    * (lang-blocked 40-char prefixes, Dice ≥ 3∕4 on character bigrams):
+    * each edge's weight ranks by DISSIMILARITY first — the exact
+    * rational (na+nb−2·inter)∕(na+nb) in 20-bit fixed point (integer
+    * DIV, bit-identical cross-engine) — with 40 md5 bits as the
+    * distinct tiebreak, so local-dominance matching pairs the
+    * strongest links first and the assignment equals greedy
+    * best-score-first 1:1 linkage. Output: (a_id, b_id, dice, round),
+    * each doc in at most one row. */
+  def q442LinkageAssignment(s: SparkSession, dir: String): DataFrame = {
+    val pairs = IterativeLoop.cutLazy(graft.dedup.Dedup.fuzzyBlockedPairs(
+      Tables.documents(s, dir), "doc_id", "text", "lang",
+      prefixLen = 40, thresholdNum = 3, thresholdDen = 4))
+    val we = pairs.select(col("a_id").as("x"), col("b_id").as("y"),
+      (expr("((na + nb - 2 * inter) * 1048576) div (na + nb)")
+        * lit(1099511627776L)
+        + conv(substring(md5(concat(lit("as:"), col("a_id"), lit(","),
+          col("b_id"))), 1, 10), 16, 10).cast("long")).as("wt"))
+    CatalogGx.matchingOf(we, CatalogGx.MatchRounds)
+      .join(pairs.select(col("a_id").as("x"), col("b_id").as("y"),
+        col("dice")), Seq("x", "y"))
+      .select(col("x").as("a_id"), col("y").as("b_id"), col("dice"),
+        col("round"))
+      .orderBy(col("a_id"))
+  }
+
+  // ---------------------------------------------------------------- q443
+
+  private[graft] val AmsEstimators = 16
+
+  /** AMS tug-of-war F2 sketch over the l_partkey stream: estimator j
+    * draws sign_j(v) = ±1 from md5 parity, S_j = Σ_v sign_j(v)·f_v,
+    * and S_j² is an unbiased estimate of F2 = Σf² (the self-join
+    * size — what q178 computes from exact histograms, here at
+    * O(estimators) state). The signed sums are computed on the
+    * (v, f_v) FREQUENCY frame (one map-combinable groupBy), the grid
+    * is |values|×16, and each S_j is a plain sum — the sketch merges
+    * across splits by addition (the 100 TB property; spec law). Exact
+    * F2 audit + one-divide ratio per estimator, q178's
+    * law-is-the-output style. */
+  def q443AmsF2(s: SparkSession, dir: String): DataFrame = {
+    val fv = IterativeLoop.cutLazy(Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("v")).agg(count(lit(1)).as("f")))
+    val sj = amsSums(fv, AmsEstimators)
+    val exact = fv.agg(sum(col("f") * col("f")).as("f2_exact"))
+    sj.crossJoin(exact)
+      .select(col("j"), col("s_j"), (col("s_j") * col("s_j")).as("est_f2"),
+        col("f2_exact"),
+        ((col("s_j") * col("s_j")).cast("double")
+          / col("f2_exact").cast("double")).as("ratio"))
+      .orderBy(col("j"))
+  }
+
+  /** The signed sums S_j on a (v, f) frequency frame — the mergeable
+    * sketch state. */
+  private[graft] def amsSums(fv: DataFrame, estimators: Int): DataFrame =
+    fv.select(col("v"), col("f"),
+        explode(sequence(lit(0L), lit(estimators - 1L))).as("j"))
+      .select(col("j"),
+        when(conv(substring(md5(concat(lit("ams:"), col("j").cast("string"),
+          lit(":"), col("v").cast("string"))), 1, 1), 16, 10)
+          .cast("long") % 2 === 0, col("f")).otherwise(-col("f")).as("sf"))
+      .groupBy(col("j")).agg(sum(col("sf")).as("s_j"))
+
+  // ---------------------------------------------------------------- q444
+
+  /** Dunning's log-likelihood-ratio (G²) collocation test over
+    * adjacent token pairs: the 2×2 contingency lives in the BIGRAM
+    * event space (N = total bigrams, R = bigrams starting with w1,
+    * C = bigrams ending with w2), and G² in bits is
+    * 2·Σ_{cells, O>0} O·(((lg O + lg N) − lg rowTot) − lg colTot) —
+    * every lg argument a positive INTEGER (O > 0 ⇒ rowTot ≥ O and
+    * colTot ≥ O), so the exact piecewise lg applies and both engines
+    * agree bit for bit; the four cell terms fold in a fixed written
+    * order. G² is the significance companion of q129's PMI: PMI
+    * over-ranks rare pairs (a hapax pair maxes PMI), G² weighs the
+    * evidence mass (Dunning 1993). Top-20 by (g2 desc, w1, w2) after
+    * the minCount prune — applied BEFORE the margin joins. */
+  def q444G2Collocations(s: SparkSession, dir: String): DataFrame =
+    g2Of(Tables.documents(s, dir), minCount = 5L, k = 20)
+
+  private[graft] def g2Of(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    val toks = docs.select(TextOps.tokens(col("text")).as("w"))
+    val bi = IterativeLoop.cutLazy(toks
+      .select(posexplode(slice(col("w"), lit(1),
+        greatest(size(col("w")) - 1, lit(0)))), col("w"))
+      .select(col("col").as("w1"), element_at(col("w"), col("pos") + 2).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+    val firsts = bi.groupBy(col("w1")).agg(sum(col("c12")).as("r1"))
+    val seconds = bi.groupBy(col("w2")).agg(sum(col("c12")).as("k1"))
+    val tot = bi.agg(sum(col("c12")).as("n"))
+    def term(o: Column, rt: Column, ct: Column): Column =
+      when(o > 0,
+        o.cast("double") * (((lg(o) + lg(col("n"))) - lg(rt)) - lg(ct)))
+        .otherwise(lit(0.0))
+    val g2 = (((term(col("c12"), col("r1"), col("k1"))
+      + term(col("r1") - col("c12"), col("r1"), col("n") - col("k1")))
+      + term(col("k1") - col("c12"), col("n") - col("r1"), col("k1")))
+      + term((col("n") - col("r1")) - (col("k1") - col("c12")),
+        col("n") - col("r1"), col("n") - col("k1"))) * lit(2.0)
+    bi.filter(col("c12") >= minCount)
+      .join(firsts, "w1")
+      .join(seconds, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12"), col("r1"), col("k1"),
+        g2.as("g2_bits"))
+      .orderBy(col("g2_bits").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q442_linkage_assignment" -> q442LinkageAssignment _,
+    "q443_ams_f2"             -> q443AmsF2 _,
+    "q444_g2_collocations"    -> q444G2Collocations _)
+}

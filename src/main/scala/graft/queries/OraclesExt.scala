@@ -848,23 +848,10 @@ object OraclesExt {
         |FROM g""".stripMargin,
 
     "q119_fuzzy_pairs" ->
-      """WITH p AS (SELECT doc_id AS k, lang AS blk, substr(text, 1, 40) AS s
-        |           FROM documents WHERE len(substr(text, 1, 40)) >= 2),
-        |bg AS (SELECT k, gram, count(*) AS c FROM (
-        |  SELECT k, unnest([substr(s, i, 2) for i in range(1, len(s))]) AS gram
-        |  FROM p) GROUP BY 1, 2),
-        |n AS (SELECT k, blk, len(s) - 1 AS nbg FROM p),
-        |pairs AS (SELECT a.k AS a_id, b.k AS b_id, a.nbg AS na, b.nbg AS nb
-        |          FROM n a JOIN n b ON a.blk = b.blk AND a.k < b.k),
-        |i AS (SELECT pr.a_id, pr.b_id, pr.na, pr.nb,
-        |        CAST(sum(least(ga.c, gb.c)) AS BIGINT) AS inter
-        |      FROM pairs pr
-        |      JOIN bg ga ON ga.k = pr.a_id
-        |      JOIN bg gb ON gb.k = pr.b_id AND ga.gram = gb.gram
-        |      GROUP BY 1, 2, 3, 4)
-        |SELECT a_id, b_id, inter, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
-        |  CAST(2 * inter AS DOUBLE) / CAST(na + nb AS DOUBLE) AS dice
-        |FROM i WHERE 2 * inter * 4 >= 3 * (na + nb)""".stripMargin,
+      s"""WITH $fuzzyPairsCte
+         |SELECT a_id, b_id, inter, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+         |  CAST(2 * inter AS DOUBLE) / CAST(na + nb AS DOUBLE) AS dice
+         |FROM i WHERE 2 * inter * 4 >= 3 * (na + nb)""".stripMargin,
 
 
     // q102: the excision replay — every non-first occurrence (row_number
@@ -1830,6 +1817,28 @@ object OraclesExt {
     * engine's `aggregate` over the token array. */
   /** Exact-arithmetic piecewise-linear log2 (the engine's `lg` — see
     * Curation.lg): (L-1) + (x - 2^(L-1)) / 2^(L-1), L = bitlength. */
+  /** The q119 fuzzy-candidate CTE chain (prefixes, blocks, bigram
+    * multiset intersection) ending in `i(a_id, b_id, na, nb, inter)` —
+    * UNTHRESHOLDED; consumers apply the Dice cut. Shared by q119 and
+    * the q442 one-to-one assignment oracle ([[OraclesRx]]). A `def`
+    * deliberately: the `all` map initializes earlier in this object, so
+    * a val here would still be null when the map captures it. */
+  private[queries] def fuzzyPairsCte: String =
+    """p AS (SELECT doc_id AS k, lang AS blk, substr(text, 1, 40) AS s
+      |           FROM documents WHERE len(substr(text, 1, 40)) >= 2),
+      |bg AS (SELECT k, gram, count(*) AS c FROM (
+      |  SELECT k, unnest([substr(s, i, 2) for i in range(1, len(s))]) AS gram
+      |  FROM p) GROUP BY 1, 2),
+      |n AS (SELECT k, blk, len(s) - 1 AS nbg FROM p),
+      |pairs AS (SELECT a.k AS a_id, b.k AS b_id, a.nbg AS na, b.nbg AS nb
+      |          FROM n a JOIN n b ON a.blk = b.blk AND a.k < b.k),
+      |i AS (SELECT pr.a_id, pr.b_id, pr.na, pr.nb,
+      |        CAST(sum(least(ga.c, gb.c)) AS BIGINT) AS inter
+      |      FROM pairs pr
+      |      JOIN bg ga ON ga.k = pr.a_id
+      |      JOIN bg gb ON gb.k = pr.b_id AND ga.gram = gb.gram
+      |      GROUP BY 1, 2, 3, 4)""".stripMargin
+
   private[queries] def lgSqlOf(x: String): String = {
     val p = s"(CAST(1 AS BIGINT) << (length(bin($x)) - 1))"
     s"(CAST(length(bin($x)) - 1 AS DOUBLE) + CAST(($x) - $p AS DOUBLE) / CAST($p AS DOUBLE))"

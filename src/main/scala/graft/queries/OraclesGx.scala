@@ -32,8 +32,9 @@ object OraclesGx {
        |  FROM dg$r, tt$r WHERE dg$r.d * tt$r.nn > 4 * tt$r.mm)""".stripMargin
 
   /** One local-dominance matching round: mutual-minimum live edges
-    * match; both endpoints' edges die. */
-  private def matchRound(r: Int): String =
+    * match; both endpoints' edges die. Generic over the st0 edge frame —
+    * shared with the q442 linkage-assignment oracle ([[OraclesRx]]). */
+  private[queries] def matchRound(r: Int): String =
     s"""ee$r AS (SELECT x, y, wt FROM st${r - 1} WHERE kind = 'e'),
        |mn$r AS (SELECT a, min(wt) AS mw FROM (
        |  SELECT x AS a, wt FROM ee$r UNION ALL SELECT y, wt FROM ee$r)

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 
 import graft.Tables
 import graft.sinks.KeyedParquetSink
-import graft.streaming.{KvStreamSink, Quota, QuotaDoc, StreamingAgg, StreamingFingerprint}
+import graft.streaming.{AmsObs, KvStreamSink, Quota, QuotaDoc, StreamingAgg, StreamingAmsF2, StreamingFingerprint}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -107,6 +107,25 @@ object StreamStateProbe {
       val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
       q.stop()
       println(f"quota                $k%-4d ${rows.length}%-11d $stateRows%-11d ${0L}%-12d domains=$nDomains")
+    }
+
+    // ---- X432c streaming AMS F2: state = 16 longs per series forever ----
+    ks.foreach { k =>
+      implicit val sq = spark.sqlContext
+      val mem = MemoryStream[AmsObs]
+      val q = StreamingAmsF2.summarize(mem.toDS())
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", tmp("sprobe-ams-ckpt")).start()
+      val rows = evK(k).select(col("event_type"), col("event_id"), col("user_id"))
+        .as[(String, Long, Long)].collect()
+        .map(r => AmsObs(r._1, r._2, r._3.toString))
+      val nSeries = rows.map(_.series).distinct.length
+      rows.grouped(math.max(rows.length / 4, 1)).foreach { g =>
+        mem.addData(g.toSeq); q.processAllAvailable()
+      }
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      q.stop()
+      println(f"ams-f2               $k%-4d ${rows.length}%-11d $stateRows%-11d ${0L}%-12d series=$nSeries (16 longs each)")
     }
 
     // ---- X334b KV stream sink + compaction: segments bounded forever ----

@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Laws for the round-12 second wave (q442–q444).
+  *
+  * q442: the assignment is a matching (each doc in ≤ 1 link), covers
+  * every candidate pair (maximality), and equals greedy
+  * best-score-first 1:1 linkage replayed driver-side from the identical
+  * fixed-point weights; a contended star fixture proves only the
+  * strongest link survives. q443: a single-value stream estimates F2
+  * EXACTLY for every estimator (sign² = 1); sketches merge by addition
+  * (the 100 TB property); driver recount from the identical md5 parity.
+  * q444: G² recounts exactly driver-side with the same piecewise lg; an
+  * independent power-of-two corpus scores exactly 0 bits; evidence mass
+  * dominates — a frequent exclusive pair beats a hapax pair that PMI
+  * would tie or over-rank. */
+class RxWaveSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // ---------------------------------------------------------------- q442
+
+  private def pairWt(aId: Long, bId: Long, na: Long, nb: Long,
+      inter: Long): Long =
+    ((na + nb - 2 * inter) * 1048576L) / (na + nb) * 1099511627776L +
+      java.lang.Long.parseLong(md5hex(s"as:$aId,$bId").take(10), 16)
+
+  test("linkage assignment: matching, maximal, equals greedy best-first") {
+    val pairs = CatalogExt.q119FuzzyPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("na"), r.getAs[Long]("nb"), r.getAs[Long]("inter")))
+    val out = CatalogRx.q442LinkageAssignment(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("dice")))
+    // a matching: endpoints pairwise distinct; dice within the threshold
+    val ends = out.flatMap(t => Seq(t._1, t._2))
+    assert(ends.distinct.length === ends.length)
+    out.foreach(t => assert(t._3 >= 0.75 && t._3 <= 1.0))
+    // the output links are candidate pairs
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(out.forall(t => pairSet((t._1, t._2))))
+    // maximality: every candidate pair touches an assigned doc
+    val matched = ends.toSet
+    assert(pairs.forall(p => matched(p._1) || matched(p._2)))
+    // equals greedy best-score-first (ascending fixed-point weight)
+    var free = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val greedy = scala.collection.mutable.Set.empty[(Long, Long)]
+    pairs.sortBy(p => pairWt(p._1, p._2, p._3, p._4, p._5))
+      .foreach { case (a, b, _, _, _) =>
+        if (free(a) && free(b)) { greedy += ((a, b)); free -= a; free -= b }
+      }
+    assert(out.map(t => (t._1, t._2)).toSet === greedy.toSet)
+  }
+
+  test("matching core: contended star keeps only the strongest link") {
+    import spark.implicits._
+    // star: doc 1 paired with 2, 3, 4 at increasing weight; 2-3 also
+    // paired but heavier than 1-2 — greedy takes (1,2) then (3,4)
+    val we = Seq((1L, 2L, 10L), (1L, 3L, 20L), (1L, 4L, 30L),
+      (3L, 4L, 40L)).toDF("x", "y", "wt")
+    val m = CatalogGx.matchingOf(we, 8).collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"))).toSet
+    assert(m === Set((1L, 2L), (3L, 4L)))
+  }
+
+  // ---------------------------------------------------------------- q443
+
+  test("AMS F2: exact audit, per-j recount, single-value exactness, merge") {
+    import spark.implicits._
+    val rows = CatalogRx.q443AmsF2(spark, sf).collect()
+    assert(rows.length === CatalogRx.AmsEstimators)
+    val fv = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey").as("v")).agg(count(lit(1)).as("f"))
+      .collect().map(r => (r.getAs[Long]("v"), r.getAs[Long]("f")))
+    val f2 = fv.map(t => t._2 * t._2).sum
+    def sign(j: Long, v: Long): Long =
+      if (java.lang.Long.parseLong(md5hex(s"ams:$j:$v").take(1), 16) % 2 == 0)
+        1L else -1L
+    rows.foreach { r =>
+      val j = r.getAs[Long]("j")
+      val sj = fv.map { case (v, f) => sign(j, v) * f }.sum
+      assert(r.getAs[Long]("s_j") === sj)
+      assert(r.getAs[Long]("est_f2") === sj * sj)
+      assert(r.getAs[Long]("f2_exact") === f2)
+      assert(r.getAs[Double]("ratio") ===
+        (sj * sj).toDouble / f2.toDouble)
+    }
+    // single-value stream: est = f² EXACTLY for every estimator
+    val one = Seq((42L, 7L)).toDF("v", "f")
+    CatalogRx.amsSums(one, 16).collect().foreach { r =>
+      val s = r.getAs[Long]("s_j"); assert(s * s === 49L)
+    }
+    // mergeability: S_j adds across arbitrary splits of the stream
+    val a = Seq((1L, 3L), (2L, 5L)).toDF("v", "f")
+    val b = Seq((2L, 4L), (9L, 1L)).toDF("v", "f")
+    val whole = Seq((1L, 3L), (2L, 9L), (9L, 1L)).toDF("v", "f")
+    def sums(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      CatalogRx.amsSums(df, 16).collect()
+        .map(r => r.getAs[Long]("j") -> r.getAs[Long]("s_j")).toMap
+    val (sa, sb, sw) = (sums(a), sums(b), sums(whole))
+    (0L until 16L).foreach(j => assert(sa(j) + sb(j) === sw(j)))
+  }
+
+  // ---------------------------------------------------------------- q444
+
+  private def lgD(x: Long): Double = {
+    val len = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val p = 1L << (len - 1)
+    (len - 1).toDouble + (x - p).toDouble / p.toDouble
+  }
+
+  test("G² collocations: exact driver recount from the bigram margins") {
+    val rows = CatalogRx.q444G2Collocations(spark, sf).collect()
+    assert(rows.length === 20)
+    val toks = graft.Tables.documents(spark, sf)
+      .select(graft.text.TextOps.tokens(col("text")).as("w")).collect()
+      .map(_.getSeq[String](0))
+    val bi = toks.flatMap(w => w.dropRight(1).zip(w.drop(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val r1 = bi.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val k1 = bi.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = bi.values.sum
+    def term(o: Long, rt: Long, ct: Long): Double =
+      if (o > 0) o.toDouble * (((lgD(o) + lgD(n)) - lgD(rt)) - lgD(ct))
+      else 0.0
+    rows.foreach { r =>
+      val (w1, w2) = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      val c12 = bi((w1, w2)); val rr = r1(w1); val kk = k1(w2)
+      assert(r.getAs[Long]("c12") === c12)
+      assert(r.getAs[Long]("r1") === rr)
+      assert(r.getAs[Long]("k1") === kk)
+      val g2 = (((term(c12, rr, kk)
+        + term(rr - c12, rr, n - kk))
+        + term(kk - c12, n - rr, kk))
+        + term((n - rr) - (kk - c12), n - rr, n - kk)) * 2.0
+      assert(r.getAs[Double]("g2_bits") === g2)
+    }
+  }
+
+  test("G²: independent power-of-two corpus is exactly 0 bits") {
+    import spark.implicits._
+    val docs = Seq("a x", "a y", "b x", "b y").toDF("text")
+    val out = CatalogRx.g2Of(docs, minCount = 1L, k = 10).collect()
+    assert(out.length === 4)
+    out.foreach(r => assert(r.getAs[Double]("g2_bits") === 0.0))
+  }
+
+  test("G²: evidence mass dominates — frequent exclusive beats hapax") {
+    import spark.implicits._
+    // (s t) co-occurs 8 times exclusively; (p q) once exclusively;
+    // filler bigrams keep the margins honest
+    val docs = (Seq.fill(8)("s t") ++ Seq("p q") ++
+      Seq.fill(7)("f1 f2")).toDF("text")
+    val out = CatalogRx.g2Of(docs, minCount = 1L, k = 10).collect()
+      .map(r => ((r.getAs[String]("w1"), r.getAs[String]("w2")),
+        r.getAs[Double]("g2_bits"))).toMap
+    assert(out(("s", "t")) > out(("p", "q")))
+    assert(out(("p", "q")) > 0.0)
+  }
+}
