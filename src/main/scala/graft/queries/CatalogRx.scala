@@ -144,8 +144,96 @@ object CatalogRx {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------- q445
+
+  private[graft] val DbEps = 5L
+  private[graft] val DbMinPts = 4L
+  private[graft] val DbSample = 2000L
+
+  /** Grid DBSCAN (Ester et al. 1996) over a 2-D customer-behavior
+    * panel: features (x = lifetime spend in exact $10k integer units,
+    * y = 2·order count), ε-neighborhoods found by the GRID trick —
+    * bucket every point into ⌊·∕ε⌋ cells, candidate pairs only within
+    * the 3×3 adjacent-cell equi-join (never all-pairs), exact integer
+    * dx²+dy² ≤ ε² post-filter. Core (≥ [[DbMinPts]] neighbors) points
+    * cluster via [[graft.graph.Graph.ccAuto]] — cluster label = the
+    * component-minimum core id, the canonical fixpoint both CC
+    * algorithms compute — border points take the MINIMUM cluster among
+    * their core neighbors (the deterministic resolution of DBSCAN's
+    * classic border ambiguity), the rest are noise.
+    *
+    * Panel bound: DBSCAN runs on the md5-rank bottom-[[DbSample]]
+    * customers (the q394/q418 fixed-panel pattern). The bound is what
+    * keeps an EXACT cross-engine oracle tractable — DuckDB labels
+    * components by a recursive min-label closure whose row count is
+    * Σ|C|² ≤ sample² — while the engine-side primitives (grid-bucketed
+    * ε-join, ccAuto) are the scale path and carry their own ×10
+    * evidence on full corpora (q53/q436). A fixed ε is only meaningful
+    * at a fixed density anyway: on the FULL corpus the panel density
+    * grows with SF and ε would have to shrink with it (measured:
+    * ε = 25 chains 14k of 15k customers into ~2k-node components at
+    * sf0.1 — a parameter artifact, not structure). */
+  def q445GridDbscan(s: SparkSession, dir: String): DataFrame = {
+    val f0 = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("id"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+        (count(lit(1)) * 2L).as("y"))
+      .select(col("id"), expr("cents div 1000000").as("x"), col("y"))
+    val r = graft.ops.DistributedRank.withRowNumber(f0, "rnk",
+      md5(concat(lit("db:"), col("id").cast("string"))), col("id"))
+    dbscanOf(r.filter(col("rnk") <= DbSample).select(col("id"), col("x"),
+      col("y")), DbEps, DbMinPts)
+  }
+
+  /** DBSCAN core on an (id, x, y) integer-feature frame. */
+  private[graft] def dbscanOf(feats: DataFrame, eps: Long,
+      minPts: Long): DataFrame = {
+    val f = IterativeLoop.cutLazy(feats)
+    val cells = f.select(col("id"), col("x"), col("y"),
+      expr(s"x div $eps").as("cx"), expr(s"y div $eps").as("cy"))
+    val shifted = cells.select(col("id").as("bi"), col("x").as("bx"),
+        col("y").as("by"),
+        explode(typedLit(Seq(-1L, 0L, 1L))).as("dx"), col("cx"), col("cy"))
+      .select(col("bi"), col("bx"), col("by"), (col("cx") + col("dx")).as("cx"),
+        col("cy"), explode(typedLit(Seq(-1L, 0L, 1L))).as("dy"))
+      .select(col("bi"), col("bx"), col("by"), col("cx"),
+        (col("cy") + col("dy")).as("cy"))
+    val cand = IterativeLoop.cutLazy(cells
+      .join(shifted, Seq("cx", "cy"))
+      .filter(col("id") =!= col("bi") &&
+        (col("x") - col("bx")) * (col("x") - col("bx")) +
+          (col("y") - col("by")) * (col("y") - col("by")) <= eps * eps)
+      .select(col("id").as("ai"), col("bi")))
+    val core = IterativeLoop.cutLazy(cand.groupBy(col("ai").as("id"))
+      .agg(count(lit(1)).as("d")).filter(col("d") >= minPts)
+      .select(col("id")))
+    val ce = cand
+      .join(core.select(col("id").as("ai")), Seq("ai"), "left_semi")
+      .join(core.select(col("id").as("bi")), Seq("bi"), "left_semi")
+      .filter(col("ai") < col("bi"))
+    val cc = graft.graph.Graph.ccAuto(ce, "ai", "bi")
+    val coreClusters = IterativeLoop.cutLazy(core
+      .join(cc.select(col("id"), col("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster")))
+    val borderClusters = cand
+      .join(core, col("id") === col("ai"), "left_anti")
+      .join(coreClusters.select(col("id").as("bi"), col("cluster")), "bi")
+      .groupBy(col("ai").as("id")).agg(min(col("cluster")).as("cluster"))
+    f.join(coreClusters.select(col("id"), col("cluster").as("cc")),
+        Seq("id"), "left")
+      .join(borderClusters.select(col("id"), col("cluster").as("bc")),
+        Seq("id"), "left")
+      .select(col("id"), col("x"), col("y"),
+        when(col("cc").isNotNull, "core")
+          .when(col("bc").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("cc"), col("bc")).as("cluster"))
+      .orderBy(col("id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q442_linkage_assignment" -> q442LinkageAssignment _,
     "q443_ams_f2"             -> q443AmsF2 _,
-    "q444_g2_collocations"    -> q444G2Collocations _)
+    "q444_g2_collocations"    -> q444G2Collocations _,
+    "q445_grid_dbscan"        -> q445GridDbscan _)
 }

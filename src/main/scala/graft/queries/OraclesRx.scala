@@ -77,5 +77,54 @@ object OraclesRx {
          |FROM bc JOIN fr ON fr.w1 = bc.w1
          |JOIN sc ON sc.w2 = bc.w2 CROSS JOIN st
          |WHERE bc.c12 >= 5
-         |ORDER BY g2_bits DESC, bc.w1 ASC, bc.w2 ASC LIMIT 20""".stripMargin)
+         |ORDER BY g2_bits DESC, bc.w1 ASC, bc.w2 ASC LIMIT 20""".stripMargin,
+
+    // q445: the component labels need NO algorithm replay — the cluster
+    // label is the canonical component-minimum core id, which the
+    // recursive min-label closure computes exactly. The `lbl < bi`
+    // prune keeps the closure at Σ|C|·(labels above the min that reach
+    // a node) rows: the component minimum always propagates (it is
+    // below every receiving node), so min(lbl) per node IS the
+    // component minimum.
+    "q445_grid_dbscan" ->
+      """WITH RECURSIVE f0 AS (SELECT o_custkey AS id,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) // 1000000 AS x,
+        |    CAST(count(*) * 2 AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT id, x, y, row_number() OVER (
+        |    ORDER BY md5('db:' || CAST(id AS VARCHAR)), id) AS rnk FROM f0),
+        |f AS MATERIALIZED (SELECT id, x, y FROM r WHERE rnk <= 2000),
+        |cells AS (SELECT id, x, y, x // 5 AS cx, y // 5 AS cy FROM f),
+        |cand AS MATERIALIZED (SELECT a.id AS ai, b.id AS bi
+        |  FROM cells a
+        |  JOIN (SELECT id, x AS bx, y AS by, cx + dx.d AS cx, cy + dy.d AS cy
+        |        FROM cells,
+        |        (SELECT unnest([-1, 0, 1]) AS d) dx,
+        |        (SELECT unnest([-1, 0, 1]) AS d) dy) b
+        |    ON a.cx = b.cx AND a.cy = b.cy AND a.id <> b.id
+        |  WHERE (a.x - b.bx) * (a.x - b.bx)
+        |      + (a.y - b.by) * (a.y - b.by) <= 25),
+        |deg AS (SELECT ai AS id, count(*) AS d FROM cand GROUP BY 1),
+        |core AS MATERIALIZED (SELECT id FROM deg WHERE d >= 4),
+        |ce AS MATERIALIZED (SELECT ai, bi FROM cand
+        |  WHERE ai IN (SELECT id FROM core) AND bi IN (SELECT id FROM core)),
+        |lab AS (
+        |  SELECT id AS node, id AS lbl FROM core
+        |  UNION
+        |  SELECT ce.bi, lab.lbl FROM lab JOIN ce ON ce.ai = lab.node
+        |  WHERE lab.lbl < ce.bi),
+        |comp AS MATERIALIZED (SELECT node, min(lbl) AS cluster FROM lab
+        |  GROUP BY node),
+        |bord AS MATERIALIZED (SELECT c.ai AS id, min(cc.cluster) AS cluster
+        |  FROM cand c JOIN comp cc ON cc.node = c.bi
+        |  WHERE c.ai NOT IN (SELECT id FROM core) GROUP BY c.ai)
+        |SELECT f.id, f.x, f.y,
+        |  CASE WHEN comp.node IS NOT NULL THEN 'core'
+        |    WHEN bord.id IS NOT NULL THEN 'border'
+        |    ELSE 'noise' END AS role,
+        |  coalesce(comp.cluster, bord.cluster) AS cluster
+        |FROM f LEFT JOIN comp ON comp.node = f.id
+        |LEFT JOIN bord ON bord.id = f.id
+        |ORDER BY f.id""".stripMargin)
 }

@@ -151,6 +151,68 @@ class RxWaveSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Double]("g2_bits") === 0.0))
   }
 
+  // ---------------------------------------------------------------- q445
+
+  test("grid DBSCAN: equals a full driver-side DBSCAN on the panel") {
+    val out = CatalogRx.q445GridDbscan(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id"), (r.getAs[Long]("x"), r.getAs[Long]("y"),
+        r.getAs[String]("role"),
+        Option(r.getAs[java.lang.Long]("cluster")).map(_.toLong))))
+      .toMap
+    // rebuild the identical md5-rank panel driver-side
+    val feats = out.map { case (id, (x, y, _, _)) => (id, x, y) }.toSeq
+    val eps2 = CatalogRx.DbEps * CatalogRx.DbEps
+    val nbr = feats.map { case (id, x, y) =>
+      id -> feats.filter { case (j, bx, by) =>
+        j != id && (x - bx) * (x - bx) + (y - by) * (y - by) <= eps2
+      }.map(_._1).toSet
+    }.toMap
+    val core = nbr.filter(_._2.size >= CatalogRx.DbMinPts).keySet
+    // union-find over core-core edges
+    val par = scala.collection.mutable.Map.empty[Long, Long]
+    def find(a: Long): Long = {
+      var x = a
+      while (par.getOrElse(x, x) != x) { par(x) = par.getOrElse(par(x), par(x)); x = par(x) }
+      x
+    }
+    core.foreach { a => (nbr(a) & core).foreach { b =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) par(math.max(ra, rb)) = math.min(ra, rb)
+    }}
+    val cluster = core.map(a => a -> find(a)).toMap
+    out.foreach { case (id, (_, _, role, cl)) =>
+      if (core(id)) {
+        assert(role === "core"); assert(cl === Some(cluster(id)))
+      } else {
+        val coreNbrs = nbr.getOrElse(id, Set.empty) & core
+        if (coreNbrs.nonEmpty) {
+          assert(role === "border")
+          assert(cl === Some(coreNbrs.map(cluster).min))
+        } else { assert(role === "noise"); assert(cl === None) }
+      }
+    }
+  }
+
+  test("grid DBSCAN core: two blobs + a sparse bridge point") {
+    import spark.implicits._
+    // blob A around (0,0), blob B around (100,100), one isolated point,
+    // one border point within eps of blob A but with too few neighbors
+    val a = Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 0L, 1L), (4L, 1L, 1L),
+      (5L, 2L, 1L))
+    val b = Seq((11L, 100L, 100L), (12L, 101L, 100L), (13L, 100L, 101L),
+      (14L, 101L, 101L), (15L, 102L, 101L))
+    val border = Seq((21L, 6L, 1L))  // within eps=5 of (1,1)/(2,1) only
+    val noise = Seq((31L, 50L, 50L))
+    val f = (a ++ b ++ border ++ noise).toDF("id", "x", "y")
+    val out = CatalogRx.dbscanOf(f, 5L, 4L).collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[String]("role"),
+        Option(r.getAs[java.lang.Long]("cluster")).map(_.toLong))).toMap
+    a.foreach { case (id, _, _) => assert(out(id) === ("core", Some(1L))) }
+    b.foreach { case (id, _, _) => assert(out(id) === ("core", Some(11L))) }
+    assert(out(21L) === ("border", Some(1L)))
+    assert(out(31L) === ("noise", None))
+  }
+
   test("G²: evidence mass dominates — frequent exclusive beats hapax") {
     import spark.implicits._
     // (s t) co-occurs 8 times exclusively; (p q) once exclusively;
