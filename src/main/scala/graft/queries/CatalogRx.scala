@@ -8,8 +8,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
- * Round-12 second wave (q442–q444) — three operators closing gaps the
- * r12 graph wave opened or the survey audit surfaced:
+ * Round-12 second wave (q442–q446) — operators closing gaps the r12
+ * graph wave opened or the survey audit surfaced:
  *
  *   - q442 one-to-one linkage assignment: the record-linkage step
  *     BETWEEN pair scoring (q119/q278/q405 produce candidate pairs)
@@ -29,6 +29,12 @@ import org.apache.spark.sql.functions._
  *     rare pairs; G² weighs evidence): 2·ΣO·(lg O+lg N−lg R−lg C)
  *     over the 2×2 bigram contingency — every lg argument an INTEGER,
  *     so the engine's exact piecewise lg applies unchanged.
+ *   - q445 exact point-level DBSCAN: textbook core/border/noise
+ *     semantics with the grid neighbor search, completing q264's
+ *     cell-level approximation.
+ *   - q446 incremental connected-components maintenance: stored
+ *     labels + a delta edge set re-cluster ONLY the touched
+ *     components — the daily 100 TB dedup-store operation.
  */
 object CatalogRx {
 
@@ -150,8 +156,11 @@ object CatalogRx {
   private[graft] val DbMinPts = 4L
   private[graft] val DbSample = 2000L
 
-  /** Grid DBSCAN (Ester et al. 1996) over a 2-D customer-behavior
-    * panel: features (x = lifetime spend in exact $10k integer units,
+  /** Exact point-level DBSCAN (Ester et al. 1996) over a 2-D
+    * customer-behavior panel — completes q264's CELL-level
+    * approximation (X245b clusters occupied ε-cells: cell density is
+    * not point density, and border points are absorbed or dropped with
+    * their cell) with the textbook per-point semantics. Features (x = lifetime spend in exact $10k integer units,
     * y = 2·order count), ε-neighborhoods found by the GRID trick —
     * bucket every point into ⌊·∕ε⌋ cells, candidate pairs only within
     * the 3×3 adjacent-cell equi-join (never all-pairs), exact integer
@@ -231,9 +240,81 @@ object CatalogRx {
       .orderBy(col("id"))
   }
 
+  // ---------------------------------------------------------------- q446
+
+  private[graft] val CiSegLen = 128L
+
+  /** Incremental connected-components maintenance — the operation a
+    * 100 TB dedup store actually runs daily: yesterday's labels are
+    * STORED, today only a small DELTA edge set arrives, and the engine
+    * must re-cluster ONLY the components the delta touches instead of
+    * re-running CC over the whole corpus ([[incrementalCc]]: affected
+    * labels = stored labels of the delta endpoints; their nodes +
+    * their internal edges + the delta feed one bounded
+    * [[graft.graph.Graph.hookComponents]] run; everyone else keeps
+    * their stored label untouched — correctness is canonical because
+    * the component-minimum fixpoint doesn't care how it was reached,
+    * and the spec's law asserts equality with a FULL recompute).
+    *
+    * Catalog instance (the q436 construction, densified): documents on
+    * md5-rank path segments of [[CiSegLen]] = stored state; the delta
+    * bridges segment s to s+1 exactly when s ≡ 1 (mod 8) — so 2 of
+    * every 8 segments re-cluster and the rest must not be recomputed.
+    * Oracle: GROUND TRUTH by construction (the q436 pattern) — merged
+    * groups are closed-form rank ranges, no CC replay needed. */
+  def q446IncrementalCc(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val r = IterativeLoop.cutLazy(graft.ops.DistributedRank.withRowNumber(
+      docs, "rnk",
+      md5(concat(lit("ci:"), col("doc_id").cast("string"))), col("doc_id")))
+    val consec = r.select(col("doc_id").as("x"), col("rnk"))
+      .join(r.select(col("doc_id").as("y"), (col("rnk") - 1).as("rnk")), "rnk")
+    val base = consec.filter(col("rnk") % CiSegLen =!= 0)
+      .select(col("x"), col("y"))
+    val delta = consec.filter(col("rnk") % CiSegLen === 0 &&
+        expr(s"(rnk div $CiSegLen) % 8") === 1)
+      .select(col("x"), col("y"))
+    // stored labels: segment minima (yesterday's canonical CC output,
+    // here available in closed form because segments ARE the components)
+    val labels0 = r.select(col("doc_id").as("id"),
+      min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(expr(s"(rnk - 1) div $CiSegLen"))).as("component"))
+    incrementalCc(labels0, base, delta)
+  }
+
+  /** The incremental step: re-cluster ONLY components touched by
+    * `delta`. `labels0` must be a canonical (id, component=min) CC
+    * labeling of `base`; returns the labeling of base ∪ delta over the
+    * nodes that appear in ≥ 1 edge. */
+  private[graft] def incrementalCc(labels0: DataFrame, base: DataFrame,
+      delta: DataFrame): DataFrame = {
+    val l0 = IterativeLoop.cutLazy(labels0)
+    val d = IterativeLoop.cutLazy(delta)
+    val touched = IterativeLoop.cutLazy(
+      d.select(col("x").as("id")).unionAll(d.select(col("y").as("id")))
+        .join(l0, "id").select(col("component")).distinct())
+    val subNodes = l0.join(touched, Seq("component"), "left_semi")
+      .select(col("id"))
+    val subEdges = base
+      .join(subNodes.select(col("id").as("x")), Seq("x"), "left_semi")
+      .join(subNodes.select(col("id").as("y")), Seq("y"), "left_semi")
+      .unionAll(d)
+    val sub = graft.graph.Graph.hookComponents(subEdges, "x", "y")
+      .select(col("id"), col("component").as("newc"))
+    val nodes = base.unionAll(d)
+      .select(col("x").as("id")).unionAll(
+        base.unionAll(d).select(col("y").as("id")))
+      .distinct()
+    nodes.join(l0, "id").join(sub, Seq("id"), "left")
+      .select(col("id"), coalesce(col("newc"), col("component"))
+        .as("component"))
+      .orderBy(col("id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q442_linkage_assignment" -> q442LinkageAssignment _,
     "q443_ams_f2"             -> q443AmsF2 _,
     "q444_g2_collocations"    -> q444G2Collocations _,
-    "q445_grid_dbscan"        -> q445GridDbscan _)
+    "q445_grid_dbscan"        -> q445GridDbscan _,
+    "q446_incremental_cc"     -> q446IncrementalCc _)
 }

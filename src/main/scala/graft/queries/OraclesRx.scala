@@ -6,7 +6,10 @@ package graft.queries
  * ([[OraclesExt.fuzzyPairsCte]]) with the shared matching-round replay
  * ([[OraclesGx.matchRound]]); q443 replays the 16 signed sums from the
  * identical md5 parity; q444 mirrors the G² cell terms with the exact
- * piecewise lg ([[OraclesExt.lgSqlOf]]) in the identical fold order.
+ * piecewise lg ([[OraclesExt.lgSqlOf]]) in the identical fold order;
+ * q445 labels DBSCAN components by a recursive min-label closure (the
+ * cluster label is canonical, so no algorithm replay is needed); q446
+ * is ground truth by construction (the q436 pattern).
  */
 object OraclesRx {
 
@@ -126,5 +129,30 @@ object OraclesRx {
         |  coalesce(comp.cluster, bord.cluster) AS cluster
         |FROM f LEFT JOIN comp ON comp.node = f.id
         |LEFT JOIN bord ON bord.id = f.id
-        |ORDER BY f.id""".stripMargin)
+        |ORDER BY f.id""".stripMargin,
+
+    // q446: ground truth by construction (the q436 pattern) — the delta
+    // bridges segment s to s+1 exactly when s ≡ 1 (mod 8), so merged
+    // components are the closed-form rank ranges: a rank in segment s
+    // belongs to group s−1 when s ≡ 2 (mod 8), else group s. Node set =
+    // endpoints of ≥1 edge, exactly as the engine derives it.
+    "q446_incremental_cc" ->
+      """WITH r AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    row_number() OVER (
+        |      ORDER BY md5('ci:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents),
+        |consec AS (SELECT a.doc_id AS x, b.doc_id AS y, a.rnk
+        |  FROM r a JOIN r b ON b.rnk = a.rnk + 1),
+        |base AS (SELECT x, y FROM consec WHERE rnk % 128 <> 0),
+        |delta AS (SELECT x, y FROM consec
+        |  WHERE rnk % 128 = 0 AND (rnk // 128) % 8 = 1),
+        |nodes AS (SELECT DISTINCT id FROM (
+        |  SELECT x AS id FROM base UNION ALL SELECT y FROM base
+        |  UNION ALL SELECT x FROM delta UNION ALL SELECT y FROM delta)),
+        |nr AS (SELECT n.id, r.rnk, 1 + (r.rnk - 1) // 128 AS s
+        |  FROM nodes n JOIN r ON r.doc_id = n.id)
+        |SELECT id, min(id) OVER (PARTITION BY
+        |    CASE WHEN s % 8 = 2 THEN s - 1 ELSE s END) AS component
+        |FROM nr ORDER BY id""".stripMargin)
 }

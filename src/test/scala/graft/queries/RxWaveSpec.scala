@@ -213,6 +213,49 @@ class RxWaveSpec extends SparkSpec {
     assert(out(31L) === ("noise", None))
   }
 
+  // ---------------------------------------------------------------- q446
+
+  test("incremental CC: equals a FULL hookComponents recompute") {
+    import org.apache.spark.sql.DataFrame
+    val s = spark
+    // rebuild the q446 construction's base/delta from the ranked docs
+    val docs = graft.Tables.documents(s, sf).select(col("doc_id"))
+    val r = graft.ops.IterativeLoop.cutLazy(
+      graft.ops.DistributedRank.withRowNumber(docs, "rnk",
+        md5(concat(lit("ci:"), col("doc_id").cast("string"))), col("doc_id")))
+    val consec = r.select(col("doc_id").as("x"), col("rnk"))
+      .join(r.select(col("doc_id").as("y"), (col("rnk") - 1).as("rnk")), "rnk")
+    val base = consec.filter(col("rnk") % CatalogRx.CiSegLen =!= 0)
+      .select(col("x"), col("y"))
+    val delta = consec.filter(col("rnk") % CatalogRx.CiSegLen === 0 &&
+      expr(s"(rnk div ${CatalogRx.CiSegLen}) % 8") === 1)
+      .select(col("x"), col("y"))
+    def labelsOf(df: DataFrame): Map[Long, Long] = df.collect()
+      .map(x => (x.getAs[Long]("id"), x.getAs[Long]("component"))).toMap
+    val inc = labelsOf(CatalogRx.q446IncrementalCc(s, sf))
+    val full = labelsOf(
+      graft.graph.Graph.hookComponents(base.unionAll(delta), "x", "y"))
+    assert(inc === full)
+  }
+
+  test("incremental CC: touches only delta'd components; empty delta is id") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("x", "y")
+    val labels0 = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L),
+      (6L, 5L)).toDF("id", "component")
+    val delta = Seq((2L, 3L)).toDF("x", "y")
+    val out = CatalogRx.incrementalCc(labels0, base, delta).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("component"))).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L))
+    // empty delta: nothing recomputes, stored labels pass through
+    val none = CatalogRx.incrementalCc(labels0, base,
+      Seq.empty[(Long, Long)].toDF("x", "y")).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("component"))).toMap
+    assert(none === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      5L -> 5L, 6L -> 5L))
+  }
+
   test("G²: evidence mass dominates — frequent exclusive beats hapax") {
     import spark.implicits._
     // (s t) co-occurs 8 times exclusively; (p q) once exclusively;
