@@ -120,8 +120,17 @@ object CatalogGr {
           .join(dropped, Seq("a"), "left_anti")
           .select(col("a"), col("pr"), lit(0L).as("st")))
     }
+    // pr = md5₄₀·2²⁰ + a is a total order ONLY while all ids sit inside
+    // the 2²⁰ packing window (same caveat as CatalogGx.q440JpColoring —
+    // a collision between undecided neighbors stalls both); loud guard
+    val idCap = nbr.agg(coalesce(max(col("a")), lit(0L)).as("maxid"))
     fin.filter(col("st") > 0L)
       .select(col("a").as("node"), col("st").as("sel_round"))
+      .crossJoin(idCap)
+      .filter(coalesce(assert_true(col("maxid") < lit(1048576L),
+        lit("MIS priority packing overflow: node ids must be < 2^20; " +
+          "widen the priority encoding")), lit(true)))
+      .select(col("node"), col("sel_round"))
       .orderBy(col("node"))
   }
 

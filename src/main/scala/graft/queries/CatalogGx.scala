@@ -60,10 +60,12 @@ object CatalogGx {
     * every node of degree ≤ 4·(m∕n) — kept nodes satisfy
     * deg·n > 4m EXACTLY (integer cross-multiply, no density float).
     * Markov: Σdeg = 2m, so survivors number < n∕2 — the round bound is
-    * STRUCTURAL: ⌈log₂ n⌉ rounds empty any graph ([[PeelRounds]] = 18
-    * covers n < 2¹⁸ with headroom over the ≤ 2×10⁴ part domain at
+    * STRUCTURAL: ⌈log₂ n⌉ peel rounds empty any graph, and the
+    * stationarity probe needs ONE more round to observe the empty set
+    * repeat — so the cap must be ⌈log₂ n⌉ + 1 ([[PeelRounds]] = 18
+    * covers n < 2¹⁷ with headroom over the ≤ 2×10⁴ part domain at
     * every verified scale; at true 100 TB node counts raise it to
-    * ⌈log₂ n⌉ — the in-plan assert keeps saturation loud). The
+    * ⌈log₂ n⌉ + 1 — requireConverged keeps saturation loud). The
     * best-density round (exact cross-multiplied argmax, earliest round
     * on ties) is the 4-approx densest subgraph certificate.
     *
@@ -179,8 +181,20 @@ object CatalogGx {
         .unionByName(live.select(lit("e").as("kind"), col("x"), col("y"),
           col("wt"), lit(0L).as("rnd")))
     }
-    fin.df.filter(col("kind") === "m")
+    val out = fin.df.filter(col("kind") === "m")
       .select(col("x"), col("y"), col("wt"), col("rnd").as("round"))
+    // the mutual-min rule is a matching ONLY under distinct weights; a
+    // weight tie at a shared endpoint would silently emit two edges on
+    // one node — make the md5-collision case loud instead (the
+    // requireConverged discipline applied to the distinctness draw)
+    val maxDeg = out.select(col("x").as("n")).unionAll(out.select(col("y").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L)).as("maxdeg"))
+    out.crossJoin(maxDeg)
+      .filter(coalesce(assert_true(col("maxdeg") <= 1L,
+        lit("matchingOf: an md5 weight tie at a shared endpoint matched " +
+          "one node twice; widen the weight draw")), lit(true)))
+      .select(col("x"), col("y"), col("wt"), col("round"))
   }
 
   // ---------------------------------------------------------------- q439
@@ -241,7 +255,8 @@ object CatalogGx {
     *
     * Loop: [[IterativeLoop.fixedUntil]] on an uncolored-count probe —
     * sound because while any node is uncolored some local priority
-    * maximum exists (priorities are a total order), so the count
+    * maximum exists (priorities are a total order WHILE ids fit the
+    * 2²⁰ packing window — guarded loudly in-plan), so the count
     * strictly shrinks (stationary ⟺ all colored ⟺ fixed point) — with
     * requireConverged as the loud cap; early exit is hash-identical to
     * the oracle's fixed 20-round unroll by step(fp) = fp. */
@@ -292,7 +307,17 @@ object CatalogGx {
         .select(col("a"), col("pr"),
           coalesce(col("newc"), col("color")).as("color"))
     }
+    // pr = md5₄₀·2²⁰ + a is a total order ONLY while all ids sit inside
+    // the 2²⁰ packing window (a collision between uncolored neighbors
+    // would deadlock them and the stationary probe would then declare a
+    // partial coloring converged) — make the domain overflow loud
+    val idCap = nbr.agg(coalesce(max(col("a")), lit(0L)).as("maxid"))
     fin.df.select(col("a").as("node"), col("color"))
+      .crossJoin(idCap)
+      .filter(coalesce(assert_true(col("maxid") < lit(1048576L),
+        lit("JP priority packing overflow: node ids must be < 2^20; " +
+          "widen the priority encoding")), lit(true)))
+      .select(col("node"), col("color"))
       .orderBy(col("node"))
   }
 

@@ -284,15 +284,22 @@ object CatalogRx {
 
   /** The incremental step: re-cluster ONLY components touched by
     * `delta`. `labels0` must be a canonical (id, component=min) CC
-    * labeling of `base`; returns the labeling of base ∪ delta over the
-    * nodes that appear in ≥ 1 edge. */
+    * labeling of `base` (loudly asserted in-plan); delta endpoints NOT
+    * in `labels0` are the daily-ingest normal case — brand-new nodes —
+    * and enter as singleton components before the touched-set probe.
+    * Returns the labeling of base ∪ delta over the nodes that appear
+    * in ≥ 1 edge. */
   private[graft] def incrementalCc(labels0: DataFrame, base: DataFrame,
       delta: DataFrame): DataFrame = {
-    val l0 = IterativeLoop.cutLazy(labels0)
     val d = IterativeLoop.cutLazy(delta)
+    val dnodes = d.select(col("x").as("id")).unionAll(
+      d.select(col("y").as("id"))).distinct()
+    // new nodes (in delta, unknown to labels0) start as singletons
+    val l0 = IterativeLoop.cutLazy(labels0.unionByName(
+      dnodes.join(labels0, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component"))))
     val touched = IterativeLoop.cutLazy(
-      d.select(col("x").as("id")).unionAll(d.select(col("y").as("id")))
-        .join(l0, "id").select(col("component")).distinct())
+      dnodes.join(l0, "id").select(col("component")).distinct())
     val subNodes = l0.join(touched, Seq("component"), "left_semi")
       .select(col("id"))
     val subEdges = base
@@ -305,7 +312,12 @@ object CatalogRx {
       .select(col("x").as("id")).unionAll(
         base.unionAll(d).select(col("y").as("id")))
       .distinct()
-    nodes.join(l0, "id").join(sub, Seq("id"), "left")
+    // left join + loud assert, not an inner join: an unlabeled BASE
+    // node is a broken precondition and must raise, never drop rows
+    nodes.join(l0, Seq("id"), "left").join(sub, Seq("id"), "left")
+      .filter(coalesce(assert_true(col("component").isNotNull,
+        lit("incrementalCc: labels0 must label every base node")),
+        lit(true)))
       .select(col("id"), coalesce(col("newc"), col("component"))
         .as("component"))
       .orderBy(col("id"))

@@ -46,12 +46,25 @@ object StreamingAmsF2 {
     if (((b0 >> 4) & 0xf) % 2 == 0) 1L else -1L
   }
 
-  /** Pure kernel: fold arrivals into the 16 signed sums. */
+  /** Pure kernel: fold arrivals into the 16 signed sums. One reused
+    * MessageDigest and one mutable accumulator per invocation — the
+    * monitor's hot path runs per stream arrival, so per-item
+    * getInstance/Vector churn would be pure GC pressure ([[sign]] is
+    * kept as the one-shot reference the spec replays against). */
   private[streaming] def step(state: Vector[Long],
-      items: Seq[String]): Vector[Long] =
-    items.foldLeft(state) { (s, item) =>
-      Vector.tabulate(Estimators)(j => s(j) + sign(j, item))
+      items: Seq[String]): Vector[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val acc = state.toArray
+    items.foreach { item =>
+      var j = 0
+      while (j < Estimators) {
+        val b0 = md.digest(s"ams:$j:$item".getBytes("UTF-8"))(0)
+        acc(j) += (if (((b0 >> 4) & 0xf) % 2 == 0) 1L else -1L)
+        j += 1
+      }
     }
+    acc.toVector
+  }
 
   def summarize(obs: Dataset[AmsObs]): Dataset[AmsSnapshot] = {
     import obs.sparkSession.implicits._

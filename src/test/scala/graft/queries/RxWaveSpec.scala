@@ -254,6 +254,13 @@ class RxWaveSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("id"), r.getAs[Long]("component"))).toMap
     assert(none === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
       5L -> 5L, 6L -> 5L))
+    // brand-new delta nodes (the daily-ingest case): node 7 attaches to
+    // {5,6}; node 0 attaches to {1,2} AND becomes its new minimum label
+    val grown = CatalogRx.incrementalCc(labels0, base,
+      Seq((6L, 7L), (2L, 0L)).toDF("x", "y")).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("component"))).toMap
+    assert(grown === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L,
+      4L -> 3L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
   test("G²: evidence mass dominates — frequent exclusive beats hapax") {

@@ -31,6 +31,15 @@ class StreamingAmsF2Spec extends SparkSpec {
       .foreach(j => assert(fromStream(j) === fromBatch(j.toLong)))
   }
 
+  test("fast kernel equals the one-shot sign() fold") {
+    val items = (0 until 97).map(i => s"z${i % 17}")
+    val want = items.foldLeft(Vector.fill(StreamingAmsF2.Estimators)(0L)) {
+      (s, it) => Vector.tabulate(StreamingAmsF2.Estimators)(j =>
+        s(j) + StreamingAmsF2.sign(j, it))
+    }
+    assert(batchSums(items) === want)
+  }
+
   test("single repeated item: est_f2 is exactly f² for every estimator") {
     val sums = batchSums(Seq.fill(9)("only"))
     sums.foreach(sj => assert(sj * sj === 81L))
