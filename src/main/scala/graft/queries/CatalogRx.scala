@@ -323,10 +323,51 @@ object CatalogRx {
       .orderBy(col("id"))
   }
 
+  // ---------------------------------------------------------------- q447
+
+  /** Bitmap-index audience overlap — the EXACT set-algebra primitive
+    * next to the approximate KMV family (q236/q404): each event type's
+    * user audience packs into 63-bit words (word = u div 63, mask =
+    * bit_or(1 << (u mod 63)) — 63 bits, not 64, because signed-shift
+    * overflow at bit 63 is an error in DuckDB and a sign flip in
+    * Spark), so a 100 TB event log's audience reduces to ⌈|U|∕63⌉
+    * longs per type and every pairwise intersection is a WORD-ALIGNED
+    * equi-join + bit_count(a & b) sum — user lists never shuffle,
+    * exactness without a sketch (the groupBitmapAnd idiom). Union by
+    * inclusion–exclusion; Jaccard one divide; zero-overlap pairs kept
+    * via the bounded type-pair grid. */
+  def q447BitmapOverlap(s: SparkSession, dir: String): DataFrame = {
+    val tu = IterativeLoop.cutLazy(Tables.events(s, dir)
+      .select(col("event_type").as("t"), col("user_id").as("u")).distinct())
+    val words = IterativeLoop.cutLazy(tu
+      .select(col("t"), expr("u div 63").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(u % 63 as int))").as("b"))
+      .groupBy(col("t"), col("w")).agg(expr("bit_or(b)").as("m")))
+    val sizes = IterativeLoop.cutLazy(words.groupBy(col("t"))
+      .agg(sum(expr("bit_count(m)")).as("n")))
+    val inter = words.select(col("t").as("ta"), col("w"), col("m").as("ma"))
+      .join(words.select(col("t").as("tb"), col("w"), col("m").as("mb")), "w")
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(sum(expr("bit_count(ma & mb)")).as("n_inter"))
+    sizes.select(col("t").as("ta"), col("n").as("n_a"))
+      .join(sizes.select(col("t").as("tb"), col("n").as("n_b")),
+        col("ta") < col("tb"))
+      .join(inter, Seq("ta", "tb"), "left")
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n_a"), col("n_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / col("n_union").cast("double"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q442_linkage_assignment" -> q442LinkageAssignment _,
     "q443_ams_f2"             -> q443AmsF2 _,
     "q444_g2_collocations"    -> q444G2Collocations _,
     "q445_grid_dbscan"        -> q445GridDbscan _,
-    "q446_incremental_cc"     -> q446IncrementalCc _)
+    "q446_incremental_cc"     -> q446IncrementalCc _,
+    "q447_bitmap_overlap"     -> q447BitmapOverlap _)
 }

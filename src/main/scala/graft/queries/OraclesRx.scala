@@ -131,6 +131,32 @@ object OraclesRx {
         |LEFT JOIN bord ON bord.id = f.id
         |ORDER BY f.id""".stripMargin,
 
+    // q447: identical 63-bit word packing (bit 63 would overflow
+    // DuckDB's checked shift), word-aligned intersections, bounded
+    // type-pair grid keeps zero-overlap pairs.
+    "q447_bitmap_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u
+        |  FROM events),
+        |words AS MATERIALIZED (SELECT t, u // 63 AS w,
+        |    bit_or(1::BIGINT << CAST(u % 63 AS INT)) AS m
+        |  FROM tu GROUP BY 1, 2),
+        |sizes AS MATERIALIZED (SELECT t, CAST(sum(bit_count(m)) AS BIGINT)
+        |    AS n
+        |  FROM words GROUP BY 1),
+        |inter AS MATERIALIZED (SELECT a.t AS ta, b.t AS tb,
+        |    CAST(sum(bit_count(a.m & b.m)) AS BIGINT) AS n_inter
+        |  FROM words a JOIN words b ON a.w = b.w AND a.t < b.t
+        |  GROUP BY 1, 2)
+        |SELECT sa.t AS type_a, sb.t AS type_b, sa.n AS n_a, sb.n AS n_b,
+        |  coalesce(i.n_inter, CAST(0 AS BIGINT)) AS n_inter,
+        |  sa.n + sb.n - coalesce(i.n_inter, CAST(0 AS BIGINT)) AS n_union,
+        |  CAST(coalesce(i.n_inter, CAST(0 AS BIGINT)) AS DOUBLE)
+        |    / CAST(sa.n + sb.n - coalesce(i.n_inter, CAST(0 AS BIGINT))
+        |      AS DOUBLE) AS jaccard
+        |FROM sizes sa JOIN sizes sb ON sa.t < sb.t
+        |LEFT JOIN inter i ON i.ta = sa.t AND i.tb = sb.t
+        |ORDER BY type_a, type_b""".stripMargin,
+
     // q446: ground truth by construction (the q436 pattern) — the delta
     // bridges segment s to s+1 exactly when s ≡ 1 (mod 8), so merged
     // components are the closed-form rank ranges: a rank in segment s

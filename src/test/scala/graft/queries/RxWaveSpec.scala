@@ -263,6 +263,31 @@ class RxWaveSpec extends SparkSpec {
       4L -> 3L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  // ---------------------------------------------------------------- q447
+
+  test("bitmap overlap: exact set recount, bounds, inclusion-exclusion") {
+    val tu = graft.Tables.events(spark, sf)
+      .select(col("event_type").as("t"), col("user_id").as("u"))
+      .distinct().collect()
+      .map(r => (r.getAs[String]("t"), r.getAs[Long]("u")))
+    val aud = tu.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = CatalogRx.q447BitmapOverlap(spark, sf).collect()
+    val types = aud.keySet.toSeq.sorted
+    assert(rows.length === types.combinations(2).length)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      assert(a < b)
+      val (sa, sb) = (aud(a), aud(b))
+      assert(r.getAs[Long]("n_a") === sa.size.toLong)
+      assert(r.getAs[Long]("n_b") === sb.size.toLong)
+      assert(r.getAs[Long]("n_inter") === (sa & sb).size.toLong)
+      assert(r.getAs[Long]("n_union") === (sa | sb).size.toLong)
+      assert(r.getAs[Long]("n_inter") <= math.min(sa.size, sb.size).toLong)
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
   test("G²: evidence mass dominates — frequent exclusive beats hapax") {
     import spark.implicits._
     // (s t) co-occurs 8 times exclusively; (p q) once exclusively;
