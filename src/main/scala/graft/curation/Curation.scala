@@ -318,7 +318,10 @@ object Curation {
     val merges = Seq.newBuilder[Row]
     var rank = 1
     var done = false
+    val lid = graft.ops.PlanProbe.loopId()
+    var probeRound = 0
     while (rank <= nMerges && !done) {
+      probeRound += 1
       val symFrame = vocab
         .select(col("n"), symsCol.as("s"))
         // single-symbol words contribute no pairs (guard: Spark's
@@ -333,9 +336,11 @@ object Curation {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(k).collect()
+        .limit(k)
+      graft.ops.PlanProbe.offer(lid, probeRound, top)
+      val topRows = top.collect()
         .map(b => (b.getString(0), b.getString(1), b.getLong(2)))
-      if (top.isEmpty) done = true // every word is a single symbol
+      if (topRows.isEmpty) done = true // every word is a single symbol
       else {
         // accept the provably-sequential prefix. bounds = None is the
         // OPTIMISTIC pre-scan (symbol/growth guards only, created-pair
@@ -350,7 +355,7 @@ object Curation {
           var createdBound = 0L // counts are >= 1, so 0 = "creates nothing"
           var growthPossible = false
           var stop = false
-          top.foreach { case (l, r, cnt) =>
+          topRows.foreach { case (l, r, cnt) =>
             if (!stop) {
               val ok = nAccepted == 0 ||
                 (!growthPossible && !conflictSyms(l) && !conflictSyms(r) &&
@@ -383,7 +388,7 @@ object Curation {
             val sess = s
             import sess.implicits._
             val cand = broadcast(
-              top.map { case (l, r, _) => (l, r) }.toSeq.toDF("bl", "br"))
+              topRows.map { case (l, r, _) => (l, r) }.toSeq.toDF("bl", "br"))
             val t3 = symFrame.filter(size(col("s")) >= 3)
               .select(col("n"), explode(
                 transform(sequence(lit(1), size(col("s")) - 2),
@@ -518,7 +523,7 @@ object Curation {
       .join(bucketCounts(docs, "cr"), Seq("b"), "left_outer")
       .na.fill(0L, Seq("ct", "cr"))
     val tot = c.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
-    val contribs = c.crossJoin(broadcast(tot))
+    val contribs = c.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("b"),
         (((lg(col("ct") + 1) - lg(col("tt") + buckets))
           - lg(col("cr") + 1)) + lg(col("tr") + buckets)).as("w"))
@@ -656,7 +661,7 @@ object Curation {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("token").asc)
-    tf.join(df_, "token").crossJoin(broadcast(n))
+    tf.join(df_, "token").crossJoin(broadcast(graft.ops.Guards.scalar(n)))
       .withColumn("score",
         (col("tf") * col("n_docs")).cast("double") / col("dfreq").cast("double"))
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -831,7 +836,7 @@ object Curation {
     bi.filter(col("c12") >= minCount)
       .join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
       .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(stats)))
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
         pmi.as("pmi_bits"))
       .orderBy(col("pmi_bits").desc, col("w1").asc, col("w2").asc)
@@ -879,7 +884,7 @@ object Curation {
       .otherwise(least(greatest(
         floor((col("v") - col("lo")) / (col("hi") - col("lo")) * bins)
           .cast("long"), lit(0L)), lit(bins - 1L)))
-    val counts = base.crossJoin(broadcast(mm))
+    val counts = base.crossJoin(broadcast(graft.ops.Guards.scalar(mm)))
       .groupBy(b.as("b"))
       .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
         sum(when(col("is_a"), 0L).otherwise(1L)).as("cb"))
@@ -889,7 +894,7 @@ object Curation {
         col("cb").cast("double") / col("nb").cast("double")) *
         (((lg(col("ca")) - lg(col("na"))) - lg(col("cb"))) + lg(col("nb")))
     counts.filter(col("ca") > 0 && col("cb") > 0)
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("b"), col("na"), col("nb"), contrib.as("contrib"))
       .groupBy(col("na"), col("nb"))
       .agg(count(lit(1)).as("n_bins_used"),
@@ -939,7 +944,7 @@ object Curation {
       sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
     val langEnt = docs.groupBy(col(langCol).as("lang"))
       .agg(count(lit(1)).as("c"))
-      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(docs.agg(count(lit(1)).as("n")))))
       .select(col("lang"),
         ((col("c").cast("double") / col("n").cast("double")) *
           (lg(col("n")) - lg(col("c")))).as("contrib"))
@@ -947,7 +952,7 @@ object Curation {
         transform(sort_array(collect_list(struct(col("lang"), col("contrib")))),
           e => e("contrib")),
         lit(0.0), (acc: Column, x: Column) => acc + x).as("lang_entropy_bits"))
-    val one = agg.crossJoin(broadcast(gateAgg)).crossJoin(broadcast(langEnt))
+    val one = agg.crossJoin(broadcast(graft.ops.Guards.scalar(gateAgg))).crossJoin(broadcast(graft.ops.Guards.scalar(langEnt)))
     def row(name: String, v: Column) =
       one.select(lit(name).as("metric"), v.cast("double").as("value"))
     row("n_docs", col("n"))
@@ -1014,7 +1019,7 @@ object Curation {
     val tr = cc.agg(sum(col("cr")).as("totr"))
     dc.join(broadcast(cc), "b")
       .join(td, "domain")
-      .crossJoin(broadcast(tr))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tr)))
       .select(col("domain"), col("b"), col("totd"),
         ((col("ct").cast("double") / col("totd").cast("double")) *
           (((lg(col("ct")) - lg(col("totd"))) - lg(col("cr"))) + lg(col("totr"))))
@@ -1127,7 +1132,7 @@ object Curation {
     val binned = scored
       .select(col(scoreCol).cast("double").as("s"),
         col(labelCol).cast("boolean").as("y"))
-      .crossJoin(broadcast(mm))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(mm)))
       .select(
         when(col("hi") === col("lo"), lit(bins - 1L))
           .otherwise(least(greatest(
@@ -1139,7 +1144,7 @@ object Curation {
     // positive at threshold t(b) = everything in bins >= b
     val arr = binned
       .agg(sort_array(collect_list(struct(col("b"), col("y"), col("n")))).as("cells"))
-      .crossJoin(broadcast(mm))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(mm)))
     arr.select(col("lo"), col("hi"), explode(
       transform(sequence(lit(0), lit(bins - 1)), b => struct(
         b.cast("long").as("bin"),

@@ -676,6 +676,7 @@ object Dedup {
         .withColumn("component", col("id")))
     var changed = 1L
     var iter = 0
+    val lid = graft.ops.PlanProbe.loopId()
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("vid"), col("component").as("vlabel")),
@@ -732,6 +733,7 @@ object Dedup {
       // BOTH lineageCut paths (Spark 4.1: sum over 1..100 observed as
       // exactly 5050): in particular the reliable checkpoint(true) does NOT
       // double-deliver the metric through its checkpoint-write recompute.
+      graft.ops.PlanProbe.offer(lid, iter + 1, next)
       val obs = org.apache.spark.sql.Observation()
       val updated = lineageCut(next.observe(obs,
         coalesce(sum((col("next_component") =!= col("component")).cast("long")), lit(0L))

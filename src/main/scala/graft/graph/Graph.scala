@@ -52,7 +52,7 @@ object Graph {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val eWithDeg = lazyCut(e.join(outdeg, "src"))
     val nTotal = nodes.agg(count(lit(1)).as("n_nodes"))
-    val base = lazyCut(nodes.crossJoin(broadcast(nTotal)))
+    val base = lazyCut(nodes.crossJoin(broadcast(graft.ops.Guards.scalar(nTotal))))
     val ranks0 = base
       .select(col("node"), expr(s"CAST($scale AS BIGINT) div n_nodes").as("rank"))
     // NOT fixedUntil: damped deltas shrink like scale·0.85^k, so hitting
@@ -117,22 +117,26 @@ object Graph {
     // round (measured ~25% of q113's runtime at sf0.1)
     def normalized(raw: DataFrame, joinKey: String, outCol: String): DataFrame = {
       val tot = raw.agg(greatest(sum(col("raw")), lit(1L)).as("tot"))
-      lazyCut(raw.crossJoin(broadcast(tot))
+      lazyCut(raw.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
         .select(col(joinKey).as("node"),
           expr(s"(raw * CAST($scale AS BIGINT)) div tot").as(outCol)))
     }
-    var hubs = lazyCut(nodes.crossJoin(broadcast(nTotal))
+    var hubs = lazyCut(nodes.crossJoin(broadcast(graft.ops.Guards.scalar(nTotal)))
       .select(col("node"), expr(s"CAST($scale AS BIGINT) div n_nodes").as("hub")))
     var auths: DataFrame = hubs.select(col("node"), col("hub").as("auth"))
     // No early-exit probe here for the same reason as PageRank: the
     // L1-renormalized integer scores keep moving by ±1 quanta for far
     // longer than any contracted round count, so a bit-exact fixed point
     // is unreachable inside the oracle-replayed 8 rounds.
-    for (_ <- 1 to iterations) {
-      auths = normalized(
-        e.join(hubs.withColumnRenamed("node", "src"), "src")
-          .groupBy(col("dst")).agg(sum(col("hub")).as("raw")),
-        "dst", "auth")
+    val lid = graft.ops.PlanProbe.loopId()
+    for (r <- 1 to iterations) {
+      // the half-round's edge-join + map-side-combined sum is the shape
+      // that matters at 100× (the normalize tail is a one-row broadcast);
+      // offer it UNCUT to the plan audit before `normalized` cuts it
+      val authsRaw = e.join(hubs.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst")).agg(sum(col("hub")).as("raw"))
+      graft.ops.PlanProbe.offer(lid, r, authsRaw)
+      auths = normalized(authsRaw, "dst", "auth")
       hubs = normalized(
         e.join(auths.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src")).agg(sum(col("auth")).as("raw")),
@@ -314,6 +318,46 @@ object Graph {
       edges, aCol, bCol, stallRounds, None)
     if (changed == 0L) labels
     else hookComponents(edges, aCol, bCol, hookMaxOuter)
+  }
+
+  /**
+   * Insert-only incremental CC merge — the per-micro-batch verb of a
+   * streaming dedup store (the streaming face of q446's batch
+   * maintenance). Given the STORED canonical labeling `labels0`
+   * ((id, component), component = group minimum — [[hookComponents]]'s
+   * contract) and a DELTA edge batch, returns new labels for EXACTLY the
+   * rows whose label may change: members of components touched by the
+   * delta plus brand-new delta nodes. Untouched components are never
+   * read past the touched-set semi-join and never rewritten — the caller
+   * upserts the returned rows into its keyed store
+   * ([[graft.streaming.StreamingCc]]), so per-batch write cost tracks
+   * the delta's blast radius, not the 100 TB label store.
+   *
+   * Correctness: edge INSERTS only merge components, so connectivity of
+   * (stored ∪ delta) is fully captured by the STAR graph of the touched
+   * components' stored labels (id—component edges; a canonical labeling
+   * already encodes intra-component connectivity) plus the delta itself
+   * — no stored EDGES are needed, unlike deletion-capable maintenance.
+   * [[hookComponents]] over stars ∪ delta yields the canonical min-label
+   * fixpoint, which is path-independent — hence N successive batch
+   * merges equal a one-shot CC over the union of all edges
+   * (StreamingCcSpec's law; q446 proves the batch analog with full base
+   * edges). A touched-singleton star has no edge, but a singleton's
+   * component can only be touched by a delta edge naming the node
+   * itself, so the delta covers it.
+   */
+  def incrementalMerge(labels0: DataFrame, delta: DataFrame,
+      aCol: String = "x", bCol: String = "y"): DataFrame = {
+    val d = lazyCut(delta
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y")))
+    val dnodes = d.select(col("x").as("id"))
+      .unionAll(d.select(col("y").as("id"))).distinct()
+    val touched = dnodes.join(labels0, Seq("id"))
+      .select(col("component")).distinct()
+    val members = labels0.join(touched, Seq("component"), "left_semi")
+    val stars = members.filter(col("id") =!= col("component"))
+      .select(col("id").as("x"), col("component").as("y"))
+    hookComponents(stars.unionAll(d), "x", "y")
   }
 
   /**

@@ -48,7 +48,7 @@ object Layout {
     val b = df.agg(
       min(col(xCol)).as("__minx"), max(col(xCol)).as("__maxx"),
       min(col(yCol)).as("__miny"), max(col(yCol)).as("__maxy"))
-    df.crossJoin(broadcast(b))
+    df.crossJoin(broadcast(graft.ops.Guards.scalar(b)))
       .withColumn("zval", zOrder16(
         scale16(col(xCol), col("__minx"), col("__maxx")),
         scale16(col(yCol), col("__miny"), col("__maxy"))))

@@ -87,7 +87,7 @@ object QualityLr {
     def upd(wj: String, xj: String) =
       (max(col(wj)) - floor(sum(err * col(xj)).cast("double") /
         (lit(LrDen) * max(col("n")).cast("double"))).cast("long")).as(wj)
-    feat.crossJoin(broadcast(w))
+    feat.crossJoin(broadcast(graft.ops.Guards.scalar(w)))
       .agg(upd("w0", "x0"), upd("w1", "x1"), upd("w2", "x2"), upd("w3", "x3"),
         max(col("n")).as("n"))
   }
@@ -107,7 +107,7 @@ object QualityLr {
   def score(feat: DataFrame, weights: DataFrame): DataFrame = {
     val z = col("w0") * col("x0") + col("w1") * col("x1") +
       col("w2") * col("x2") + col("w3") * col("x3")
-    feat.crossJoin(broadcast(weights))
+    feat.crossJoin(broadcast(graft.ops.Guards.scalar(weights)))
       .select(col("doc_id"), col("y"), z.as("z"), pOf(z).as("p"),
         (pOf(z) * 2 > lit(Scale)).as("pred"))
   }

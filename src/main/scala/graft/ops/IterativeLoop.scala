@@ -61,7 +61,10 @@ object IterativeLoop {
     * regardless of round count. */
   def fixed(init: DataFrame, rounds: Int)(step: (DataFrame, Int) => DataFrame): DataFrame = {
     require(rounds >= 1, s"need at least one round, got $rounds")
-    (1 to rounds).foldLeft(init)((df, i) => cutLazy(step(df, i)))
+    val lid = PlanProbe.loopId()
+    (1 to rounds).foldLeft(init) { (df, i) =>
+      val s = step(df, i); PlanProbe.offer(lid, i, s); cutLazy(s)
+    }
   }
 
   /** [[fixed]] with an EAGER cut per round — for loops whose next round
@@ -70,7 +73,10 @@ object IterativeLoop {
     * plans). */
   def fixedEager(init: DataFrame, rounds: Int)(step: (DataFrame, Int) => DataFrame): DataFrame = {
     require(rounds >= 1, s"need at least one round, got $rounds")
-    (1 to rounds).foldLeft(init)((df, i) => cut(step(df, i)))
+    val lid = PlanProbe.loopId()
+    (1 to rounds).foldLeft(init) { (df, i) =>
+      val s = step(df, i); PlanProbe.offer(lid, i, s); cut(s)
+    }
   }
 
   /** Stats-fresh lazy cut for REPEATED-SQUARING loops (the next round
@@ -93,7 +99,10 @@ object IterativeLoop {
     * repeated-squaring loops. */
   def fixedFresh(init: DataFrame, rounds: Int)(step: (DataFrame, Int) => DataFrame): DataFrame = {
     require(rounds >= 1, s"need at least one round, got $rounds")
-    (1 to rounds).foldLeft(init)((df, i) => cutFresh(step(df, i)))
+    val lid = PlanProbe.loopId()
+    (1 to rounds).foldLeft(init) { (df, i) =>
+      val s = step(df, i); PlanProbe.offer(lid, i, s); cutFresh(s)
+    }
   }
 
   /** Result of [[fixedUntil]]: the converged (or cap-round) frame, the
@@ -139,11 +148,14 @@ object IterativeLoop {
       sameAs: (DataFrame, DataFrame) => Boolean = multisetEqual)(
       step: (DataFrame, Int) => DataFrame): FixedResult = {
     require(maxRounds >= 1, s"need at least one round, got $maxRounds")
+    val lid = PlanProbe.loopId()
     var cur = cutLazy(init)
     var i = 0
     var conv = false
     while (i < maxRounds && !conv) {
-      val next = cutLazy(step(cur, i + 1))
+      val stepped = step(cur, i + 1)
+      PlanProbe.offer(lid, i + 1, stepped)
+      val next = cutLazy(stepped)
       conv = sameAs(cur, next)
       cur = next
       i += 1

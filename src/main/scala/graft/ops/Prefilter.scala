@@ -31,7 +31,7 @@ object Prefilter {
     GraftFunctions.ensureRegistered(fact.sparkSession)
     val arr = keys.agg(
       sort_array(collect_set(col(keyCol).cast("long"))).as("__keys"))
-    fact.crossJoin(broadcast(arr))
+    fact.crossJoin(broadcast(graft.ops.Guards.scalar(arr)))
       .filter(GraftFunctions.sortedContains(col(factKey).cast("long"), col("__keys")))
       .drop("__keys")
   }
@@ -68,7 +68,7 @@ object Prefilter {
   def bloomPrune(fact: DataFrame, factKey: String,
       keys: DataFrame, keyCol: String, mBits: Int, kHashes: Int): DataFrame = {
     GraftFunctions.ensureRegistered(fact.sparkSession)
-    fact.crossJoin(broadcast(bloomBits(keys, keyCol, mBits, kHashes)))
+    fact.crossJoin(broadcast(graft.ops.Guards.scalar(bloomBits(keys, keyCol, mBits, kHashes))))
       .filter(bloomPass(col(factKey), mBits, kHashes))
       .drop("__bits")
   }
@@ -99,8 +99,8 @@ object Prefilter {
     GraftFunctions.ensureRegistered(fact.sparkSession)
     val exact = keys.agg(
       sort_array(collect_set(col(keyCol).cast("long"))).as("__keys"))
-    fact.crossJoin(broadcast(bloomBits(keys, keyCol, mBits, kHashes)))
-      .crossJoin(broadcast(exact))
+    fact.crossJoin(broadcast(graft.ops.Guards.scalar(bloomBits(keys, keyCol, mBits, kHashes))))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(exact)))
       .select(
         bloomPass(col(factKey), mBits, kHashes).as("bloom_pass"),
         GraftFunctions.sortedContains(col(factKey).cast("long"), col("__keys"))

@@ -67,7 +67,7 @@ object Profile {
     val raw = floor((col("v").cast("double") - col("__vmin")) * parts /
       greatest(col("__vmax") - col("__vmin"), lit(java.lang.Double.MIN_NORMAL)))
       .cast("long")
-    val bucketed = graft.dedup.Dedup.lineageCutLazy(vc.crossJoin(broadcast(b))
+    val bucketed = graft.dedup.Dedup.lineageCutLazy(vc.crossJoin(broadcast(graft.ops.Guards.scalar(b)))
       .withColumn("__rb",
         when(col("v").isNull, lit(-1L))
           .when(col("v").cast("double").isNaN, lit(parts.toLong))
@@ -118,7 +118,7 @@ object Profile {
         .groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c")))
     val tot = vc.agg(sum(col("c")).as("n"))
     withCumBefore(vc)
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .withColumn("bucket", expr(s"(cb * $buckets) div n"))
       .groupBy(col("bucket"))
       .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("ndv"),
@@ -147,14 +147,14 @@ object Profile {
         .groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c")))
     val cum = withCumBefore(vc).withColumn("ct", col("cb") + col("c"))
     val tot = vc.agg(sum(col("c")).as("n"))
-    val bounds = cum.crossJoin(broadcast(tot)).agg(
+    val bounds = cum.crossJoin(broadcast(graft.ops.Guards.scalar(tot))).agg(
       min(when(col("ct") >= ceil(lit(pLo) * col("n")), col("v"))).as("__lo"),
       min(when(col("ct") >= ceil(lit(pHi) * col("n")), col("v"))).as("__hi"))
     // NULL and NaN pass through unclamped: least/greatest SKIP nulls, so a
     // bare clamp would fabricate __lo for NULL inputs and __hi for NaN —
     // corruption, not winsorization, on nullable columns
     val v = col(valueCol).cast("double")
-    df.crossJoin(broadcast(bounds))
+    df.crossJoin(broadcast(graft.ops.Guards.scalar(bounds)))
       .withColumn(s"${valueCol}_wins",
         when(col(valueCol).isNull.or(isnan(v)), col(valueCol))
           .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))

@@ -255,7 +255,7 @@ object TimeSeries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     joined.groupBy(col("hours")).agg(count(lit(1)).as("n_converted"))
       .withColumn("cum_converted", sum(col("n_converted")).over(w))
-      .crossJoin(broadcast(nBase))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(nBase)))
       .select(col("hours"), col("n_converted"), col("cum_converted"),
         (col("cum_converted").cast("double") / col("n_base").cast("double"))
           .as("cum_share"))

@@ -158,7 +158,7 @@ object CatalogAlg {
     val med = ests.agg(sort_array(collect_list(col("est"))).as("es"))
       .select(((element_at(col("es"), 4) + element_at(col("es"), 5))
         .cast("double") / 2.0).as("est_median"))
-    ests.crossJoin(broadcast(f2)).crossJoin(broadcast(med))
+    ests.crossJoin(broadcast(graft.ops.Guards.scalar(f2))).crossJoin(broadcast(graft.ops.Guards.scalar(med)))
       .select(col("seed"), col("s_sum"), col("est"), col("f2_exact"),
         col("est_median"))
       .orderBy(col("seed"))
@@ -188,11 +188,11 @@ object CatalogAlg {
       u.select(col("id")), rounds = 16)
     val far = d2.orderBy(col("hops").desc, col("id").asc).limit(1)
     s0.select(col("id").as("seed"))
-      .crossJoin(broadcast(u.select(col("id").as("sweep1_far"),
-        col("hops").as("sweep1_ecc"))))
-      .crossJoin(broadcast(far.select(col("id").as("sweep2_far"),
-        col("hops").as("diameter_lb"))))
-      .crossJoin(broadcast(d2.agg(count(lit(1)).as("n_reached"))))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(u.select(col("id").as("sweep1_far"),
+        col("hops").as("sweep1_ecc")))))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(far.select(col("id").as("sweep2_far"),
+        col("hops").as("diameter_lb")))))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(d2.agg(count(lit(1)).as("n_reached")))))
   }
 
   // ---------------------------------------------------------------- q414

@@ -44,7 +44,7 @@ object CatalogBeh {
     val ks = sample.agg(count(lit(1)).as("k"))
     val ests = (1 to 3).map { i =>
       val q = i * 25
-      sample.crossJoin(broadcast(ks))
+      sample.crossJoin(broadcast(graft.ops.Guards.scalar(ks)))
         .withColumn("rn", row_number().over(
           Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
         .filter(col("rn") === expr(s"(k * $q + 99) div 100"))
@@ -53,7 +53,7 @@ object CatalogBeh {
     ests.join(d.alias("full"), col("full.n_chars") <= col("est"))
       .groupBy(col("pct"), col("est"))
       .agg(count(lit(1)).as("achieved_rank"))
-      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(n)))
       .select(col("pct"), col("est"), col("achieved_rank"), col("n"),
         abs(col("achieved_rank").cast("double") / col("n").cast("double")
           - col("pct").cast("double") / lit(100.0)).as("rank_error"))
@@ -74,7 +74,7 @@ object CatalogBeh {
     val top = d.orderBy(col("pri").desc, col("doc_id")).limit(32)
     val pop = d.agg(sum(col("w")).as("sw"), count(lit(1)).as("n"))
     top.agg(count(lit(1)).as("k"), sum(col("w")).as("sample_w"))
-      .crossJoin(broadcast(pop))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(pop)))
       .select(col("k"), col("n"),
         (col("sample_w").cast("double") / col("k").cast("double"))
           .as("mean_w_sample"),
@@ -389,8 +389,8 @@ object CatalogBeh {
     val mean = cc.agg(count(lit(1)).as("n_nodes"),
       foldSorted(col("id"), col("cc")).as("sum_cc"))
     cc.orderBy(col("cc").desc, col("id")).limit(20)
-      .crossJoin(broadcast(mean.select(
-        (col("sum_cc") / col("n_nodes").cast("double")).as("mean_cc"))))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(mean.select(
+        (col("sum_cc") / col("n_nodes").cast("double")).as("mean_cc")))))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

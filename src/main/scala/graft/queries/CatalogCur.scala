@@ -55,7 +55,7 @@ object CatalogCur {
       removed.join(chars, Seq("doc_id"))
         .agg(count(lit(1)).as("n_removed"),
           coalesce(sum(col("n_chars")), lit(0L)).as("chars_removed"))
-        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
         .select(lit(thr.toLong).as("threshold_pct"), col("n_sample"),
           col("n_removed"),
           (col("chars_removed").cast("double")
@@ -76,7 +76,7 @@ object CatalogCur {
     val bySrc = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
     val tot = bySrc.agg(sum(col("ns")).as("n"), count(lit(1)).as("k"))
     val target = tot.select(expr("n div k").as("t"))
-    docs.join(bySrc, Seq("source")).crossJoin(broadcast(target))
+    docs.join(bySrc, Seq("source")).crossJoin(broadcast(graft.ops.Guards.scalar(target)))
       .withColumn("accept",
         (col("u") * col("ns") < col("t") * 4294967296L).cast("long"))
       .groupBy(col("source"))
@@ -97,10 +97,10 @@ object CatalogCur {
     val ev = Tables.events(s, dir)
       .select(col("event_type").as("t"), to_date(col("ts")).as("d"))
     val mx = ev.agg(max(col("d")).as("md"))
-    val weighted = ev.crossJoin(broadcast(mx))
+    val weighted = ev.crossJoin(broadcast(graft.ops.Guards.scalar(mx)))
       .select(col("t"), expr("datediff(md, d) div 7").as("k"))
     val maxK = weighted.agg(max(col("k")).as("mk"))
-    weighted.crossJoin(broadcast(maxK))
+    weighted.crossJoin(broadcast(graft.ops.Guards.scalar(maxK)))
       .select(col("t"),
         expr("shiftleft(cast(1 as bigint), cast(mk - k as int))").as("w"),
         col("mk"))
@@ -160,7 +160,7 @@ object CatalogCur {
     d.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
         sum(col("n_tokens")).as("tokens"))
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("lang"), col("n_docs"), col("tokens"),
         (col("chars").cast("double") / col("tokens").cast("double"))
           .as("chars_per_token"),

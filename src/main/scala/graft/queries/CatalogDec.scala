@@ -59,7 +59,7 @@ object CatalogDec {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     // loop invariant, cut once: every Newton round folds over the risk
     // table, so without the cut round k replays the window k times
-    val risk = graft.ops.IterativeLoop.cutLazy(byT.crossJoin(broadcast(tot))
+    val risk = graft.ops.IterativeLoop.cutLazy(byT.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .withColumn("n1", col("n1tot") - coalesce(sum(col("e1")).over(wPrev), lit(0L)))
       .withColumn("n0", col("n0tot") - coalesce(sum(col("e0")).over(wPrev), lit(0L)))
       .filter(col("d") > 0)
@@ -68,7 +68,7 @@ object CatalogDec {
       col("n0").cast("double") + col("n1").cast("double") * th
     val th0: DataFrame = s.range(1).select(lit(1.0).as("th"))
     val th = graft.ops.IterativeLoop.fixed(th0, rounds) { (th, _) =>
-      val g = risk.crossJoin(broadcast(th)).agg(
+      val g = risk.crossJoin(broadcast(graft.ops.Guards.scalar(th))).agg(
         max(col("th")).as("thv"),
         foldSorted(col("t"),
           col("s").cast("double") / col("th")
@@ -89,7 +89,7 @@ object CatalogDec {
             * (col("n1").cast("double")
               / (col("n0").cast("double") + col("n1").cast("double"))))
         .as("score_at_1"))
-    score1.crossJoin(broadcast(th))
+    score1.crossJoin(broadcast(graft.ops.Guards.scalar(th)))
       .select(col("n_times"), col("score_at_1"),
         col("th").as("hazard_ratio"))
   }
@@ -121,7 +121,7 @@ object CatalogDec {
         u32(concat(col("u").cast("string"), lit("_p"),
           col("b").cast("string"))) % 2)
       .groupBy(col("b")).agg(tOf(col("arm")).as("tb"))
-    reps.crossJoin(broadcast(obs))
+    reps.crossJoin(broadcast(graft.ops.Guards.scalar(obs)))
       .agg(max(col("n_users")).as("n_users"), count(lit(1)).as("n_reps"),
         max(col("t_obs")).as("t_obs_cents"),
         ((lit(1L) + sum((abs(col("tb")) >= abs(col("t_obs"))).cast("long")))
@@ -142,7 +142,7 @@ object CatalogDec {
       count(lit(1)).as("nd"))
     val wCum = Window.orderBy(col("ds"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val m = daily.crossJoin(broadcast(cap))
+    val m = daily.crossJoin(broadcast(graft.ops.Guards.scalar(cap)))
       .withColumn("mt", sum(col("a") - col("c")).over(wCum))
       .withColumn("runmin", min(col("mt")).over(wCum))
       .withColumn("bl", col("mt") - least(col("runmin"), lit(0L)))
@@ -150,7 +150,7 @@ object CatalogDec {
       .select(col("ds").as("peak_day"), col("bl").as("max_backlog"))
     m.agg(max(col("c")).as("capacity"), max(col("nd")).as("n_days"),
         sum((col("bl") > 0).cast("long")).as("n_congested"))
-      .crossJoin(broadcast(peak))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(peak)))
   }
 
   /** Newsvendor critical-fractile stocking decision on daily order
@@ -163,7 +163,7 @@ object CatalogDec {
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(count(lit(1)).as("dem"))
     val n = daily.agg(count(lit(1)).as("nd"))
-    val qstar = daily.crossJoin(broadcast(n))
+    val qstar = daily.crossJoin(broadcast(graft.ops.Guards.scalar(n)))
       .withColumn("rn", row_number().over(
         Window.orderBy(col("dem"), col("d"))).cast("long"))
       .filter(col("rn") === expr("(nd * 4 + 4) div 5"))
@@ -171,7 +171,7 @@ object CatalogDec {
     def cost(q: Column): Column =
       sum(greatest(col("dem") - q, lit(0L)) * 4L
         + greatest(q - col("dem"), lit(0L)))
-    daily.crossJoin(broadcast(qstar))
+    daily.crossJoin(broadcast(graft.ops.Guards.scalar(qstar)))
       .agg(max(col("q_star")).as("q_star"), count(lit(1)).as("n_days"),
         cost(col("q_star")).as("cost_at_q"),
         cost(col("q_star") - 1).as("cost_minus"),
@@ -201,7 +201,7 @@ object CatalogDec {
     val perC = cohorts
       .join(o.groupBy(col("k")).agg(sum(col("v")).as("cv"),
         countDistinct(col("mi")).as("am")), Seq("k"))
-      .join(active.crossJoin(broadcast(maxMi))
+      .join(active.crossJoin(broadcast(graft.ops.Guards.scalar(maxMi)))
         .filter(col("mi") < col("maxmi"))
         .groupBy(col("k")).agg(count(lit(1)).as("base")), Seq("k"), "left")
       .join(pairs.groupBy(col("k")).agg(count(lit(1)).as("ret")),
@@ -246,7 +246,7 @@ object CatalogDec {
     val groups = eval0.groupBy(col("f"))
       .agg(count(lit(1)).as("nk"), sum(col("y")).as("pk"))
     val tot = groups.agg(sum(col("nk")).as("n"), sum(col("pk")).as("p"))
-    val terms = groups.crossJoin(broadcast(tot))
+    val terms = groups.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("f"), col("nk"), col("n"),
         (col("f") - col("pk").cast("double") / col("nk").cast("double"))
           .as("fo"),
@@ -263,7 +263,7 @@ object CatalogDec {
       (col("p").cast("double") / col("n").cast("double")
         * (lit(1.0) - col("p").cast("double") / col("n").cast("double")))
         .as("unc"))
-    base.crossJoin(broadcast(unc))
+    base.crossJoin(broadcast(graft.ops.Guards.scalar(unc)))
       .select(col("n").as("n_eval"), col("rel"), col("res"), col("unc"),
         (col("rel") - col("res") + col("unc")).as("brier"))
   }
@@ -418,7 +418,7 @@ object CatalogDec {
         col("llr").as("llr_at_cross"))
     val fin = path.agg(count(lit(1)).as("n_days"),
       max(struct(col("ds"), col("llr"))).getField("llr").as("llr_final"))
-    fin.crossJoin(broadcast(firstCross))
+    fin.crossJoin(broadcast(graft.ops.Guards.scalar(firstCross)))
   }
 
   /** Isotonic regression of the English rate on n_chars WITHOUT the
@@ -432,7 +432,7 @@ object CatalogDec {
     val d = Tables.documents(s, dir)
       .select(col("n_chars"), (col("lang") === "en").cast("long").as("y"))
     val rng = d.agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
-    val bins = d.crossJoin(broadcast(rng))
+    val bins = d.crossJoin(broadcast(graft.ops.Guards.scalar(rng)))
       .select(least(expr("(n_chars - lo) * 32 div (hi - lo + 1)"), lit(31L))
         .as("bin"), col("y"))
       .groupBy(col("bin")).agg(count(lit(1)).as("nb"), sum(col("y")).as("pb"))

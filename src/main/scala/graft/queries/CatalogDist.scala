@@ -54,7 +54,7 @@ object CatalogDist {
     s.range(1, 10).select(col("id").as("digit"))
       .join(obs, Seq("digit"), "left")
       .na.fill(0L, Seq("obs"))
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .withColumn("p", pCol)
       .withColumn("expected", col("n").cast("double") * col("p"))
       .select(col("digit"), col("obs"),
@@ -84,7 +84,7 @@ object CatalogDist {
     val tot = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
       sum(col("i") * col("x")).as("six"))
     val lshares = (1 to 9).map { q =>
-      ranked.crossJoin(broadcast(tot))
+      ranked.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
         .filter(col("i") === expr(s"(n * $q + 9) div 10"))
         .select((col("cum").cast("double") / col("sx").cast("double"))
           .as(s"l${q * 10}"))
@@ -93,7 +93,7 @@ object CatalogDist {
         ((lit(2.0) * col("six").cast("double")
           - (col("n") + 1).cast("double") * col("sx").cast("double"))
           / (col("n").cast("double") * col("sx").cast("double"))).as("gini"))
-      .crossJoin(broadcast(lshares))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(lshares)))
   }
 
   /** Two-sample Kolmogorov–Smirnov: AUTOMOBILE vs rest on balance cents.
@@ -115,7 +115,7 @@ object CatalogDist {
       .withColumn("f2", sum(col("c2")).over(
         Window.orderBy(col("v"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("v"), col("n1"), col("n2"),
         abs(col("f1") * col("n2") - col("f2") * col("n1")).as("dscaled"))
     cdf.orderBy(col("dscaled").desc, col("v")).limit(1)
@@ -135,7 +135,7 @@ object CatalogDist {
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(sum(cents(col("o_totalprice"))).as("y"))
     val maxD = daily.agg(max(col("d")).as("md"))
-    val win = daily.crossJoin(broadcast(maxD))
+    val win = daily.crossJoin(broadcast(graft.ops.Guards.scalar(maxD)))
       .filter(datediff(col("md"), col("d")) < 120)
       .withColumn("i", row_number().over(Window.orderBy(col("d"))).cast("long"))
       .select(col("i"), col("y"))
@@ -152,10 +152,10 @@ object CatalogDist {
         .as("slope"), col("i"), col("j"))
       .withColumn("r", row_number().over(
         Window.orderBy(col("slope"), col("i"), col("j"))).cast("long"))
-    val med = slopes.crossJoin(broadcast(sTau.select(col("m").as("mm"))))
+    val med = slopes.crossJoin(broadcast(graft.ops.Guards.scalar(sTau.select(col("m").as("mm")))))
       .filter(col("r") === expr("(mm + 1) div 2"))
       .select(col("slope").as("theil_sen_cents_per_day"))
-    sTau.crossJoin(broadcast(med))
+    sTau.crossJoin(broadcast(graft.ops.Guards.scalar(med)))
       .select(col("m").as("n_pairs"), col("s_mk"),
         (col("s_mk").cast("double") / col("m").cast("double")).as("tau"),
         col("theil_sen_cents_per_day"))
@@ -172,14 +172,14 @@ object CatalogDist {
       .select(to_date(col("o_orderdate")).as("d"), cents(col("o_totalprice")).as("v"))
     val rng = o.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
       min(col("d")).as("d0"), max(col("d")).as("d1"))
-    val binned = o.crossJoin(broadcast(rng))
+    val binned = o.crossJoin(broadcast(graft.ops.Guards.scalar(rng)))
       .select(least(expr("(v - lo) * 10 div (hi - lo + 1)"), lit(9L)).as("bin"),
         (datediff(col("d"), col("d0")) * 2
           <= datediff(col("d1"), col("d0"))).cast("long").as("h1"))
     val cells = binned.groupBy(col("bin")).agg(
       sum(col("h1")).as("a"), sum(lit(1L) - col("h1")).as("b"))
     val tot = cells.agg(sum(col("a")).as("n"), sum(col("b")).as("m"))
-    val contrib = cells.crossJoin(broadcast(tot))
+    val contrib = cells.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("bin"), col("a"), col("b"),
         when(col("a") > 0 && col("b") > 0,
           (col("a").cast("double") / col("n").cast("double")
@@ -204,7 +204,7 @@ object CatalogDist {
     val cells = e.groupBy(col("t")).agg(
       sum(lit(1L) - col("we")).as("a"), sum(col("we")).as("b"))
     val tot = cells.agg(sum(col("a")).as("n"), sum(col("b")).as("m"))
-    val terms = cells.crossJoin(broadcast(tot))
+    val terms = cells.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("t"), col("a"), col("b"),
         when(col("a") > 0,
           (col("a").cast("double") / col("n").cast("double"))
@@ -239,7 +239,7 @@ object CatalogDist {
       ranked.filter(col("rn") === expr(s"(nn * $q + 3) div 4"))
         .select(max(col("v")).as(s"t$q"))
     }.reduce(_ crossJoin _)
-    val cells = d.crossJoin(broadcast(cuts))
+    val cells = d.crossJoin(broadcast(graft.ops.Guards.scalar(cuts)))
       .select(col("seg"),
         (lit(1L) + (col("v") > col("t1")).cast("long")
           + (col("v") > col("t2")).cast("long")
@@ -249,7 +249,7 @@ object CatalogDist {
     val cols = cells.groupBy(col("qt")).agg(sum(col("nij")).as("cj"))
     val tot = cells.agg(sum(col("nij")).as("n"))
     cells.join(rows, Seq("seg")).join(cols, Seq("qt"))
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("seg"), col("qt"), col("nij"), col("n"),
         (col("nij").cast("double") / col("n").cast("double")
           * (lg(col("nij") * col("n")) - lg(col("ri") * col("cj")))).as("c"))
@@ -272,13 +272,13 @@ object CatalogDist {
       .select(col("a.i").as("i"), abs(col("a.y") - col("b.y")).as("r"))
     val cal = resid.filter(col("i") % 2 === 0)
     val nCal = cal.agg(count(lit(1)).as("nc"))
-    val qhat = cal.crossJoin(broadcast(nCal))
+    val qhat = cal.crossJoin(broadcast(graft.ops.Guards.scalar(nCal)))
       .withColumn("rn", row_number().over(
         Window.orderBy(col("r"), col("i"))).cast("long"))
       .filter(col("rn") === expr("((nc + 1) * 9 + 9) div 10"))
       .select(col("r").as("qhat"), col("nc"))
     val test = resid.filter(col("i") % 2 === 1)
-    test.crossJoin(broadcast(qhat))
+    test.crossJoin(broadcast(graft.ops.Guards.scalar(qhat)))
       .agg(max(col("nc")).as("n_cal"), count(lit(1)).as("n_test"),
         max(col("qhat")).as("qhat_cents"),
         (sum((col("r") <= col("qhat")).cast("long")).cast("double")
@@ -320,7 +320,7 @@ object CatalogDist {
     val rfm = o.groupBy(col("o_custkey").as("k"))
       .agg(max(to_date(col("o_orderdate"))).as("last_d"),
         count(lit(1)).as("f"), sum(cents(col("o_totalprice"))).as("mv"))
-      .crossJoin(broadcast(ref))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(ref)))
       .select(col("k"), datediff(col("ref"), col("last_d")).cast("long").as("r"),
         col("f"), col("mv"))
     def score(c: String, inverted: Boolean): DataFrame = {
@@ -332,7 +332,7 @@ object CatalogDist {
         ranked.filter(col("rn") === expr(s"(nn * $q + 4) div 5"))
           .select(max(col(c)).as(s"t$q"))
       }.reduce(_ crossJoin _)
-      val raw = rfm.select(col("k"), col(c)).crossJoin(broadcast(cuts))
+      val raw = rfm.select(col("k"), col(c)).crossJoin(broadcast(graft.ops.Guards.scalar(cuts)))
         .select(col("k"),
           (lit(1L) + (col(c) > col("t1")).cast("long")
             + (col(c) > col("t2")).cast("long")

@@ -65,7 +65,7 @@ object CatalogDp {
     import spark.implicits._
     val df = rows.toDF("tok", "cnt", "code_len")
     val tot = df.agg(sum(col("cnt") * col("code_len")).as("total_bits"))
-    df.crossJoin(broadcast(tot)).orderBy(col("tok"))
+    df.crossJoin(broadcast(graft.ops.Guards.scalar(tot))).orderBy(col("tok"))
   }
 
   // ---------------------------------------------------------------- q416

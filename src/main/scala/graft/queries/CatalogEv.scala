@@ -49,7 +49,7 @@ object CatalogEv {
     val labCnt = c.groupBy(col("c_label")).agg(count(lit(1)).as("r"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)
-    val top = IterativeLoop.cutLazy(c.crossJoin(broadcast(q))
+    val top = IterativeLoop.cutLazy(c.crossJoin(broadcast(graft.ops.Guards.bounded(q, 1000)))
       .select(col("q_id"), col("q_label"), col("c_id"),
         graft.functions.GraftFunctions.cosine(col("qv"), col("cv")).as("cos"),
         (col("q_label") === col("c_label")).cast("long").as("rel"))

@@ -254,7 +254,7 @@ object CatalogExt {
     val avgPrice = o.agg(
       (sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(25, 6))) / count(lit(1)))
         .cast("double").as("avg_price"))
-    o.crossJoin(broadcast(avgPrice))
+    o.crossJoin(broadcast(graft.ops.Guards.scalar(avgPrice)))
       .filter(col("o_totalprice") > col("avg_price") * 1.5)
       .select(col("o_orderkey"), col("o_totalprice"))
   }
@@ -949,7 +949,7 @@ object CatalogExt {
         .over(Window.orderBy(col("score").desc, col("id").asc)).cast("long"))
     val emb = Tables.embeddings(s, dir)
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_v"))
-    val vecScored = emb.crossJoin(broadcast(qv)).select(
+    val vecScored = emb.crossJoin(broadcast(graft.ops.Guards.scalar(qv))).select(
       col("vec_id").as("id"),
       graft.functions.GraftFunctions.cosine(col("embedding"), col("q_v")).as("cos"))
     val vecTop = vecScored.orderBy(col("cos").desc, col("id").asc).limit(50)
@@ -1460,7 +1460,7 @@ object CatalogExt {
     pairs
       .join(broadcast(ic.select(col("item").as("i"), col("c").as("c_i"))), "i")
       .join(broadcast(ic.select(col("item").as("j"), col("c").as("c_j"))), "j")
-      .crossJoin(broadcast(nUsers))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(nUsers)))
       .select(col("i"), col("j"), col("c_ij"), col("c_i"), col("c_j"),
         (((lg(col("c_ij")) + lg(col("n_users"))) - lg(col("c_i"))) -
           lg(col("c_j"))).as("lift_bits"))

@@ -186,7 +186,15 @@ object CatalogGx {
     // the mutual-min rule is a matching ONLY under distinct weights; a
     // weight tie at a shared endpoint would silently emit two edges on
     // one node — make the md5-collision case loud instead (the
-    // requireConverged discipline applied to the distinctness draw)
+    // requireConverged discipline applied to the distinctness draw).
+    // Coverage note: this guard fires on exactly the CORRECTNESS-
+    // relevant tie class (a double-matched node). A tie between two
+    // DISJOINT edges passes silently by design — the fixpoint stays
+    // well-defined and cross-engine consistent, but the "equals greedy
+    // sequential matching" law then holds for SOME greedy tiebreak
+    // order rather than a unique one; a global count-vs-count_distinct
+    // draw check would reject benign runs, so it is deliberately not
+    // enforced.
     val maxDeg = out.select(col("x").as("n")).unionAll(out.select(col("y").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("c"))
       .agg(coalesce(max(col("c")), lit(0L)).as("maxdeg"))

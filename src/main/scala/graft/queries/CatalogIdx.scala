@@ -167,7 +167,7 @@ object CatalogIdx {
     val s = base.sparkSession
     val tot = base.agg(count(lit(1)).as("N"))
     val dec = DistributedRank.withRowNumber(base, "rn", col("bal"), col("id"))
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .withColumn("dec", expr("((rn - 1) * 10) div N") + 1)
     val cumAll = dec.groupBy(col("dec")).agg(count(lit(1)).as("ca"))
       .withColumn("cum_all", sum(col("ca")).over(Window.orderBy(col("dec"))
@@ -175,7 +175,8 @@ object CatalogIdx {
       .select(col("dec"), col("cum_all"))
     val groups = dec.groupBy(qi.map(col): _*).agg(count(lit(1)).as("n_g"))
     val grid = groups.crossJoin(
-      broadcast(s.range(1, 11).select(col("id").as("dec"))))
+      broadcast(graft.ops.Guards.bounded(
+        s.range(1, 11).select(col("id").as("dec")), 10)))
     val gCnt = dec.groupBy((qi.map(col) :+ col("dec")): _*)
       .agg(count(lit(1)).as("cg"))
     val wG = Window.partitionBy(qi.map(col): _*).orderBy(col("dec"))
@@ -183,7 +184,7 @@ object CatalogIdx {
       .withColumn("cum_g", sum(coalesce(col("cg"), lit(0L)))
         .over(wG.rowsBetween(Window.unboundedPreceding, 0)))
       .join(broadcast(cumAll), Seq("dec"))
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .filter(col("dec") <= 9)
       .groupBy((qi.map(col) :+ col("n_g")): _*)
       .agg(sum(abs(col("cum_g") * col("N") - col("cum_all") * col("n_g")))
@@ -203,7 +204,7 @@ object CatalogIdx {
     val o = Tables.orders(s, dir).select(
       to_date(col("o_orderdate")).as("d"), cents(col("o_totalprice")).as("v"))
     val minD = o.agg(min(col("d")).as("d0"))
-    val day = o.crossJoin(broadcast(minD))
+    val day = o.crossJoin(broadcast(graft.ops.Guards.scalar(minD)))
       .groupBy(datediff(col("d"), col("d0")).cast("long").as("i"))
       .agg(sum(col("v")).as("v"))
     haarTop(day, s, topK = 16)

@@ -63,7 +63,7 @@ object CatalogInfra {
       .select(col("b"),
         (col("swx").cast("double") / col("sw").cast("double")).as("m"))
     means.agg(sort_array(collect_list(col("m"))).as("ms"))
-      .crossJoin(broadcast(point))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(point)))
       .select(col("n_docs"), lit(32L).as("n_reps"),
         (col("sx").cast("double") / col("n_docs").cast("double"))
           .as("point_mean"),
@@ -117,7 +117,7 @@ object CatalogInfra {
     val shards = docs.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
     val tot = shards.agg(sum(col("bytes")).as("tb"))
-    shards.crossJoin(broadcast(tot))
+    shards.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("shard"), col("n_docs"), col("bytes"),
         ((col("bytes") * lit(nShards)).cast("double") /
           col("tb").cast("double")).as("load_ratio"))

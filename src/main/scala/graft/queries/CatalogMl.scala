@@ -52,7 +52,7 @@ object CatalogMl {
     val mm = ev.agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
       count(lit(1)).as("n"), sum(col("y")).as("p"))
     // bin width: (range div bins) + 1 keeps every value inside 64 bins
-    val binned = ev.crossJoin(broadcast(mm))
+    val binned = ev.crossJoin(broadcast(graft.ops.Guards.scalar(mm)))
       .select(expr(s"(c - mn) div ((mx - mn) div $SplitBins + 1)").as("bin"),
         col("y"), col("mn"), col("mx"), col("n"), col("p"))
     val hist = IterativeLoop.cutLazy(binned
@@ -64,8 +64,8 @@ object CatalogMl {
       .join(hist.select(col("bin"), col("nb"), col("pb")),
         col("bin") <= col("k"))
       .groupBy(col("k")).agg(sum(col("nb")).as("nl"), sum(col("pb")).as("pl"))
-    val scored = left.crossJoin(broadcast(hist.select(col("mn"), col("mx"),
-        col("n"), col("p")).limit(1)))
+    val scored = left.crossJoin(broadcast(graft.ops.Guards.scalar(hist.select(col("mn"), col("mx"),
+        col("n"), col("p")).limit(1))))
       .filter(col("nl") < col("n")) // a split must leave a right side
       .select(col("k"), col("nl"), col("pl"),
         (col("n") - col("nl")).as("nr"), (col("p") - col("pl")).as("pr"),
@@ -133,7 +133,7 @@ object CatalogMl {
     val scored = pairs
       .join(cx.select(col("pk").as("x"), col("cnt").as("cx")), "x")
       .join(cx.select(col("pk").as("y"), col("cnt").as("cy")), "y")
-      .crossJoin(broadcast(nOrders))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(nOrders)))
       .select(col("x"), col("y"), col("cxy"), col("cx"), col("cy"),
         ((col("n") * col("cxy")).cast("double")
           / (col("cx") * col("cy")).cast("double")).as("lift"))
@@ -164,7 +164,7 @@ object CatalogMl {
     val g = o.agg(sum(col("cents")).as("gs"), count(lit(1)).as("gn"))
     o.groupBy(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("n_cat"), sum(col("cents")).as("sum_cents"))
-      .crossJoin(broadcast(g))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(g)))
       .select(col("nation"), col("segment"), col("n_cat"), col("sum_cents"),
         ((col("sum_cents").cast("double")
           + lit(TeSmoothing.toDouble) * (col("gs").cast("double")
@@ -193,7 +193,7 @@ object CatalogMl {
       (col("event_type") === "purchase").cast("long").as("y"))
     val mm = ev.agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
       count(lit(1)).as("n"), sum(col("y")).as("p"))
-    val bins = ev.crossJoin(broadcast(mm))
+    val bins = ev.crossJoin(broadcast(graft.ops.Guards.scalar(mm)))
       .select(expr(s"(c - mn) div ((mx - mn) div $WoeBins + 1)").as("bin"),
         col("y"), col("n"), col("p"))
       .groupBy(col("bin"), col("n"), col("p"))
@@ -210,7 +210,7 @@ object CatalogMl {
     val iv = scored.agg(aggregate(
       array_sort(collect_list(struct(col("bin"), col("term")))), lit(0.0),
       (acc, x) => acc + x.getField("term")).as("iv"))
-    scored.crossJoin(broadcast(iv))
+    scored.crossJoin(broadcast(graft.ops.Guards.scalar(iv)))
       .select(col("bin"), col("n_pos"), col("n_neg"), col("woe"), col("iv"))
       .orderBy(col("bin"))
   }

@@ -281,7 +281,7 @@ object CatalogMore {
         .cast("string"), 1, 1).as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     val tot = d.agg(sum(col("n")).as("total"))
-    d.crossJoin(broadcast(tot))
+    d.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("digit"), col("n"),
         (col("n").cast("double") / col("total").cast("double")).as("share"))
       .orderBy(col("digit"))
@@ -304,7 +304,7 @@ object CatalogMore {
       .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(!col("pass"), 1L).otherwise(0L)).as("n_neg"))
     val tot = agg.agg(sum(col("n_pos")).as("tp"), sum(col("n_neg")).as("tn"))
-    agg.crossJoin(broadcast(tot))
+    agg.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("bucket"), col("n_pos"), col("n_neg"),
         when(col("n_pos") > 0 && col("n_neg") > 0 && col("tp") > 0 && col("tn") > 0,
           (lg(col("n_pos")) - lg(col("n_neg"))) - (lg(col("tp")) - lg(col("tn"))))
@@ -440,7 +440,7 @@ object CatalogMore {
     val tot = hist.agg(sum(col("cnt")).as("n"))
     hist
       .withColumn("below", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("v").as("l_quantity"), col("cnt"),
         (col("below").cast("double") / (col("n") - 1).cast("double"))
           .as("pct_rank"))
@@ -550,7 +550,7 @@ object CatalogMore {
       countDistinct(col("r")).as("rl"), countDistinct(col("c")).as("cl"))
     val terms = cells
       .join(broadcast(rowT), "r").join(broadcast(colT), "c")
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("r"), col("c"), col("n"), col("rl"), col("cl"),
         ((col("o") * col("n") - col("rn") * col("cn")).cast("double") *
           (col("o") * col("n") - col("rn") * col("cn")).cast("double") /
@@ -583,7 +583,7 @@ object CatalogMore {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("score").desc, col("t"))
-    tf.join(broadcast(df), "t").crossJoin(broadcast(nDocs))
+    tf.join(broadcast(df), "t").crossJoin(broadcast(graft.ops.Guards.scalar(nDocs)))
       .select(col("lang"), col("t"), col("tf"), col("df"),
         (col("tf").cast("double") * (lg(col("n_docs")) - lg(col("df"))))
           .as("score"))
@@ -618,7 +618,7 @@ object CatalogMore {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val median = hist
       .select(col("c"), sum(col("w")).over(wCum).as("cum"))
-      .crossJoin(broadcast(perUser.agg(count(lit(1)).as("nu"))))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(perUser.agg(count(lit(1)).as("nu")))))
       .agg(min(when(col("cum") * 2 >= col("nu"), col("c")))
         .as("median_events_per_user"))
     def rowOf(d: DataFrame, name: String, c: String) =
@@ -642,7 +642,7 @@ object CatalogMore {
       .agg(count(lit(1)).as("cnt"))
     val tot = keyed.agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_keys"))
     keyed.orderBy(col("cnt").desc, col("key")).limit(10)
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("key"), col("cnt"),
         (col("cnt").cast("double") / col("n").cast("double")).as("share"),
         expr("cnt * n_keys * 1000000 div n").as("x_mean_x1e6"))
@@ -713,7 +713,7 @@ object CatalogMore {
       .select(col("n").as("n1"), col("c").as("c1"))
     val b = arms.filter(col("variant") === 1)
       .select(col("n").as("n2"), col("c").as("c2"))
-    a.crossJoin(broadcast(b))
+    a.crossJoin(broadcast(graft.ops.Guards.scalar(b)))
       .select(col("n1"), col("c1"), col("n2"), col("c2"),
         when(col("c1") + col("c2") > 0 &&
             col("c1") + col("c2") < col("n1") + col("n2"),

@@ -41,7 +41,7 @@ object CatalogNext {
         min(when(col("event_type") === "purchase" && col("value") > 150.0,
           to_date(col("ts")))).as("conv_d"))
     val horizon = ev.agg(max(to_date(col("ts"))).as("max_d"))
-    users.crossJoin(broadcast(horizon))
+    users.crossJoin(broadcast(graft.ops.Guards.scalar(horizon)))
       .select((col("user_id") % 2).as("g"),
         datediff(coalesce(col("conv_d"), col("max_d")), col("first_d"))
           .cast("long").as("t"),
@@ -69,7 +69,7 @@ object CatalogNext {
       sum(when(col("g") === 1, lit(1L)).otherwise(lit(0L))).as("n2tot"))
     val wPrev = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    val risk = byT.crossJoin(broadcast(tot))
+    val risk = byT.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("t"), col("d1"), col("d2"),
         (col("n1tot") - coalesce(sum(col("e1")).over(wPrev), lit(0L))).as("n1"),
         (col("n2tot") - coalesce(sum(col("e2")).over(wPrev), lit(0L))).as("n2"))
@@ -187,12 +187,12 @@ object CatalogNext {
     val sumSq = nij.agg(sum(col("nij") * col("nij")).as("ssq"),
       (sum(col("nij")) / 3).cast("long").as("n_docs"))
     val pj = ratings.groupBy(col("cat")).agg(count(lit(1)).as("cj"))
-    val pe = pj.crossJoin(broadcast(sumSq.select(col("n_docs"))))
+    val pe = pj.crossJoin(broadcast(graft.ops.Guards.scalar(sumSq.select(col("n_docs")))))
       .agg(foldSorted(col("cat"),
         (col("cj").cast("double") / (col("n_docs") * 3).cast("double"))
           * (col("cj").cast("double") / (col("n_docs") * 3).cast("double")))
         .as("p_e"))
-    sumSq.crossJoin(broadcast(pe))
+    sumSq.crossJoin(broadcast(graft.ops.Guards.scalar(pe)))
       .select(col("n_docs"), lit(3L).as("n_raters"),
         ((col("ssq") - col("n_docs") * 3).cast("double")
           / (col("n_docs") * 6).cast("double")).as("p_bar"),
@@ -306,7 +306,7 @@ object CatalogNext {
       .withColumn("alpha",
         (col("sy").cast("double") - col("beta") * col("sx").cast("double"))
           / col("n").cast("double"))
-    val resid = idx.crossJoin(broadcast(fit.select(col("n"), col("beta"), col("alpha"))))
+    val resid = idx.crossJoin(broadcast(graft.ops.Guards.scalar(fit.select(col("n"), col("beta"), col("alpha")))))
       .withColumn("e",
         col("y").cast("double") - (col("alpha") + col("beta") * col("i").cast("double")))
       .withColumn("ep", lag(col("e"), 1).over(Window.orderBy(col("i"))))
@@ -337,7 +337,7 @@ object CatalogNext {
       .withColumn("s", sqrt(
         (col("s2").cast("double") - col("s1").cast("double") * col("mean"))
           / (col("n") - 1).cast("double")))
-    c.crossJoin(broadcast(st))
+    c.crossJoin(broadcast(graft.ops.Guards.scalar(st)))
       .withColumn("dev", abs(col("x").cast("double") - col("mean")))
       .orderBy(col("dev").desc, col("c_custkey"))
       .limit(1)
@@ -376,7 +376,7 @@ object CatalogNext {
       .agg(foldSorted(col("event_type"),
         (col("r2").cast("double") / lit(2.0))
           * (col("r2").cast("double") / lit(2.0))).as("sumr2"))
-      .crossJoin(broadcast(base)).crossJoin(broadcast(ties))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(base))).crossJoin(broadcast(graft.ops.Guards.scalar(ties)))
       .withColumn("q_stat",
         lit(12.0) / (col("b").cast("double") * col("k").cast("double")
           * (col("k") + 1).cast("double")) * col("sumr2")
@@ -405,7 +405,7 @@ object CatalogNext {
     val itemsDf = s.range(1)
       .select(explode(array(types.map(lit): _*)).as("item"))
     val grid = ev.select(col("user_id")).distinct()
-      .crossJoin(broadcast(itemsDf))
+      .crossJoin(broadcast(graft.ops.Guards.bounded(itemsDf, types.size)))
     val x = grid.join(counts,
         grid("user_id") === counts("user_id")
           && grid("item") === counts("event_type"), "left")
@@ -424,7 +424,7 @@ object CatalogNext {
       .select(((col("st2").cast("double") - col("st").cast("double")
         * (col("st").cast("double") / col("nt").cast("double")))
         / (col("nt") - 1).cast("double")).as("total_var"))
-    itemVar.crossJoin(broadcast(totals))
+    itemVar.crossJoin(broadcast(graft.ops.Guards.scalar(totals)))
       .select(lit(5L).as("k"), col("n_users"), col("sum_item_var"),
         col("total_var"),
         ((lit(5.0) / lit(4.0))
@@ -452,7 +452,7 @@ object CatalogNext {
     val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
     val wCum = Window.orderBy(col("ds"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val eq = daily.crossJoin(broadcast(tot))
+    val eq = daily.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .withColumn("rn", row_number().over(Window.orderBy(col("ds"))).cast("long"))
       .withColumn("e", col("n") * sum(col("y")).over(wCum) - col("rn") * col("sy"))
       .withColumn("runmax", max(col("e")).over(wCum))
@@ -463,7 +463,7 @@ object CatalogNext {
     val peak = eq.join(broadcast(trough), eq("e") === trough("rm")
         && eq("ds") <= trough("trough_ds"))
       .agg(min(eq("ds")).as("peak_ds"))
-    trough.crossJoin(broadcast(peak))
+    trough.crossJoin(broadcast(graft.ops.Guards.scalar(peak)))
       .select(col("n_days"), col("peak_ds"), col("trough_ds"),
         (col("dd").cast("double") / (col("n_days").cast("double") * lit(100.0)))
           .as("max_drawdown"))
@@ -485,7 +485,7 @@ object CatalogNext {
     val ranked = diffs
       .withColumn("rn",
         row_number().over(Window.orderBy(col("dy"), col("ds"))).cast("long"))
-      .crossJoin(broadcast(diffs.agg(count(lit(1)).as("n"))))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(diffs.agg(count(lit(1)).as("n")))))
       .withColumn("k", expr("(n + 19) div 20"))
     ranked.filter(col("rn") <= col("k"))
       .groupBy(col("n"), col("k"))
@@ -547,7 +547,7 @@ object CatalogNext {
       .groupBy(to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("x"))
     val tot = daily.agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-    val cser = daily.crossJoin(broadcast(tot))
+    val cser = daily.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("d"), (col("n") * col("x") - col("sx")).as("c"))
     val w = Window.orderBy(col("d"))
     val lagged = cser.select(
@@ -594,7 +594,7 @@ object CatalogNext {
       .withColumn("q", sum(col("y") * col("y")).over(wCum))
     val tot = pre.agg(max(col("i")).as("n"), max(col("p")).as("pn"),
       max(col("q")).as("qn"))
-    val cand = pre.crossJoin(broadcast(tot))
+    val cand = pre.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .filter(col("i") >= 2 && col("i") <= col("n") - 2)
       .withColumn("sse_l", col("q").cast("double")
         - col("p").cast("double") * col("p").cast("double") / col("i").cast("double"))
@@ -672,7 +672,7 @@ object CatalogNext {
     val ndTot = docs.agg(count(lit(1)).as("ndtot"))
     val langsDf = nd.select(col("l"))
     val scored = toks.select(col("doc_id"), col("pos"), col("f"))
-      .crossJoin(broadcast(langsDf))
+      .crossJoin(broadcast(graft.ops.Guards.bounded(langsDf, 64)))
       .join(broadcast(cf), Seq("l", "f"), "left")
       .select(col("doc_id"), col("l"), col("pos"),
         lg(coalesce(col("cf"), lit(0L)) + 1).as("lgterm"))
@@ -682,7 +682,7 @@ object CatalogNext {
     val full = scored
       .join(broadcast(cl), Seq("l"))
       .join(broadcast(nd), Seq("l"))
-      .crossJoin(broadcast(ndTot))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(ndTot)))
       .withColumn("score",
         (lg(col("nd")) - lg(col("ndtot"))) + col("sumlg")
           - col("ntok").cast("double") * lg(col("cl") + 1024L))
@@ -823,7 +823,7 @@ object CatalogNext {
           lit(0.0), (a, x) => a + x)
         / count(lit(1)).cast("double")).as("rmse"))
     v.orderBy(col("v").desc, col("item")).limit(10)
-      .crossJoin(broadcast(rmse))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(rmse)))
       .select(col("item"), col("v").as("v_score"), col("rmse"))
       .orderBy(col("v_score").desc, col("item"))
   }
@@ -887,13 +887,13 @@ object CatalogNext {
         .agg(foldSorted(col("item"), col("d").cast("double") * col("x"))
           .as("sdx"))
       val bx = deg.join(ax, Seq("item"), "left")
-        .crossJoin(broadcast(sdx)).crossJoin(broadcast(twom))
+        .crossJoin(broadcast(graft.ops.Guards.scalar(sdx))).crossJoin(broadcast(graft.ops.Guards.scalar(twom)))
         .select(col("item"),
           (coalesce(col("ax"), lit(0.0))
             - col("d").cast("double") * col("sdx")
               / col("twom").cast("double")).as("bx"))
       val mx = bx.agg(max(abs(col("bx"))).as("mx"))
-      bx.crossJoin(broadcast(mx))
+      bx.crossJoin(broadcast(graft.ops.Guards.scalar(mx)))
         .select(col("item"), (col("bx") / col("mx")).as("x"))
     }
     x.select(col("item"), col("x").as("score"),
@@ -927,7 +927,7 @@ object CatalogNext {
       .join(broadcast(c12), Seq("w1", "w2"))
       .join(broadcast(c1), Seq("w1"))
       .join(broadcast(cont), Seq("w2"))
-      .crossJoin(broadcast(types))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(types)))
       .select(col("doc_id"), col("pos"), col("ntypes"),
         (lg((col("c12") * 4 - 3) * col("ntypes")
           + col("n1w1") * col("ncont2") * 3)
@@ -956,7 +956,7 @@ object CatalogNext {
         min(when(col("event_type") === "error", to_date(col("ts"))))
           .as("cb_d"))
     val horizon = ev.agg(max(to_date(col("ts"))).as("max_d"))
-    val life = users.crossJoin(broadcast(horizon))
+    val life = users.crossJoin(broadcast(graft.ops.Guards.scalar(horizon)))
       .withColumn("ta", datediff(col("ca_d"), col("first_d")).cast("long"))
       .withColumn("tb", datediff(col("cb_d"), col("first_d")).cast("long"))
       .select(
@@ -1016,7 +1016,7 @@ object CatalogNext {
     val b = grp.select(col("seg").as("seg_b"), col("ng").as("nb"),
       (col("s1").cast("double") / col("ng").cast("double")).as("mb"))
     a.join(b, col("seg_a") < col("seg_b"))
-      .crossJoin(broadcast(msw))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(msw)))
       .select(col("seg_a"), col("seg_b"),
         ((col("ma") - col("mb")) / lit(100.0)).as("diff_bal"),
         (abs(col("ma") - col("mb"))
@@ -1140,7 +1140,7 @@ object CatalogNext {
       .withColumn("k0", u32(concat(lit("pw:0:"), col("w"))) % 1000 + 500)
       .withColumn("k1", u32(concat(lit("pw:1:"), col("w"))) % 1000 + 500)
     val phiTot = phiRaw.agg(sum(col("k0")).as("t0"), sum(col("k1")).as("t1"))
-    val phi = phiRaw.crossJoin(broadcast(phiTot))
+    val phi = phiRaw.crossJoin(broadcast(graft.ops.Guards.scalar(phiTot)))
       .select(col("w"),
         (col("k0").cast("double") / col("t0").cast("double")).as("ph0"),
         (col("k1").cast("double") / col("t1").cast("double")).as("ph1"))
@@ -1156,7 +1156,7 @@ object CatalogNext {
           col("n").cast("double") * (lit(1.0) - col("r0"))).as("s1"))
     val den = numW.agg(foldSorted(col("w"), col("s0")).as("d0"),
       foldSorted(col("w"), col("s1")).as("d1"))
-    val phiNew = numW.crossJoin(broadcast(den))
+    val phiNew = numW.crossJoin(broadcast(graft.ops.Guards.scalar(den)))
       .select(col("w"), (col("s0") / col("d0")).as("phi0"),
         (col("s1") / col("d1")).as("phi1"))
     val t0 = phiNew
@@ -1306,7 +1306,7 @@ object CatalogNext {
       sum(when(col("g") === 1, lit(1L)).otherwise(lit(0L))).as("n2tot"))
     val wPrev = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    val risk = byT.crossJoin(broadcast(tot))
+    val risk = byT.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("t"), col("d1"), col("d2"),
         (col("n1tot") - coalesce(sum(col("e1")).over(wPrev), lit(0L))).as("n1"),
         (col("n2tot") - coalesce(sum(col("e2")).over(wPrev), lit(0L))).as("n2"))
@@ -1483,7 +1483,7 @@ object CatalogNext {
         weekday(to_date(col("ts"))).cast("long").as("dow"))
       .agg(count(lit(1)).as("n"))
     val tot = cells.agg(sum(col("n")).as("ntot"))
-    val w0 = cells.crossJoin(broadcast(tot))
+    val w0 = cells.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("et"), col("dow"), col("n"), col("ntot"),
         col("n").cast("double").as("w"))
     // each half-round references w TWICE (margin agg + re-join): the
@@ -1535,7 +1535,7 @@ object CatalogNext {
       .withColumn("ab", col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0))
       .select(col("m"), col("v"), (col("m") * col("ab")).as("alpha"),
         ((lit(1.0) - col("m")) * col("ab")).as("beta"))
-    src.crossJoin(broadcast(mom))
+    src.crossJoin(broadcast(graft.ops.Guards.scalar(mom)))
       .select(col("source"), col("n"), col("x"), col("rate"),
         ((col("x").cast("double") + col("alpha"))
           / (col("n").cast("double") + col("alpha") + col("beta")))
@@ -1580,9 +1580,9 @@ object CatalogNext {
           - col("sd").cast("double") * col("sy").cast("double"))
         / (col("n").cast("double") * col("sdd").cast("double")
           - col("sd").cast("double") * col("sd").cast("double")))
-    val resid = daily.crossJoin(broadcast(
+    val resid = daily.crossJoin(broadcast(graft.ops.Guards.scalar(
         fit.select(col("n"), col("by"), col("ay"), col("bd"), col("ad"),
-          col("naive"))))
+          col("naive")))))
       .withColumn("ry", col("y").cast("double")
         - (col("ay") + col("by") * col("i").cast("double")))
       .withColumn("rd", col("d").cast("double")
@@ -1629,7 +1629,7 @@ object CatalogNext {
       .withColumn("i",
         row_number().over(Window.orderBy(col("ds"))).cast("long"))
     val n = daily.agg(count(lit(1)).as("n"))
-    val arms = daily.crossJoin(broadcast(n))
+    val arms = daily.crossJoin(broadcast(graft.ops.Guards.scalar(n)))
       .withColumn("z", (col("i") <= expr("n div 2")).cast("long"))
       .groupBy(col("z"))
       .agg(count(lit(1)).as("nz"), sum(col("y")).as("sy"),
@@ -1698,7 +1698,7 @@ object CatalogNext {
     val d = Tables.documents(s, dir)
       .select(col("n_chars"), (col("lang") === "en").cast("long").as("y"))
     val rng = d.agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
-    val binned = d.crossJoin(broadcast(rng))
+    val binned = d.crossJoin(broadcast(graft.ops.Guards.scalar(rng)))
       .select(least(expr("(n_chars - lo) * 32 div (hi - lo + 1)"), lit(31L))
         .as("bin"), col("y"))
       .groupBy(col("bin"))
@@ -1708,7 +1708,7 @@ object CatalogNext {
     val tot = binned.agg(sum(col("n")).as("nt"), sum(col("pos")).as("pt"))
     // threshold t = "predict positive iff bin >= t": below-t positives are
     // FN, below-t negatives are TN
-    val sweep = binned.crossJoin(broadcast(tot))
+    val sweep = binned.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .withColumn("fn", coalesce(sum(col("pos")).over(wCum), lit(0L)))
       .withColumn("below", coalesce(sum(col("n")).over(wCum), lit(0L)))
       .select(col("bin").as("thr"), col("fn"),
@@ -1877,8 +1877,8 @@ object CatalogNext {
       .agg(foldSorted(struct(col("a"), col("b")), col("tc").cast("double")
         * col("tc").cast("double") / col("nc").cast("double")).as("fc"),
         count(lit(1)).as("ncells"))
-    tot.crossJoin(broadcast(ssa)).crossJoin(broadcast(ssb))
-      .crossJoin(broadcast(ssc))
+    tot.crossJoin(broadcast(graft.ops.Guards.scalar(ssa))).crossJoin(broadcast(graft.ops.Guards.scalar(ssb)))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(ssc)))
       .withColumn("cm", col("t").cast("double") * col("t").cast("double")
         / col("n").cast("double"))
       .withColumn("ss_a", col("fa") - col("cm"))
@@ -1945,7 +1945,7 @@ object CatalogNext {
           .as("inflow"))
       wout.select(col("node"))
         .join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(nNodes))
+        .crossJoin(broadcast(graft.ops.Guards.scalar(nNodes)))
         .select(col("node"),
           (lit(0.25) / col("nn").cast("double")
             + lit(0.75) * coalesce(col("inflow"), lit(0.0))).as("pr"))
@@ -1976,7 +1976,7 @@ object CatalogNext {
       .select(col("stratum"),
         signum((col("a") * col("d") - col("b") * col("c")).cast("double"))
           .cast("long").as("dir"))
-      .crossJoin(broadcast(agg))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(agg)))
       .agg(max(col("agg_dir")).as("aggregate_direction"),
         count(lit(1)).as("n_strata"),
         sum((col("dir") === col("agg_dir")).cast("long")).as("n_agree"),

@@ -67,7 +67,7 @@ object CatalogPlan {
           col("a.k") === col("b.k") && col("a.bk") === col("b.bk"))
         .agg(count(lit(1)).as("true_in_block"))
       val truth = base.agg(count(lit(1)).as("n_true"))
-      stats.crossJoin(broadcast(hits)).crossJoin(broadcast(truth))
+      stats.crossJoin(broadcast(graft.ops.Guards.scalar(hits))).crossJoin(broadcast(graft.ops.Guards.scalar(truth)))
         .select(lit(name).as("scheme"), col("n_blocks"), col("cand_pairs"),
           (col("true_in_block").cast("double") / col("n_true").cast("double"))
             .as("recall"),
@@ -156,7 +156,7 @@ object CatalogPlan {
       sum(abs(col("y") - col("f1"))).as("ae1"),
       sum(abs(col("y") - col("f2"))).as("ae2"),
       sum(abs(col("y") - col("f3"))).as("ae3"))
-    val comb = f.crossJoin(broadcast(maes))
+    val comb = f.crossJoin(broadcast(graft.ops.Guards.scalar(maes)))
       .select(col("ds"), col("y"),
         ((col("f1").cast("double") / col("ae1").cast("double")
           + col("f2").cast("double") / col("ae2").cast("double")
@@ -167,7 +167,7 @@ object CatalogPlan {
     val cmae = comb.agg(
       foldSorted(col("ds"), abs(col("y").cast("double") - col("fc")))
         .as("cae"))
-    maes.crossJoin(broadcast(cmae))
+    maes.crossJoin(broadcast(graft.ops.Guards.scalar(cmae)))
       .select(col("n_eval"),
         (col("ae1").cast("double") / col("n_eval").cast("double")).as("mae_persist"),
         (col("ae2").cast("double") / col("n_eval").cast("double")).as("mae_weekly"),
@@ -188,12 +188,12 @@ object CatalogPlan {
       .select(col("c_custkey").as("k"), cents(col("c_acctbal")).as("x"))
       .join(spend, Seq("k"))
     val n = d.agg(count(lit(1)).as("n"))
-    def p90(c: String): DataFrame = d.crossJoin(broadcast(n))
+    def p90(c: String): DataFrame = d.crossJoin(broadcast(graft.ops.Guards.scalar(n)))
       .withColumn("rn", row_number().over(
         Window.orderBy(col(c), col("k"))).cast("long"))
       .filter(col("rn") === expr("(n * 9 + 9) div 10"))
       .select(max(col(c)).as(s"t$c"))
-    d.crossJoin(broadcast(p90("x"))).crossJoin(broadcast(p90("y")))
+    d.crossJoin(broadcast(graft.ops.Guards.scalar(p90("x")))).crossJoin(broadcast(graft.ops.Guards.scalar(p90("y"))))
       .agg(count(lit(1)).as("n_cust"),
         sum((col("x") > col("tx")).cast("long")).as("nx"),
         sum((col("y") > col("ty")).cast("long")).as("ny"),
@@ -239,7 +239,7 @@ object CatalogPlan {
       val tail = seg.agg(max(col("t")).as("tl"), min(col("s_at")).as("sl"))
       seg.agg(foldSorted(col("t"),
           col("sprev") * (col("t") - col("tprev")).cast("double")).as("head"))
-        .crossJoin(broadcast(tail))
+        .crossJoin(broadcast(graft.ops.Guards.scalar(tail)))
         .select((col("head") + col("sl") * (lit(tau) - col("tl")).cast("double"))
           .as("rmst"), lit(g.toLong).as("g"))
     }
@@ -259,7 +259,7 @@ object CatalogPlan {
     val q = Tables.events(s, dir)
       .groupBy(col("event_type").as("et")).agg(count(lit(1)).as("dem"))
     val cap = q.agg((sum(col("dem")) * 3L).as("c5"))  // C = 3/5 of total, x5 scaled
-    val ranked = q.crossJoin(broadcast(cap))
+    val ranked = q.crossJoin(broadcast(graft.ops.Guards.scalar(cap)))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("dem"), col("et"))).cast("long"))
       .withColumn("cumSmaller", coalesce(sum(col("dem")).over(
@@ -274,7 +274,7 @@ object CatalogPlan {
       .withColumn("clippedHere", col("dem").cast("double") * 5.0 <= col("lvl5"))
     val level = ranked.filter(!col("clippedHere"))
       .orderBy(col("rk")).limit(1).select(col("lvl5").as("level5"))
-    ranked.crossJoin(broadcast(level))
+    ranked.crossJoin(broadcast(graft.ops.Guards.scalar(level)))
       .select(col("et").as("event_type"), col("dem").as("demand"),
         least(col("dem").cast("double"), col("level5") / lit(5.0))
           .as("allocation"),
@@ -292,7 +292,7 @@ object CatalogPlan {
       Tables.customer(s, dir).select(col("c_custkey").as("o_custkey"),
         col("c_mktsegment").as("seg")), Seq("o_custkey"))
     val rng = o.agg(min(col("o_orderdate")).as("d0"), max(col("o_orderdate")).as("d1"))
-    val halves = o.crossJoin(broadcast(rng))
+    val halves = o.crossJoin(broadcast(graft.ops.Guards.scalar(rng)))
       .select(col("seg"),
         (datediff(col("o_orderdate"), col("d0")) * 2
           <= datediff(col("d1"), col("d0"))).cast("long").as("h1"),
@@ -301,7 +301,7 @@ object CatalogPlan {
       sum(when(col("h1") === 1, col("v")).otherwise(0L)).as("y0"),
       sum(when(col("h1") === 0, col("v")).otherwise(0L)).as("y1"))
     val tot = bySeg.agg(sum(col("y0")).as("t0"), sum(col("y1")).as("t1"))
-    bySeg.crossJoin(broadcast(tot))
+    bySeg.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("seg"), col("y0"), col("y1"),
         (col("y1") - col("y0")).cast("double").as("delta"),
         (col("y0").cast("double")
@@ -322,7 +322,7 @@ object CatalogPlan {
   def q393PriceIndex(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir)
     val rng = l.agg(min(col("l_shipdate")).as("d0"), max(col("l_shipdate")).as("d1"))
-    val halves = l.crossJoin(broadcast(rng))
+    val halves = l.crossJoin(broadcast(graft.ops.Guards.scalar(rng)))
       .select(col("l_partkey").as("pk"),
         (datediff(col("l_shipdate"), col("d0")) * 2
           <= datediff(col("d1"), col("d0"))).cast("long").as("h1"),
@@ -364,7 +364,7 @@ object CatalogPlan {
         min(when(col("event_type") === "purchase" && col("value") > 150.0,
           to_date(col("ts")))).as("conv_d"))
     val horizon = ev.agg(max(to_date(col("ts"))).as("max_d"))
-    val life = users.crossJoin(broadcast(horizon))
+    val life = users.crossJoin(broadcast(graft.ops.Guards.scalar(horizon)))
       .select(col("user_id"),
         datediff(coalesce(col("conv_d"), col("max_d")), col("first_d"))
           .cast("long").as("t"),
@@ -392,7 +392,7 @@ object CatalogPlan {
         sum((col("dir") === 1).cast("long")).as("concordant"),
         sum((col("dir") === -1).cast("long")).as("discordant"),
         sum((col("dir") === 0).cast("long")).as("tied"))
-      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(totals)))
       .select(col("n_permissible"), col("concordant"), col("discordant"),
         ((col("concordant").cast("double") + lit(0.5) * col("tied").cast("double"))
           / col("n_permissible").cast("double")).as("c_index"),
@@ -412,7 +412,7 @@ object CatalogPlan {
         date_format(col("l_shipdate"), "yyyy-MM").as("m"))
     val byPart = l.groupBy(col("pk")).agg(sum(col("v")).as("rev"))
     val tot = byPart.agg(sum(col("rev")).as("tr"))
-    val abc = byPart.crossJoin(broadcast(tot))
+    val abc = byPart.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .withColumn("cum", sum(col("rev")).over(
         Window.orderBy(col("rev").desc, col("pk"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -434,7 +434,7 @@ object CatalogPlan {
             <= col("sx").cast("double") * col("sx").cast("double") * lit(2.0),
           "Y")
           .otherwise("Z").as("xyz"))
-    abc.join(xyz, Seq("pk")).crossJoin(broadcast(tot))
+    abc.join(xyz, Seq("pk")).crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .groupBy(col("abc"), col("xyz"))
       .agg(count(lit(1)).as("n_parts"),
         (sum(col("rev")).cast("double") / max(col("tr")).cast("double"))

@@ -354,7 +354,7 @@ object CatalogPlus {
     val base = cells.agg(sum(col("n")).as("n_docs"),
       sum(when(col("lang") === col("predicted_lang"), col("n"))
         .otherwise(lit(0L))).as("agree"))
-    base.crossJoin(broadcast(chance))
+    base.crossJoin(broadcast(graft.ops.Guards.scalar(chance)))
       .select(col("n_docs"), col("agree"),
         (col("agree").cast("double") / col("n_docs").cast("double")).as("p_o"),
         (col("sumrc").cast("double") /
@@ -580,7 +580,7 @@ object CatalogPlus {
     byv
       .select(col("v"), sum(col("c")).over(w).as("cum_n"),
         sum(col("p")).over(w).as("cum_pos"))
-      .crossJoin(broadcast(byv.agg(sum(col("p")).as("ptot"))))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(byv.agg(sum(col("p")).as("ptot")))))
       .select(col("v"), col("cum_n"), col("cum_pos"),
         (col("cum_pos").cast("double") / col("ptot").cast("double"))
           .as("cum_recall"),
@@ -625,7 +625,7 @@ object CatalogPlus {
     val z = cnt.agg(foldSorted(col("tok"), col("weight")).as("z"))
     val w = Window.orderBy(col("tok"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cnt.crossJoin(broadcast(z))
+    cnt.crossJoin(broadcast(graft.ops.Guards.scalar(z)))
       .select(col("tok"), col("cnt"), col("weight"),
         (col("weight") / col("z")).as("prob"),
         (sum(col("weight")).over(w) / col("z")).as("cum_prob"))
@@ -731,7 +731,7 @@ object CatalogPlus {
     val tots = ranked.agg(sum(col("c")).as("nn"), sum(col("tie3")).as("s3"))
     grp.agg(sort_array(collect_list(struct(col("lang"), col("ng"), col("r2"))))
         .as("xs"))
-      .crossJoin(broadcast(tots))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tots)))
       .withColumn("sumr", aggregate(transform(col("xs"), e =>
           ((e("r2").cast("double") / lit(2.0)) * (e("r2").cast("double") / lit(2.0)))
             / e("ng").cast("double")),

@@ -143,7 +143,7 @@ object CatalogRx {
     bi.filter(col("c12") >= minCount)
       .join(firsts, "w1")
       .join(seconds, "w2")
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("w1"), col("w2"), col("c12"), col("r1"), col("k1"),
         g2.as("g2_bits"))
       .orderBy(col("g2_bits").desc, col("w1").asc, col("w2").asc)
@@ -188,10 +188,15 @@ object CatalogRx {
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
         (count(lit(1)) * 2L).as("y"))
       .select(col("id"), expr("cents div 1000000").as("x"), col("y"))
-    val r = graft.ops.DistributedRank.withRowNumber(f0, "rnk",
-      md5(concat(lit("db:"), col("id").cast("string"))), col("id"))
-    dbscanOf(r.filter(col("rnk") <= DbSample).select(col("id"), col("x"),
-      col("y")), DbEps, DbMinPts)
+    // bottom-K panel selection: only MEMBERSHIP in the md5-bottom-2000
+    // is used downstream, so orderBy+limit (TakeOrderedAndProject — a
+    // per-partition heap, no range shuffle) replaces the full
+    // DistributedRank-then-filter of round 12 (same set, same hashes;
+    // the q394 pattern)
+    val panel = f0
+      .orderBy(md5(concat(lit("db:"), col("id").cast("string"))), col("id"))
+      .limit(DbSample.toInt)
+    dbscanOf(panel.select(col("id"), col("x"), col("y")), DbEps, DbMinPts)
   }
 
   /** DBSCAN core on an (id, x, y) integer-feature frame. */
@@ -284,11 +289,15 @@ object CatalogRx {
 
   /** The incremental step: re-cluster ONLY components touched by
     * `delta`. `labels0` must be a canonical (id, component=min) CC
-    * labeling of `base` (loudly asserted in-plan); delta endpoints NOT
-    * in `labels0` are the daily-ingest normal case — brand-new nodes —
-    * and enter as singleton components before the touched-set probe.
-    * Returns the labeling of base ∪ delta over the nodes that appear
-    * in ≥ 1 edge. */
+    * labeling of `base` — BOTH preconditions are loudly asserted
+    * in-plan: completeness (every base node labeled) and
+    * min-canonicality (each component label is the minimum id of its
+    * label group — a stale label store would under-scope the
+    * touched-component probe and silently diverge from a full
+    * recompute). Delta endpoints NOT in `labels0` are the daily-ingest
+    * normal case — brand-new nodes — and enter as singleton components
+    * before the touched-set probe. Returns the labeling of base ∪
+    * delta over the nodes that appear in ≥ 1 edge. */
   private[graft] def incrementalCc(labels0: DataFrame, base: DataFrame,
       delta: DataFrame): DataFrame = {
     val d = IterativeLoop.cutLazy(delta)
@@ -298,6 +307,13 @@ object CatalogRx {
     val l0 = IterativeLoop.cutLazy(labels0.unionByName(
       dnodes.join(labels0, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("component"))))
+    // min-canonicality guard: each component label must be the minimum
+    // id within its label group (one map-side-combined aggregate over
+    // the label store; linear, no join). Without it a stale/renamed
+    // label store passes silently and the touched probe under-scopes.
+    val canon = l0.groupBy(col("component")).agg(min(col("id")).as("mn"))
+      .agg(coalesce(sum(when(col("mn") =!= col("component"), 1L)
+        .otherwise(0L)), lit(0L)).as("n_noncanon"))
     val touched = IterativeLoop.cutLazy(
       dnodes.join(l0, "id").select(col("component")).distinct())
     val subNodes = l0.join(touched, Seq("component"), "left_semi")
@@ -315,6 +331,11 @@ object CatalogRx {
     // left join + loud assert, not an inner join: an unlabeled BASE
     // node is a broken precondition and must raise, never drop rows
     nodes.join(l0, Seq("id"), "left").join(sub, Seq("id"), "left")
+      .crossJoin(broadcast(graft.ops.Guards.scalar(canon)))
+      .filter(coalesce(assert_true(col("n_noncanon") === 0L,
+        lit("incrementalCc: labels0 is not min-canonical; rebuild the " +
+          "label store with a full CC before resuming increments")),
+        lit(true)))
       .filter(coalesce(assert_true(col("component").isNotNull,
         lit("incrementalCc: labels0 must label every base node")),
         lit(true)))
@@ -339,7 +360,15 @@ object CatalogRx {
   def q447BitmapOverlap(s: SparkSession, dir: String): DataFrame = {
     val tu = IterativeLoop.cutLazy(Tables.events(s, dir)
       .select(col("event_type").as("t"), col("user_id").as("u")).distinct())
+    // 63-bit packing assumes user_id >= 0: a negative id makes Spark's
+    // truncating div/% diverge from DuckDB's flooring //,% and feeds
+    // shiftleft a negative count (silent garbage). Guard loudly — the
+    // q419/q440 priority-packing pattern.
+    val umin = tu.agg(coalesce(min(col("u")), lit(0L)).as("umin"))
     val words = IterativeLoop.cutLazy(tu
+      .crossJoin(broadcast(graft.ops.Guards.scalar(umin)))
+      .filter(coalesce(assert_true(col("umin") >= 0L,
+        lit("q447: bitmap word packing requires user_id >= 0")), lit(true)))
       .select(col("t"), expr("u div 63").as("w"),
         expr("shiftleft(cast(1 as bigint), cast(u % 63 as int))").as("b"))
       .groupBy(col("t"), col("w")).agg(expr("bit_or(b)").as("m")))

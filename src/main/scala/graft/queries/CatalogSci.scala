@@ -54,7 +54,7 @@ object CatalogSci {
       // intra mass is attached to the customer-side endpoint only (an
       // intra edge belongs wholly to its single community), degree to both
       .agg(count(lit(1)).as("deg"), sum(col("intra")).as("wi"))
-    byNation.crossJoin(broadcast(m))
+    byNation.crossJoin(broadcast(graft.ops.Guards.scalar(m)))
       .select(col("nation"),
         (col("wi").cast("double") / col("m").cast("double") -
           (col("deg").cast("double") / (lit(2L) * col("m")).cast("double")) *
@@ -148,21 +148,21 @@ object CatalogSci {
     val medSlope = slopes
       .withColumn("rn", row_number().over(
         Window.orderBy(col("slope"), col("t1"), col("t2"))))
-      .crossJoin(broadcast(np))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(np)))
       .filter(col("rn") === floor((col("n_pairs") + 1) / 2))
       .select(col("slope"), col("n_pairs"))
     val nd = daily.agg(count(lit(1)).as("n_days"))
     val medY = daily
       .withColumn("rn", row_number().over(Window.orderBy(col("y"), col("t"))))
-      .crossJoin(broadcast(nd))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(nd)))
       .filter(col("rn") === floor((col("n_days") + 1) / 2))
       .select(col("y").as("med_y"), col("n_days"))
     val medT = daily
       .withColumn("rn", row_number().over(Window.orderBy(col("t"))))
-      .crossJoin(broadcast(nd.select(col("n_days").as("nd2"))))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(nd.select(col("n_days").as("nd2")))))
       .filter(col("rn") === floor((col("nd2") + 1) / 2))
       .select(col("t").as("med_t"))
-    medSlope.crossJoin(broadcast(medY)).crossJoin(broadcast(medT))
+    medSlope.crossJoin(broadcast(graft.ops.Guards.scalar(medY))).crossJoin(broadcast(graft.ops.Guards.scalar(medT)))
       .select(col("n_days"), col("n_pairs"), col("slope"),
         (col("med_y").cast("double") -
           col("slope") * col("med_t").cast("double")).as("intercept"))
@@ -193,7 +193,7 @@ object CatalogSci {
         (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
           col("n").cast("double"))
       .select(col("n").as("n_train"), col("slope"), col("intercept"))
-    val cal = docs.filter(col("fold") === 1).crossJoin(broadcast(m))
+    val cal = docs.filter(col("fold") === 1).crossJoin(broadcast(graft.ops.Guards.scalar(m)))
       .select(col("doc_id"), col("n_train"), col("slope"), col("intercept"),
         abs(col("y").cast("double") -
           (col("slope") * col("x").cast("double") + col("intercept")))
@@ -201,12 +201,12 @@ object CatalogSci {
     val nc = cal.agg(count(lit(1)).as("n_cal"))
     val qhat = cal
       .withColumn("rn", row_number().over(Window.orderBy(col("r"), col("doc_id"))))
-      .crossJoin(broadcast(nc))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(nc)))
       .filter(col("rn") ===
         least(floor((lit(9L) * (col("n_cal") + 1) + 9) / 10), col("n_cal")))
       .select(col("n_train"), col("slope"), col("intercept"),
         col("n_cal"), col("r").as("q90"))
-    docs.filter(col("fold") === 2).crossJoin(broadcast(qhat))
+    docs.filter(col("fold") === 2).crossJoin(broadcast(graft.ops.Guards.scalar(qhat)))
       .select(col("n_train"), col("n_cal"), col("slope"), col("intercept"),
         col("q90"),
         when(abs(col("y").cast("double") -
@@ -380,13 +380,13 @@ object CatalogSci {
         transform(sort_array(collect_list(struct(col("source"), col("w")))),
           e => e("w")),
         lit(0.0), (acc, x) => acc + x).as("sumw"))
-    val alloc = strata.crossJoin(broadcast(tot))
+    val alloc = strata.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .withColumn("alloc",
         lit(budget.toDouble) * col("w") / col("sumw"))
       .withColumn("base", floor(col("alloc")).cast("long"))
       .withColumn("frac", col("alloc") - col("base").cast("double"))
     val used = alloc.agg(sum(col("base")).as("used"))
-    alloc.crossJoin(broadcast(used))
+    alloc.crossJoin(broadcast(graft.ops.Guards.scalar(used)))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("frac").desc, col("source"))))
       .select(col("source"), col("nh").as("n_docs"), col("s2"),
@@ -424,7 +424,7 @@ object CatalogSci {
         max(when(col("inb") === 0, 1L).otherwise(0L)).as("b"))
       .agg(sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
         .as("m"))
-    m.crossJoin(broadcast(caught))
+    m.crossJoin(broadcast(graft.ops.Guards.scalar(caught)))
       .select(col("n1"), col("n2"), col("m"), col("true_distinct"),
         (((col("n1") + 1) * (col("n2") + 1)).cast("double") /
           (col("m") + 1).cast("double") - lit(1.0)).as("n_hat"))
@@ -496,7 +496,7 @@ object CatalogSci {
     val scored = emb
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .crossJoin(broadcast(centArr))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(centArr)))
       .select(col("vec_id"), col("label"),
         explode(col("__cents")).as("c"), col("v"))
       .select(col("vec_id"), col("label"), col("c.cl").as("cl"),
@@ -616,7 +616,7 @@ object CatalogSci {
       .select(col("n_kept").as("n1_kept"), col("trimmed_mean").as("tm1"))
     val a0 = trimmed.filter(col("variant") === 0)
       .select(col("n_kept").as("n0_kept"), col("trimmed_mean").as("tm0"))
-    a1.crossJoin(broadcast(a0))
+    a1.crossJoin(broadcast(graft.ops.Guards.scalar(a0)))
       .select(col("n1_kept"), col("n0_kept"), col("tm1"), col("tm0"),
         (col("tm1") - col("tm0")).as("trimmed_diff"))
   }
@@ -711,7 +711,7 @@ object CatalogSci {
       .join(broadcast(marg.select(col("i"), col("ci"))), Seq("i"), "left")
       .join(broadcast(marg.select(col("i").as("j"), col("ci").as("cj"))),
         Seq("j"), "left")
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("i"), col("j"),
         when(col("cij").isNull, lit(0.0)).otherwise(
           greatest(lg(col("cij") * col("nn")) - lg(col("ci") * col("cj")),
@@ -776,7 +776,7 @@ object CatalogSci {
     val xk1 = ranked.filter(col("rn") === k + 1)
       .select(col("x").as("xk1"))
     ranked.filter(col("rn") <= k)
-      .crossJoin(broadcast(xk1))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(xk1)))
       .select(col("rn"), (lg(col("x")) - lg(col("xk1"))).as("spread"),
         col("xk1"))
       .groupBy(col("xk1"))
@@ -929,7 +929,7 @@ object CatalogSci {
           col("n").cast("double"))
       .select(col("slope"), col("intercept"))
     def iterate(fit: DataFrame): DataFrame = {
-      val r = docs.crossJoin(broadcast(fit))
+      val r = docs.crossJoin(broadcast(graft.ops.Guards.scalar(fit)))
         .withColumn("res",
           abs(col("y").cast("double") -
             (col("slope") * col("x").cast("double") + col("intercept"))))
@@ -998,7 +998,7 @@ object CatalogSci {
         date_add(col("min_d"),
           floor(datediff(col("max_d"), col("min_d")) * col("look") / 5)
             .cast("int")).as("look_d"))
-    val cum = users.crossJoin(broadcast(looks))
+    val cum = users.crossJoin(broadcast(graft.ops.Guards.bounded(looks, 5)))
       .filter(col("first_d") <= col("look_d"))
       .withColumn("conv",
         when(col("conv_d").isNotNull && col("conv_d") <= col("look_d"), 1L)
@@ -1039,7 +1039,7 @@ object CatalogSci {
     val bySrc = rated.groupBy(col("source"))
       .agg(sum(col("pass")).as("a0"), count(lit(1)).as("ns"))
     val tot = bySrc.agg(sum(col("a0")).as("ta"), sum(col("ns")).as("tn"))
-    val cells = bySrc.crossJoin(broadcast(tot))
+    val cells = bySrc.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("source"), col("a0").as("a"),
         (col("ns") - col("a0")).as("b"),
         (col("ta") - col("a0")).as("c"),
@@ -1060,7 +1060,7 @@ object CatalogSci {
     val kstar = ranked
       .agg(max(when(col("chi2") >= col("crit"), col("rank")).otherwise(0L))
         .as("kstar"))
-    ranked.crossJoin(broadcast(kstar))
+    ranked.crossJoin(broadcast(graft.ops.Guards.scalar(kstar)))
       .select(col("source"), col("chi2"), col("rank"), col("crit"),
         (col("rank") <= col("kstar")).as("rejected"))
       .orderBy(col("rank"))
@@ -1087,7 +1087,7 @@ object CatalogSci {
     val tot = trans.agg(sum(col("cij")).as("nn"),
       countDistinct(col("cur")).as("n_states"))
     trans.join(broadcast(rowTot), "cur")
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("nn"), col("n_states"), col("cur"), col("nxt"),
         ((col("cij").cast("double") / col("nn").cast("double")) *
           (lg(col("ci")) - lg(col("cij")))).as("term"))
@@ -1117,7 +1117,7 @@ object CatalogSci {
       .withColumn("cumb", sum(col("cb")).over(wCum))
       .withColumn("nextl", lead(col("l"), 1).over(Window.orderBy(col("l"))))
       .filter(col("nextl").isNotNull)
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("l"),
         (abs(col("cuma").cast("double") / col("na").cast("double") -
           col("cumb").cast("double") / col("nb").cast("double")) *
@@ -1126,7 +1126,7 @@ object CatalogSci {
         transform(sort_array(collect_list(struct(col("l"), col("term")))),
           e => e("term")),
         lit(0.0), (acc, x) => acc + x).as("w1_levels"))
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("na").as("n_en"), col("nb").as("n_other"),
         (col("w1_levels") * 20.0).as("w1_chars"))
   }
@@ -1147,7 +1147,7 @@ object CatalogSci {
     val m = docs.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
       sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
-    val withFit = docs.crossJoin(broadcast(m))
+    val withFit = docs.crossJoin(broadcast(graft.ops.Guards.scalar(m)))
       .withColumn("slope",
         (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
           (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
@@ -1203,7 +1203,7 @@ object CatalogSci {
       .select((lit(2L) * col("n1v") * col("cum0") +
         col("n1v") * col("n0v")).as("u2"))
       .agg(sum(col("u2")).as("u2"))
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("n1"), col("n0"),
         (col("u2").cast("double") /
           (lit(2L) * col("n1") * col("n0")).cast("double")).as("auc"))
@@ -1229,7 +1229,7 @@ object CatalogSci {
     val splits = lv
       .withColumn("nl", sum(col("w")).over(wCum))
       .withColumn("pl", sum(col("p")).over(wCum))
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .filter(col("nl") < col("nn")) // right child must be nonempty
       .select(col("l").as("split_level"), col("nl"), col("pl"),
         (col("nn") - col("nl")).as("nr"), (col("pp") - col("pl")).as("pr"),
@@ -1304,7 +1304,7 @@ object CatalogSci {
     val nd = daily.agg(max(col("t")).as("tt"))
     val lagged = daily
       .withColumn("y7", lag(col("y"), 7).over(Window.orderBy(col("t"))))
-      .crossJoin(broadcast(nd))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(nd)))
     val train = lagged.filter(col("t") <= col("tt") - h)
     val m = train.agg(count(lit(1)).as("n"), sum(col("t")).as("sx"),
         sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sxy"),
@@ -1317,7 +1317,7 @@ object CatalogSci {
           col("n").cast("double"))
       .select(col("n").as("n_train"), col("slope"), col("intercept"))
     val test = lagged.filter(col("t") > col("tt") - h)
-      .crossJoin(broadcast(m))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(m)))
       .select(col("t"), col("n_train"),
         abs(col("y") - col("y7")).as("ae_naive"),
         abs(col("y").cast("double") -
@@ -1373,7 +1373,7 @@ object CatalogSci {
       (for (dx <- -1 to 1; dy <- -1 to 1)
         yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*))
       .as("sh")).select(col("sh.dx").as("dx"), col("sh.dy").as("dy"))
-    val probes = core.crossJoin(broadcast(shifts))
+    val probes = core.crossJoin(broadcast(graft.ops.Guards.bounded(shifts, 9)))
       .select(col("cell").as("a"),
         ((col("cx") + col("dx") + 500L) * enc +
           (col("cy") + col("dy") + 500L)).as("nbr"))
@@ -1628,7 +1628,7 @@ object CatalogSci {
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("cents").desc, col("user_id"))).cast("long"))
       .withColumn("cum", sum(col("cents")).over(w))
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .filter(col("cum") * 5 >= col("total") * 4)
       .orderBy(col("rnk"))
       .limit(1)
@@ -1654,7 +1654,7 @@ object CatalogSci {
         count(lit(1)).as("f"),
         sum(when(col("event_type") === "purchase",
           round(col("value") * 100).cast("long")).otherwise(0L)).as("m"))
-      .crossJoin(broadcast(maxD))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(maxD)))
       .select(col("user_id"),
         datediff(col("max_d"), col("last_d")).cast("long").as("r"),
         col("f"), col("m"))
@@ -1686,7 +1686,7 @@ object CatalogSci {
     val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
       sum(col("x") * col("x")).as("sxx"),
       countDistinct(col("g")).as("k"))
-    val ssb = groups.crossJoin(broadcast(tot))
+    val ssb = groups.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("g"), col("n"), col("sx"), col("sxx"), col("k"),
         // n_g * (mean_g - mean)^2 = (n*sg - ng*sx)^2 / (ng * n^2)
         (((col("n") * col("sg") - col("ng") * col("sx")) *
@@ -1756,7 +1756,7 @@ object CatalogSci {
       .groupBy(to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("x"))
     val tot = daily.agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-    val cser = daily.crossJoin(broadcast(tot))
+    val cser = daily.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("d"), col("n"), (col("n") * col("x") - col("sx")).as("c"))
     val w = Window.orderBy(col("d"))
     val lagged = cser.select(
@@ -1801,7 +1801,7 @@ object CatalogSci {
       .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)),
         lit(0L)).as("tie_term"))
     val nd = daily.agg(count(lit(1)).as("n"))
-    sPairs.crossJoin(broadcast(ties)).crossJoin(broadcast(nd))
+    sPairs.crossJoin(broadcast(graft.ops.Guards.scalar(ties))).crossJoin(broadcast(graft.ops.Guards.scalar(nd)))
       .withColumn("var_s",
         ((col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
           col("tie_term"))).cast("double") / 18.0)
@@ -1829,7 +1829,7 @@ object CatalogSci {
     val tot = folds.agg(sum(col("n")).as("tn"), sum(col("sx")).as("tsx"),
       sum(col("sy")).as("tsy"), sum(col("sxy")).as("tsxy"),
       sum(col("sxx")).as("tsxx"))
-    val perFold = folds.crossJoin(broadcast(tot))
+    val perFold = folds.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .withColumn("trn", col("tn") - col("n"))
       .withColumn("trsx", col("tsx") - col("sx"))
       .withColumn("trsy", col("tsy") - col("sy"))
@@ -1874,7 +1874,7 @@ object CatalogSci {
     val ks = s.range(1)
       .select(explode(array(lit(10L), lit(100L), lit(1000L), lit(10000L)))
         .as("k"))
-    val atK = ks.crossJoin(broadcast(tot))
+    val atK = ks.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .join(ranked.select(col("rnk"), col("cum")),
         col("rnk") === least(col("k"), col("v")), "left")
       .select(col("k"), col("v").as("vocab_size"), col("total"),

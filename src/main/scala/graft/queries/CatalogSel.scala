@@ -258,30 +258,39 @@ object CatalogSel {
 
   // ---------------------------------------------------------------- q407
 
-  /** Hierarchy rollup by path doubling: a synthetic customer forest
-    * (parent = custkey div 10; keys < 10 are roots) rolled up to
-    * per-node subtree size and balance. Ancestor pairs are built in
-    * O(log depth) rounds of repeated squaring — each round joins the
-    * pair set with itself, so a depth-D forest closes in ⌈lg D⌉ rounds
-    * instead of D per-level passes; on a tree every (node, ancestor)
-    * path is unique, so the squaring join never multiplies rows beyond
-    * n·depth. Output: top 20 subtrees by rolled-up balance. */
+  /** Hierarchy rollup over the digit-decimation forest (ancestor =
+    * decimal prefix; keys < 10 are roots) to per-node subtree size and
+    * balance. Ancestors are CLOSED-FORM — every v has exactly
+    * digits(v)−1 of them, materialized by one explode (≤ 18 rows per
+    * key, zero iterations). Round 12 built the same pairs by repeated
+    * squaring of the (v, v div 10) edge set, which composes only
+    * through EXISTING intermediate keys — correct on dense key ranges,
+    * silently under-counting on sparse ones (the round-13 ×10 gate
+    * caught it: replica offsets leave million-shaped intermediates
+    * nonexistent, the classic closure-vs-arithmetic-hierarchy trap).
+    * Output: top 20 subtrees by rolled-up balance. */
   def q407TreeRollup(s: SparkSession, dir: String): DataFrame = {
     val nodes = Tables.customer(s, dir)
       .select(col("c_custkey").as("v"), cents(col("c_acctbal")).as("bal"))
-    val p0 = nodes.filter(col("v") >= 10)
-      .select(col("v"), (col("v") / 10).cast("long").as("anc"), lit(1L).as("d"))
-    // 4 squaring rounds close depth ≤ 16 (custkey 10^16 — far past any SF)
-    // squaring loop: stats-fresh cut (see IterativeLoop.cutFresh)
-    val pairs = IterativeLoop.fixedFresh(IterativeLoop.cutLazy(p0), 4) { (pr, _) =>
-      // squaring join: ancestors at distance d+d2; (v, anc) determines
-      // the distance on a tree, so duplicates are exact triples
-      pr.unionByName(
-          pr.select(col("anc").as("m"), col("v"), col("d"))
-            .join(pr.select(col("v").as("m"), col("anc"), col("d").as("d2")), "m")
-            .select(col("v"), col("anc"), (col("d") + col("d2")).as("d")))
-        .distinct()
-    }
+    // the digit-decimation hierarchy is ARITHMETIC — every ancestor of v
+    // is a decimal prefix of v, whether or not that ancestor is itself a
+    // key. The round-12 squaring closure composed edges through EXISTING
+    // intermediate keys only, which agrees on dense key ranges (every
+    // sf dir) but silently under-counts on sparse ones (caught by the
+    // round-13 ×10 gate: replica offsets make 1,000,000-shaped
+    // intermediates nonexistent and the closure broke there). Closed
+    // form instead: explode d = 1..digits−1, anc = prefix of length
+    // len−d — ≤ 18 rows per key, ZERO iterations, strictly cheaper than
+    // the old 4-round squaring join.
+    val pairs = nodes.filter(col("v") >= 10)
+      .select(col("v"), col("v").cast("string").as("vs"))
+      .select(col("v"),
+        explode(sequence(lit(1L), (length(col("vs")) - 1).cast("long"))).as("d"),
+        col("vs"))
+      .select(col("v"),
+        expr("cast(substring(vs, 1, length(vs) - cast(d as int)) as bigint)")
+          .as("anc"),
+        col("d"))
     val sub = pairs.select(col("v"), col("anc"))
       .unionByName(nodes.select(col("v"), col("v").as("anc")))
     val depth = pairs.groupBy(col("v")).agg(max(col("d")).as("depth"))
@@ -308,7 +317,7 @@ object CatalogSel {
     val o = Tables.orders(s, dir).select(
       to_date(col("o_orderdate")).as("d"), cents(col("o_totalprice")).as("v"))
     val minD = o.agg(min(col("d")).as("d0"))
-    val day = o.crossJoin(broadcast(minD))
+    val day = o.crossJoin(broadcast(graft.ops.Guards.scalar(minD)))
       .groupBy(datediff(col("d"), col("d0")).cast("long").as("i"))
       .agg(sum(col("v")).as("v"))
     val span = day.agg(expr("max(i) div 7").as("m")).head().getLong(0)
@@ -352,7 +361,7 @@ object CatalogSel {
       .groupBy(col("bg")).agg(count(lit(1)).as("tok_cnt"))
       .orderBy(col("tok_cnt").desc, col("bg").asc).limit(40)
     docs.select(col("doc_id"), col("text"))
-      .crossJoin(broadcast(dict))
+      .crossJoin(broadcast(graft.ops.Guards.bounded(dict, 40)))
       .select(col("bg"), col("tok_cnt"),
         expr("CASE WHEN instr(text, bg) > 0 THEN CAST(1 AS BIGINT)" +
           " ELSE CAST(0 AS BIGINT) END").as("hit"),

@@ -39,7 +39,7 @@ object CatalogStats {
       .agg(count(lit(1)).as("x"))
     val tot = daily.agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
     // centered integer series: c_t = n·x_t − S  (exact, order-free)
-    val cser = daily.crossJoin(broadcast(tot))
+    val cser = daily.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("d"), (col("n") * col("x") - col("sx")).as("c"))
     val w = Window.orderBy(col("d"))
     val lagged = cser.select(
@@ -75,7 +75,7 @@ object CatalogStats {
         min(when(col("event_type") === "purchase" && col("value") > 150.0,
           to_date(col("ts")))).as("conv_d"))
     val horizon = ev.agg(max(to_date(col("ts"))).as("max_d"))
-    val life = users.crossJoin(broadcast(horizon))
+    val life = users.crossJoin(broadcast(graft.ops.Guards.scalar(horizon)))
       .select(
         datediff(coalesce(col("conv_d"), col("max_d")), col("first_d"))
           .cast("long").as("t"),
@@ -231,7 +231,7 @@ object CatalogStats {
     val cum = d.select(sum(col("a")).over(w).as("c1"),
       sum(col("b")).over(w).as("c2"))
     val tot = d.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
-    cum.crossJoin(broadcast(tot))
+    cum.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
         max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("d_num"))
       .select(col("n1"), col("n2"), col("d_num"),
@@ -291,7 +291,7 @@ object CatalogStats {
     val fof = counts.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
     val tot = fof.agg(sum(col("r") * col("n_r")).as("n_tokens"))
     val w = Window.orderBy(col("r"))
-    fof.crossJoin(broadcast(tot))
+    fof.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("r"), col("n_r"), col("n_tokens"),
         lead(col("n_r"), 1).over(w).as("n_r1"),
         lead(col("r"), 1).over(w).as("r_next"))
@@ -356,7 +356,7 @@ object CatalogStats {
     val tot = withR.agg(count(lit(1)).as("n"),
       sum(col("r_vx")).as("sx"), sum(col("r_vy")).as("sy"))
     val dec = "decimal(38,0)"
-    val c = withR.crossJoin(broadcast(tot))
+    val c = withR.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("n"),
         (col("n") * col("r_vx") - col("sx")).cast(dec).as("cx"),
         (col("n") * col("r_vy") - col("sy")).cast(dec).as("cy"))
@@ -452,7 +452,7 @@ object CatalogStats {
     val cy = cells.groupBy(col("y")).agg(sum(col("c")).as("cy"))
     val tot = cells.agg(sum(col("c")).as("n"))
     cells.join(broadcast(rx), "x").join(broadcast(cy), "y")
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("x"), col("y"), col("n"),
         ((col("c").cast("double") / col("n").cast("double")) *
           (lg(col("c")) + lg(col("n")) - lg(col("rx")) - lg(col("cy"))))
@@ -505,7 +505,7 @@ object CatalogStats {
       .groupBy(col("t"))
       .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("s2"),
         count(lit(1)).as("df"))
-    per.crossJoin(broadcast(n))
+    per.crossJoin(broadcast(graft.ops.Guards.scalar(n)))
       .filter(col("s") >= 100)
       .select(col("t").as("token"), col("df"), col("s").as("count"),
         (col("s").cast("double") / col("n").cast("double")).as("mean"),
@@ -600,7 +600,7 @@ object CatalogStats {
     val scored = emb
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .crossJoin(broadcast(centArr))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(centArr)))
       .select(col("vec_id"), col("label"),
         explode(col("__cents")).as("c"), col("v"))
       .select(col("vec_id"), col("label"), col("c.cl").as("cl"),
@@ -649,7 +649,7 @@ object CatalogStats {
       .filter(col("n1") > 0 && col("n0") > 0)
     val tot = strata.agg(sum(col("n_s")).as("nn"),
       count(lit(1)).as("n_strata"))
-    strata.crossJoin(broadcast(tot))
+    strata.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
       .select(col("nn"), col("n_strata"), col("stratum"),
         ((col("n_s").cast("double") / col("nn").cast("double")) *
           (col("c1").cast("double") / col("n1").cast("double") -
@@ -736,7 +736,7 @@ object CatalogStats {
       max(to_date(col("ts"))).as("max_d"))
       .select(date_add(col("min_d"),
         floor(datediff(col("max_d"), col("min_d")) / 2).cast("int")).as("mid_d"))
-    val users = ev.crossJoin(broadcast(span))
+    val users = ev.crossJoin(broadcast(graft.ops.Guards.scalar(span)))
       .groupBy(col("user_id"))
       .agg(sum(when(to_date(col("ts")) < col("mid_d"), 1L).otherwise(0L)).as("x"),
         sum(when(to_date(col("ts")) >= col("mid_d") &&
@@ -830,8 +830,8 @@ object CatalogStats {
     val grid = srcs.select(col("source").as("sa"), col("nt").as("na"))
       .join(srcs.select(col("source").as("sb"), col("nt").as("nb")),
         col("sa") < col("sb"))
-      .crossJoin(broadcast(
-        dc.select(col("b")).distinct()))
+      .crossJoin(broadcast(graft.ops.Guards.bounded(
+        dc.select(col("b")).distinct(), buckets)))
     val joined = grid
       .join(dc.select(col("source").as("sa"), col("b"), col("ct").as("ca")),
         Seq("sa", "b"), "left")

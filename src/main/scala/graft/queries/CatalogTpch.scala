@@ -145,7 +145,7 @@ object CatalogTpch {
       .groupBy(col("l_suppkey"))
       .agg(dsumDec(revenue).as("rev_dec"))
     val top = rev.agg(max(col("rev_dec")).as("max_rev"))
-    rev.crossJoin(broadcast(top))
+    rev.crossJoin(broadcast(graft.ops.Guards.scalar(top)))
       .filter(col("rev_dec") === col("max_rev"))
       .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
@@ -285,7 +285,7 @@ object CatalogTpch {
     val cust = Tables.customer(s, dir).filter(col("c_nationkey").isin(keys: _*))
     val avgBal = cust.filter(col("c_acctbal") > 0)
       .agg((dsum(col("c_acctbal")) / count(lit(1)).cast("double")).as("avg_bal"))
-    cust.crossJoin(broadcast(avgBal))
+    cust.crossJoin(broadcast(graft.ops.Guards.scalar(avgBal)))
       .filter(col("c_acctbal") > col("avg_bal"))
       .join(Tables.orders(s, dir).filter(col("o_orderdate") >= lit("1999-01-01")),
         col("c_custkey") === col("o_custkey"), "left_anti")
@@ -331,7 +331,7 @@ object CatalogTpch {
       .groupBy(col("l_partkey").as("p_partkey"))
       .agg(dsumDec(col("l_extendedprice")).as("val_dec"))
     val total = pv.agg(sum(col("val_dec")).as("total_dec"))
-    pv.crossJoin(broadcast(total))
+    pv.crossJoin(broadcast(graft.ops.Guards.scalar(total)))
       .filter(col("val_dec").cast("double") > col("total_dec").cast("double") / lit(10000.0))
       .select(col("p_partkey"), col("val_dec").cast("double").as("value"))
       .orderBy(col("value").desc, col("p_partkey"))

@@ -84,7 +84,7 @@ object Bm25 {
     val scored = post
       .join(qdf, "tok")
       .join(broadcast(dft), "tok")
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(stats)))
       .select(col("query_id"), col("doc_id"), col("tok"), contrib.as("contrib"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(

@@ -50,7 +50,7 @@ object Pca {
     val meanArr = means
       .agg(array_sort(collect_list(struct(col("j"), col("m")))).as("jm"))
       .select(transform(col("jm"), e => e.getField("m")).as("marr"))
-    val centered = lazyCut(quant.crossJoin(broadcast(meanArr))
+    val centered = lazyCut(quant.crossJoin(broadcast(graft.ops.Guards.scalar(meanArr)))
       .select(zip_with(col("q"), col("marr"), (q, m) => q - m).as("c")))
 
     // 3: exact-integer scatter, then k-ordered rows of doubles
@@ -66,15 +66,18 @@ object Pca {
 
     // 4: power iteration; state = one row holding the current unit vector
     var v = meanArr.select(transform(col("marr"), _ => lit(1.0)).as("v"))
-    for (_ <- 1 to iterations) {
-      val w = sRows.crossJoin(broadcast(v))
+    val lid = graft.ops.PlanProbe.loopId()
+    for (r <- 1 to iterations) {
+      val w = sRows.crossJoin(broadcast(graft.ops.Guards.scalar(v)))
         .select(col("j"), dot(col("srow"), col("v")).as("w"))
       val warr = w.agg(array_sort(collect_list(struct(col("j"), col("w")))).as("jw"))
         .select(transform(col("jw"), e => e.getField("w")).as("warr"))
-      v = lazyCut(warr.select(
+      val next = warr.select(
         transform(col("warr"),
           x => x / sqrt(dot(col("warr"), col("warr")))).as("v"),
-        sqrt(dot(col("warr"), col("warr"))).as("norm")))
+        sqrt(dot(col("warr"), col("warr"))).as("norm"))
+      graft.ops.PlanProbe.offer(lid, r, next)
+      v = lazyCut(next)
     }
     (meanArr, v)
   }
@@ -100,8 +103,8 @@ object Pca {
     val (meanArr, v) = fit(df, vecCol, iterations, quantBits)
     df.select(col(idCol),
       transform(col(vecCol), x => floor(x.cast("double") * scale).cast("long")).as("q"))
-      .crossJoin(broadcast(meanArr))
-      .crossJoin(broadcast(v.select(col("v"))))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(meanArr)))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(v.select(col("v")))))
       .select(col(idCol),
         dot(zip_with(col("q"), col("marr"), (q, m) => (q - m).cast("double")),
           col("v")).as("proj"))

@@ -133,7 +133,7 @@ object Similarity {
     val centArr = cents
       .agg(sort_array(collect_list(struct(col("cent_id"), col("cent_v")))).as("__cents"))
     df.select(col(idCol).as("x_id"), col(vecCol).as("x_v"))
-      .crossJoin(broadcast(centArr))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(centArr)))
       .select(col("x_id"), col("x_v"),
         topCentroids(col("x_v"), col("__cents"), n).as("__top"))
       .select(col("x_id"), col("x_v"), explode(col("__top")).as("__tc"))
@@ -225,7 +225,7 @@ object Similarity {
         .agg(sort_array(collect_list(struct(col("cent_id"), col("cent_v")))).as("__cents"))
       val assigned = candidates
         .select(col(vecCol).as("x_v"))
-        .crossJoin(broadcast(centArr))
+        .crossJoin(broadcast(graft.ops.Guards.scalar(centArr)))
         .select(col("x_v"),
           element_at(topCentroids(col("x_v"), col("__cents"), 1), 1)
             .getField("cent_id").as("cid"))
@@ -316,7 +316,8 @@ object Similarity {
     val w1 = Window.partitionBy(col("q_id"))
       .orderBy(col("approx").desc, col("c_id").asc)
     val shortlist = codes(candidates, "c")
-      .crossJoin(broadcast(codes(queries, "q")))
+      .crossJoin(broadcast(graft.ops.Guards.bounded(codes(queries, "q"),
+        graft.ops.Guards.BroadcastSetCap)))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         when(col("q_nq") > 0 && col("c_nq") > 0,
@@ -518,7 +519,7 @@ object Similarity {
     // the smaller position = smaller cent_id)
     val enc = candidates
       .select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
-      .crossJoin(broadcast(cb))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(cb)))
       .select(col("c_id"),
         transform(sequence(lit(0), lit(m - 1)), s =>
           element_at(
@@ -528,14 +529,15 @@ object Similarity {
     // queries -> per-subspace distance tables (position-aligned with code)
     val qt = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
-      .crossJoin(broadcast(cb))
+      .crossJoin(broadcast(graft.ops.Guards.scalar(cb)))
       .select(col("q_id"),
         transform(sequence(lit(0), lit(m - 1)), s =>
           transform(sequence(lit(1), size(col("__cb"))), j =>
             subDist(col("q_v"), col("__cb"), j, s, subDimC))).as("dt"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("dist2").asc, col("c_id").asc)
-    enc.crossJoin(broadcast(qt))
+    enc.crossJoin(broadcast(graft.ops.Guards.bounded(qt,
+      graft.ops.Guards.BroadcastSetCap)))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         aggregate(sequence(lit(1), lit(m)), lit(0.0), (acc, s) =>
@@ -610,7 +612,7 @@ object Similarity {
     for (t <- 1 until k) {
       val cArr = centers
         .agg(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))).as("cs"))
-      val winner = pts.crossJoin(broadcast(cArr))
+      val winner = pts.crossJoin(broadcast(graft.ops.Guards.scalar(cArr)))
         .select(col("vec_id"), col("v"),
           array_min(transform(col("cs"), c => d2(col("v"), c("cv")))).as("d2"))
         .orderBy(col("d2").desc, col("vec_id").asc).limit(1)

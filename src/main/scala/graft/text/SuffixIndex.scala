@@ -123,18 +123,29 @@ object SuffixIndex {
     }
   }
 
-  /** [[globalRanks]] over the standard corpus read, memoized per session
-    * via [[graft.ops.FrameMemo]] — one index build serves every query in
-    * a Verify/Bench session (the deployment model: a materialized index
-    * table, not a per-query rebuild). */
+  /** Builder version for the persistent index spills — bump on ANY
+    * change to [[globalRanks]]/[[perDocRanks]] semantics so stale disk
+    * indexes from an older algorithm can never be served. */
+  private val IndexVersion = "v1"
+
+  /** [[globalRanks]] over the standard corpus read, memoized ACROSS
+    * sessions via [[graft.ops.FrameMemo.cachedPersistent]] — the
+    * deployment model (a materialized index table every query reads,
+    * not a per-query rebuild) made literal: the first session writes the
+    * ranks to parquet keyed by (builder version, corpus fingerprint),
+    * every later session opens the files in sub-second time. The
+    * round-12 bench paid the 27–44 s build once per SESSION; now it is
+    * once per corpus per machine. */
   def globalRanksCached(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    graft.ops.FrameMemo.cached(s, s"suffix-global:$dir")(
+    graft.ops.FrameMemo.cachedPersistent(s, s"suffix-global-$IndexVersion:$dir",
+      graft.ops.FrameMemo.fileFingerprint(s"$dir/documents.parquet"))(
       globalRanks(graft.Tables.documents(s, dir), "doc_id", "text"))
 
   /** [[perDocRanks]] over the standard corpus read, memoized like
     * [[globalRanksCached]]. */
   def perDocRanksCached(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    graft.ops.FrameMemo.cached(s, s"suffix-perdoc:$dir")(
+    graft.ops.FrameMemo.cachedPersistent(s, s"suffix-perdoc-$IndexVersion:$dir",
+      graft.ops.FrameMemo.fileFingerprint(s"$dir/documents.parquet"))(
       perDocRanks(graft.Tables.documents(s, dir), "doc_id", "text"))
 
   /** Per-document BWT summary over [[perDocRanks]]: the BWT read as each

@@ -216,7 +216,7 @@ object ScaleProbe {
             min(when(col("event_type") === "purchase" && col("value") > 150.0,
               to_date(col("ts")))).as("conv_d"))
         val horizon = ev.agg(max(to_date(col("ts"))).as("max_d"))
-        val life = users.crossJoin(broadcast(horizon))
+        val life = users.crossJoin(broadcast(graft.ops.Guards.scalar(horizon)))
           .select((col("user_id") % 2).as("g"),
             datediff(coalesce(col("conv_d"), col("max_d")), col("first_d"))
               .cast("long").as("t"),

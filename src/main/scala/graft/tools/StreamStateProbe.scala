@@ -128,6 +128,30 @@ object StreamStateProbe {
       println(f"ams-f2               $k%-4d ${rows.length}%-11d $stateRows%-11d ${0L}%-12d series=$nSeries (16 longs each)")
     }
 
+    // ---- streaming incremental CC: state = one row per node ever seen.
+    // Fixed node universe (user ids folded mod 997) with edge VOLUME
+    // growing ×k — the 100 TB dedup-store shape: the entity space is
+    // bounded, the near-dup edge stream is not. PASS = state rows flat
+    // at ≤ the universe size AND the stored labels equal the one-shot
+    // batch CC (the StreamingCcSpec law re-asserted at probe volume). ----
+    ks.foreach { k =>
+      val path = tmp("sprobe-cc")
+      val sink = new KeyedParquetSink(path, "id")
+      val in = evK(k).select(
+        pmod(col("user_id"), lit(997)).as("x"),
+        pmod(col("user_id") * 31 + pmod(col("event_id"), lit(7)), lit(997)).as("y"),
+        col("event_id"))
+      epochs(in, "event_id").zipWithIndex.foreach { case (b, e) =>
+        graft.streaming.StreamingCc.mergeBatch(sink)(
+          b.select(col("x"), col("y")), e.toLong)
+      }
+      val st = sink.read(spark).get.select(col("id"), col("component"))
+      val full = graft.graph.Graph.hookComponents(
+        in.select(col("x"), col("y")), "x", "y")
+      val diff = st.exceptAll(full).count() + full.exceptAll(st).count()
+      println(f"streaming-cc         $k%-4d ${in.count()}%-11d ${st.count()}%-11d ${dirBytes(Paths.get(path))}%-12d nodes<=997 fixed universe; vs-batch-diff=$diff")
+    }
+
     // ---- X334b KV stream sink + compaction: segments bounded forever ----
     ks.foreach { k =>
       val path = tmp("sprobe-kv")

@@ -1,0 +1,125 @@
+package graft.tools
+
+import graft.SparkEntry
+
+/**
+ * Closed-world ×10 evidence registry (round-13 verdict item 2): the
+ * at-scale correctness gate used to be an IMPLICIT policy — 67 queries
+ * carried disjoint-replica ×10 hash rows and the other ~380 were exempt
+ * "by convention". This tool makes the convention a structural artifact:
+ * it maps EVERY `SparkEntry.queries` key to exactly one of
+ *
+ *   - `x10` — a green row in the newest committed CORRECTNESS_x10_r*.json
+ *     (rows+schema+hash match at ×10 disjoint-replica volume,
+ *     [[BuildX10]] corpus);
+ *   - a NAMED exemption rule from [[exemptions]] (each citing the code
+ *     guard or design doc that justifies it);
+ *   - `linear-by-plan` — the default for NON-iterative queries, justified
+ *     by the committed PLANS.md audit: their executed plans are bounded
+ *     compositions of pruned scans, broadcast/equi-joins and
+ *     map-side-combined aggregates, cost linear in input by plan shape.
+ *
+ * and FAILS (no artifact written) when any query is iterative (has an
+ * `inner loop` row in PLANS.md — localCheckpoint-cut loops are exactly
+ * the shapes whose ×10 behaviour cannot be read off a plan) but carries
+ * neither a ×10 row nor a named exemption. X10CoverageSpec holds the
+ * COMMITTED X10GATE.md to the same no-missing-key contract PLANS.md has,
+ * so a new iterative query cannot land green without at-scale evidence.
+ */
+object X10Gate {
+
+  /** Documented exemptions — each must name its justification. */
+  val exemptions: Map[String, String] = Map(
+    "q418_dim_recall" ->
+      ("batch-guarded offline eval: require(nq <= 1000) bounds the " +
+        "deliberate brute-force truth pass (CatalogGr.scala) — scale " +
+        "abuse fails loudly instead of running"),
+    "q432_retrieval_metrics" ->
+      ("batch-guarded offline eval like q418 (also carries a green x10 " +
+        "row; listed here so the guard stays documented if the row set " +
+        "is ever rebuilt)"),
+    "q119_fuzzy_pairs" ->
+      ("blocked-pair generation: banded length-blocking bounds the pair " +
+        "space; SCALE.md carries its measured x1/x4/x10 sub-quadratic " +
+        "row (alpha 0.77) in place of a hash row — the DuckDB oracle's " +
+        "all-pairs edit-distance replay is what is intractable at x10, " +
+        "not the engine path"),
+    "q442_linkage_assignment" ->
+      ("blocked-pair precedent (q119): candidate pairs come from the " +
+        "same bounded blocking; the matching fixpoint on top carries " +
+        "its x10-capable core via q438's green x10 row"),
+    "q29_embed_neardup" ->
+      ("documented brute-force LAW-TEST BASELINE (PLANS.md design " +
+        "note): the all-pairs form exists to law-test q49's LSH scale " +
+        "path, which carries the green x10 row"))
+
+  private def read(p: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+      "UTF-8")
+
+  def main(args: Array[String]): Unit = {
+    // newest committed x10 correctness artifact
+    val x10Files = new java.io.File(".").listFiles()
+      .map(_.getName).filter(_.matches("CORRECTNESS_x10_r\\d+\\.json"))
+    require(x10Files.nonEmpty, "no CORRECTNESS_x10_r*.json found")
+    val x10File = x10Files.maxBy(n => "\\d+".r.findFirstIn(n.drop(16)).get.toInt)
+    val x10Json = read(x10File)
+    // per-entry green check: "qNN": { ... } blocks with all three matches
+    val entry = "\"(q\\w+)\":\\s*\\{([^}]*)\\}".r
+    val x10 = entry.findAllMatchIn(x10Json).map { m =>
+      val ok = Seq("rows_match", "schema_match", "hash_match")
+        .forall(f => m.group(2).contains(s"\"$f\": true"))
+      m.group(1) -> ok
+    }.toMap
+    val red = x10.collect { case (q, false) => q }
+    require(red.isEmpty, s"x10 artifact $x10File carries non-green rows: $red")
+
+    // iterative set = queries with inner-round rows in the committed
+    // PLANS.md (kept current by PlansCoverageSpec)
+    val plans = read("PLANS.md")
+    var cur = ""
+    val iterative = scala.collection.mutable.Set.empty[String]
+    plans.linesIterator.foreach { l =>
+      if (l.startsWith("## q")) cur = l.drop(3).trim
+      else if (l.startsWith("- inner loop")) iterative += cur
+    }
+
+    val qs = SparkEntry.queries.keySet
+    val orphX10 = x10.keySet -- qs
+    require(orphX10.isEmpty, s"x10 rows for unknown queries: $orphX10")
+    val orphEx = exemptions.keySet -- qs
+    require(orphEx.isEmpty, s"exemptions for unknown queries: $orphEx")
+
+    val rows = qs.toSeq.sorted.map { q =>
+      val (status, why) =
+        if (x10.contains(q)) ("x10", s"green row in $x10File")
+        else if (exemptions.contains(q)) ("exempt", exemptions(q))
+        else if (iterative(q)) ("MISSING",
+          "iterative (PLANS.md inner row) without x10 evidence or exemption")
+        else ("linear-by-plan",
+          "non-iterative; PLANS.md plan is a bounded composition of " +
+            "pruned scans / broadcast+equi joins / combinable aggregates")
+      (q, status, why)
+    }
+    val missing = rows.collect { case (q, "MISSING", _) => q }
+    require(missing.isEmpty,
+      s"iterative queries need an x10 row or a NAMED exemption: $missing")
+
+    val sb = new StringBuilder
+    sb.append("# X10GATE — closed-world at-scale evidence registry\n\n")
+    sb.append("Generated by `sbt \"runMain graft.tools.X10Gate\"` from the newest\n")
+    sb.append(s"committed x10 artifact (`$x10File`), the committed PLANS.md\n")
+    sb.append("(iterative = has an `inner loop` row) and the documented exemption\n")
+    sb.append("map in X10Gate.scala. EVERY catalog query appears exactly once;\n")
+    sb.append("the generator FAILS if an iterative query has neither a green ×10\n")
+    sb.append("disjoint-replica hash row nor a named exemption, and\n")
+    sb.append("X10CoverageSpec holds this committed table to the catalog.\n\n")
+    val counts = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    sb.append(s"Counts: ${counts.toSeq.sortBy(_._1).map(c => s"${c._1}=${c._2}").mkString(", ")}\n\n")
+    sb.append("| query | status | evidence / rule |\n|---|---|---|\n")
+    rows.foreach { case (q, s, w) => sb.append(s"| $q | $s | $w |\n") }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("X10GATE.md"),
+      sb.toString)
+    println(s"[x10gate] wrote X10GATE.md (${rows.size} queries; $counts)")
+  }
+}
