@@ -109,7 +109,224 @@ object CatalogW13 {
     curve.reduce(_ unionAll _).orderBy(col("h"))
   }
 
+  // ---------------------------------------------------------------- q450
+
+  private[graft] val GsProposers = 16
+  private[graft] val GsAcceptors = 8
+
+  /** Structural round cap for the synchronous deferred-acceptance loop:
+    * every non-terminal round either advances some proposer pointer
+    * (≤ P·A total advances) or strictly improves some acceptor's
+    * partner (≤ P·A total improvements), so rounds ≤ 2·P·A; +2 for the
+    * stationarity probe's extra round. */
+  private[graft] val GsCap = 2 * GsProposers * GsAcceptors + 2
+
+  private def u32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private def aScore(p: Column, a: Column): Column =
+    u32(concat(lit("gsa:"), p.cast("string"), lit(":"), a.cast("string")))
+
+  /** Distributed stable matching (Gale–Shapley 1962) by SYNCHRONOUS
+    * deferred acceptance — the assignment verb the greedy matchings
+    * (q438 local-dominance, q442 linkage) cannot provide: the result
+    * has NO blocking pair (no proposer–acceptor pair who both prefer
+    * each other over their assignment; W13WaveSpec checks all P·A
+    * pairs), and it is the canonical proposer-optimal matching, which
+    * is UNIQUE — so the parallel round order and the textbook
+    * sequential order provably agree, and the oracle replays the same
+    * synchronous rounds.
+    *
+    * Panel: the md5-bottom [[GsProposers]] customers propose to the
+    * md5-bottom [[GsAcceptors]] suppliers; both preference orders are
+    * md5 draws (distinct w.h.p., ties broken by id — a total order
+    * either way). State is ONE row per proposer (pointer, tentative
+    * match); a round is one rank-equi-join against the preference
+    * table + one per-acceptor window argmax. Rounds are bounded
+    * structurally ([[GsCap]]) and the loop exits at the exact fixed
+    * point via a SOUND monotone probe: Σpointer never decreases
+    * (rejections advance it), matched count never decreases (a bump
+    * swaps, never unmatches net), and Σ acceptor-side score of the
+    * tentative matches never decreases (deferred acceptance only
+    * improves acceptors) — all three stationary ⟺ no rejection, no
+    * acceptance, no bump ⟺ fixed point. */
+  def q450StableMatching(s: SparkSession, dir: String): DataFrame = {
+    val props = IterativeLoop.cutLazy(Tables.customer(s, dir)
+      .select(col("c_custkey").as("p"))
+      .orderBy(md5(concat(lit("gsP:"), col("p").cast("string"))), col("p"))
+      .limit(GsProposers))
+    val accs = Tables.supplier(s, dir).select(col("s_suppkey").as("a"))
+      .orderBy(md5(concat(lit("gsA:"), col("a").cast("string"))), col("a"))
+      .limit(GsAcceptors)
+    val prefs = IterativeLoop.cutLazy(props
+      .crossJoin(broadcast(Guards.bounded(accs, GsAcceptors)))
+      .select(col("p"), col("a"),
+        u32(concat(lit("gsp:"), col("p").cast("string"), lit(":"),
+          col("a").cast("string"))).as("ps"))
+      .withColumn("prank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("p"))
+          .orderBy(col("ps").desc, col("a").asc)).cast("long"))
+      .select(col("p").as("pp"), col("prank"), col("a").as("target")))
+    val init = props.select(col("p"), lit(1L).as("idx"),
+      lit(null).cast("long").as("ma"))
+    val probe = IterativeLoop.stationaryAgg(df =>
+      df.agg(sum(col("idx")), count(col("ma")),
+        sum(aScore(col("p"), col("ma")))).collect().toSeq.map(_.toSeq))
+    val fin = IterativeLoop.fixedUntil(init, GsCap, requireConverged = true,
+        sameAs = probe) { (st, _) =>
+      st.join(prefs, col("p") === col("pp") && col("prank") === col("idx"),
+          "left")
+        .withColumn("proposed",
+          col("ma").isNull && col("idx") <= GsAcceptors)
+        .withColumn("contend_a",
+          when(col("proposed"), col("target")).otherwise(col("ma")))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("contend_a"))
+            .orderBy(aScore(col("p"), col("contend_a")).desc, col("p").asc)))
+        .select(col("p"),
+          (col("idx") + when(col("proposed") && col("rn") =!= 1, 1L)
+            .otherwise(0L)).as("idx"),
+          when(col("contend_a").isNotNull && col("rn") === 1,
+            col("contend_a")).otherwise(lit(null).cast("long")).as("ma"))
+    }
+    fin.df
+      .join(prefs, col("p") === col("pp") && col("target") === col("ma"),
+        "left")
+      .select(col("p").as("proposer"), col("ma").as("acceptor"),
+        col("prank").as("p_rank"))
+      .orderBy(col("proposer"))
+  }
+
+  // ---------------------------------------------------------------- q451
+
+  /** The shared 13-relation classifier (Allen 1983) as one SQL CASE —
+    * the SAME text runs in Spark and DuckDB, so the taxonomy cannot
+    * drift between engines. Strict textbook definitions; branches are
+    * mutually exclusive for s ≤ e intervals (the containment checks
+    * are implied by falling through the before/meets branches). */
+  private[graft] val AllenCase: String = """CASE
+    WHEN e1 < s2 THEN 'precedes'
+    WHEN e1 = s2 THEN 'meets'
+    WHEN s1 < s2 AND e1 < e2 THEN 'overlaps'
+    WHEN s1 < s2 AND e1 = e2 THEN 'finished_by'
+    WHEN s1 < s2 THEN 'contains'
+    WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+    WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+    WHEN s1 = s2 THEN 'started_by'
+    WHEN s1 > e2 THEN 'preceded_by'
+    WHEN s1 = e2 THEN 'met_by'
+    WHEN e1 > e2 THEN 'overlapped_by'
+    WHEN e1 = e2 THEN 'finishes'
+    ELSE 'during' END"""
+
+  /** Allen's interval-algebra histogram over same-customer order
+    * fulfillment windows: each order is the interval [orderdate,
+    * last lineitem shipdate] (epoch days); pairs are (orderkey i < j)
+    * within one customer — a bounded ≤ C(orders-per-customer, 2)
+    * fan-out equi-join on the customer key, never a temporal
+    * theta-join — classified into the 13 exhaustive, mutually
+    * exclusive relations of Allen 1983. The histogram is the
+    * temporal-overlap profile a scheduling/attribution pipeline reads
+    * before picking an interval-join strategy (how often do a
+    * customer's fulfillment windows actually interleave?). */
+  def q451AllenRelations(s: SparkSession, dir: String): DataFrame = {
+    val iv = IterativeLoop.cutLazy(Tables.orders(s, dir)
+      .select(col("o_custkey").as("ck"), col("o_orderkey").as("okey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("sd"))
+      .join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"),
+          datediff(col("l_shipdate"), lit("1970-01-01")).cast("long")
+            .as("shd")), "okey")
+      .groupBy(col("ck"), col("okey"), col("sd"))
+      .agg(max(col("shd")).as("ed")))
+    iv.select(col("ck"), col("okey").as("ok1"), col("sd").as("s1"),
+        col("ed").as("e1"))
+      .join(iv.select(col("ck"), col("okey").as("ok2"), col("sd").as("s2"),
+        col("ed").as("e2")), "ck")
+      .filter(col("ok1") < col("ok2"))
+      .select(expr(AllenCase).as("relation"))
+      .groupBy(col("relation")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("relation"))
+  }
+
+  // ---------------------------------------------------------------- q452
+
+  /** Delta-of-delta timestamp compression audit (the Gorilla/TSDB
+    * encoding, Facebook 2015) over each user's event stream: first
+    * arrival costs 64 raw bits; every later one costs the bit-length
+    * of the zigzagged second difference of its µs timestamp plus a
+    * 6-bit width header. Regular streams (near-constant cadence)
+    * collapse to a few bits per point, bursty ones do not — the
+    * storage-planning statistic for a 100 TB time-series ingest, with
+    * EXACT integer bit accounting both engines replay (bit-length via
+    * the binary string, the same primitive as the exact lg). */
+  def q452DodCompression(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("t"))
+      .withColumn("d1", col("t") - lag(col("t"), 1).over(w))
+      .withColumn("dod", coalesce(col("d1") - lag(col("d1"), 1).over(w),
+        col("d1")))
+      .withColumn("zz", when(col("dod") >= 0, col("dod") * 2)
+        .otherwise(col("dod") * -2 - 1))
+      .withColumn("bits", when(col("d1").isNull, lit(64L))
+        .otherwise(length(bin(col("zz"))).cast("long") + 6L))
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (count(lit(1)) * 64L).as("raw_bits"),
+        sum(col("bits")).as("enc_bits"))
+      .withColumn("ratio",
+        col("enc_bits").cast("double") / col("raw_bits").cast("double"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---------------------------------------------------------------- q453
+
+  private[graft] val LcBits = 1071L // 17 words x 63 bits
+
+  /** Linear counting (Whang et al. 1990) — the SMALL-cardinality
+    * sketch completing the canon (CMS q77, HLL q135, Bloom q182, KMV
+    * q236/q404, AMS q412/q443/q448): per event type, distinct users
+    * hash into a [[LcBits]]-bit bitmap (the q447 63-bit word packing;
+    * state = 17 longs per type), estimate = m·ln2·(lg m − lg V) with V
+    * the zero-bit count — the LC formula under the engine's exact
+    * piecewise lg, so both engines produce the identical double. A
+    * SATURATED bitmap (V = 0, the beyond-regime case — this is
+    * exactly why HLL exists) reports NULL rather than a garbage
+    * number. Exact distinct alongside, law-is-the-output style. */
+  def q453LinearCounting(s: SparkSession, dir: String): DataFrame = {
+    val tu = IterativeLoop.cutLazy(Tables.events(s, dir)
+      .select(col("event_type").as("t"), col("user_id").as("u")).distinct())
+    val words = tu
+      .select(col("t"),
+        pmod(u32(concat(lit("lc:"), col("u").cast("string"))),
+          lit(LcBits)).as("pos"))
+      .select(col("t"), expr("pos div 63").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))").as("b"))
+      .groupBy(col("t"), col("w")).agg(expr("bit_or(b)").as("m"))
+    val lg = graft.curation.Curation.lg _
+    words.groupBy(col("t"))
+      .agg(sum(expr("bit_count(m)")).as("set_bits"))
+      .join(tu.groupBy(col("t")).agg(count(lit(1)).as("n_exact")), "t")
+      .select(col("t").as("event_type"), lit(LcBits).as("m"),
+        col("set_bits"), (lit(LcBits) - col("set_bits")).as("zero_bits"),
+        col("n_exact"))
+      .withColumn("est_lc",
+        when(col("zero_bits") > 0,
+          lit(LcBits.toDouble) * lit(0.6931471805599453)
+            * (lg(lit(LcBits)) - lg(col("zero_bits"))))
+          .otherwise(lit(null).cast("double")))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q448_ams_join_size"    -> q448AmsJoinSize _,
-    "q449_multi_source_bfs" -> q449MultiSourceBfs _)
+    "q449_multi_source_bfs" -> q449MultiSourceBfs _,
+    "q450_stable_matching"  -> q450StableMatching _,
+    "q451_allen_relations"  -> q451AllenRelations _,
+    "q452_dod_compression"  -> q452DodCompression _,
+    "q453_linear_counting"  -> q453LinearCounting _)
 }

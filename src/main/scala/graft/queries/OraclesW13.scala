@@ -65,5 +65,104 @@ object OraclesW13 {
         |SELECT CAST(h AS BIGINT) AS h,
         |  CAST(count(*) AS BIGINT) AS nodes_reached,
         |  CAST(sum(bit_count(mask)) AS BIGINT) AS pairs_reached
-        |FROM m GROUP BY h ORDER BY h""".stripMargin)
+        |FROM m GROUP BY h ORDER BY h""".stripMargin,
+
+    "q450_stable_matching" ->
+      """WITH RECURSIVE
+        |props AS MATERIALIZED (SELECT p FROM (
+        |  SELECT c_custkey AS p, row_number() OVER (
+        |    ORDER BY md5('gsP:' || CAST(c_custkey AS VARCHAR)), c_custkey)
+        |    AS rn FROM customer) WHERE rn <= 16),
+        |accs AS MATERIALIZED (SELECT a FROM (
+        |  SELECT s_suppkey AS a, row_number() OVER (
+        |    ORDER BY md5('gsA:' || CAST(s_suppkey AS VARCHAR)), s_suppkey)
+        |    AS rn FROM supplier) WHERE rn <= 8),
+        |prefs AS MATERIALIZED (SELECT p AS pp, prank, a AS target FROM (
+        |  SELECT p, a, row_number() OVER (PARTITION BY p ORDER BY
+        |    ('0x' || substr(md5('gsp:' || CAST(p AS VARCHAR) || ':' ||
+        |      CAST(a AS VARCHAR)), 1, 8))::BIGINT DESC, a) AS prank
+        |  FROM props, accs)),
+        |st(h, p, idx, ma) AS (
+        |  SELECT 0, p, CAST(1 AS BIGINT), CAST(NULL AS BIGINT) FROM props
+        |  UNION ALL
+        |  SELECT h + 1, p,
+        |    idx + CASE WHEN proposed AND rn <> 1 THEN 1 ELSE 0 END,
+        |    CASE WHEN contend_a IS NOT NULL AND rn = 1 THEN contend_a
+        |      ELSE NULL END
+        |  FROM (
+        |    SELECT h, p, idx, proposed, contend_a,
+        |      row_number() OVER (PARTITION BY contend_a ORDER BY
+        |        ('0x' || substr(md5('gsa:' || CAST(p AS VARCHAR) || ':' ||
+        |          CAST(contend_a AS VARCHAR)), 1, 8))::BIGINT DESC, p) AS rn
+        |    FROM (
+        |      SELECT st.h AS h, st.p AS p, st.idx AS idx,
+        |        (st.ma IS NULL AND st.idx <= 8) AS proposed,
+        |        CASE WHEN st.ma IS NULL AND st.idx <= 8 THEN pr.target
+        |          ELSE st.ma END AS contend_a
+        |      FROM st LEFT JOIN prefs pr
+        |        ON pr.pp = st.p AND pr.prank = st.idx))
+        |  WHERE h < 258)
+        |SELECT f.p AS proposer, f.ma AS acceptor, pr.prank AS p_rank
+        |FROM (SELECT p, ma FROM st WHERE h = 258) f
+        |LEFT JOIN prefs pr ON pr.pp = f.p AND pr.target = f.ma
+        |ORDER BY proposer""".stripMargin,
+
+    "q451_allen_relations" ->
+      s"""WITH iv AS MATERIALIZED (
+         |  SELECT o.o_custkey AS ck, o.o_orderkey AS okey,
+         |    CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+         |      AS sd,
+         |    CAST(max(CAST(l.l_shipdate AS DATE)) - DATE '1970-01-01'
+         |      AS BIGINT) AS ed
+         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY 1, 2, 3)
+         |SELECT relation, CAST(count(*) AS BIGINT) AS n_pairs FROM (
+         |  SELECT ${CatalogW13.AllenCase} AS relation
+         |  FROM (SELECT a.ck, a.sd AS s1, a.ed AS e1, b.sd AS s2, b.ed AS e2
+         |    FROM iv a JOIN iv b ON a.ck = b.ck AND a.okey < b.okey))
+         |GROUP BY relation ORDER BY relation""".stripMargin,
+
+    "q452_dod_compression" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+        |d1t AS (SELECT user_id, event_id, t,
+        |    t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |      AS d1 FROM ev),
+        |dd AS (SELECT user_id, d1,
+        |    coalesce(d1 - lag(d1) OVER (
+        |      PARTITION BY user_id ORDER BY t, event_id), d1) AS dod
+        |  FROM d1t),
+        |b AS (SELECT user_id, d1,
+        |    CASE WHEN dod >= 0 THEN dod * 2 ELSE dod * -2 - 1 END AS zz
+        |  FROM dd)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(*) * 64 AS BIGINT) AS raw_bits,
+        |  CAST(sum(CASE WHEN d1 IS NULL THEN 64
+        |    ELSE length(bin(zz)) + 6 END) AS BIGINT) AS enc_bits,
+        |  CAST(sum(CASE WHEN d1 IS NULL THEN 64
+        |    ELSE length(bin(zz)) + 6 END) AS DOUBLE)
+        |    / CAST(count(*) * 64 AS DOUBLE) AS ratio
+        |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q453_linear_counting" -> {
+      def lg(x: String) = OraclesExt.lgSqlOf(x)
+      s"""WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u
+         |  FROM events),
+         |words AS (SELECT t, pos // 63 AS w,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS m
+         |  FROM (SELECT t,
+         |      ('0x' || substr(md5('lc:' || CAST(u AS VARCHAR)), 1, 8))::BIGINT
+         |        % 1071 AS pos
+         |    FROM tu) GROUP BY 1, 2),
+         |sb AS (SELECT t, CAST(sum(bit_count(m)) AS BIGINT) AS set_bits
+         |  FROM words GROUP BY 1),
+         |ex AS (SELECT t, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM tu GROUP BY 1)
+         |SELECT sb.t AS event_type, CAST(1071 AS BIGINT) AS m, set_bits,
+         |  1071 - set_bits AS zero_bits, n_exact,
+         |  CASE WHEN 1071 - set_bits > 0 THEN
+         |    (CAST(1071 AS DOUBLE) * CAST(0.6931471805599453 AS DOUBLE))
+         |      * (${lg("1071")} - ${lg("(1071 - set_bits)")})
+         |  ELSE NULL END AS est_lc
+         |FROM sb JOIN ex ON sb.t = ex.t ORDER BY event_type""".stripMargin
+    })
 }

@@ -45,7 +45,7 @@ class PlansCoverageSpec extends AnyFunSuite {
       "q420_boruvka_mst", "q421_sssp", "q422_critical_path",
       "q423_closeness", "q436_hook_components", "q437_densest_peel",
       "q438_maximal_matching", "q440_jp_coloring", "q441_det_walks",
-      "q442_linkage_assignment", "q445_grid_dbscan", "q446_incremental_cc", "q449_multi_source_bfs",
+      "q442_linkage_assignment", "q445_grid_dbscan", "q446_incremental_cc", "q449_multi_source_bfs", "q450_stable_matching",
       "q53_dedup_clusters", "q59_drop_neardups", "q61_curate_corpus",
       "q75_bpe_merges", "q83_pagerank", "q96_pca_top", "q98_pca_outliers")
     val plans = new String(java.nio.file.Files.readAllBytes(

@@ -86,4 +86,106 @@ class W13WaveSpec extends SparkSpec {
     }
     assert(out.last._3 <= 63L * nodes.size)
   }
+
+  // ---------------------------------------------------------------- q450
+
+  test("stable matching: a matching, acceptor-saturating, and NO blocking pair") {
+    val out = CatalogW13.q450StableMatching(spark, sf).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(out.length === CatalogW13.GsProposers)
+    val matched = out.collect { case (p, Some(a)) => p -> a }
+    // a matching: acceptors pairwise distinct; with P > A every acceptor
+    // is matched (an unmatched acceptor would have accepted anyone)
+    assert(matched.map(_._2).distinct.length === matched.length)
+    assert(matched.length === CatalogW13.GsAcceptors)
+    // stability: no (p, a) where p prefers a over p's match AND a
+    // prefers p over a's match — checked over ALL P×A pairs
+    val ps = out.map(_._1)
+    val as = matched.map(_._2)
+    def pScore(p: Long, a: Long) = u32(s"gsp:$p:$a")
+    def aScore(p: Long, a: Long) = u32(s"gsa:$p:$a")
+    val matchOfP = matched.toMap
+    val matchOfA = matched.map(_.swap).toMap
+    val blocking = for {
+      p <- ps; a <- as
+      pPrefers = matchOfP.get(p) match {
+        case None => true // unmatched proposer prefers anyone
+        case Some(cur) => pScore(p, a) > pScore(p, cur) ||
+          (pScore(p, a) == pScore(p, cur) && a < cur)
+      }
+      q = matchOfA(a)
+      aPrefers = aScore(p, a) > aScore(q, a) ||
+        (aScore(p, a) == aScore(q, a) && p < q)
+      if pPrefers && aPrefers
+    } yield (p, a)
+    assert(blocking.isEmpty, s"blocking pairs: $blocking")
+  }
+
+  // ---------------------------------------------------------------- q451
+
+  test("allen relations: exhaustive partition of all same-customer pairs; inverse symmetry") {
+    val out = CatalogW13.q451AllenRelations(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val allowed = Set("precedes", "meets", "overlaps", "finished_by",
+      "contains", "starts", "equals", "started_by", "during", "finishes",
+      "overlapped_by", "met_by", "preceded_by")
+    assert(out.keySet.subsetOf(allowed), out.keySet -- allowed)
+    // exhaustiveness: histogram total = number of same-customer pairs of
+    // orders that HAVE a fulfillment window (≥ 1 lineitem)
+    val iv = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("o_orderkey")), Seq("o_orderkey"),
+        "left_semi")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .select(sum(expr("n * (n - 1) div 2"))).collect()(0).getLong(0)
+    assert(out.values.sum === iv)
+  }
+
+  // ---------------------------------------------------------------- q452
+
+  test("dod compression: bit accounting recounts driver-side; regular cadence compresses") {
+    val out = CatalogW13.q452DodCompression(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def bitlen(z: Long): Long = java.lang.Long.toBinaryString(z).length.toLong
+    val byUser = ev.groupBy(_._1).map { case (u, rows) =>
+      val ts = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val deltas = ts.sliding(2).map(w => w(1) - w(0)).toSeq
+      val dods = if (deltas.isEmpty) Seq.empty[Long]
+        else deltas.head +: deltas.sliding(2).map(w => w(1) - w(0)).toSeq
+      val enc = 64L + dods.map { d =>
+        val zz = if (d >= 0) 2 * d else -2 * d - 1; bitlen(zz) + 6
+      }.sum
+      u -> (ts.length.toLong, 64L * ts.length, enc)
+    }
+    out.foreach { case (u, n, raw, encBits) =>
+      val (en, eraw, eenc) = byUser(u)
+      assert((n, raw, encBits) === (en, eraw, eenc), s"user $u")
+    }
+    // events are second-ish cadence streams: encoding must beat raw
+    assert(out.forall(r => r._4 < r._3))
+  }
+
+  // ---------------------------------------------------------------- q453
+
+  test("linear counting: bitmap recounts driver-side; estimate tracks exact in-regime") {
+    val out = CatalogW13.q453LinearCounting(spark, sf).collect()
+    val tu = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    out.foreach { r =>
+      val t = r.getString(0)
+      val users = tu.filter(_._1 == t).map(_._2).toSet
+      val positions = users.map(u => u32(s"lc:$u") % CatalogW13.LcBits)
+      assert(r.getAs[Long]("set_bits") === positions.size.toLong)
+      assert(r.getAs[Long]("n_exact") === users.size.toLong)
+      // in-regime (load « 1 here): the estimate lands within 40% of exact
+      val est = r.getAs[Double]("est_lc")
+      val exact = users.size.toDouble
+      assert(est > 0.6 * exact && est < 1.4 * exact,
+        s"$t: est $est vs exact $exact")
+    }
+  }
 }
