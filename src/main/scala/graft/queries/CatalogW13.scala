@@ -322,11 +322,51 @@ object CatalogW13 {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------- q454
+
+  private[graft] val MgK = 8
+  private[graft] val MgPanel = 2000
+
+  /** Misra–Gries frequent items (Misra & Gries 1982) as an
+    * ORACLE-GRADED batch kernel — the batch twin of
+    * [[graft.streaming.StreamingHeavyHitters]], closing the last
+    * spec-only streaming monitor (CUSUM/EWMA/drift/bottom-k/AMS all
+    * have hash-matched batch kernels; MG did not). Runs the literal
+    * [[graft.streaming.StreamingHeavyHitters.mgRun]] kernel per series
+    * over the md5-bottom-[[MgPanel]] event panel in event_id order
+    * (the fixed-panel pattern that keeps the oracle's sequential
+    * replay — a 2000-step recursive list-state CTE — tractable at
+    * every SF; the streaming spec's split-invariance law ties the SAME
+    * kernel to the unbounded per-micro-batch path). Items fold user
+    * ids mod 13 so counters genuinely contend at k = [[MgK]]. Output:
+    * the surviving counters with the textbook N∕(k+1) error bound. */
+  def q454MisraGries(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val panel = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+      .orderBy(md5(concat(lit("mg:"), col("event_id").cast("string"))),
+        col("event_id"))
+      .limit(MgPanel)
+      .select(col("event_type").as("series"),
+        concat(lit("u"), (col("user_id") % 13).cast("string")).as("item"),
+        col("event_id").as("seq"))
+      .as[(String, String, Long)]
+    panel.groupByKey(_._1).flatMapGroups { (series, it) =>
+      val items = it.toSeq.sortBy(_._3).map(_._2)
+      val (c, n) = graft.streaming.StreamingHeavyHitters
+        .mgRun(Map.empty, 0L, items, MgK)
+      c.toSeq.map { case (item, est) =>
+        (series, item, est, n, n / (MgK + 1)) }
+    }.toDF("series", "item", "est", "n_seen", "err_bound")
+      .orderBy(col("series"), col("item"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q448_ams_join_size"    -> q448AmsJoinSize _,
     "q449_multi_source_bfs" -> q449MultiSourceBfs _,
     "q450_stable_matching"  -> q450StableMatching _,
     "q451_allen_relations"  -> q451AllenRelations _,
     "q452_dod_compression"  -> q452DodCompression _,
-    "q453_linear_counting"  -> q453LinearCounting _)
+    "q453_linear_counting"  -> q453LinearCounting _,
+    "q454_misra_gries"      -> q454MisraGries _)
 }

@@ -164,5 +164,48 @@ object OraclesW13 {
          |      * (${lg("1071")} - ${lg("(1071 - set_bits)")})
          |  ELSE NULL END AS est_lc
          |FROM sb JOIN ex ON sb.t = ex.t ORDER BY event_type""".stripMargin
-    })
+    },
+
+    "q454_misra_gries" ->
+      """WITH RECURSIVE panel AS MATERIALIZED (
+        |  SELECT event_type AS series,
+        |    'u' || CAST(user_id % 13 AS VARCHAR) AS item,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY event_id)
+        |      AS i
+        |  FROM (SELECT event_id, event_type, user_id,
+        |      row_number() OVER (
+        |        ORDER BY md5('mg:' || CAST(event_id AS VARCHAR)), event_id)
+        |        AS rnk FROM events)
+        |  WHERE rnk <= 2000),
+        |st(h, series, counters, n) AS (
+        |  SELECT 0, series, CAST([] AS STRUCT(item VARCHAR, cnt BIGINT)[]),
+        |    CAST(0 AS BIGINT)
+        |  FROM (SELECT DISTINCT series FROM panel)
+        |  UNION ALL
+        |  SELECT h + 1, series,
+        |    CASE
+        |      WHEN aitem IS NULL THEN counters
+        |      WHEN len(list_filter(counters, c -> c.item = aitem)) > 0 THEN
+        |        list_transform(counters, c -> CASE WHEN c.item = aitem
+        |          THEN {'item': c.item, 'cnt': c.cnt + 1} ELSE c END)
+        |      WHEN len(counters) < 8 THEN
+        |        list_append(counters, {'item': aitem,
+        |          'cnt': CAST(1 AS BIGINT)})
+        |      ELSE list_filter(
+        |        list_transform(counters,
+        |          c -> {'item': c.item, 'cnt': c.cnt - 1}),
+        |        c -> c.cnt > 0)
+        |    END,
+        |    n + CASE WHEN aitem IS NULL THEN 0 ELSE 1 END
+        |  FROM (
+        |    SELECT st.h AS h, st.series AS series, st.counters AS counters,
+        |      st.n AS n, p.item AS aitem
+        |    FROM st LEFT JOIN panel p
+        |      ON p.series = st.series AND p.i = st.h + 1)
+        |  WHERE h < 2000)
+        |SELECT series, c.item AS item, c.cnt AS est, n AS n_seen,
+        |  n // 9 AS err_bound
+        |FROM (SELECT series, unnest(counters) AS c, n FROM st
+        |  WHERE h = 2000)
+        |ORDER BY series, item""".stripMargin)
 }

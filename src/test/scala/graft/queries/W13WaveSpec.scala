@@ -188,4 +188,38 @@ class W13WaveSpec extends SparkSpec {
         s"$t: est $est vs exact $exact")
     }
   }
+
+  // ---------------------------------------------------------------- q454
+
+  test("misra-gries: the MG guarantees hold and the kernel replays driver-side") {
+    val out = CatalogW13.q454MisraGries(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // rebuild the panel driver-side
+    val panel = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(r => (md5hex(s"mg:${r._1}"), r._1)).take(CatalogW13.MgPanel)
+    val bySeries = panel.groupBy(_._2).view.mapValues(_.sortBy(_._1)
+      .map(r => s"u${r._3 % 13}").toSeq)
+    bySeries.foreach { case (series, items) =>
+      val (c, n) = graft.streaming.StreamingHeavyHitters
+        .mgRun(Map.empty, 0L, items, CatalogW13.MgK)
+      val got = out.filter(_._1 == series)
+      // exact kernel equivalence
+      assert(got.map(t => t._2 -> t._3).toMap === c)
+      assert(got.forall(_._4 == n.toLong))
+      // MG guarantees on TRUE panel frequencies: every counter
+      // underestimates by <= N/(k+1), and every item with true
+      // frequency > N/(k+1) survives
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong)
+      val bound = n / (CatalogW13.MgK + 1)
+      c.foreach { case (item, est) =>
+        assert(est <= truth(item) && truth(item) - est <= bound, item)
+      }
+      truth.foreach { case (item, f) =>
+        if (f > bound) assert(c.contains(item),
+          s"$series: heavy item $item (f=$f > $bound) missing")
+      }
+    }
+  }
 }
