@@ -239,7 +239,11 @@ object CatalogW13 {
           datediff(col("l_shipdate"), lit("1970-01-01")).cast("long")
             .as("shd")), "okey")
       .groupBy(col("ck"), col("okey"), col("sd"))
-      .agg(max(col("shd")).as("ed")))
+      // the synthetic corpus ships some lines BEFORE the order date;
+      // clamp so the window is a valid interval (ed >= sd) — without
+      // this an "inverted" window is a nonsense negative-length
+      // interval (and the sweep in q455 would count it as -1 then +1)
+      .agg(greatest(max(col("shd")), col("sd")).as("ed")))
     iv.select(col("ck"), col("okey").as("ok1"), col("sd").as("s1"),
         col("ed").as("e1"))
       .join(iv.select(col("ck"), col("okey").as("ok2"), col("sd").as("s2"),
@@ -361,6 +365,48 @@ object CatalogW13 {
       .orderBy(col("series"), col("item"))
   }
 
+  // ---------------------------------------------------------------- q455
+
+  /** Sweep-line peak concurrency per market segment: the maximum number
+    * of simultaneously OPEN order fulfillment windows ([orderdate, last
+    * shipdate], the q451 intervals) — the capacity-planning complement
+    * of q377's overlap JOIN and q363's backlog recursion. Classic
+    * ±1 boundary events collapsed to the per-(segment, day) delta
+    * (map-side combinable — interval rows never sort globally), then a
+    * running sum over each segment's DISTINCT-DAY series — a
+    * calendar-bounded window frame (the q85 discipline: windows run on
+    * the domain-sized series, not the data). Output per segment: the
+    * peak, its first day, and the size of the day series. */
+  def q455PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val iv = IterativeLoop.cutLazy(Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey").as("okey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("sd"))
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("seg")), "o_custkey")
+      .join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"),
+          datediff(col("l_shipdate"), lit("1970-01-01")).cast("long")
+            .as("shd")), "okey")
+      .groupBy(col("seg"), col("okey"), col("sd"))
+      .agg(greatest(max(col("shd")), col("sd")).as("ed")))
+    val deltas = iv.select(col("seg"), col("sd").as("d"), lit(1L).as("delta"))
+      .unionAll(iv.select(col("seg"), (col("ed") + 1L).as("d"),
+        lit(-1L).as("delta")))
+    val wRun = org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))
+      .orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wSeg = org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))
+    deltas.groupBy(col("seg"), col("d")).agg(sum(col("delta")).as("dd"))
+      .withColumn("conc", sum(col("dd")).over(wRun))
+      .withColumn("mx", max(col("conc")).over(wSeg))
+      .groupBy(col("seg"))
+      .agg(max(col("conc")).as("peak_concurrency"),
+        min(when(col("conc") === col("mx"), col("d"))).as("first_peak_day"),
+        count(lit(1)).as("n_change_days"))
+      .orderBy(col("seg"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q448_ams_join_size"    -> q448AmsJoinSize _,
     "q449_multi_source_bfs" -> q449MultiSourceBfs _,
@@ -368,5 +414,6 @@ object CatalogW13 {
     "q451_allen_relations"  -> q451AllenRelations _,
     "q452_dod_compression"  -> q452DodCompression _,
     "q453_linear_counting"  -> q453LinearCounting _,
-    "q454_misra_gries"      -> q454MisraGries _)
+    "q454_misra_gries"      -> q454MisraGries _,
+    "q455_peak_concurrency" -> q455PeakConcurrency _)
 }

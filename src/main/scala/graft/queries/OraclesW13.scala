@@ -112,8 +112,9 @@ object OraclesW13 {
          |  SELECT o.o_custkey AS ck, o.o_orderkey AS okey,
          |    CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
          |      AS sd,
-         |    CAST(max(CAST(l.l_shipdate AS DATE)) - DATE '1970-01-01'
-         |      AS BIGINT) AS ed
+         |    greatest(CAST(max(CAST(l.l_shipdate AS DATE)) - DATE '1970-01-01'
+         |      AS BIGINT), CAST(CAST(o.o_orderdate AS DATE)
+         |      - DATE '1970-01-01' AS BIGINT)) AS ed
          |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
          |  GROUP BY 1, 2, 3)
          |SELECT relation, CAST(count(*) AS BIGINT) AS n_pairs FROM (
@@ -207,5 +208,33 @@ object OraclesW13 {
         |  n // 9 AS err_bound
         |FROM (SELECT series, unnest(counters) AS c, n FROM st
         |  WHERE h = 2000)
-        |ORDER BY series, item""".stripMargin)
+        |ORDER BY series, item""".stripMargin,
+
+    "q455_peak_concurrency" ->
+      """WITH iv AS MATERIALIZED (SELECT c.c_mktsegment AS seg,
+        |    CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS sd,
+        |    greatest(CAST(max(CAST(l.l_shipdate AS DATE)) - DATE '1970-01-01'
+        |      AS BIGINT), CAST(CAST(o.o_orderdate AS DATE)
+        |      - DATE '1970-01-01' AS BIGINT)) AS ed
+        |  FROM orders o
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, o.o_orderkey, 2),
+        |deltas AS (
+        |  SELECT seg, sd AS d, CAST(1 AS BIGINT) AS delta FROM iv
+        |  UNION ALL
+        |  SELECT seg, ed + 1 AS d, CAST(-1 AS BIGINT) AS delta FROM iv),
+        |daily AS (SELECT seg, d, sum(delta) AS dd FROM deltas GROUP BY 1, 2),
+        |run AS (SELECT seg, d,
+        |    sum(dd) OVER (PARTITION BY seg ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING) AS conc
+        |  FROM daily)
+        |SELECT seg, CAST(max(conc) AS BIGINT) AS peak_concurrency,
+        |  CAST(min(CASE WHEN conc = mx THEN d END) AS BIGINT)
+        |    AS first_peak_day,
+        |  CAST(count(*) AS BIGINT) AS n_change_days
+        |FROM (SELECT seg, d, conc, max(conc) OVER (PARTITION BY seg) AS mx
+        |  FROM run)
+        |GROUP BY seg ORDER BY seg""".stripMargin)
 }

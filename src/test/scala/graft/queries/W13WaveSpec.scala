@@ -222,4 +222,33 @@ class W13WaveSpec extends SparkSpec {
       }
     }
   }
+
+  // ---------------------------------------------------------------- q455
+
+  test("peak concurrency: the sweep equals a literal day-by-day interval count") {
+    val out = CatalogW13.q455PeakConcurrency(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val iv = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("sd"))
+      .join(graft.Tables.customer(spark, sf)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey")
+      .join(graft.Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("o_orderkey"),
+          datediff(col("l_shipdate"), lit("1970-01-01")).cast("long")
+            .as("shd")), "o_orderkey")
+      .groupBy(col("c_mktsegment"), col("o_orderkey"), col("sd"))
+      .agg(greatest(max(col("shd")), col("sd")).as("ed"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    out.foreach { case (seg, peak, firstDay) =>
+      val ivs = iv.filter(_._1 == seg).map(t => (t._2, t._3))
+      val days = ivs.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+      // literal per-day containment count — the definition, not the sweep
+      def conc(d: Long) = ivs.count(t => t._1 <= d && d <= t._2).toLong
+      val byDay = days.map(d => d -> conc(d))
+      assert(peak === byDay.map(_._2).max, seg)
+      assert(firstDay === byDay.filter(_._2 == peak).map(_._1).min, seg)
+    }
+  }
 }
