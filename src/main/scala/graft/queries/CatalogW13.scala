@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
- * Round-13 first wave (q448–q449) — two sketch/graph verbs extending
+ * Round-13 waves (q448–q455) — sketch/graph/matching/temporal verbs extending
  * families the catalog already carries into missing canonical members
  * (the wave was deliberately pruned against the existing 447: rendezvous
  * hashing, bloom-semi-join-with-FP-audit and diff-in-differences were

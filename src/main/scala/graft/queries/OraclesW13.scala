@@ -1,7 +1,7 @@
 package graft.queries
 
 /**
- * DuckDB oracles for the round-13 first wave. Mirror rules as ever:
+ * DuckDB oracles for the round-13 waves (q448–q455). Mirror rules as ever:
  * identical md5 draws, integer arithmetic until stated divides, `//`
  * for Spark's `div` (all operands non-negative here), fixed-order
  * folds where doubles accumulate. q449 replays the bitset BFS as a
