@@ -407,7 +407,68 @@ object CatalogW13 {
       .orderBy(col("seg"))
   }
 
+  // ---------------------------------------------------------------- q456
+
+  private[graft] val WisPanel = 60
+
+  /** Weighted interval scheduling (the classic DP; Kleinberg–Tardos
+    * ch. 6) over the q451/q455 order fulfillment windows: the
+    * max-total-price set of pairwise non-overlapping windows per
+    * market segment — the optimization verb of the interval family
+    * (q451 classifies pairs, q455 counts concurrency, this SELECTS).
+    * Intervals are inclusive day spans, so compatibility is STRICT
+    * (e_j < s_i — a window ending on day X conflicts with one starting
+    * day X; also what keeps zero-length same-day windows from being
+    * self-compatible). Runs on the md5-bottom-[[WisPanel]] windows per
+    * segment (the fixed-panel pattern: the DP is inherently sequential
+    * — O(panel) state per segment via [[graft.streaming.StreamingHeavyHitters]]-style
+    * kernel-in-mapGroups — and the oracle replays it as a 60-step
+    * list-state recursive CTE, the q454 pattern). Output per segment:
+    * panel size, total weight, and the optimum. */
+  def q456WeightedIntervals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val iv = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey").as("okey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("sd"),
+        round(col("o_totalprice") * 100).cast("long").as("w"))
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("seg")), "o_custkey")
+      .join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"),
+          datediff(col("l_shipdate"), lit("1970-01-01")).cast("long")
+            .as("shd")), "okey")
+      .groupBy(col("seg"), col("okey"), col("sd"), col("w"))
+      .agg(greatest(max(col("shd")), col("sd")).as("ed"))
+    val panel = iv
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))
+          .orderBy(md5(concat(lit("wis:"), col("okey").cast("string"))),
+            col("okey"))))
+      .filter(col("rnk") <= WisPanel)
+      .select(col("seg"), col("okey"), col("sd"), col("ed"), col("w"))
+      .as[(String, Long, Long, Long, Long)]
+    panel.groupByKey(_._1).mapGroups { (seg, it) =>
+      // (seg, okey, sd, ed, w) sorted by (ed, sd, okey); p(i) = last
+      // index strictly ending before sd_i; dp(i) = max(skip, take)
+      val rows = it.toSeq.sortBy(r => (r._4, r._3, r._2))
+      val n = rows.length
+      val dp = Array.fill(n + 1)(0L)
+      for (i <- 1 to n) {
+        val sd = rows(i - 1)._3
+        val w = rows(i - 1)._5
+        var p = 0
+        var j = i - 1
+        while (j >= 1 && p == 0) { if (rows(j - 1)._4 < sd) p = j; j -= 1 }
+        dp(i) = math.max(dp(i - 1), w + dp(p))
+      }
+      (seg, n.toLong, rows.map(_._5).sum, dp(n))
+    }.toDF("seg", "n_intervals", "total_weight", "best_weight")
+      .orderBy(col("seg"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q456_weighted_intervals" -> q456WeightedIntervals _,
     "q448_ams_join_size"    -> q448AmsJoinSize _,
     "q449_multi_source_bfs" -> q449MultiSourceBfs _,
     "q450_stable_matching"  -> q450StableMatching _,

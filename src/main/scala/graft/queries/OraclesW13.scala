@@ -236,5 +236,56 @@ object OraclesW13 {
         |  CAST(count(*) AS BIGINT) AS n_change_days
         |FROM (SELECT seg, d, conc, max(conc) OVER (PARTITION BY seg) AS mx
         |  FROM run)
-        |GROUP BY seg ORDER BY seg""".stripMargin)
+        |GROUP BY seg ORDER BY seg""".stripMargin,
+
+    "q456_weighted_intervals" ->
+      """WITH RECURSIVE ivr AS MATERIALIZED (
+        |  SELECT c.c_mktsegment AS seg, o.o_orderkey AS okey,
+        |    CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS sd,
+        |    greatest(CAST(max(CAST(l.l_shipdate AS DATE))
+        |      - DATE '1970-01-01' AS BIGINT),
+        |      CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01'
+        |        AS BIGINT)) AS ed,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS w
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2, 3, o.o_totalprice),
+        |panel AS MATERIALIZED (
+        |  SELECT seg, okey, sd, ed, w FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY seg
+        |      ORDER BY md5('wis:' || CAST(okey AS VARCHAR)), okey) AS rnk
+        |    FROM ivr)
+        |  WHERE rnk <= 60),
+        |idx AS MATERIALIZED (
+        |  SELECT seg, okey, sd, ed, w,
+        |    row_number() OVER (PARTITION BY seg ORDER BY ed, sd, okey) AS i
+        |  FROM panel),
+        |pred AS MATERIALIZED (
+        |  SELECT a.seg, a.i, a.w,
+        |    coalesce((SELECT max(b.i) FROM idx b
+        |      WHERE b.seg = a.seg AND b.ed < a.sd), 0) AS p
+        |  FROM idx a),
+        |nmax AS (SELECT seg, CAST(max(i) AS BIGINT) AS n FROM idx
+        |  GROUP BY 1),
+        |tot AS (SELECT seg, CAST(sum(w) AS BIGINT) AS total_weight
+        |  FROM idx GROUP BY 1),
+        |st(h, seg, dps) AS (
+        |  SELECT 0, seg, [CAST(0 AS BIGINT)]
+        |  FROM (SELECT DISTINCT seg FROM panel)
+        |  UNION ALL
+        |  SELECT h + 1, seg,
+        |    CASE WHEN aw IS NULL THEN dps
+        |      ELSE list_append(dps,
+        |        greatest(dps[h + 1], aw + dps[ap + 1])) END
+        |  FROM (
+        |    SELECT st.h AS h, st.seg AS seg, st.dps AS dps, p.w AS aw,
+        |      CAST(p.p AS INT) AS ap
+        |    FROM st LEFT JOIN pred p ON p.seg = st.seg AND p.i = st.h + 1)
+        |  WHERE h < 60)
+        |SELECT s.seg, n.n AS n_intervals, t.total_weight,
+        |  s.dps[CAST(n.n AS INT) + 1] AS best_weight
+        |FROM (SELECT seg, dps FROM st WHERE h = 60) s
+        |JOIN nmax n ON n.seg = s.seg JOIN tot t ON t.seg = s.seg
+        |ORDER BY s.seg""".stripMargin)
 }

@@ -251,4 +251,71 @@ class W13WaveSpec extends SparkSpec {
       assert(firstDay === byDay.filter(_._2 == peak).map(_._1).min, seg)
     }
   }
+
+  // ---------------------------------------------------------------- q456
+
+  test("weighted intervals: DP beats greedy, is bounded by total, exact on brute force") {
+    val out = CatalogW13.q456WeightedIntervals(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // rebuild each panel driver-side; compare DP against (a) exhaustive
+    // optimum on the md5-first 16 intervals (2^16 subsets), (b) the
+    // greedy-by-weight lower bound on the full panel, (c) the trivial
+    // total-weight upper bound
+    val iv = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("sd"),
+        round(col("o_totalprice") * 100).cast("long").as("w"))
+      .join(graft.Tables.customer(spark, sf)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey")
+      .join(graft.Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("o_orderkey"),
+          datediff(col("l_shipdate"), lit("1970-01-01")).cast("long")
+            .as("shd")), "o_orderkey")
+      .groupBy(col("c_mktsegment"), col("o_orderkey"), col("sd"), col("w"))
+      .agg(greatest(max(col("shd")), col("sd")).as("ed"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(3)))
+    def compat(a: (Long, Long), b: (Long, Long)) = a._2 < b._1 || b._2 < a._1
+    out.foreach { case (seg, n, total, best) =>
+      val panel = iv.filter(_._1 == seg)
+        .sortBy(r => (md5hex(s"wis:${r._2}"), r._2)).take(CatalogW13.WisPanel)
+        .map(r => (r._3, r._4, r._5)) // sd, ed, w
+      assert(n === panel.length.toLong)
+      assert(total === panel.map(_._3).sum)
+      assert(best <= total)
+      // greedy by weight desc is a valid (suboptimal) schedule
+      var chosen = List.empty[(Long, Long)]
+      var greedy = 0L
+      panel.sortBy(r => (-r._3, r._1, r._2)).foreach { case (s0, e0, w) =>
+        if (chosen.forall(c => compat(c, (s0, e0)))) {
+          chosen ::= ((s0, e0)); greedy += w
+        }
+      }
+      assert(best >= greedy, s"$seg: DP $best below greedy $greedy")
+      // exhaustive optimum on the first 16 panel intervals
+      val sub = panel.take(16)
+      var opt = 0L
+      for (mask <- 0 until (1 << sub.length)) {
+        val sel = sub.zipWithIndex.collect {
+          case (r, i) if (mask & (1 << i)) != 0 => r }
+        val valid = sel.combinations(2).forall(p =>
+          compat((p(0)._1, p(0)._2), (p(1)._1, p(1)._2)))
+        if (valid) opt = math.max(opt, sel.map(_._3).sum)
+      }
+      val dp16 = {
+        val rows = sub.sortBy(r => (r._2, r._1))
+        val dp = Array.fill(rows.length + 1)(0L)
+        for (i <- 1 to rows.length) {
+          var p = 0; var j = i - 1
+          while (j >= 1 && p == 0) { if (rows(j - 1)._2 < rows(i - 1)._1) p = j; j -= 1 }
+          dp(i) = math.max(dp(i - 1), rows(i - 1)._3 + dp(p))
+        }
+        dp(rows.length)
+      }
+      assert(dp16 === opt, s"$seg: 16-interval DP $dp16 != exhaustive $opt")
+    }
+  }
 }
