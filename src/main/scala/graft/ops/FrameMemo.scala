@@ -64,23 +64,34 @@ object FrameMemo {
   def protectedIds: Set[Int] = prot.synchronized(prot.toSet)
 
   /** Root directory for [[cachedPersistent]] spills: the
-    * `spark.graft.memo.dir` conf when set, else `graft_memo` under the
-    * JVM temp dir. A cluster deployment points this at lifecycle-managed
-    * shared storage (the materialized-index-table model made literal). */
+    * `spark.graft.memo.dir` conf when set, else a PER-USER
+    * `graft_memo-<user.name>` under the JVM temp dir — a shared
+    * world-writable default would let any other local user pre-create a
+    * poisoned or stale index at the predictable key-digest path and have
+    * it trusted via its `_SUCCESS` marker. A cluster deployment points
+    * the conf at lifecycle-managed shared storage with real ACLs (the
+    * materialized-index-table model made literal). */
   def memoRoot(spark: SparkSession): String =
     spark.conf.getOption("spark.graft.memo.dir")
-      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_memo")
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_memo-" +
+        System.getProperty("user.name", "anon").replaceAll("[^A-Za-z0-9._-]", "_"))
 
   /** Cheap content fingerprint of source files: (length, mtime) per
     * path, directories summarized by their direct children. Guards
     * [[cachedPersistent]] against silently serving an index built from a
     * REGENERATED source at the same path — same path + same bytes-level
-    * identity, or the key changes and the index rebuilds. */
+    * identity, or the key changes and the index rebuilds. Fails LOUDLY
+    * on a nonexistent path: fingerprinting nothing as a stable constant
+    * would pin the first (accidental) build forever. */
   def fileFingerprint(paths: String*): String =
     paths.map { p =>
       val f = new java.io.File(p)
+      require(f.exists,
+        s"FrameMemo.fileFingerprint: no such path $p — refusing to fingerprint a missing source")
       val fs =
-        if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq else Seq(f)
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).sortBy(_.getName).toSeq
+        else Seq(f)
       s"$p=" + fs.map(c => s"${c.length}:${c.lastModified}").mkString(",")
     }.mkString(";")
 
@@ -101,11 +112,27 @@ object FrameMemo {
     * index a later run could trust; losers of a concurrent-writer race
     * read the winner's files.
     *
-    * The returned frame is a plain parquet scan — no localCheckpoint
-    * blocks, nothing to protect from the bench sweep — which is also
-    * why reloads are cheap: downstream consumers get pushdown and column
-    * pruning against real files instead of an in-memory RDD. */
-  def cachedPersistent(spark: SparkSession, key: String, fingerprint: String)(
+    * Tiering (round 14): parquet is the COLD tier; the returned frame is
+    * an eager in-session lineage cut of the reload, protected from the
+    * bench sweep like [[cached]]'s frames. Round 13 returned the plain
+    * parquet scan, and every consumer re-read the files per run — q411
+    * regressed 0.91 → 1.89 s builder-to-builder, the round's one
+    * perf-weak query. The indexes here are small relative to executor
+    * memory (the sf0.1 suffix ranks are ~13 MB of parquet); a genuinely
+    * huge index would want the cold path back, via a `hot = false`
+    * knob, not by un-protecting the cut.
+    *
+    * `layout` restores the PHYSICAL layout a parquet round-trip erases:
+    * the build's final frame usually carries a useful outputPartitioning
+    * (the suffix ranks end in windows/ranks hash-clustered by doc_id,
+    * which every consumer join reuses exchange-free), but a fresh scan
+    * is UnknownPartitioning, so without this hook each consumer re-paid
+    * a full shuffle of the index per run — the actual mechanism behind
+    * round 13's q411 2.1× regression, not the file read itself. The
+    * layout runs ONCE per session, under the eager cut, and the cut's
+    * LogicalRDD preserves its partitioning for every consumer. */
+  def cachedPersistent(spark: SparkSession, key: String, fingerprint: String,
+      layout: DataFrame => DataFrame = identity)(
       build: => DataFrame): DataFrame =
     memo.synchronized {
       memo.getOrElseUpdate((spark, s"persist:$key#$fingerprint"), {
@@ -132,21 +159,57 @@ object FrameMemo {
             if (!before.contains(id)) rdd.unpersist(blocking = false)
           }
           fs.mkdirs(p.getParent)
-          if (!fs.rename(tmp, p)) {
-            // a concurrent writer won the rename; their content is
+          // Hadoop rename(src, dst) with an EXISTING dst dir moves src
+          // INTO dst and returns true (local fs and HDFS alike) — a race
+          // loser would silently nest its tmp dir inside the winner's
+          // index and poison every later read. Check-then-rename narrows
+          // the window; the nested-dir check below closes it.
+          val renamed = !fs.exists(p) && fs.rename(tmp, p)
+          val nested = new org.apache.hadoop.fs.Path(p, tmp.getName)
+          if (renamed && fs.exists(nested)) {
+            // dst appeared between the exists check and the rename: we
+            // nested into the winner. Remove our nested dir, read theirs.
+            fs.delete(nested, true)
+          } else if (!renamed) {
+            // a concurrent writer won outright; their content is
             // deterministic-identical — drop ours, read theirs
             fs.delete(tmp, true)
-            require(fs.exists(done),
-              s"FrameMemo: lost rename race but no complete index at $path")
           }
+          require(fs.exists(done),
+            s"FrameMemo: no complete index at $path after write/race resolution")
         }
-        spark.read.parquet(path)
+        // Defensive sweep before reading: a CRASHED race loser (died
+        // between nesting and cleanup) leaves a '*.tmp-*' dir inside the
+        // index that would double-count rows under recursive discovery.
+        fs.listStatus(p).foreach { st =>
+          if (st.isDirectory && st.getPath.getName.contains(".tmp-"))
+            fs.delete(st.getPath, true)
+        }
+        // Hot tier: one eager cut per session, blocks protected from the
+        // bench sweep (eviction of a localCheckpoint BREAKS later readers).
+        val mid = spark.sparkContext.getPersistentRDDs.keySet
+        val cp = IterativeLoop.cut(layout(spark.read.parquet(path)))
+        val after = spark.sparkContext.getPersistentRDDs.keySet
+        prot.synchronized { prot ++= (after -- mid) }
+        cp
       })
     }
 
-  /** Drop every memo entry (the backing blocks are left to the caller's
-    * unpersist pass — after this, nothing is protected). */
-  def invalidate(): Unit = {
+  /** Drop every memo entry AND its backing blocks. Unpersisting the
+    * protected localCheckpoint blocks here (not leaving them to the
+    * caller) matters for the multi-dir probe tools: ScaleProbeDirs /
+    * ProbeHookCc invalidate between directories, and with the round-14
+    * hot tier each dir's reload pins fresh blocks — without this sweep
+    * they would accumulate un-protected AND un-unpersisted for the whole
+    * probe run. Any frame obtained from the memo is dead after this call
+    * (lineage was truncated at the cut; the blocks are gone). */
+  def invalidate(): Unit = memo.synchronized {
+    val ids = prot.synchronized(prot.toSet)
+    memo.keysIterator.map(_._1).toSet[SparkSession].foreach { s =>
+      s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (ids.contains(id)) rdd.unpersist(blocking = false)
+      }
+    }
     memo.clear()
     prot.synchronized(prot.clear())
   }

@@ -138,14 +138,23 @@ object SuffixIndex {
     * once per corpus per machine. */
   def globalRanksCached(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     graft.ops.FrameMemo.cachedPersistent(s, s"suffix-global-$IndexVersion:$dir",
-      graft.ops.FrameMemo.fileFingerprint(s"$dir/documents.parquet"))(
+      graft.ops.FrameMemo.fileFingerprint(s"$dir/documents.parquet"),
+      // restore the build's doc_id clustering on reload: every consumer's
+      // first move is a join back to documents on doc_id (to fetch text
+      // heads), and the ranks side is the big one — one session-time
+      // shuffle here buys exchange-free consumer joins (FrameMemo doc)
+      layout = _.repartition(col("doc_id")))(
       globalRanks(graft.Tables.documents(s, dir), "doc_id", "text"))
 
   /** [[perDocRanks]] over the standard corpus read, memoized like
     * [[globalRanksCached]]. */
   def perDocRanksCached(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     graft.ops.FrameMemo.cachedPersistent(s, s"suffix-perdoc-$IndexVersion:$dir",
-      graft.ops.FrameMemo.fileFingerprint(s"$dir/documents.parquet"))(
+      graft.ops.FrameMemo.fileFingerprint(s"$dir/documents.parquet"),
+      // doc_id clustering serves both the text join AND the rank-adjacent
+      // self-join on (doc_id, rr): HashPartitioning(doc_id) satisfies the
+      // clustered distribution of any superset join key
+      layout = _.repartition(col("doc_id")))(
       perDocRanks(graft.Tables.documents(s, dir), "doc_id", "text"))
 
   /** Per-document BWT summary over [[perDocRanks]]: the BWT read as each

@@ -65,6 +65,49 @@ class FrameMemoPersistSpec extends SparkSpec {
     }
   }
 
+  test("reload serves from a protected in-session hot tier, not a per-run parquet scan") {
+    withRoot { root =>
+      FrameMemo.invalidate()
+      FrameMemo.cachedPersistent(spark, "pmemo-hot:v1", "fp-a")(frame())
+      FrameMemo.invalidate()
+      val before = FrameMemo.protectedIds
+      val reloaded = FrameMemo.cachedPersistent(spark, "pmemo-hot:v1", "fp-a")(
+        sys.error("reload path must not rebuild"))
+      // the hot tier is an eager lineage cut: its blocks exist NOW and
+      // are registered for bench-sweep protection
+      val fresh = FrameMemo.protectedIds -- before
+      assert(fresh.nonEmpty, "reload must register protected hot-tier blocks")
+      assert(fresh.forall(spark.sparkContext.getPersistentRDDs.contains),
+        "hot-tier blocks must be persisted eagerly at reload time")
+      assert(reloaded.count() === 500)
+    }
+  }
+
+  test("a crashed race loser's nested .tmp- dir inside the index is swept before reading") {
+    withRoot { root =>
+      FrameMemo.invalidate()
+      FrameMemo.cachedPersistent(spark, "pmemo-race:v1", "fp-a")(frame())
+      // simulate the loser that died between nesting and cleanup: a
+      // sibling-shaped '<index>.tmp-xxxx' dir holding a full duplicate
+      val dir = new java.io.File(root).listFiles()
+        .find(_.getName.startsWith("pmemo-race")).get
+      val nested = new java.io.File(dir, dir.getName + ".tmp-deadbeef")
+      frame().write.parquet(nested.getAbsolutePath)
+      FrameMemo.invalidate()
+      val served = FrameMemo.cachedPersistent(spark, "pmemo-race:v1", "fp-a")(
+        sys.error("reload path must not rebuild"))
+      assert(served.count() === 500,
+        "nested tmp debris must not double-count rows")
+      assert(!nested.exists(), "debris dir must be deleted, not just skipped")
+    }
+  }
+
+  test("fileFingerprint fails loudly on a nonexistent path") {
+    intercept[IllegalArgumentException] {
+      FrameMemo.fileFingerprint("/no/such/path/graft-fingerprint-spec")
+    }
+  }
+
   test("a spill dir without _SUCCESS is crash debris: cleared and rebuilt") {
     withRoot { root =>
       FrameMemo.invalidate()
