@@ -37,7 +37,26 @@ object PlanProbe {
     /** (loopId, round, frame) per loop, in loop-start order. */
     def captured: Seq[(Int, Int, DataFrame)] =
       frames.toSeq.map { case (l, (r, d)) => (l, r, d) }
+    /** How many loop ids were ISSUED during the recording — every
+      * [[IterativeLoop]] combinator (and each hand-rolled loop) requests
+      * one before its first round, independent of whether it later
+      * offers a frame. The audit compares this against `captured.size`:
+      * issued > captured means a loop ran without offering — the silent
+      * probe miss that would otherwise demote an iterative query to
+      * `linear-by-plan` in the ×10 registry (round-13 verdict item 2). */
+    def issuedLoops: Int = nextLoop
   }
+
+  /** Fails when a recording issued more loop ids than it captured frames
+    * — the probe-independence gate: classification as "iterative" now
+    * rests on loop INVOCATION (ids issued), not on the probe's success,
+    * so a combinator that silently stops offering cannot dodge the ×10
+    * evidence obligation. */
+  def requireAllLoopsCaptured(name: String, r: Recorder): Unit =
+    require(r.captured.size == r.issuedLoops,
+      s"$name: ${r.issuedLoops} loop(s) invoked but only ${r.captured.size} " +
+        "offered an inner-round frame — a loop is running unaudited (missing " +
+        "PlanProbe.offer); PLANS.md would silently record it as non-iterative")
 
   private val sink = new ThreadLocal[Option[Recorder]] {
     override def initialValue(): Option[Recorder] = None
@@ -48,10 +67,18 @@ object PlanProbe {
     * Frames are lazy plans — stringify/inspect after; nothing executes
     * here that `body` did not already execute. */
   def record[T](body: => T): (T, Seq[(Int, Int, DataFrame)]) = {
+    val (t, r) = recordFull(body)
+    (t, r.captured)
+  }
+
+  /** [[record]], returning the whole recorder so the audit can also
+    * check completeness ([[requireAllLoopsCaptured]]) — captured frames
+    * AND issued-loop count. */
+  def recordFull[T](body: => T): (T, Recorder) = {
     val r = new Recorder
     val prev = sink.get()
     sink.set(Some(r))
-    try { (body, r.captured) } finally sink.set(prev)
+    try { (body, r) } finally sink.set(prev)
   }
 
   /** `private[graft]` so the few HAND-ROLLED DataFrame loops that cannot

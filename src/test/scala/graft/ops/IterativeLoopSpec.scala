@@ -42,6 +42,29 @@ class IterativeLoopSpec extends SparkSpec {
       s"plan grew with round count: 2 rounds -> $plan2 chars, 12 -> $plan12")
   }
 
+  test("probe independence: a loop that issues an id without offering a " +
+      "frame is detected (cannot silently demote to linear-by-plan)") {
+    val init = Seq((1L, 1.0)).toDF("k", "v")
+    // the healthy path: combinator loops capture exactly what they issue
+    val (_, healthy) = PlanProbe.recordFull {
+      IterativeLoop.fixed(init, 3)((df, _) => df)
+    }
+    assert(healthy.issuedLoops === 1 && healthy.captured.size === 1)
+    PlanProbe.requireAllLoopsCaptured("healthy", healthy) // must not throw
+    // the silent-miss path: id issued, offer suppressed — exactly the
+    // regression X10Gate's closed world could not see before round 14
+    val (_, broken) = PlanProbe.recordFull {
+      val lid = PlanProbe.loopId()
+      assert(lid === 1)
+      init // "loop" runs, never offers
+    }
+    assert(broken.issuedLoops === 1 && broken.captured.isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      PlanProbe.requireAllLoopsCaptured("broken-loop", broken)
+    }
+    assert(e.getMessage.contains("unaudited"))
+  }
+
   test("fixedUntil: bit-identical to fixed(cap), exits before the cap on a " +
       "converging map, and reports the round count") {
     // integer halving hits its exact fixed point (0) after 7 rounds
