@@ -286,6 +286,47 @@ object Dedup {
     else jaccardPairs(docs, idCol, textCol, n, threshold)
 
   /**
+   * DELTA-scoped exact Jaccard pairs: every pair (a, b) with J ≥ threshold
+   * where at least one side is in `delta` — the per-micro-batch pair
+   * discovery of streaming near-dup maintenance
+   * ([[graft.streaming.DocsPipeline.nearDupClusterBatch]]). Pairs wholly
+   * inside `stored` are deliberately NOT re-found: by induction they were
+   * emitted when their newer side was itself the delta, which is what
+   * makes N successive delta discoveries ∪-equal to one [[jaccardPairs]]
+   * over the union (the DocsPipelineSpec law).
+   *
+   * Contract: `stored` and `delta` carry disjoint id sets (the caller
+   * anti-joins re-deliveries away first) and ids are append-only — a
+   * REVISED text under an old id would need pair retraction, which
+   * insert-only CC maintenance cannot express.
+   *
+   * Scale shape: the candidate join is delta-shingles × union-index, so
+   * fan-out is bounded by the delta's postings (batch-sized), never the
+   * stored corpus squared. The union side's shingle frame is recomputed
+   * per batch from the docs store here; a production deployment
+   * materializes that inverted index incrementally in its own keyed store
+   * — the access pattern (equi-join on shingle) is unchanged, so this is
+   * a storage choice, not a plan change. Output ids are normalized
+   * (a_id < b_id) and distinct, matching [[jaccardPairs]] exactly.
+   */
+  def jaccardPairsDelta(stored: DataFrame, delta: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val all = lineageCutLazy(
+      shingled(stored.select(col(idCol), col(textCol))
+        .unionByName(delta.select(col(idCol), col(textCol))), idCol, textCol, n))
+    val dIds = delta.select(col(idCol).as("id"))
+    val inv = all.select(col("id"), explode(col("s")).as("sh"))
+    val dInv = inv.join(dIds, Seq("id"), "left_semi")
+    val a = dInv.alias("a"); val b = inv.alias("b")
+    val candidates = a
+      .join(b, col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("a_id"),
+        greatest(col("a.id"), col("b.id")).as("b_id"))
+      .distinct()
+    verifyExact(candidates, all, threshold)
+  }
+
+  /**
    * Cross-document LONG-SPAN duplication: pairs of docs sharing at least
    * `minShared` contiguous `n`-token runs — the word-level, bounded-memory
    * relative of suffix-array substring dedup (Lee et al. 2022, ACL,

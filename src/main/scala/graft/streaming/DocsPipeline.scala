@@ -140,6 +140,79 @@ object DocsPipeline {
       .drop("__clean")
   }
 
+  /**
+   * Streaming near-dup CLUSTER maintenance — the streaming twin of
+   * [[graft.dedup.Dedup.dropNearDups]], closing the gap [[curateNearDup]]
+   * leaves open: the SimHash watermark dedup suppresses zero-hamming
+   * re-sends within a window, but near-dup PAIRS discovered across
+   * batches never merged labels, so two mutually-near docs arriving a day
+   * apart both survived. This handler maintains TWO keyed stores:
+   *
+   *   - `docsSink` (key `idCol`): the corpus ingested so far;
+   *   - `labelSink` (key `id`): canonical CC labels over every near-dup
+   *     pair ever discovered, maintained by [[StreamingCc.mergeBatch]].
+   *
+   * Per micro-batch: anti-join re-deliveries away (at-least-once input),
+   * discover exactly the pairs touching the new docs
+   * ([[graft.dedup.Dedup.jaccardPairsDelta]] — exact n-gram Jaccard, the
+   * same predicate as the batch verb), feed them through the incremental
+   * CC merge, then upsert the new docs. Both sinks carry the epoch
+   * high-water guard, so a replayed batch is a no-op end to end.
+   *
+   * The maintained law (DocsPipelineSpec): after any prefix of batches,
+   * [[nearDupKeepSet]] ≡ `dropNearDups` over the union of every doc
+   * ingested so far — streamed curation converges to exactly what the
+   * batch pass would have produced.
+   */
+  def nearDupClusterBatch(docsSink: KeyedParquetSink, labelSink: KeyedParquetSink,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
+      threshold: Double = 0.6)(batch: DataFrame, epochId: Long): Unit = {
+    val spark = batch.sparkSession
+    val incoming = batch.select(col(idCol), col(textCol))
+      .dropDuplicates(idCol) // in-batch re-delivery: ids are append-only
+    val stored = docsSink.read(spark).map(_.select(col(idCol), col(textCol)))
+    val delta = stored match {
+      case Some(st) => incoming.join(st.select(col(idCol)), Seq(idCol), "left_anti")
+      case None => incoming
+    }
+    val pairs = graft.dedup.Dedup.jaccardPairsDelta(
+      stored.getOrElse(delta.limit(0)), delta, idCol, textCol, n, threshold)
+    // labels first: the pair plan reads docsSink's CURRENT files; the
+    // label upsert materializes it before the docs upsert swaps manifests
+    StreamingCc.mergeBatch(labelSink, "a_id", "b_id")(pairs, epochId)
+    docsSink.upsert(delta, epochId)
+  }
+
+  /** The curated view over [[nearDupClusterBatch]]'s two stores: every
+    * ingested doc whose id is its near-dup cluster's minimum (docs in no
+    * pair survive trivially — [[graft.dedup.Dedup.keepCanonical]]'s
+    * contract). Empty until the first committed batch. */
+  def nearDupKeepSet(spark: org.apache.spark.sql.SparkSession,
+      docsSink: KeyedParquetSink, labelSink: KeyedParquetSink,
+      idCol: String = "doc_id"): Option[DataFrame] =
+    docsSink.read(spark).map { docs =>
+      labelSink.read(spark) match {
+        case Some(labels) =>
+          graft.dedup.Dedup.keepCanonical(docs, idCol,
+            labels.select(col("id"), col("component")))
+        case None => docs
+      }
+    }
+
+  /** Stream wiring for [[nearDupClusterBatch]]: raw docs → maintained
+    * (corpus, cluster-label) stores. */
+  def runNearDupClusters(docs: DataFrame, docsPath: String, labelsPath: String,
+      checkpointDir: String, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, threshold: Double = 0.6): StreamingQuery =
+    docs.writeStream
+      .queryName("graft-docs-neardup-cc")
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(nearDupClusterBatch(
+        new KeyedParquetSink(docsPath, idCol),
+        new KeyedParquetSink(labelsPath, "id"), idCol, textCol, n, threshold) _)
+      .start()
+
   /** Streaming terminal: curated docs -> keyed idempotent sink. */
   def runToKeyedSink(
       docs: DataFrame, minQuality: Double,

@@ -152,6 +152,36 @@ object StreamStateProbe {
       println(f"streaming-cc         $k%-4d ${in.count()}%-11d ${st.count()}%-11d ${dirBytes(Paths.get(path))}%-12d nodes<=997 fixed universe; vs-batch-diff=$diff")
     }
 
+    // ---- docs near-dup cluster maintenance: state = corpus rows + one
+    // label row per PAIRED doc, both bounded by the doc universe. The
+    // stream is at-least-once, so the ×k axis here is RE-DELIVERY: the
+    // same fixed universe arrives k times over 4k epochs (the unbounded-
+    // stream-over-bounded-entities shape). PASS = both stores flat
+    // across k AND the keep-set equals batch dropNearDups (the
+    // DocsPipelineSpec law re-asserted at probe volume). ----
+    ks.foreach { k =>
+      val universe = docBase.select(col("doc_id"), col("text")).limit(2000)
+      val docsSink = new KeyedParquetSink(tmp("sprobe-nddocs"), "doc_id")
+      val labelSink = new KeyedParquetSink(tmp("sprobe-ndlab"), "id")
+      val handler = graft.streaming.DocsPipeline
+        .nearDupClusterBatch(docsSink, labelSink) _
+      var epoch = 0L
+      (0 until k).foreach { _ =>
+        (0 until 4).foreach { e =>
+          handler(universe.filter(pmod(col("doc_id"), lit(4)) === e), epoch)
+          epoch += 1
+        }
+      }
+      val docsRows = docsSink.read(spark).get.count()
+      val labelRows = labelSink.read(spark).get.count()
+      val keep = graft.streaming.DocsPipeline
+        .nearDupKeepSet(spark, docsSink, labelSink).get
+        .select(col("doc_id"))
+      val batch = graft.dedup.Dedup.dropNearDups(universe).select(col("doc_id"))
+      val diff = keep.exceptAll(batch).count() + batch.exceptAll(keep).count()
+      println(f"neardup-cc-docs      $k%-4d ${universe.count() * k * 1L}%-11d ${docsRows + labelRows}%-11d ${0L}%-12d docs=$docsRows labels=$labelRows (paired only); vs-batch-diff=$diff")
+    }
+
     // ---- X334b KV stream sink + compaction: segments bounded forever ----
     ks.foreach { k =>
       val path = tmp("sprobe-kv")

@@ -114,6 +114,46 @@ class DocsPipelineSpec extends SparkSpec {
     assert((rows - 3L).subsetOf(Set(1L, 2L)))
   }
 
+  test("nearDupClusterBatch law: streamed keep-set equals batch dropNearDups " +
+      "over the union after every prefix; re-delivery is a no-op") {
+    val s = spark
+    import s.implicits._
+    import graft.sinks.KeyedParquetSink
+    val docsSink = new KeyedParquetSink(tmpDir("docs-cc-docs"), "doc_id")
+    val labelSink = new KeyedParquetSink(tmpDir("docs-cc-labels"), "id")
+    val handler = DocsPipeline.nearDupClusterBatch(docsSink, labelSink) _
+
+    // real corpus slice, split into 3 arrival batches such that near-dup
+    // pairs span batch boundaries (ids interleave mod 3; the sf0.001
+    // documents table carries planted near-dups)
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).limit(240).cache()
+    def keepIds(): Set[Long] =
+      DocsPipeline.nearDupKeepSet(spark, docsSink, labelSink).get
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    def batchIds(docs: org.apache.spark.sql.DataFrame): Set[Long] =
+      graft.dedup.Dedup.dropNearDups(docs)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+    var seen = corpus.limit(0)
+    (0 until 3).foreach { e =>
+      val b = corpus.filter(pmod(col("doc_id"), lit(3)) === e)
+      handler(b, e.toLong)
+      seen = seen.unionByName(b)
+      assert(keepIds() === batchIds(seen),
+        s"after batch $e the streamed keep-set must equal batch dropNearDups")
+    }
+    assert(keepIds().size < corpus.count(),
+      "the slice must actually contain near-dups for the law to bite")
+
+    // at-least-once: re-deliver batch 1's docs in a NEW epoch — ids are
+    // already stored, so state and keep-set must not move
+    val before = keepIds()
+    handler(corpus.filter(pmod(col("doc_id"), lit(3)) === 1), 3L)
+    assert(keepIds() === before, "re-delivered docs must not change state")
+    corpus.unpersist()
+  }
+
   test("runToKeyedSink: end-to-end upsert keyed by content hash across batches") {
     val s = spark
     import s.implicits._

@@ -68,6 +68,53 @@ class StreamingCcSpec extends SparkSpec {
       s"merge scope must be the touched component + new nodes, got $ids")
   }
 
+  test("crash-recovery e2e: query killed between sink write and manifest " +
+      "commit, restarted from the same checkpoint, labels equal one-shot CC") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val sinkPath = tmpDir("stream-cc-crash")
+    val ckpt = tmpDir("stream-cc-crash-ckpt")
+    val sink = new KeyedParquetSink(sinkPath, "id")
+    def startQuery() = input.toDF().toDF("x", "y").writeStream
+      .queryName("graft-cc-crash-recovery")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(StreamingCc.mergeBatch(sink) _)
+      .start()
+
+    // epoch 0 commits normally: two components {1,2,3} and {10,11}
+    val b0 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val q1 = startQuery()
+    try { input.addData(b0: _*); q1.processAllAvailable() } finally q1.stop()
+    assert(stateOf(sink) === oneShot(b0))
+
+    // epoch 1 "crashes" in the widest window: staged bucket data renamed
+    // into the tree, manifest NOT committed — exactly what a process kill
+    // at that instant leaves on disk. The batch BRIDGES the two stored
+    // components, the hardest case to recover (relabels span old state).
+    val b1 = Seq((3L, 10L), (20L, 21L))
+    sink.beforeCommitHook = () => throw new RuntimeException("injected kill")
+    val q2 = startQuery()
+    input.addData(b1: _*)
+    intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    assert(stateOf(sink) === oneShot(b0),
+      "uncommitted crash must leave exactly the pre-crash committed labels")
+
+    // restart from the SAME checkpoint: Spark replays the failed batch,
+    // the handler re-merges against the (old) committed labels, commits
+    sink.beforeCommitHook = () => ()
+    val q3 = startQuery()
+    try q3.processAllAvailable() finally q3.stop()
+    val st = stateOf(sink)
+    assert(st === oneShot(b0 ++ b1),
+      "post-recovery labels must equal the one-shot batch CC over all edges")
+    assert(Seq(1L, 2L, 3L, 10L, 11L).forall(st(_) == 1L),
+      "the replayed bridge must have merged both pre-crash components")
+  }
+
   test("end-to-end over MemoryStream: labels match the batch CC") {
     val s = spark
     import s.implicits._
