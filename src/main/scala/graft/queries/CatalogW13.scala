@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
- * Round-13 waves (q448–q455) — sketch/graph/matching/temporal verbs extending
+ * Round-13 waves (q448–q456) — sketch/graph/matching/temporal verbs extending
  * families the catalog already carries into missing canonical members
  * (the wave was deliberately pruned against the existing 447: rendezvous
  * hashing, bloom-semi-join-with-FP-audit and diff-in-differences were
@@ -198,13 +198,61 @@ object CatalogW13 {
       .orderBy(col("proposer"))
   }
 
+  // ------------------------------------------------- interval family
+
+  /** The ONE definition of the clamped order-fulfillment window shared
+    * by the interval family (q451 classifies pairs, q455 counts
+    * concurrency, q456 selects an optimum — round 13 carried three
+    * copies of this frame, and its clamp semantics were themselves a
+    * mid-round bug fix, so drift between copies was a live risk).
+    * Window = [orderdate, last lineitem shipdate] in epoch days; the
+    * synthetic corpus ships some lines BEFORE the order date, so the
+    * end clamps to `greatest(max shipdate, sd)` — without it an
+    * "inverted" window is a nonsense negative-length interval (and the
+    * q455 sweep would count it as −1 then +1). Output: (k, okey, sd,
+    * ed, w) with `k` = market segment when `bySegment` else customer
+    * key, and `w` = order total in cents (okey-determined, so carrying
+    * it through the groupBy never changes the groups). */
+  private[graft] def fulfillmentWindows(s: SparkSession, dir: String,
+      bySegment: Boolean): DataFrame = {
+    val orders = Tables.orders(s, dir).select(col("o_custkey"),
+      col("o_orderkey").as("okey"),
+      datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("sd"),
+      round(col("o_totalprice") * 100).cast("long").as("w"))
+    val keyed =
+      if (bySegment)
+        orders.join(Tables.customer(s, dir)
+            .select(col("c_custkey").as("o_custkey"),
+              col("c_mktsegment").as("k")), "o_custkey")
+          .select(col("k"), col("okey"), col("sd"), col("w"))
+      else orders.select(col("o_custkey").as("k"), col("okey"), col("sd"),
+        col("w"))
+    keyed
+      .join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"),
+          datediff(col("l_shipdate"), lit("1970-01-01")).cast("long")
+            .as("shd")), "okey")
+      .groupBy(col("k"), col("okey"), col("sd"), col("w"))
+      .agg(greatest(max(col("shd")), col("sd")).as("ed"))
+  }
+
   // ---------------------------------------------------------------- q451
 
   /** The shared 13-relation classifier (Allen 1983) as one SQL CASE —
     * the SAME text runs in Spark and DuckDB, so the taxonomy cannot
     * drift between engines. Strict textbook definitions; branches are
     * mutually exclusive for s ≤ e intervals (the containment checks
-    * are implied by falling through the before/meets branches). */
+    * are implied by falling through the before/meets branches).
+    *
+    * Degenerate POINT intervals (s = e — the ed-clamp above does
+    * produce them) are classified by the FIRST matching branch:
+    * [5,5] vs [5,7] hits `e1 = s2` → 'meets' even though s1 = s2
+    * (textbook Allen assumes s < e, so the 13 relations are only
+    * exhaustive-and-exclusive for proper intervals). This is a
+    * DOCUMENTED taxonomy choice, not an engine divergence: both
+    * engines run the identical CASE text, so the histogram stays
+    * hash-stable; a consumer needing point-interval semantics filters
+    * s < e first. */
   private[graft] val AllenCase: String = """CASE
     WHEN e1 < s2 THEN 'precedes'
     WHEN e1 = s2 THEN 'meets'
@@ -231,19 +279,8 @@ object CatalogW13 {
     * before picking an interval-join strategy (how often do a
     * customer's fulfillment windows actually interleave?). */
   def q451AllenRelations(s: SparkSession, dir: String): DataFrame = {
-    val iv = IterativeLoop.cutLazy(Tables.orders(s, dir)
-      .select(col("o_custkey").as("ck"), col("o_orderkey").as("okey"),
-        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("sd"))
-      .join(Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("okey"),
-          datediff(col("l_shipdate"), lit("1970-01-01")).cast("long")
-            .as("shd")), "okey")
-      .groupBy(col("ck"), col("okey"), col("sd"))
-      // the synthetic corpus ships some lines BEFORE the order date;
-      // clamp so the window is a valid interval (ed >= sd) — without
-      // this an "inverted" window is a nonsense negative-length
-      // interval (and the sweep in q455 would count it as -1 then +1)
-      .agg(greatest(max(col("shd")), col("sd")).as("ed")))
+    val iv = IterativeLoop.cutLazy(fulfillmentWindows(s, dir, bySegment = false)
+      .select(col("k").as("ck"), col("okey"), col("sd"), col("ed")))
     iv.select(col("ck"), col("okey").as("ok1"), col("sd").as("s1"),
         col("ed").as("e1"))
       .join(iv.select(col("ck"), col("okey").as("ok2"), col("sd").as("s2"),
@@ -378,18 +415,8 @@ object CatalogW13 {
     * the domain-sized series, not the data). Output per segment: the
     * peak, its first day, and the size of the day series. */
   def q455PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
-    val iv = IterativeLoop.cutLazy(Tables.orders(s, dir)
-      .select(col("o_custkey"), col("o_orderkey").as("okey"),
-        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("sd"))
-      .join(Tables.customer(s, dir)
-        .select(col("c_custkey").as("o_custkey"),
-          col("c_mktsegment").as("seg")), "o_custkey")
-      .join(Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("okey"),
-          datediff(col("l_shipdate"), lit("1970-01-01")).cast("long")
-            .as("shd")), "okey")
-      .groupBy(col("seg"), col("okey"), col("sd"))
-      .agg(greatest(max(col("shd")), col("sd")).as("ed")))
+    val iv = IterativeLoop.cutLazy(fulfillmentWindows(s, dir, bySegment = true)
+      .select(col("k").as("seg"), col("okey"), col("sd"), col("ed")))
     val deltas = iv.select(col("seg"), col("sd").as("d"), lit(1L).as("delta"))
       .unionAll(iv.select(col("seg"), (col("ed") + 1L).as("d"),
         lit(-1L).as("delta")))
@@ -427,19 +454,8 @@ object CatalogW13 {
     * panel size, total weight, and the optimum. */
   def q456WeightedIntervals(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val iv = Tables.orders(s, dir)
-      .select(col("o_custkey"), col("o_orderkey").as("okey"),
-        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("sd"),
-        round(col("o_totalprice") * 100).cast("long").as("w"))
-      .join(Tables.customer(s, dir)
-        .select(col("c_custkey").as("o_custkey"),
-          col("c_mktsegment").as("seg")), "o_custkey")
-      .join(Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("okey"),
-          datediff(col("l_shipdate"), lit("1970-01-01")).cast("long")
-            .as("shd")), "okey")
-      .groupBy(col("seg"), col("okey"), col("sd"), col("w"))
-      .agg(greatest(max(col("shd")), col("sd")).as("ed"))
+    val iv = fulfillmentWindows(s, dir, bySegment = true)
+      .select(col("k").as("seg"), col("okey"), col("sd"), col("w"), col("ed"))
     val panel = iv
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))

@@ -3,7 +3,7 @@ package graft.queries
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Laws for the round-13 waves (q448–q455).
+/** Laws for the round-13 waves (q448–q456).
   *
   * q448: an AMS product sketch on a single shared key is exact up to
   * the ±cross-term swing computed in closed form; the real-data exact
