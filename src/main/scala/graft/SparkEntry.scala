@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Catalog, CatalogAlg, CatalogBeh, CatalogCur, CatalogEv, CatalogExt, CatalogGp, CatalogGr, CatalogGx, CatalogRx, CatalogW13, CatalogIdx, CatalogMl, CatalogMore, CatalogInfra, CatalogDec, CatalogDist, CatalogDp, CatalogNext, CatalogPlus, CatalogPlan, CatalogRe, CatalogSci, CatalogSel, CatalogStats, CatalogTpch, Oracles, OraclesAlg, OraclesEv, OraclesGp, OraclesGr, OraclesGx, OraclesRx, OraclesW13, OraclesMl, OraclesRe, OraclesBeh, OraclesCur, OraclesExt, OraclesIdx, OraclesInfra, OraclesMore, OraclesDec, OraclesDist, OraclesDp, OraclesNext, OraclesPlus, OraclesPlan, OraclesSci, OraclesSel, OraclesStats, OraclesTpch, OrderSynth}
+import graft.queries.{Catalog, CatalogAlg, CatalogBeh, CatalogCur, CatalogEv, CatalogExt, CatalogGp, CatalogGr, CatalogGx, CatalogRx, CatalogW13, CatalogW14, CatalogIdx, CatalogMl, CatalogMore, CatalogInfra, CatalogDec, CatalogDist, CatalogDp, CatalogNext, CatalogPlus, CatalogPlan, CatalogRe, CatalogSci, CatalogSel, CatalogStats, CatalogTpch, Oracles, OraclesAlg, OraclesEv, OraclesGp, OraclesGr, OraclesGx, OraclesRx, OraclesW13, OraclesW14, OraclesMl, OraclesRe, OraclesBeh, OraclesCur, OraclesExt, OraclesIdx, OraclesInfra, OraclesMore, OraclesDec, OraclesDist, OraclesDp, OraclesNext, OraclesPlus, OraclesPlan, OraclesSci, OraclesSel, OraclesStats, OraclesTpch, OrderSynth}
 import graft.streaming.OrdersPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -37,10 +37,10 @@ object SparkEntry {
     "q18_analytic_windows" -> Catalog.q18AnalyticWindows _,
     "q19_multi_join_agg"   -> Catalog.q19MultiJoinAgg _,
     "q20_full_outer"       -> Catalog.q20FullOuter _,
-  ) ++ CatalogExt.all ++ CatalogTpch.all ++ CatalogMore.all ++ CatalogStats.all ++ CatalogInfra.all ++ CatalogSci.all ++ CatalogPlus.all ++ CatalogNext.all ++ CatalogDist.all ++ CatalogDec.all ++ CatalogBeh.all ++ CatalogCur.all ++ CatalogPlan.all ++ CatalogIdx.all ++ CatalogSel.all ++ CatalogAlg.all ++ CatalogDp.all ++ CatalogGr.all ++ CatalogGp.all ++ CatalogMl.all ++ CatalogRe.all ++ CatalogEv.all ++ CatalogGx.all ++ CatalogRx.all ++ CatalogW13.all
+  ) ++ CatalogExt.all ++ CatalogTpch.all ++ CatalogMore.all ++ CatalogStats.all ++ CatalogInfra.all ++ CatalogSci.all ++ CatalogPlus.all ++ CatalogNext.all ++ CatalogDist.all ++ CatalogDec.all ++ CatalogBeh.all ++ CatalogCur.all ++ CatalogPlan.all ++ CatalogIdx.all ++ CatalogSel.all ++ CatalogAlg.all ++ CatalogDp.all ++ CatalogGr.all ++ CatalogGp.all ++ CatalogMl.all ++ CatalogRe.all ++ CatalogEv.all ++ CatalogGx.all ++ CatalogRx.all ++ CatalogW13.all ++ CatalogW14.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Oracles.all ++ OraclesExt.all ++ OraclesTpch.all ++ OraclesMore.all ++ OraclesStats.all ++ OraclesInfra.all ++ OraclesSci.all ++ OraclesPlus.all ++ OraclesNext.all ++ OraclesDist.all ++ OraclesDec.all ++ OraclesBeh.all ++ OraclesCur.all ++ OraclesPlan.all ++ OraclesIdx.all ++ OraclesSel.all ++ OraclesAlg.all ++ OraclesDp.all ++ OraclesGr.all ++ OraclesGp.all ++ OraclesMl.all ++ OraclesRe.all ++ OraclesEv.all ++ OraclesGx.all ++ OraclesRx.all ++ OraclesW13.all
+    Oracles.all ++ OraclesExt.all ++ OraclesTpch.all ++ OraclesMore.all ++ OraclesStats.all ++ OraclesInfra.all ++ OraclesSci.all ++ OraclesPlus.all ++ OraclesNext.all ++ OraclesDist.all ++ OraclesDec.all ++ OraclesBeh.all ++ OraclesCur.all ++ OraclesPlan.all ++ OraclesIdx.all ++ OraclesSel.all ++ OraclesAlg.all ++ OraclesDp.all ++ OraclesGr.all ++ OraclesGp.all ++ OraclesMl.all ++ OraclesRe.all ++ OraclesEv.all ++ OraclesGx.all ++ OraclesRx.all ++ OraclesW13.all ++ OraclesW14.all
 }
