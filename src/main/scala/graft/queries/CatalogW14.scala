@@ -1,14 +1,19 @@
 package graft.queries
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
- * Round-14 waves (q457) — completing the interval family's verb set.
- * The family now classifies pairs (q451 Allen relations), counts
- * concurrency (q455 sweep-line), selects an optimum subset (q456
- * weighted scheduling DP), and — here — COVERS: the minimum set of
- * probe days that stabs every window.
+ * Round-14 waves (q457–q458):
+ *
+ *   - q457 completes the interval family's verb set — the family now
+ *     classifies pairs (q451 Allen relations), counts concurrency
+ *     (q455 sweep-line), selects an optimum subset (q456 weighted
+ *     scheduling DP), and COVERS (minimum stabbing).
+ *   - q458 completes the sketch canon's sliding-WINDOW corner (DGIM)
+ *     — every prior sketch (CMS/HLL/LC/Bloom/KMV/AMS/MG) answers a
+ *     whole-stream question; DGIM answers "in the last N".
  */
 object CatalogW14 {
 
@@ -59,6 +64,88 @@ object CatalogW14 {
       .orderBy(col("seg"))
   }
 
+  // ---------------------------------------------------------------- q458
+
+  private[graft] val DgimN = 256
+  private[graft] val DgimPanel = 2000
+
+  /** One DGIM micro-step kernel, shared by the engine and (as the same
+    * rule in SQL) the oracle: on each arrival, expire buckets outside
+    * the window, append a size-1 bucket for a 1-bit, then cascade —
+    * while any size has 3 buckets, merge the two OLDEST of the SMALLEST
+    * such size into one of double size carrying the newer timestamp.
+    * Bucket timestamps are distinct by construction (each is the
+    * position of some 1, and a merge keeps the newer), so (sz, ts)
+    * identifies the merge pair in both engines. */
+  private[graft] def dgimRun(bits: Seq[Int], n: Int): Seq[(Long, Long)] = {
+    var buckets = List.empty[(Long, Long)] // (ts, sz)
+    bits.zipWithIndex.foreach { case (b, i0) =>
+      val t = i0 + 1L
+      buckets = buckets.filter(_._1 > t - n)
+      if (b == 1) {
+        buckets = (t, 1L) :: buckets
+        var done = false
+        while (!done) {
+          val bySize = buckets.groupBy(_._2)
+          bySize.filter(_._2.size >= 3).keys.toSeq.sorted.headOption match {
+            case Some(s) =>
+              val olds = buckets.filter(_._2 == s).sortBy(_._1).take(2)
+              buckets = (olds.map(_._1).max, 2 * s) ::
+                buckets.filterNot(x => x._2 == s && olds.exists(_._1 == x._1))
+            case None => done = true
+          }
+        }
+      }
+    }
+    buckets
+  }
+
+  /** DGIM sliding-window counting (Datar–Gionis–Indyk–Motwani 2002) —
+    * the sliding-WINDOW member completing the sketch canon (CMS
+    * frequency, HLL/linear-counting cardinality, Bloom membership, KMV
+    * order statistics, AMS moments, Misra–Gries heavy hitters — all
+    * whole-stream; DGIM answers "how many 1s in the LAST N", the decay
+    * problem those cannot): O(log² N) buckets of power-of-2 sizes, at
+    * most two per size, estimate = all-but-oldest + half the oldest,
+    * relative error ≤ 50% by the bucket invariant. The bit stream is a
+    * per-event predicate (user_id ≡ 0 mod 3) over each event type's
+    * md5-bottom-[[DgimPanel]] panel in event_id order (the q454
+    * fixed-panel sequential-kernel pattern; the oracle replays the
+    * identical micro-step rule as an h-indexed list-of-structs
+    * recursive CTE, merges linearized one per step). Output per series:
+    * the exact window count, the DGIM estimate, bucket stats, and the
+    * ≤50%-error guarantee as a constant-TRUE audit column. */
+  def q458DgimWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val panel = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+      .orderBy(md5(concat(lit("dgim:"), col("event_id").cast("string"))),
+        col("event_id"))
+      .limit(DgimPanel)
+      .select(col("event_type").as("series"),
+        when(col("user_id") % 3 === 0, 1).otherwise(0).as("bit"),
+        col("event_id").as("seq"))
+      .as[(String, Int, Long)]
+    panel.groupByKey(_._1).mapGroups { (series, it) =>
+      val rows = it.toSeq.sortBy(_._3)
+      val bits = rows.map(_._2)
+      val exact = bits.takeRight(DgimN).sum.toLong
+      val buckets = dgimRun(bits, DgimN)
+      val est =
+        if (buckets.isEmpty) 0L
+        else {
+          val oldest = buckets.minBy(_._1)
+          buckets.map(_._2).sum - oldest._2 + oldest._2 / 2
+        }
+      val maxB = if (buckets.isEmpty) 0L else buckets.map(_._2).max
+      (series, rows.length.toLong, exact, est, buckets.length.toLong, maxB,
+        (est - exact).abs * 2 <= exact || est == exact)
+    }.toDF("series", "n_seen", "exact_ones", "dgim_est", "n_buckets",
+        "max_bucket", "within_bound")
+      .orderBy(col("series"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q457_interval_stabbing" -> q457IntervalStabbing _)
+    "q457_interval_stabbing" -> q457IntervalStabbing _,
+    "q458_dgim_window"       -> q458DgimWindow _)
 }

@@ -5,7 +5,12 @@ package graft.queries
   * md5-bottom panel (the q454/q456 sequential-kernel pattern): state is
   * the stab-point list, one interval consumed per step in (ed, sd,
   * okey) order, a point appended when the interval starts after the
-  * last point. */
+  * last point. q458 replays the DGIM micro-step rule — each recursion
+  * step is EITHER one merge (two oldest buckets of the smallest
+  * thrice-occupied size) OR one arrival (expire + append), identity
+  * past the end — with the bucket list as a LIST-OF-STRUCTS state
+  * column; 4200 steps cover 2000 arrivals + ≤2000 merges (each merge
+  * consumes one prior append). */
 object OraclesW14 {
 
   val all: Map[String, String] = Map(
@@ -53,5 +58,76 @@ object OraclesW14 {
         |  CAST(list_sum(s.pts) AS BIGINT) AS sum_stab_days
         |FROM (SELECT seg, pts FROM st WHERE h = 60) s
         |JOIN nmax n ON n.seg = s.seg
-        |ORDER BY s.seg""".stripMargin)
+        |ORDER BY s.seg""".stripMargin,
+
+    "q458_dgim_window" ->
+      """WITH RECURSIVE panel AS MATERIALIZED (
+        |  SELECT event_type AS series,
+        |    CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS bit,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY event_id)
+        |      AS i
+        |  FROM (SELECT event_id, event_type, user_id,
+        |      row_number() OVER (
+        |        ORDER BY md5('dgim:' || CAST(event_id AS VARCHAR)),
+        |          event_id) AS rnk FROM events)
+        |  WHERE rnk <= 2000),
+        |nrow AS (SELECT series, CAST(max(i) AS BIGINT) AS n FROM panel
+        |  GROUP BY 1),
+        |ex AS (SELECT p.series,
+        |    CAST(coalesce(sum(CASE WHEN p.i > nrow.n - 256 THEN p.bit END),
+        |      0) AS BIGINT) AS exact_ones
+        |  FROM panel p JOIN nrow ON nrow.series = p.series GROUP BY 1),
+        |st(h, series, i, bks) AS (
+        |  SELECT 0, series, CAST(0 AS BIGINT),
+        |    CAST([] AS STRUCT(ts BIGINT, sz BIGINT)[])
+        |  FROM (SELECT DISTINCT series FROM panel)
+        |  UNION ALL
+        |  SELECT h + 1, series,
+        |    CASE WHEN pend IS NOT NULL THEN i ELSE i + 1 END,
+        |    CASE
+        |      WHEN pend IS NOT NULL THEN
+        |        list_append(
+        |          list_filter(bks, b -> NOT (b.sz = pend
+        |            AND (b.ts = olds[1] OR b.ts = olds[2]))),
+        |          {'ts': olds[2], 'sz': 2 * pend})
+        |      WHEN nbit IS NULL THEN bks
+        |      WHEN nbit = 1 THEN list_append(
+        |        list_filter(bks, b -> b.ts > i + 1 - 256),
+        |        {'ts': i + 1, 'sz': CAST(1 AS BIGINT)})
+        |      ELSE list_filter(bks, b -> b.ts > i + 1 - 256)
+        |    END
+        |  FROM (
+        |    SELECT q.*, CASE WHEN pend IS NULL THEN NULL ELSE
+        |        list_sort(list_transform(
+        |          list_filter(q.bks, b -> b.sz = pend), b -> b.ts)) END
+        |        AS olds
+        |    FROM (
+        |      SELECT st.h AS h, st.series AS series, st.i AS i,
+        |        st.bks AS bks, p.bit AS nbit,
+        |        list_min(list_transform(
+        |          list_filter(st.bks, b ->
+        |            len(list_filter(st.bks, c -> c.sz = b.sz)) >= 3),
+        |          b -> b.sz)) AS pend
+        |      FROM st LEFT JOIN panel p
+        |        ON p.series = st.series AND p.i = st.i + 1) q)
+        |  WHERE h < 4200),
+        |fin AS (
+        |  SELECT series,
+        |    CASE WHEN len(bks) = 0 THEN 0
+        |      ELSE CAST(list_sum(list_transform(bks, b -> b.sz))
+        |        - list_sort(bks)[1].sz + list_sort(bks)[1].sz // 2
+        |        AS BIGINT) END AS dgim_est,
+        |    CAST(len(bks) AS BIGINT) AS n_buckets,
+        |    CASE WHEN len(bks) = 0 THEN 0
+        |      ELSE CAST(list_max(list_transform(bks, b -> b.sz))
+        |        AS BIGINT) END AS max_bucket
+        |  FROM st WHERE h = 4200)
+        |SELECT f.series, nrow.n AS n_seen, ex.exact_ones, f.dgim_est,
+        |  f.n_buckets, f.max_bucket,
+        |  (abs(f.dgim_est - ex.exact_ones) * 2 <= ex.exact_ones
+        |    OR f.dgim_est = ex.exact_ones) AS within_bound
+        |FROM fin f
+        |JOIN nrow ON nrow.series = f.series
+        |JOIN ex ON ex.series = f.series
+        |ORDER BY f.series""".stripMargin)
 }

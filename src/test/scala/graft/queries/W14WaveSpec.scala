@@ -3,14 +3,22 @@ package graft.queries
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Laws for the round-14 waves (q457).
+/** Laws for the round-14 waves (q457–q458).
   *
   * q457: the stab set replays driver-side from the literal greedy; it
   * COVERS (every panel window contains a chosen day); and its size
   * equals the maximum number of pairwise-disjoint windows — the
   * piercing = packing duality that makes the greedy provably minimum
   * (any k disjoint windows force ≥ k probes; exhaustive search
-  * certifies the packing side on a 16-window sub-panel). */
+  * certifies the packing side on a 16-window sub-panel).
+  *
+  * q458: the DGIM bucket state satisfies the textbook invariants (≤ 2
+  * buckets per size, power-of-2 sizes, distinct in-window timestamps,
+  * sizes non-decreasing with age); with NO expiry the buckets conserve
+  * the exact ones count (merging never loses mass — so the window
+  * estimate's only error source is halving the oldest bucket, which is
+  * the ≤50% theorem); and the emitted estimate/exact/bound columns
+  * replay from the independently recomputed panel bits. */
 class W14WaveSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.01"
@@ -65,6 +73,50 @@ class W14WaveSpec extends SparkSpec {
       }
       assert(subPts === pack,
         s"$seg: stab count $subPts != max disjoint packing $pack")
+    }
+  }
+
+  test("dgim: bucket invariants, no-expiry mass conservation, and the " +
+      "emitted columns replay from independently recomputed panel bits") {
+    val out = CatalogW14.q458DgimWindow(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(out.nonEmpty)
+    // independent panel recomputation: md5-rank bottom 2000, bits in
+    // event_id order per series
+    val panel = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(r => (md5hex(s"dgim:${r._1}"), r._1)).take(CatalogW14.DgimPanel)
+    val bys = panel.groupBy(_._2).view
+      .mapValues(_.sortBy(_._1).map(r => if (r._3 % 3 == 0) 1 else 0).toSeq)
+    out.foreach { case (series, nSeen, exact, est, nB, maxB, bound) =>
+      val bits = bys(series)
+      assert(nSeen === bits.length.toLong, series)
+      assert(exact === bits.takeRight(CatalogW14.DgimN).sum.toLong, series)
+      assert(bound, s"$series: the 50% bound column must be TRUE")
+      assert((est - exact).abs * 2 <= exact || est === exact, series)
+      // bucket invariants on the final state
+      val bks = CatalogW14.dgimRun(bits, CatalogW14.DgimN)
+      assert(nB === bks.length.toLong && maxB === bks.map(_._2).max, series)
+      bks.groupBy(_._2).foreach { case (sz, g) =>
+        assert((sz & (sz - 1)) === 0L, s"$series: size $sz not a power of 2")
+        assert(g.size <= 2, s"$series: ${g.size} buckets of size $sz")
+      }
+      assert(bks.map(_._1).distinct.size === bks.size,
+        s"$series: bucket timestamps must be distinct")
+      assert(bks.forall(_._1 > bits.length - CatalogW14.DgimN),
+        s"$series: expired bucket survived")
+      // older buckets are never smaller than newer ones (the DGIM
+      // size-monotone-with-age invariant)
+      val byAge = bks.sortBy(-_._1).map(_._2)
+      assert(byAge.zip(byAge.tail).forall { case (newer, older) =>
+        newer <= older }, s"$series: sizes not monotone with age: $byAge")
+      // no-expiry conservation: merges never lose mass
+      val noExp = CatalogW14.dgimRun(bits, Int.MaxValue)
+      assert(noExp.map(_._2).sum === bits.sum.toLong,
+        s"$series: no-expiry bucket mass must equal the ones count")
     }
   }
 }
