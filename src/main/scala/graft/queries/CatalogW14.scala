@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Guards
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -145,7 +146,53 @@ object CatalogW14 {
       .orderBy(col("series"))
   }
 
+  // ---------------------------------------------------------------- q459
+
+  private[graft] val LcaPanel = 40
+
+  /** Lowest common ancestor + tree distance over the digit-decimation
+    * forest (parent = v div 10, roots < 10 — q407's hierarchy): THE
+    * classic tree query (Aho–Hopcroft–Ullman 1976 posed it; tree
+    * distance d(u,v) = depth(u) + depth(v) − 2·depth(lca) is its
+    * canonical application). Like q407's rollup, the answer is CLOSED
+    * FORM — an ancestor is a decimal prefix whether or not that key
+    * exists (the round-13 sparse-key lesson), so LCA = the longest
+    * common decimal prefix, zero iterations: explode d = 1..min(len),
+    * keep prefix-equal d, take the max. Pairs come from the md5-bottom
+    * [[LcaPanel]] customer panel (C(40,2) = 780 rows — a bounded
+    * broadcast, never a corpus self-join); cross-root pairs (different
+    * leading digit) have NULL lca and NULL distance — a forest has no
+    * path between trees. */
+  def q459TreeLca(s: SparkSession, dir: String): DataFrame = {
+    val panel = Tables.customer(s, dir)
+      .select(col("c_custkey").as("v"))
+      .orderBy(md5(concat(lit("lca:"), col("v").cast("string"))), col("v"))
+      .limit(LcaPanel)
+      .select(col("v"), col("v").cast("string").as("vs"))
+    val a = panel.select(col("v").as("u"), col("vs").as("us"))
+    val b = Guards.bounded(panel, LcaPanel)
+    val pairs = a.join(broadcast(b), col("u") < col("v"))
+    val lcp = pairs
+      .select(col("u"), col("us"), col("v"), col("vs"),
+        explode(sequence(lit(1),
+          least(length(col("us")), length(col("vs"))))).as("d"))
+      .filter(expr("substring(us, 1, d) = substring(vs, 1, d)"))
+      .groupBy(col("u"), col("v")).agg(max(col("d")).cast("long").as("p"))
+    pairs.join(lcp, Seq("u", "v"), "left")
+      .withColumn("p", coalesce(col("p"), lit(0L)))
+      .select(col("u"), col("v"),
+        when(col("p") > 0,
+          expr("cast(substring(us, 1, cast(p as int)) as bigint)"))
+          .otherwise(lit(null).cast("long")).as("lca"),
+        col("p").as("lca_depth"),
+        when(col("p") > 0, length(col("us")) - col("p")
+          + length(col("vs")) - col("p"))
+          .otherwise(lit(null).cast("long")).as("tree_dist"))
+      .orderBy(col("u"), col("v"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q457_interval_stabbing" -> q457IntervalStabbing _,
-    "q458_dgim_window"       -> q458DgimWindow _)
+    "q458_dgim_window"       -> q458DgimWindow _,
+    "q459_tree_lca"          -> q459TreeLca _)
 }

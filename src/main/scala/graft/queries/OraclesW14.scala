@@ -129,5 +129,31 @@ object OraclesW14 {
         |FROM fin f
         |JOIN nrow ON nrow.series = f.series
         |JOIN ex ON ex.series = f.series
-        |ORDER BY f.series""".stripMargin)
+        |ORDER BY f.series""".stripMargin,
+
+    "q459_tree_lca" ->
+      """WITH panel AS MATERIALIZED (
+        |  SELECT c_custkey AS v, CAST(c_custkey AS VARCHAR) AS vs
+        |  FROM (SELECT c_custkey, row_number() OVER (
+        |      ORDER BY md5('lca:' || CAST(c_custkey AS VARCHAR)),
+        |        c_custkey) AS rnk
+        |    FROM customer)
+        |  WHERE rnk <= 40),
+        |pairs AS (
+        |  SELECT a.v AS u, a.vs AS us, b.v AS v, b.vs AS vs
+        |  FROM panel a JOIN panel b ON a.v < b.v),
+        |lcp AS (
+        |  SELECT u, us, v, vs,
+        |    coalesce((SELECT max(d)
+        |      FROM unnest(range(1, 1 + least(len(us), len(vs)))) AS t(d)
+        |      WHERE substr(us, 1, CAST(d AS INT))
+        |        = substr(vs, 1, CAST(d AS INT))), 0) AS p
+        |  FROM pairs)
+        |SELECT u, v,
+        |  CASE WHEN p = 0 THEN NULL
+        |    ELSE CAST(substr(us, 1, CAST(p AS INT)) AS BIGINT) END AS lca,
+        |  CAST(p AS BIGINT) AS lca_depth,
+        |  CASE WHEN p = 0 THEN NULL
+        |    ELSE CAST(len(us) - p + len(vs) - p AS BIGINT) END AS tree_dist
+        |FROM lcp ORDER BY u, v""".stripMargin)
 }

@@ -119,4 +119,33 @@ class W14WaveSpec extends SparkSpec {
         s"$series: no-expiry bucket mass must equal the ones count")
     }
   }
+
+  test("tree lca: the string-prefix answer equals the literal div-10 " +
+      "ancestor-chain intersection, and distance is the tree metric") {
+    val out = CatalogW14.q459TreeLca(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(out.length === CatalogW14.LcaPanel * (CatalogW14.LcaPanel - 1) / 2)
+    // independent arithmetic model: ancestors-or-self via repeated div 10
+    def chain(v: Long): List[Long] =
+      if (v < 10) List(v) else v :: chain(v / 10)
+    def depth(v: Long): Long = v.toString.length.toLong
+    out.foreach { case (u, v, lca, lcaDepth, dist) =>
+      val cu = chain(u).toSet
+      val common = chain(v).filter(cu) // ordered deepest-first from v's side
+      common.headOption match {
+        case Some(deepest) =>
+          assert(lca === Some(deepest), s"($u,$v)")
+          assert(lcaDepth === depth(deepest), s"($u,$v)")
+          assert(dist === Some(depth(u) + depth(v) - 2 * depth(deepest)),
+            s"($u,$v): distance must be the tree metric through the LCA")
+        case None =>
+          assert(lca.isEmpty && lcaDepth === 0L && dist.isEmpty,
+            s"($u,$v): cross-root pairs have no LCA and no path")
+      }
+    }
+    assert(out.exists(_._3.nonEmpty), "panel must contain same-tree pairs")
+    assert(out.exists(_._3.isEmpty), "panel must contain cross-root pairs")
+  }
 }
