@@ -187,8 +187,24 @@ object FrameMemo {
         }
         // Hot tier: one eager cut per session, blocks protected from the
         // bench sweep (eviction of a localCheckpoint BREAKS later readers).
+        // AQE is disabled for THIS materialization job only: under AQE the
+        // checkpoint captures the AdaptiveSparkPlanExec's partitioning —
+        // UnknownPartitioning — into the cut's LogicalRDD, silently
+        // erasing the clustering `layout` just restored (caught by the
+        // FrameMemoPersistSpec layout-survival law); without AQE the cut
+        // records the real HashPartitioning and consumer joins can skip
+        // re-shuffling the index side.
         val mid = spark.sparkContext.getPersistentRDDs.keySet
-        val cp = IterativeLoop.cut(layout(spark.read.parquet(path)))
+        val aqeKey = "spark.sql.adaptive.enabled"
+        val prevAqe = spark.conf.getOption(aqeKey)
+        val cp =
+          try {
+            spark.conf.set(aqeKey, "false")
+            IterativeLoop.cut(layout(spark.read.parquet(path)))
+          } finally prevAqe match {
+            case Some(v) => spark.conf.set(aqeKey, v)
+            case None => spark.conf.unset(aqeKey)
+          }
         val after = spark.sparkContext.getPersistentRDDs.keySet
         prot.synchronized { prot ++= (after -- mid) }
         cp

@@ -64,6 +64,29 @@ class DedupSpec extends SparkSpec {
     assert(pref === full)
   }
 
+  test("jaccardPairsDelta law: delta-scoped pairs are exactly the union " +
+      "pairs touching the delta, and N delta passes rebuild the full pair set") {
+    val all = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.jaccardPairs(df, "doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val s = spark
+    import s.implicits._
+    val stored = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val got = Dedup.jaccardPairsDelta(stored, delta, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unionPairs = pairsOf(docs)
+    val deltaIds = delta.collect().map(_.getLong(0)).toSet
+    val want = unionPairs.filter(p => deltaIds(p._1) || deltaIds(p._2))
+    assert(got === want,
+      "delta pairs must be exactly the union pairs with a delta side")
+    assert(got.nonEmpty && got != unionPairs,
+      "fixture must have both delta-touching and stored-only pairs")
+    // induction step made explicit: stored-only pairs + delta pairs = all
+    assert(pairsOf(stored) ++ got === unionPairs)
+  }
+
   test("jaccardPairsAuto: df-tail probe picks the right plan, result is law-identical") {
     val s = spark
     import s.implicits._

@@ -83,6 +83,23 @@ class FrameMemoPersistSpec extends SparkSpec {
     }
   }
 
+  test("the layout hook's clustering survives into the reloaded hot tier") {
+    withRoot { root =>
+      FrameMemo.invalidate()
+      FrameMemo.cachedPersistent(spark, "pmemo-layout:v1", "fp-a")(frame())
+      FrameMemo.invalidate()
+      val reloaded = FrameMemo.cachedPersistent(spark, "pmemo-layout:v1",
+        "fp-a", layout = _.repartition(col("id")))(
+        sys.error("reload path must not rebuild"))
+      // the eager cut's LogicalRDD must carry the hash clustering — this
+      // is the whole point of the hook: consumers join on the key
+      // without re-shuffling the index (round 13's q411 regression)
+      val part = reloaded.queryExecution.executedPlan.outputPartitioning
+      assert(part.toString.toLowerCase.contains("hashpartitioning(id"),
+        s"reloaded frame lost its layout: $part")
+    }
+  }
+
   test("a crashed race loser's nested .tmp- dir inside the index is swept before reading") {
     withRoot { root =>
       FrameMemo.invalidate()
