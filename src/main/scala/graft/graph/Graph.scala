@@ -423,12 +423,17 @@ object Graph {
       seeds.select(col("id").cast("long").as("id")).distinct()
         .select(col("id"), lit(0L).as("hops")))
     var frontier = dist
+    val lid = graft.ops.PlanProbe.loopId()
     for (r <- 1 to rounds) {
-      val next = lazyCut(frontier
+      // the frontier-sized join + anti-join is the shape that matters at
+      // 100×; offer it UNCUT to the plan audit before lazyCut hides it
+      val stepped = frontier
         .join(e, frontier("id") === e("src"))
         .select(col("dst").as("id"), lit(r.toLong).as("hops"))
         .distinct()
-        .join(dist, Seq("id"), "left_anti"))
+        .join(dist, Seq("id"), "left_anti")
+      graft.ops.PlanProbe.offer(lid, r, stepped)
+      val next = lazyCut(stepped)
       dist = lazyCut(dist.union(next))
       frontier = next
     }

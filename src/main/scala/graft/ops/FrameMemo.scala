@@ -119,8 +119,12 @@ object FrameMemo {
     * regressed 0.91 → 1.89 s builder-to-builder, the round's one
     * perf-weak query. The indexes here are small relative to executor
     * memory (the sf0.1 suffix ranks are ~13 MB of parquet); a genuinely
-    * huge index would want the cold path back, via a `hot = false`
-    * knob, not by un-protecting the cut.
+    * huge index wants the cold path back via `hot = false` — the frame
+    * is then the plain parquet scan with `layout` applied lazily (no
+    * eager cut, no pinned executor memory; each consumer re-reads the
+    * files, and any layout repartition is paid per consumer read). Both
+    * tiers are hash-identical by construction — same files, same layout
+    * — held by FrameMemoPersistSpec's tier-equivalence law.
     *
     * `layout` restores the PHYSICAL layout a parquet round-trip erases:
     * the build's final frame usually carries a useful outputPartitioning
@@ -132,10 +136,12 @@ object FrameMemo {
     * layout runs ONCE per session, under the eager cut, and the cut's
     * LogicalRDD preserves its partitioning for every consumer. */
   def cachedPersistent(spark: SparkSession, key: String, fingerprint: String,
-      layout: DataFrame => DataFrame = identity)(
+      layout: DataFrame => DataFrame = identity, hot: Boolean = true)(
       build: => DataFrame): DataFrame =
     memo.synchronized {
-      memo.getOrElseUpdate((spark, s"persist:$key#$fingerprint"), {
+      // hot is part of the MEMO key (a session may want both tiers) but
+      // not of the on-disk digest (same files back both).
+      memo.getOrElseUpdate((spark, s"persist:$key#$fingerprint#hot=$hot"), {
         val digest = java.security.MessageDigest.getInstance("MD5")
           .digest(s"$key|$fingerprint".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(16)
@@ -185,6 +191,10 @@ object FrameMemo {
           if (st.isDirectory && st.getPath.getName.contains(".tmp-"))
             fs.delete(st.getPath, true)
         }
+        // Cold tier (`hot = false`): the lazy parquet scan with `layout`
+        // applied — nothing pinned, nothing protected; consumers re-read
+        // the files per run (the right trade for an index too big to pin).
+        if (!hot) layout(spark.read.parquet(path)) else {
         // Hot tier: one eager cut per session, blocks protected from the
         // bench sweep (eviction of a localCheckpoint BREAKS later readers).
         // AQE is disabled for THIS materialization job only: under AQE the
@@ -193,21 +203,25 @@ object FrameMemo {
         // erasing the clustering `layout` just restored (caught by the
         // FrameMemoPersistSpec layout-survival law); without AQE the cut
         // records the real HashPartitioning and consumer joins can skip
-        // re-shuffling the index side.
+        // re-shuffling the index side. The override is scoped to a
+        // THROWAWAY newSession() (same SparkContext, isolated SQLConf)
+        // rather than set/unset on the shared session conf — a concurrent
+        // query on the caller's session would otherwise silently plan
+        // with AQE off during the materialization window (round-14
+        // ADVICE). The cut's LogicalRDD is session-agnostic: consumers on
+        // the caller's session combine with it plan-for-plan.
         val mid = spark.sparkContext.getPersistentRDDs.keySet
-        val aqeKey = "spark.sql.adaptive.enabled"
-        val prevAqe = spark.conf.getOption(aqeKey)
-        val cp =
-          try {
-            spark.conf.set(aqeKey, "false")
-            IterativeLoop.cut(layout(spark.read.parquet(path)))
-          } finally prevAqe match {
-            case Some(v) => spark.conf.set(aqeKey, v)
-            case None => spark.conf.unset(aqeKey)
-          }
+        val mat = spark.newSession()
+        spark.conf.getAll.foreach { case (k, v) =>
+          try mat.conf.set(k, v)
+          catch { case scala.util.control.NonFatal(_) => () } // static confs
+        }
+        mat.conf.set("spark.sql.adaptive.enabled", "false")
+        val cp = IterativeLoop.cut(layout(mat.read.parquet(path)))
         val after = spark.sparkContext.getPersistentRDDs.keySet
         prot.synchronized { prot ++= (after -- mid) }
         cp
+        }
       })
     }
 
@@ -222,9 +236,16 @@ object FrameMemo {
   def invalidate(): Unit = memo.synchronized {
     val ids = prot.synchronized(prot.toSet)
     memo.keysIterator.map(_._1).toSet[SparkSession].foreach { s =>
-      s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (ids.contains(id)) rdd.unpersist(blocking = false)
-      }
+      // a memoized session's context may already be stopped (test
+      // teardown, multi-session tools) — its blocks died with it; a
+      // throw here would abort the sweep for every LIVE session after
+      // it (round-14 ADVICE), so guard and keep sweeping
+      try {
+        if (!s.sparkContext.isStopped)
+          s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+            if (ids.contains(id)) rdd.unpersist(blocking = false)
+          }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     memo.clear()
     prot.synchronized(prot.clear())

@@ -799,7 +799,8 @@ object CatalogNext {
     // v0 = 1.0 for every item
     var v = r.select(col("item")).distinct().withColumn("v", lit(1.0))
     var u: DataFrame = null
-    for (_ <- 1 to 3) {
+    val lid = graft.ops.PlanProbe.loopId()
+    for (round <- 1 to 3) {
       u = r.join(v, Seq("item"))
         .groupBy(col("u"))
         .agg((foldSorted(col("item"), col("r") * col("v"))
@@ -809,6 +810,7 @@ object CatalogNext {
         .groupBy(col("item"))
         .agg((foldSorted(col("u"), col("r") * col("v_u"))
           / foldSorted(col("u"), col("v_u") * col("v_u"))).as("v"))
+      graft.ops.PlanProbe.offer(lid, round, v)
     }
     val pred = r.join(u, Seq("u")).join(v, Seq("item"))
       .select(col("u"), col("item"), col("r"),
@@ -1203,13 +1205,15 @@ object CatalogNext {
       .orderBy(col("item")).limit(10)
     var dist = seeds.select(col("item").as("seed"), col("item").as("node"),
       lit(0L).as("d"))
+    val lid = graft.ops.PlanProbe.loopId()
     for (r <- 1 to 6) {
       val frontier = dist.filter(col("d") === (r - 1))
         .join(nbr, dist("node") === nbr("a"))
         .select(col("seed"), col("b").as("node"), lit(r.toLong).as("d"))
-      dist = graft.dedup.Dedup.lineageCutLazy(
-        dist.unionAll(frontier)
-          .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d")))
+      val stepped = dist.unionAll(frontier)
+        .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d"))
+      graft.ops.PlanProbe.offer(lid, r, stepped)
+      dist = graft.dedup.Dedup.lineageCutLazy(stepped)
     }
     dist.filter(col("d") > 0)
       .groupBy(col("seed"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
- * Round-14 waves (q457–q458):
+ * Round-14 waves (q457–q459):
  *
  *   - q457 completes the interval family's verb set — the family now
  *     classifies pairs (q451 Allen relations), counts concurrency
@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
  *   - q458 completes the sketch canon's sliding-WINDOW corner (DGIM)
  *     — every prior sketch (CMS/HLL/LC/Bloom/KMV/AMS/MG) answers a
  *     whole-stream question; DGIM answers "in the last N".
+ *   - q459 gives the tree family its ancestry verb (LCA + tree
+ *     distance), closed-form over the digit forest — zero iterations.
  */
 object CatalogW14 {
 
@@ -109,9 +111,12 @@ object CatalogW14 {
     * problem those cannot): O(log² N) buckets of power-of-2 sizes, at
     * most two per size, estimate = all-but-oldest + half the oldest,
     * relative error ≤ 50% by the bucket invariant. The bit stream is a
-    * per-event predicate (user_id ≡ 0 mod 3) over each event type's
-    * md5-bottom-[[DgimPanel]] panel in event_id order (the q454
-    * fixed-panel sequential-kernel pattern; the oracle replays the
+    * per-event predicate (user_id ≡ 0 mod 3) over the GLOBAL
+    * md5-bottom-[[DgimPanel]] event panel split by event type — per-
+    * series lengths are therefore data-dependent (∑ = [[DgimPanel]]),
+    * unlike q457's per-segment rank panels — in event_id order (the
+    * q454 fixed-panel sequential-kernel pattern; the oracle takes the
+    * identical global-then-split panel and replays the
     * identical micro-step rule as an h-indexed list-of-structs
     * recursive CTE, merges linearized one per step). Output per series:
     * the exact window count, the DGIM estimate, bucket stats, and the

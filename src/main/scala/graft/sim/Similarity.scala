@@ -609,6 +609,7 @@ object Similarity {
     val seed = pts.orderBy(col("vec_id").asc).limit(1)
       .select(lit(0L).as("round"), col("vec_id"), col("v"), lit(0.0).as("d2"))
     var centers = seed
+    val lid = graft.ops.PlanProbe.loopId()
     for (t <- 1 until k) {
       val cArr = centers
         .agg(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))).as("cs"))
@@ -617,6 +618,7 @@ object Similarity {
           array_min(transform(col("cs"), c => d2(col("v"), c("cv")))).as("d2"))
         .orderBy(col("d2").desc, col("vec_id").asc).limit(1)
         .select(lit(t.toLong).as("round"), col("vec_id"), col("v"), col("d2"))
+      graft.ops.PlanProbe.offer(lid, t, winner)
       centers = graft.dedup.Dedup.lineageCutLazy(centers.union(winner))
     }
     centers.select(col("round"), col("vec_id"), col("d2"))
@@ -657,6 +659,7 @@ object Similarity {
       .select(col("q_id"), lit(0L).as("round"), col("c_id"), col("c_v"),
         lit(0.0).as("mmr"))
       .filter(lit(false))
+    val lid = graft.ops.PlanProbe.loopId()
     for (t <- 1 to k) {
       val selArr = selected.groupBy(col("q_id"))
         .agg(collect_list(col("c_id")).as("sel_ids"),
@@ -673,6 +676,7 @@ object Similarity {
           col("c_v").as("v"))).as("w"))
         .select(col("q_id"), lit(t.toLong).as("round"),
           (-col("w.nid")).as("c_id"), col("w.v").as("c_v"), col("w.m").as("mmr"))
+      graft.ops.PlanProbe.offer(lid, t, winner)
       selected = graft.dedup.Dedup.lineageCutLazy(selected.union(winner))
     }
     selected.select(col("q_id"), col("round"), col("c_id"), col("mmr"))

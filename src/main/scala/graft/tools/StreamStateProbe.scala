@@ -160,9 +160,16 @@ object StreamStateProbe {
     // across k AND the keep-set equals batch dropNearDups (the
     // DocsPipelineSpec law re-asserted at probe volume). ----
     ks.foreach { k =>
-      val universe = docBase.select(col("doc_id"), col("text")).limit(2000)
-      val docsSink = new KeyedParquetSink(tmp("sprobe-nddocs"), "doc_id")
-      val labelSink = new KeyedParquetSink(tmp("sprobe-ndlab"), "id")
+      // pinned deterministically (orderBy before limit) and cached: an
+      // unordered limit is stable only while the scan order is — any
+      // upstream layout change would make re-deliveries carry DIFFERENT
+      // rows and falsely fail the FLAT/keep-set check (round-14 ADVICE)
+      val universe = docBase.select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).limit(2000).cache()
+      val docsPath = tmp("sprobe-nddocs")
+      val labelsPath = tmp("sprobe-ndlab")
+      val docsSink = new KeyedParquetSink(docsPath, "doc_id")
+      val labelSink = new KeyedParquetSink(labelsPath, "id")
       val handler = graft.streaming.DocsPipeline
         .nearDupClusterBatch(docsSink, labelSink) _
       var epoch = 0L
@@ -179,7 +186,9 @@ object StreamStateProbe {
         .select(col("doc_id"))
       val batch = graft.dedup.Dedup.dropNearDups(universe).select(col("doc_id"))
       val diff = keep.exceptAll(batch).count() + batch.exceptAll(keep).count()
-      println(f"neardup-cc-docs      $k%-4d ${universe.count() * k * 1L}%-11d ${docsRows + labelRows}%-11d ${0L}%-12d docs=$docsRows labels=$labelRows (paired only); vs-batch-diff=$diff")
+      val ndBytes = dirBytes(Paths.get(docsPath)) + dirBytes(Paths.get(labelsPath))
+      println(f"neardup-cc-docs      $k%-4d ${universe.count() * k * 1L}%-11d ${docsRows + labelRows}%-11d $ndBytes%-12d docs=$docsRows labels=$labelRows (paired only); vs-batch-diff=$diff")
+      universe.unpersist(blocking = false)
     }
 
     // ---- X334b KV stream sink + compaction: segments bounded forever ----

@@ -119,6 +119,43 @@ class FrameMemoPersistSpec extends SparkSpec {
     }
   }
 
+  test("hot and cold tiers are hash-identical, and the cold tier pins nothing") {
+    withRoot { root =>
+      FrameMemo.invalidate()
+      FrameMemo.cachedPersistent(spark, "pmemo-tier:v1", "fp-a")(frame())
+      FrameMemo.invalidate()
+      val before = FrameMemo.protectedIds
+      val cold = FrameMemo.cachedPersistent(spark, "pmemo-tier:v1", "fp-a",
+        hot = false)(sys.error("reload path must not rebuild"))
+      assert(FrameMemo.protectedIds === before,
+        "cold tier must not register protected blocks (nothing pinned)")
+      // same session may hold BOTH tiers (distinct memo keys, same files)
+      val hot = FrameMemo.cachedPersistent(spark, "pmemo-tier:v1", "fp-a")(
+        sys.error("reload path must not rebuild"))
+      assert(cold.orderBy("id").collect().toSeq
+        === hot.orderBy("id").collect().toSeq,
+        "tiers must serve identical rows from the same spill")
+    }
+  }
+
+  test("the cold tier still applies the layout hook (lazily, per read)") {
+    withRoot { root =>
+      FrameMemo.invalidate()
+      FrameMemo.cachedPersistent(spark, "pmemo-tierlay:v1", "fp-a")(frame())
+      FrameMemo.invalidate()
+      val cold = FrameMemo.cachedPersistent(spark, "pmemo-tierlay:v1", "fp-a",
+        layout = _.repartition(col("id")), hot = false)(
+        sys.error("reload path must not rebuild"))
+      // the cold frame is a lazy plan under AQE, so its pre-execution
+      // outputPartitioning reads Unknown — assert the layout's
+      // repartition is IN the plan (each consumer read pays it; that is
+      // the documented cold trade) rather than on a materialized cut
+      val plan = cold.queryExecution.optimizedPlan.toString
+      assert(plan.contains("RepartitionByExpression [id"),
+        s"cold tier must carry the layout hook in its plan:\n$plan")
+    }
+  }
+
   test("fileFingerprint fails loudly on a nonexistent path") {
     intercept[IllegalArgumentException] {
       FrameMemo.fileFingerprint("/no/such/path/graft-fingerprint-spec")

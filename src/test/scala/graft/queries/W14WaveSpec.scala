@@ -3,7 +3,7 @@ package graft.queries
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Laws for the round-14 waves (q457–q458).
+/** Laws for the round-14 waves (q457–q459).
   *
   * q457: the stab set replays driver-side from the literal greedy; it
   * COVERS (every panel window contains a chosen day); and its size
