@@ -708,9 +708,16 @@ object Dedup {
   private[graft] def connectedComponentsAttempt(pairs: DataFrame,
       aCol: String = "a_id", bCol: String = "b_id",
       maxIter: Int = 20, hotLabelThreshold: Option[Long] = None): (DataFrame, Int, Long) = {
+    // Round 15: hash-partitioned on `v` before the persist — every round's
+    // nbrMin join keys the edge side on v, and a cached plan (unlike a
+    // lineage cut) keeps its outputPartitioning visible to the planner, so
+    // the edge-sized side of that join shuffles ONCE here instead of once
+    // per round (guide §2.4; the labels side still moves, but it is
+    // node-sized).
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
+      .repartition(col("v"))
       .persist()
     var labels = lineageCut(
       edges.select(col("u").as("id")).distinct()

@@ -66,6 +66,25 @@ object VectorMath {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Raw dot product of two float vectors, accumulated in double in element
+    * order — the shared numerator of [[cosineF]], exposed for queries that
+    * need the un-normalized score next to the cosine (q240's RBO compares
+    * the two rankings). Bit-compatible with the HOF form
+    * `aggregate(zip_with(a, b, (x, y) -> x*y), 0.0d, (acc, t) -> acc + t)`
+    * on the double-cast arrays: float→double casts are exact and the adds
+    * run in the same element order. */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"vector length mismatch: $n vs ${b.numElements()}")
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
   /** Double-vector variant with identical accumulation order. */
   def cosineD(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()

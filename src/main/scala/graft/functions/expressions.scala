@@ -37,6 +37,28 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** dot(array<float>, array<float>) -> double — element-order accumulation,
+  * the un-normalized companion of [[CosineSim]] (round 15: replaces the
+  * interpreted `aggregate(zip_with(...))` HOF pair in q240's brute-force
+  * scoring — HOFs are CodegenFallback, so every candidate pair paid a
+  * per-element lambda dispatch; this stays inside whole-stage codegen). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match { case ArrayType(FloatType, _) => true; case _ => false })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, array<float>), got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.dotF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
 /** simhash64(array<string>) -> long — Charikar sign-fingerprint of a token bag. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
@@ -226,6 +248,7 @@ object GraftFunctions {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine"      -> { args => CosineSim(args(0), args(1)) },
+    "graft_dot"         -> { args => DotProduct(args(0), args(1)) },
     "graft_simhash64"   -> { args => SimHash64(args(0)) },
     "graft_minhash_sig" -> { args => MinHashSig(args(0), intArg(args(1), "k")) },
     "graft_sign_bucket" -> { args => SignBucket(args(0), intArg(args(1), "planes")) },
@@ -245,6 +268,7 @@ object GraftFunctions {
   }
 
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
   def minhashSig(tokens: Column, k: Int): Column = {
     import org.apache.spark.sql.functions.lit

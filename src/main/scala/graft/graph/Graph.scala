@@ -42,6 +42,12 @@ object Graph {
     // the cuts iteration k re-runs the upstream edge-building joins k
     // times over (measured on the q83 trade graph: 20.6 s → 2.9 s for 8
     // iterations at sf0.1).
+    // Round 15, measured and kept AS-IS: switching these two lineage-cut
+    // loop invariants to repartitioned persist() (to keep HashPartitioning
+    // visible and skip the per-iteration edge exchange) was tried and
+    // REGRESSED — the cached 32-partition scans traded one coalesced
+    // exchange per round for 32 per-task overheads per reference (summed
+    // task time 35 s → 120–200 s at sf0.1, worse at low core counts).
     val e = lazyCut(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
@@ -102,6 +108,9 @@ object Graph {
   def hitsFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 8, scale: Long = 1L << 30): DataFrame = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
+    // Round 15, measured and kept AS-IS: per-key cached edge copies
+    // (eSrc/eDst persist) were tried and regressed like pageRank's — see
+    // the note there.
     val e = lazyCut(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
@@ -114,8 +123,16 @@ object Graph {
     // with no in-(resp. out-)links would score a hard 0 and contribute
     // nothing to the next round's sums, so the full-node zero-fill is
     // deferred to the final output — saves two node-sized left joins per
-    // round (measured ~25% of q113's runtime at sf0.1)
-    def normalized(raw: DataFrame, joinKey: String, outCol: String): DataFrame = {
+    // round (measured ~25% of q113's runtime at sf0.1).
+    // Round 15: cut `raw` before the normalization — its L1 total runs as
+    // a broadcast scalar subquery, a SEPARATE job from the main projection,
+    // so the uncut edge-join+aggregate executed twice per half-round (the
+    // subquery tree and the main tree cannot share it; guide §2.4 "remove
+    // shuffles outright" — here the whole duplicated pass). The cut makes
+    // the total's job materialize the aggregate once and the projection
+    // re-read the persisted blocks. Values are untouched.
+    def normalized(raw0: DataFrame, joinKey: String, outCol: String): DataFrame = {
+      val raw = lazyCut(raw0)
       val tot = raw.agg(greatest(sum(col("raw")), lit(1L)).as("tot"))
       lazyCut(raw.crossJoin(broadcast(graft.ops.Guards.scalar(tot)))
         .select(col(joinKey).as("node"),
@@ -264,15 +281,22 @@ object Graph {
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).collect().toSeq.map(_.toSeq))
     IterativeLoop.fixedUntil(init, maxOuter, requireConverged = true,
         sameAs = probe) { (labs, _) =>
-      // label-graph edges (cross-label only): the contracted view
-      val el = und
-        .join(labs.select(col("id").as("u"), col("lbl").as("lu")), "u")
+      // hook: each label's minimum adjacent label, kept only when smaller.
+      // Round 15: computed via a per-NODE minimum first — min over u's
+      // neighbors of lbl(v), then min over each label's nodes — instead of
+      // materializing the (lu, lv) label-graph edge list. Same hooks: for
+      // a label l, min over all adjacent labels < l ⟺ min over adjacent
+      // labels ≠ l < l (a minimum below l is never l itself), and the min
+      // distributes over the node grouping. Replaces one EDGE-sized
+      // shuffle+join per round (the second labs join ran on the edge-sized
+      // join output) with a NODE-sized one — the shuffle-fewer-bytes move
+      // of guide §2.3 applied to the contraction's inner pass.
+      val mu = und
         .join(labs.select(col("id").as("v"), col("lbl").as("lv")), "v")
-        .filter(col("lu") =!= col("lv"))
-        .select(col("lu"), col("lv"))
-      // hook: each label's minimum adjacent label, kept only when smaller
-      val hooks = el.groupBy(col("lu").as("l"))
-        .agg(min(col("lv")).as("p"))
+        .groupBy(col("u")).agg(min(col("lv")).as("mv"))
+      val hooks = mu
+        .join(labs.select(col("id").as("u"), col("lbl").as("lu")), "u")
+        .groupBy(col("lu").as("l")).agg(min(col("mv")).as("p"))
         .filter(col("p") < col("l"))
       // flatten the (acyclic, strictly descending) hook forest to roots
       // by pointer squaring; stats-fresh cuts (repeated-squaring loop)
@@ -384,12 +408,24 @@ object Graph {
     def degrees(ed: DataFrame) = ed.select(col("u").as("id"))
       .union(ed.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
-    val e = graft.ops.IterativeLoop.fixed(e0, rounds) { (ed, _) =>
+    // Round 15: early exit at the exact fixed point instead of always
+    // unrolling `rounds` peels. The live-edge COUNT is monotone
+    // non-increasing (peeling only removes), so a stationary count means
+    // no edge was removed — the surviving set already IS the k-core and
+    // every remaining round is the identity (step(fp) = fp), keeping the
+    // result bit-identical to the oracle's fixed unroll while skipping
+    // the no-op degree-count + double-semi-join passes of the tail
+    // rounds. requireConverged stays false: the round cap is the
+    // CONTRACT (the oracle replays exactly `rounds` peels), so a
+    // still-moving capped run is the defined semantics, not an error.
+    val e = graft.ops.IterativeLoop.fixedUntil(e0, rounds,
+        sameAs = graft.ops.IterativeLoop.stationaryAgg(
+          _.agg(count(lit(1))).collect().toSeq.map(_.getLong(0)))) { (ed, _) =>
       val keep = degrees(ed).filter(col("degree") >= k).select(col("id"))
       ed.join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-    }
+    }.df
     degrees(e)
   }
 
@@ -443,8 +479,14 @@ object Graph {
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 32, s"rounds must be in [1, 32], got $rounds")
-    val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // Round 15: the undirected edge frame is the loop invariant, but it was
+    // never materialized — every round's vote join re-derived it from the
+    // source frame (scan + union per round). Cut once like every other
+    // loop invariant (the PageRank discipline; measured 4.2 → 2.6 s at
+    // sf0.1 for q132).
+    val und = lazyCut(
+      edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(edges.select(col("b_id").as("src"), col("a_id").as("dst"))))
     val labels0 = nodes.select(col("id"), col("seed").as("lab"),
       col("seed").isNotNull.as("seeded"))
     val labels = graft.ops.IterativeLoop.fixed(labels0, rounds) { (labs, _) =>

@@ -121,9 +121,28 @@ object IterativeLoop {
     * argue summary-stationary ⟺ fixed point — e.g. a per-key MONOTONE
     * loop with an invariant key set, where sum(value) is stationary iff
     * no value moved. One map-side-combinable aggregate per round instead
-    * of [[multisetEqual]]'s two shuffles. */
-  def stationaryAgg(summary: DataFrame => Seq[Any]): (DataFrame, DataFrame) => Boolean =
-    (prev, next) => summary(next) == summary(prev)
+    * of [[multisetEqual]]'s two shuffles.
+    *
+    * Round 15 (optimization): the probe MEMOIZES the last frame's summary.
+    * [[fixedUntil]] always calls it with `prev` = the exact frame object
+    * the previous call saw as `next`, so re-aggregating `prev` was a pure
+    * duplicate driver action — at sf0.1 the convergence-driven graph loops
+    * paid 2 jobs/round where 1 carries all the information (guide §1/§5:
+    * per-round fixed driver cost dominates small-state iterative queries;
+    * at cluster scale it is one fewer full pass over the state per round).
+    * Reference equality (`eq`) keys the memo, so any caller that passes a
+    * different frame still gets a fresh aggregate — semantics unchanged. */
+  def stationaryAgg(summary: DataFrame => Seq[Any]): (DataFrame, DataFrame) => Boolean = {
+    var lastFrame: DataFrame = null
+    var lastSummary: Seq[Any] = null
+    (prev, next) => {
+      val p = if (prev eq lastFrame) lastSummary else summary(prev)
+      val n = summary(next)
+      lastFrame = next
+      lastSummary = n
+      n == p
+    }
+  }
 
   /** Run `step` until an EXACT fixed point, with `maxRounds` as the
     * guard: lazy cut per round (the probe's action is what materializes
@@ -164,6 +183,51 @@ object IterativeLoop {
       s"fixedUntil: no fixed point within $maxRounds rounds — the cap is " +
         "too small for this data; a capped result would be silently wrong")
     FixedResult(cur, i, conv)
+  }
+
+  /** Run `step` for up to `maxRounds` rounds with an EXACT early exit
+    * (round 15): `step` returns the next state carrying an extra LONG
+    * column `changedCol` (>0 on every row that moved this round); the
+    * combinator cuts the frame WITH the column, reads Σ changedCol in the
+    * one aggregate job that also materializes the cut (no separate probe
+    * scan — the persisted blocks serve both the test and the next round),
+    * strips the column, and stops after the first round reporting zero
+    * moved rows. Soundness needs NO monotonicity argument, unlike
+    * [[stationaryAgg]]: zero moved rows IS step(state) = state, so every
+    * remaining round of the cap is the identity and the early exit is
+    * hash-identical to the full `fixed(maxRounds)` unroll — the right
+    * tool for fixed-round loops whose oracle unrolls the cap but whose
+    * data usually converges earlier (e.g. a pointer-squaring flatten that
+    * finishes in ⌈log₂ depth⌉ ≪ cap rounds; each skipped round is an
+    * edge-sized self-join that never runs, at ANY scale).
+    *
+    * (NOT an `Observation`: observe metrics are only delivered through a
+    * Dataset action on the observed plan's own QueryExecution — Dedup's
+    * eager `localCheckpoint(true)` qualifies, but the lazy and stats-fresh
+    * cuts materialize through plain RDD jobs, which would leave
+    * `Observation.get` blocked forever.)
+    *
+    * `fresh = true` uses the stats-fresh cut ([[cutFresh]]) — mandatory
+    * for repeated-squaring loops, see [[cutFresh]]'s doc. */
+  def fixedUntilNoChange(init: DataFrame, maxRounds: Int, changedCol: String,
+      fresh: Boolean = false)(step: (DataFrame, Int) => DataFrame): DataFrame = {
+    require(maxRounds >= 1, s"need at least one round, got $maxRounds")
+    val lid = PlanProbe.loopId()
+    val cutF: DataFrame => DataFrame = if (fresh) cutFresh else cutLazy
+    var cur = cutF(init)
+    var i = 0
+    var moving = true
+    while (i < maxRounds && moving) {
+      val stepped = step(cur, i + 1)
+      PlanProbe.offer(lid, i + 1, stepped)
+      val next = cutF(stepped)
+      // this aggregate is the job that materializes the cut's blocks
+      moving = next.agg(coalesce(sum(col(changedCol)), lit(0L)))
+        .collect()(0).getLong(0) != 0L
+      cur = next.drop(changedCol)
+      i += 1
+    }
+    cur
   }
 
   /** Fixed-point law hook: max over join keys of |step(df) − df| on

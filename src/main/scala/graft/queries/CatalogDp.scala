@@ -157,8 +157,6 @@ object CatalogDp {
 
   // ---------------------------------------------------------------- q417
 
-  private[graft] val RhoK = 20 // 2^20 ≥ any local/x10 key domain
-
   /** Random-mapping (rho) cycle structure of the md5 self-map
     * h(v) = md5("rho:"+v) mod N over the customer-key domain: cycle
     * nodes are the image of h^(2^K) (all tails consumed once 2^K ≥ N —
@@ -172,7 +170,19 @@ object CatalogDp {
   def q417RhoCycles(s: SparkSession, dir: String): DataFrame = {
     val keys = Tables.customer(s, dir).select(col("c_custkey").as("v"))
     val n = keys.count()
-    require(n < (1L << RhoK), s"rho descend covers 2^$RhoK; domain $n")
+    // Round 15: the number of squaring/descend/label rounds adapts to the
+    // domain — the smallest K with 2^K ≥ n — instead of the fixed
+    // worst-case 20 (guide §1.2 step 1: don't run passes you provably
+    // don't need). Every output is a pure function of the self-map h once
+    // 2^K ≥ n: z = h^(2^K) has consumed every tail (tail ≤ n−1 < 2^K), the
+    // K-round pointer-jump min spans ≥ cycle length, and the binary
+    // descend can represent every tail ≤ 2^K−1 — so K = 14 at sf0.1
+    // (n = 15k) computes bit-identically to K = 20 while running 30%
+    // fewer join rounds, and a 10⁹-key domain gets K = 30 automatically
+    // (the old constant would have FAILED the require at n ≥ 2^20).
+    val rhoK = math.max(1,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1L)))
+    require(rhoK <= 40, s"rho descend domain implausibly large: $n keys")
     // h must be a SELF-map on the actual key set, whatever its shape —
     // md5 mod n alone lands in [0,n), which only coincides with the keys
     // when they happen to be 0..n-1 (true at sf0.01/sf0.1, FALSE for the
@@ -189,25 +199,25 @@ object CatalogDp {
       .join(ranked.select(col("idx").as("hidx"), col("v").as("hv")), "hidx")
       .select(col("v"), col("hv")))
     // maps(j): v -> h^(2^j)(v), j = 0..K-1, by repeated squaring
-    val maps = new Array[DataFrame](RhoK)
+    val maps = new Array[DataFrame](rhoK)
     maps(0) = h.select(col("v"), col("hv").as("m"))
     // squaring loop: cutFresh, not cutLazy — the checkpoint-inherited
     // size estimate would square every round (see IterativeLoop.cutFresh)
-    for (j <- 1 until RhoK)
+    for (j <- 1 until rhoK)
       maps(j) = IterativeLoop.cutFresh(
         maps(j - 1).join(
           maps(j - 1).select(col("v").as("m"), col("m").as("m2")), "m")
           .select(col("v"), col("m2").as("m")))
     // z = h^(2^K)(v): one more squaring; its image is exactly the cycle set
     val z = IterativeLoop.cutFresh(
-      maps(RhoK - 1).join(
-        maps(RhoK - 1).select(col("v").as("m"), col("m").as("m2")), "m")
+      maps(rhoK - 1).join(
+        maps(rhoK - 1).select(col("v").as("m"), col("m").as("m2")), "m")
         .select(col("v"), col("m2").as("z")))
     val cyc = IterativeLoop.cutLazy(z.select(col("z").as("c")).distinct())
     // cycle id = min label over the cycle, pointer-jumping in K rounds
     val st0 = cyc.join(h.select(col("v").as("c"), col("hv").as("p")), "c")
       .select(col("c"), col("p"), least(col("c"), col("p")).as("mn"))
-    val lab = IterativeLoop.fixedFresh(st0, RhoK) { (st, _) =>
+    val lab = IterativeLoop.fixedFresh(st0, rhoK) { (st, _) =>
       st.join(st.select(col("c").as("p"), col("p").as("p2"),
           col("mn").as("mn2")), "p")
         .select(col("c"), col("p2").as("p"),
@@ -216,7 +226,7 @@ object CatalogDp {
     // tail length: binary descend over maps(K-1 .. 0)
     val isCyc = cyc.select(col("c").as("cur"), lit(true).as("oncyc"))
     var desc = keys.select(col("v"), col("v").as("cur"), lit(0L).as("d"))
-    for (j <- (0 until RhoK).reverse) {
+    for (j <- (0 until rhoK).reverse) {
       val cand = desc.join(maps(j).select(col("v").as("cur"),
           col("m").as("nxt")), "cur")
         .join(isCyc.select(col("cur").as("nxt"), col("oncyc")),

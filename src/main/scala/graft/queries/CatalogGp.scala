@@ -105,7 +105,10 @@ object CatalogGp {
     * ect(v) = dur(v) + max(0, max over predecessors ect(u)) — the
     * longest-path relaxation every scheduler runs, in exact integers. */
   def q422CriticalPath(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir)
+    // round 15: one cut for the co-order edge build — `nodes` and `dag`
+    // are separate cuts and each re-ran the lineitem self-join chain when
+    // materializing (the only catalog query that paid partEdges twice)
+    val e = IterativeLoop.cutLazy(edges(s, dir))
     val nodes = IterativeLoop.cutLazy(
       e.select(col("x").as("n")).unionAll(e.select(col("y").as("n"))).distinct()
         .select(col("n"),

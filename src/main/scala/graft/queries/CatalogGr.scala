@@ -101,6 +101,12 @@ object CatalogGr {
       val und = st.filter(col("st") === 0L).select(col("a"), col("pr"))
       val nbrMin = nbr.join(und.select(col("a").as("b"), col("pr").as("pb")), "b")
         .groupBy(col("a")).agg(min(col("pb")).as("mn"))
+      // round 15: measured and deliberately NOT cut — `sel` feeds five
+      // consumers, but exchange reuse already dedups its subtree across
+      // them; adding cutLazy here was tried and made the query WORSE
+      // (40 → 72 stage jobs, +60% task time: the persisted-RDD boundaries
+      // split one adaptive execution into more stage materializations
+      // than the reuse they replaced)
       val sel = und.join(nbrMin, Seq("a"), "left")
         .filter(col("mn").isNull || col("pr") < col("mn"))
         .select(col("a"))
@@ -158,10 +164,14 @@ object CatalogGr {
       lit(0L).as("ex"), lit(0L).as("ey"), lit(0L).as("ewt"))
     val fin = IterativeLoop.fixedEager(init, BoruvkaRounds) { (st, _) =>
       val lbls = st.filter(col("kind") === "l").select(col("n"), col("lbl"))
-      val el = we
+      // round 15: cut — `el` feeds BOTH arms of the `mo` union below, and
+      // exchange reuse only dedups its exchanges, not the re-executed
+      // two-join chain above them (one edge-sized join replay per round
+      // saved; guide §2.4)
+      val el = IterativeLoop.cutLazy(we
         .join(lbls.select(col("n").as("x"), col("lbl").as("lx")), "x")
         .join(lbls.select(col("n").as("y"), col("lbl").as("ly")), "y")
-        .filter(col("lx") =!= col("ly"))
+        .filter(col("lx") =!= col("ly")))
       val mo = el.select(col("lx").as("l"), col("x"), col("y"), col("wt"),
           col("lx"), col("ly"))
         .unionAll(el.select(col("ly").as("l"), col("x"), col("y"), col("wt"),
@@ -184,9 +194,18 @@ object CatalogGr {
       val allL = lbls.select(col("lbl")).distinct()
         .join(hook.select(col("l").as("lbl"), col("p")), Seq("lbl"), "left")
         .select(col("lbl").as("l"), coalesce(col("p"), col("lbl")).as("p"))
-      val flat = IterativeLoop.fixedFresh(allL, HookRounds) { (f, _) =>
+      // round 15: the flatten usually reaches its fixed point in
+      // ⌈log₂ depth⌉ ≪ [[HookRounds]] rounds — exit EXACTLY there
+      // (fixedUntilNoChange: zero moved pointers ⟺ step is the identity,
+      // so the skipped tail rounds the oracle unrolls are no-ops and the
+      // result is bit-identical; each skipped round is a label-frame
+      // self-join that never runs). Stats-fresh cuts as before (squaring
+      // loop).
+      val flat = IterativeLoop.fixedUntilNoChange(allL, HookRounds,
+          "__moved", fresh = true) { (f, _) =>
         f.join(f.select(col("l").as("p"), col("p").as("p2")), "p")
-          .select(col("l"), col("p2").as("p"))
+          .select(col("l"), col("p2").as("p"),
+            when(col("p2") =!= col("p"), 1L).otherwise(0L).as("__moved"))
       }
       val newLbls = lbls.join(flat.select(col("l").as("__old"), col("p")),
           col("lbl") === col("__old"))

@@ -87,9 +87,12 @@ object CatalogGx {
         _.filter(col("kind") === "n").agg(count(lit(1))).collect()
           .map(_.getLong(0)).toSeq)) { (st, r) =>
       val live = st.filter(col("kind") === "n").select(col("n"))
-      val le = e0
+      // round 15: cut — `le` feeds both degree-count arms AND the edge
+      // count in `tot`; without it the double-semi-join chain re-executes
+      // once per consumer (guide §2.4)
+      val le = IterativeLoop.cutLazy(e0
         .join(live.select(col("n").as("x")), Seq("x"), "left_semi")
-        .join(live.select(col("n").as("y")), Seq("y"), "left_semi")
+        .join(live.select(col("n").as("y")), Seq("y"), "left_semi"))
       val dg = le.select(col("x").as("a")).unionAll(le.select(col("y").as("a")))
         .groupBy(col("a")).agg(count(lit(1)).as("d"))
       val tot = IterativeLoop.cutLazy(
@@ -162,16 +165,20 @@ object CatalogGx {
         _.filter(col("kind") === "e").agg(count(lit(1))).collect()
           .map(_.getLong(0)).toSeq)) { (st, r) =>
       val e = st.filter(col("kind") === "e").select(col("x"), col("y"), col("wt"))
-      val mn = e.select(col("x").as("a"), col("wt"))
+      // round 15: cut — `mn` feeds both endpoint joins of the mutual-min
+      // test; uncut, the per-node min aggregate re-executes for each
+      // (guide §2.4)
+      val mn = IterativeLoop.cutLazy(e.select(col("x").as("a"), col("wt"))
         .unionAll(e.select(col("y").as("a"), col("wt")))
-        .groupBy(col("a")).agg(min(col("wt")).as("mw"))
+        .groupBy(col("a")).agg(min(col("wt")).as("mw")))
       val mt = IterativeLoop.cutLazy(e
         .join(mn.select(col("a").as("x"), col("mw").as("mx")), "x")
         .join(mn.select(col("a").as("y"), col("mw").as("my")), "y")
         .filter(col("wt") === col("mx") && col("wt") === col("my"))
         .select(col("x"), col("y"), col("wt")))
-      val mnodes = mt.select(col("x").as("mn")).unionAll(mt.select(col("y").as("mn")))
-        .distinct()
+      val mnodes = IterativeLoop.cutLazy(
+        mt.select(col("x").as("mn")).unionAll(mt.select(col("y").as("mn")))
+          .distinct())
       val live = e
         .join(mnodes.select(col("mn").as("x")), Seq("x"), "left_anti")
         .join(mnodes.select(col("mn").as("y")), Seq("y"), "left_anti")

@@ -216,21 +216,33 @@ object CatalogIdx {
     require(span < 4096, s"Haar grid is 4096 days; series spans $span")
     val l0 = s.range(4096).select(col("id").as("i"))
       .join(day, Seq("i"), "left")
-      .select(lit("a").as("kind"), lit(0L).as("level"), col("i"),
-        coalesce(col("v"), lit(0L)).as("v"))
-    val folded = IterativeLoop.fixed(l0, 12) { (st, k) =>
-      val pairs = st.filter(col("kind") === "a")
-        .select((col("i") % 2).as("par"), shiftright(col("i"), 1).as("j"),
-          col("v"))
-        .groupBy(col("j"))
-        .agg(sum(col("v")).as("sv"),
-          sum(when(col("par") === 0, col("v")).otherwise(-col("v"))).as("dv"))
-      val newA = pairs.select(lit("a").as("kind"), lit(k.toLong).as("level"),
-        col("j").as("i"), col("sv").as("v"))
-      val newD = pairs.select(lit("d").as("kind"), lit(k.toLong).as("level"),
-        col("j").as("i"), col("dv").as("v"))
-      st.filter(col("kind") === "d").unionByName(newA).unionByName(newD)
-    }
+      .select(col("i"), coalesce(col("v"), lit(0L)).as("v"))
+    // Round 15: the 12-level sum/difference pyramid has a CLOSED FORM —
+    // the level-k detail coefficient of block j is a signed sum over the
+    // raw day grid, d(k, j) = Σ_{i div 2^k = j} ±v_i with the sign given
+    // by bit k−1 of i (unrolling the recursion: level-(k−1) averages with
+    // even pair-parity are exactly the days whose (k−1)-th bit is 0), and
+    // the one surviving approximation coefficient is the plain total.
+    // Integer addition is associative, so the flat signed sums equal the
+    // pyramid's staged sums EXACTLY — one explode + ONE key-partitioned
+    // aggregate replaces 12 sequential aggregates (guide §1.2 step 1:
+    // fewer passes; the loop was 12 shuffles of a frame that only
+    // shrinks). Verified hash-identical at sf0.001/0.01/0.1, and the
+    // SuffixIndexSpec Parseval/total laws pin the semantics.
+    val dRows = l0
+      .select(col("i"), col("v"),
+        explode(sequence(lit(1L), lit(12L))).as("level"))
+      .select(col("level"),
+        expr("shiftright(i, cast(level as int))").as("j"),
+        when(expr("shiftright(i, cast(level - 1 as int)) % 2") === 0L,
+          col("v")).otherwise(-col("v")).as("sv"))
+      .groupBy(col("level"), col("j"))
+      .agg(sum(col("sv")).as("v"))
+      .select(lit("d").as("kind"), col("level"), col("j").as("i"), col("v"))
+    val aRow = l0.agg(sum(col("v")).as("v"))
+      .select(lit("a").as("kind"), lit(12L).as("level"), lit(0L).as("i"),
+        col("v"))
+    val folded = dRows.unionByName(aRow)
     folded
       .select(col("kind"), col("level"), col("i").as("idx"), col("v").as("coeff"),
         (col("v").cast("double") * col("v").cast("double") /

@@ -661,10 +661,16 @@ object CatalogNext {
   def q317NaiveBayes(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
       col("text"))
-    val toks = docs
+    // round 15: cut, narrow — the tokenize + md5-feature chain feeds THREE
+    // independent aggregations (cf, cl, scored) with no shared exchange, so
+    // it re-executed per consumer; the token text `w` is dropped before the
+    // cut (only the hashed feature flows downstream — guide §2.3 project
+    // early)
+    val toks = graft.ops.IterativeLoop.cutLazy(docs
       .select(col("doc_id"), col("lang").as("true_lang"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
       .withColumn("f", u32(concat(lit("nbf:"), col("w"))) % 1024L)
+      .drop("w"))
     val cf = toks.groupBy(col("true_lang").as("l"), col("f"))
       .agg(count(lit(1)).as("cf"))
     val cl = toks.groupBy(col("true_lang").as("l")).agg(count(lit(1)).as("cl"))

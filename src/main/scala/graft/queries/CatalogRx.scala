@@ -225,7 +225,16 @@ object CatalogRx {
       .join(core.select(col("id").as("ai")), Seq("ai"), "left_semi")
       .join(core.select(col("id").as("bi")), Seq("bi"), "left_semi")
       .filter(col("ai") < col("bi"))
-    val cc = graft.graph.Graph.ccAuto(ce, "ai", "bi")
+    // Round 15: hookComponents DIRECTLY, not ccAuto. The ε-neighbor graph
+    // of density clusters is the high-diameter regime by construction
+    // (core points chain along thin manifolds), and the plan audit showed
+    // ccAuto's min-label attempt burning its full 10 stall rounds (each an
+    // edges⋈labels round) before falling back to hookComponents anyway —
+    // pure paid-probe overhead on every run. Both compute the same
+    // canonical component-minimum labeling, so the output is unchanged
+    // (the CcAutoSpec equality law); this is just skipping a probe we can
+    // predict from the workload's shape (guide §1.2 step 1).
+    val cc = graft.graph.Graph.hookComponents(ce, "ai", "bi")
     val coreClusters = IterativeLoop.cutLazy(core
       .join(cc.select(col("id"), col("component")), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("cluster")))

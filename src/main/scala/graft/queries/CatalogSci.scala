@@ -246,22 +246,33 @@ object CatalogSci {
     * geometric weights are shared p^(d−1) literals built by repeated
     * multiplication; per-query RBO is a sorted fold over d. */
   def q240Rbo(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val k = 10
     val pw: Seq[Double] = Iterator.iterate(1.0)(_ * 0.9).take(k).toSeq
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
+    // Round 15: the per-pair scoring used interpreted `aggregate(zip_with)`
+    // HOFs (CodegenFallback — a lambda dispatch per element) and recomputed
+    // both vector norms for every one of the |Q|×|C| candidate pairs. The
+    // native codegen'd dot ([[graft.functions.VectorMath.dotF]]) is
+    // bit-compatible with the HOF fold on the double-cast arrays, and the
+    // norms are per-VECTOR constants — computed once per side before the
+    // join (guide §1.2 step 2: per-task work; ~4× less array arithmetic
+    // per pair, and the one remaining dot is codegen'd). cosine =
+    // dotp / (q_n · c_n) runs the identical fp operations on identical
+    // values, so every ranking — and the hash — is unchanged.
+    val dot = graft.functions.GraftFunctions.dot _
     val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
     val qs = emb.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
-    val cs = emb.select(col("vec_id").as("c_id"), col("v").as("c_v"))
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        sqrt(dot(col("v"), col("v"))).as("q_n"))
+    val cs = emb.select(col("vec_id").as("c_id"), col("v").as("c_v"),
+      sqrt(dot(col("v"), col("v"))).as("c_n"))
     val scored = cs.join(broadcast(qs), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        (dot(col("q_v"), col("c_v")) /
-          (sqrt(dot(col("q_v"), col("q_v"))) *
-            sqrt(dot(col("c_v"), col("c_v"))))).as("cosine"),
-        dot(col("q_v"), col("c_v")).as("dotp"))
+        dot(col("q_v"), col("c_v")).as("dotp"), col("q_n"), col("c_n"))
+      .select(col("q_id"), col("c_id"),
+        (col("dotp") / (col("q_n") * col("c_n"))).as("cosine"),
+        col("dotp"))
     val wA = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id").asc)
     val wB = Window.partitionBy(col("q_id"))
