@@ -214,9 +214,11 @@ object CatalogIdx {
   private[graft] def haarTop(day: DataFrame, s: SparkSession, topK: Int): DataFrame = {
     val span = day.agg(max(col("i")).as("m")).head().getLong(0)
     require(span < 4096, s"Haar grid is 4096 days; series spans $span")
-    val l0 = s.range(4096).select(col("id").as("i"))
+    // cut: the zero-filled grid feeds both the detail aggregate and the
+    // total row (two union arms re-deriving the day build otherwise)
+    val l0 = IterativeLoop.cutLazy(s.range(4096).select(col("id").as("i"))
       .join(day, Seq("i"), "left")
-      .select(col("i"), coalesce(col("v"), lit(0L)).as("v"))
+      .select(col("i"), coalesce(col("v"), lit(0L)).as("v")))
     // Round 15: the 12-level sum/difference pyramid has a CLOSED FORM —
     // the level-k detail coefficient of block j is a signed sum over the
     // raw day grid, d(k, j) = Σ_{i div 2^k = j} ±v_i with the sign given

@@ -51,7 +51,35 @@ object X10Gate {
     "q29_embed_neardup" ->
       ("documented brute-force LAW-TEST BASELINE (PLANS.md design " +
         "note): the all-pairs form exists to law-test q49's LSH scale " +
-        "path, which carries the green x10 row"))
+        "path, which carries the green x10 row"),
+    // Round 15: the round-14 probe-hole fix (e7078e5) gave the four
+    // remaining hand-rolled loops PlanProbe ids, so the regenerated
+    // PLANS.md now records their inner rounds and the closed world sees
+    // them as iterative — each names its at-scale justification here.
+    "q413_diameter" ->
+      ("double-sweep BFS on the SHARED Graph.bfsHops kernel: the " +
+        "identical delta-frontier loop (same per-round frontier join + " +
+        "anti-join shape) carries its x10 evidence via q175_bfs_hops's " +
+        "green x10 row; the sweep adds only two one-row TakeOrdered " +
+        "seed handoffs"),
+    "q328_centrality" ->
+      ("bounded-seed batched BFS: state is (10 fixed lowest-id seeds x " +
+        "reached nodes) and each round is the q175-shape frontier join " +
+        "+ min aggregate; the frontier kernel's x10 evidence is " +
+        "q175_bfs_hops's green row and the seed panel is a constant 10"),
+    "q320_als_rank1" ->
+      ("fixed 3-round alternating scalar least squares: each round is " +
+        "two key-grouped combinable aggregates over the ratings frame " +
+        "(no frontier, no growing state) - a compile-time-constant " +
+        "number of linear passes by plan shape; the loop exists for the " +
+        "oracle's CTE-for-CTE training replay, not data-dependent " +
+        "iteration"),
+    "q131_mmr_rerank" ->
+      ("bounded-panel greedy re-rank: each of the k = 5 fixed rounds " +
+        "broadcasts the <= k x |queries| selected rows (Guards " +
+        "discipline) back into the lineage-cut relevance table and " +
+        "takes one map-side-combinable argmax - k linear passes by " +
+        "plan shape"))
 
   private def read(p: String): String =
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),

@@ -35,13 +35,21 @@ class PlansCoverageSpec extends AnyFunSuite {
     // bypasses IterativeLoop without offering) fails the suite. New
     // iterative queries are picked up by the generator automatically —
     // extend this list when one lands.
+    // Round 15 edits to this pinned set: q401_haar LEFT it (the 12-level
+    // pyramid collapsed to a closed-form single aggregate — no loop, no
+    // probe, deliberately); q131/q320/q328/q413 JOINED it (the round-14
+    // probe-hole fix gave their hand-rolled loops PlanProbe ids, and the
+    // round-15 PLANS.md regeneration is the first to record them).
     val iterative = Seq(
-      "q111_bpe_encode", "q113_hits", "q123_quality_lr", "q132_label_prop",
+      "q111_bpe_encode", "q113_hits", "q123_quality_lr", "q131_mmr_rerank",
+      "q132_label_prop",
       "q149_kcore", "q183_calibration", "q220_fertility", "q241_geo_median",
-      "q254_huber_irls", "q264_grid_dbscan", "q321_spectral_split",
+      "q254_huber_irls", "q264_grid_dbscan", "q320_als_rank1",
+      "q321_spectral_split", "q328_centrality",
       "q336_raking_ipf", "q348_textrank", "q361_cox_ph", "q374_three_core",
-      "q401_haar", "q402_ktruss", "q403_set_cover",
-      "q410_wl_refinement", "q417_rho_cycles", "q419_luby_mis",
+      "q402_ktruss", "q403_set_cover",
+      "q410_wl_refinement", "q413_diameter", "q417_rho_cycles",
+      "q419_luby_mis",
       "q420_boruvka_mst", "q421_sssp", "q422_critical_path",
       "q423_closeness", "q436_hook_components", "q437_densest_peel",
       "q438_maximal_matching", "q440_jp_coloring", "q441_det_walks",
