@@ -65,7 +65,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
-    queries.foreach { case (_, fn) =>
+    // Per-query progress on STDERR (round 16, r15 VERDICT #1): the r15
+    // driver's 32-core run was killed by its timeout with no way to tell
+    // which query was in flight. These lines never touch stdout, so the
+    // driver's one-line-JSON parse is unaffected.
+    def progress(msg: String): Unit = System.err.println(s"[bench] $msg")
+    queries.zipWithIndex.foreach { case ((name, fn), i) =>
+      if (i % 50 == 0) progress(s"warmup ${i + 1}/${queries.size} $name")
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     // (elapsed seconds, succeeded). Elapsed is kept for failed runs so the
@@ -138,7 +144,8 @@ object Bench {
     // Warm the sentinel's codegen path too, then take min-of-3.
     sentinel()
     val sentinelSamples = Seq.fill(3)(sentinel())
-    val firstPass = queries.map { case (name, fn) =>
+    val firstPass = queries.zipWithIndex.map { case ((name, fn), i) =>
+      progress(s"timing ${i + 1}/${queries.size} $name")
       // min-of-3 for every query: the summed noise of single samples across
       // hundreds of fast queries is what destabilized the round-9 totals
       val runs = Seq.fill(3)(timed(fn))
@@ -155,6 +162,7 @@ object Bench {
         .exists(m => BenchBaseline.suspect(m, prevMins.get(name)))
       if (!suspect) name -> runs
       else {
+        progress(s"recheck $name")
         rechecked += name
         val rerun = Seq.fill(3)(timed(queries.toMap.apply(name)))
         sweep()

@@ -161,9 +161,12 @@ object Curation {
   def contaminationFlags(docs: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     import graft.dedup.Dedup
-    val docSh = Dedup.shingled(docs, idCol, textCol, n)
+    // round 16: hashed shingles on BOTH sides — the broadcast benchmark set
+    // carries 8 bytes per shingle and the probe joins on long equality
+    // (the streaming gate's shingleHashOverlap precedent, in join form)
+    val docSh = Dedup.shingledHashed(docs, idCol, textCol, n)
       .select(col("id"), explode(col("s")).as("sh"))
-    val benchSh = Dedup.shingled(benchmark, idCol, textCol, n)
+    val benchSh = Dedup.shingledHashed(benchmark, idCol, textCol, n)
       .select(explode(col("s")).as("sh")).distinct()
     // hit ids live under a reserved name: joining back on col(idCol) ===
     // col("id") would be ambiguous whenever the caller's idCol is itself
@@ -189,8 +192,9 @@ object Curation {
   def contaminationScores(docs: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     import graft.dedup.Dedup
-    val docSh = Dedup.shingled(docs, idCol, textCol, n)
-    val benchSh = Dedup.shingled(benchmark, idCol, textCol, n)
+    // round 16: hashed shingles (see contaminationFlags)
+    val docSh = Dedup.shingledHashed(docs, idCol, textCol, n)
+    val benchSh = Dedup.shingledHashed(benchmark, idCol, textCol, n)
       .select(explode(col("s")).as("sh")).distinct()
     // ONE pass over the corpus shingles: a left join against the broadcast
     // (distinct — no fanout) benchmark set marks hits, and a single

@@ -69,7 +69,26 @@ object Dedup {
     * GATED on the input's actual partition count — a real multi-split
     * 100 TB scan already yields enough partitions and must not pay a
     * gratuitous exchange of raw text (round-2 verdict item 8). */
-  def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingledBase(docs, idCol, textCol, n, shingles)
+
+  /** [[shingled]] with the shingles HASHED in the kernel (round 16,
+    * [[graft.functions.WordShingleHashes]]): (id, s: array<long>, sz). For
+    * the equality-only consumers — the exact-Jaccard family, span/
+    * containment overlap, decontamination — where a shingle is only ever
+    * compared for EQUALITY: every downstream exchange and join key carries
+    * 8 bytes instead of the n-word string, and the per-row string set is
+    * never allocated. Counts (and so every emitted jaccard/containment
+    * value) are identical up to xxhash64 collisions, ~2⁻⁶⁴ per shingle
+    * pair — the [[graft.functions.VectorMath.shingleHashOverlap]] /
+    * minhash precedent; hash-verified against the string oracle at every
+    * SF. NOT for [[minhashLshPairs]]' signature input (minhash reads the
+    * shingle BYTES) or any consumer that outputs shingle text. */
+  def shingledHashed(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingledBase(docs, idCol, textCol, n, GraftFunctions.wordShingleHashes)
+
+  private def shingledBase(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      shingleFn: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column): DataFrame = {
     GraftFunctions.ensureRegistered(docs.sparkSession)
     val par = docs.sparkSession.sparkContext.defaultParallelism
     // .rdd materializes a physical plan just to read the partition count and
@@ -86,7 +105,7 @@ object Dedup {
       // aliased projection CollapseProject keeps it evaluated once per row.
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= n)
-      .select(col("id"), shingles(col("w"), n).as("s"))
+      .select(col("id"), shingleFn(col("w"), n).as("s"))
       .withColumn("sz", size(col("s")))
   }
 
@@ -107,7 +126,8 @@ object Dedup {
   def incrementalNearDup(corpus: DataFrame, delta: DataFrame,
       idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    def inv(df: DataFrame) = shingled(df, idCol, textCol, n)
+    // round 16: hashed shingles — equality-only consumer (see shingledHashed)
+    def inv(df: DataFrame) = shingledHashed(df, idCol, textCol, n)
       .select(col("id"), col("sz"), explode(col("s")).as("sh"))
     inv(delta).alias("d")
       .join(inv(corpus).alias("c"), col("d.sh") === col("c.sh"))
@@ -140,7 +160,8 @@ object Dedup {
     val h = docs
       .select(col(domainCol).as("source"), TextOps.tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= n)
-      .select(col("source"), explode(shingles(col("w"), n)).as("h"))
+      // round 16: hashed shingles — the overlap matrix only tests equality
+      .select(col("source"), explode(GraftFunctions.wordShingleHashes(col("w"), n)).as("h"))
       .distinct()
     val sizes = h.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
     h.alias("a")
@@ -204,7 +225,8 @@ object Dedup {
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = shingled(docs, idCol, textCol, n)
+    // round 16: hashed shingles — candidates are exact-verified, keys equality-only
+    val t = shingledHashed(docs, idCol, textCol, n)
     val inv = t.select(col("id"), col("sz"), explode(col("s")).as("sh"))
     val dfreq = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("id"))
@@ -233,7 +255,9 @@ object Dedup {
    */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val t = shingled(docs, idCol, textCol, n)
+    // round 16: hashed shingles — the inverted index joins on equality only,
+    // so every posting carries 8 bytes instead of the n-word string
+    val t = shingledHashed(docs, idCol, textCol, n)
     val inv = t.select(col("id"), col("sz"), explode(col("s")).as("sh"))
     val a = inv.alias("a"); val b = inv.alias("b")
     a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -267,7 +291,7 @@ object Dedup {
   private[dedup] def prefixPathPreferred(docs: DataFrame, idCol: String, textCol: String,
       n: Int, sampleOneIn: Int = 20, blowupLimit: Double = 64.0): Boolean = {
     val sampled = docs.filter(pmod(xxhash64(col(idCol)), lit(sampleOneIn)) === 0)
-    val row = shingled(sampled, idCol, textCol, n)
+    val row = shingledHashed(sampled, idCol, textCol, n)
       .select(explode(col("s")).as("sh"))
       .groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .agg(
@@ -312,7 +336,7 @@ object Dedup {
   def jaccardPairsDelta(stored: DataFrame, delta: DataFrame, idCol: String,
       textCol: String, n: Int = 3, threshold: Double = 0.6): DataFrame = {
     val all = lineageCutLazy(
-      shingled(stored.select(col(idCol), col(textCol))
+      shingledHashed(stored.select(col(idCol), col(textCol))
         .unionByName(delta.select(col(idCol), col(textCol))), idCol, textCol, n))
     val dIds = delta.select(col(idCol).as("id"))
     val inv = all.select(col("id"), explode(col("s")).as("sh"))
@@ -353,7 +377,9 @@ object Dedup {
   def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 20, minShared: Long = 1L, maxDf: Long = 1000L): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (a span needs df 2 to form a pair), got $maxDf")
-    val t = shingled(docs, idCol, textCol, n)
+    // round 16: hashed spans — a 20-token span string is ~100+ bytes per
+    // posting; the hash is 8. Spans are only compared for equality.
+    val t = shingledHashed(docs, idCol, textCol, n)
     // materialize the exploded inverted index ONCE: it feeds the hot-span
     // aggregate plus BOTH sides of the self-join, and without the cut each
     // consumer re-scans and re-shingles the whole corpus (measured on the
@@ -522,7 +548,7 @@ object Dedup {
     // cut the shingle frame once: both self-join sides and the size lookup
     // consume it — without the cut each pays a corpus scan + shingle pass
     // (the q64 lesson; the naive plan showed 5 FileScans / 4 Generates)
-    val t = lineageCutLazy(shingled(docs, idCol, textCol, n))
+    val t = lineageCutLazy(shingledHashed(docs, idCol, textCol, n))
     val inv = t.select(col("id"), explode(col("s")).as("sh"))
     val a = inv.alias("a"); val b = inv.alias("b")
     // cut the candidate aggregate too: BOTH directed union branches read it,

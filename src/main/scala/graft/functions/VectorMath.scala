@@ -85,6 +85,135 @@ object VectorMath {
     dot
   }
 
+  /** Raw dot product of two DOUBLE vectors, accumulated in element order —
+    * bit-compatible with the HOF fold
+    * `aggregate(zip_with(a, b, (x, y) -> x*y), 0.0d, (acc, t) -> acc + t)`
+    * (same multiplies, same adds, same order; round 16 — the array<double>
+    * twin of [[dotF]] for the PCA / silhouette / geo-median family, whose
+    * folds are the oracle's accumulation contract). */
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"vector length mismatch: $n vs ${b.numElements()}")
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+
+  /** Centered-quantized projection Σ (q_i − m_i)·v_i with the subtraction in
+    * exact long arithmetic, the cast and multiply-add per element in order —
+    * bit-compatible with
+    * `aggregate(zip_with(zip_with(q, m, (q,m) -> cast(q-m as double)), v,
+    * (x,y) -> x*y), 0.0d, (acc,t) -> acc+t)` (long subtraction is exact,
+    * long→double cast exact for |q−m| < 2⁵³). The per-row scoring kernel of
+    * the PCA outlier projection (q98). */
+  def centerDotL(q: ArrayData, m: ArrayData, v: ArrayData): Double = {
+    val n = q.numElements()
+    require(m.numElements() == n && v.numElements() == n,
+      s"vector length mismatch: $n vs ${m.numElements()} vs ${v.numElements()}")
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += (q.getLong(i) - m.getLong(i)).toDouble * v.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+
+  /** Ordered sum of field 1 of a two-field struct array, seeded 0.0, adds
+    * in array order, each long/int value cast to double at its add — the
+    * kernel behind every catalog's `foldSorted` helper: bit-compatible with
+    * `aggregate(transform(arr, e -> e.v), 0.0d, (acc, x) -> acc + x)`
+    * (transform extracts in order; the fold adds in order with the same
+    * exact integer→double cast per element). A null value element makes the
+    * whole sum null, exactly like the HOF's `acc + null`. Returns a boxed
+    * Double (null propagation); the caller's expression declares nullable. */
+  def orderedStructSum(arr: ArrayData, vIsLong: Boolean, vIsInt: Boolean): java.lang.Double = {
+    val n = arr.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val st = arr.getStruct(i, 2)
+      if (st.isNullAt(1)) return null
+      acc += (if (vIsLong) st.getLong(1).toDouble
+              else if (vIsInt) st.getInt(1).toDouble
+              else st.getDouble(1))
+      i += 1
+    }
+    acc
+  }
+
+  // ------------------------------------------------------ product quant ----
+
+  /** Squared L2 between the `len`-wide slices of two FLOAT vectors starting
+    * at 0-based `start` — one IEEE (a−b)·(a−b) product+add per element in
+    * slice order, exact float→double casts: bit-compatible with the HOF form
+    * `aggregate(zip_with(slice(x, start+1, len), slice(y, start+1, len),
+    * (a,b) -> (cast a - cast b)²), 0.0d, (acc,d) -> acc+d)`. */
+  def subL2F(x: ArrayData, y: ArrayData, start: Int, len: Int): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < len) {
+      val d = x.getFloat(start + i).toDouble - y.getFloat(start + i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** PQ encode, one subspace: 1-based position of the codeword (field 1 =
+    * `cent_v` of each struct in the SORTED codebook array) minimizing
+    * [[subL2F]] over subspace `s`, ties to the SMALLER position — exactly
+    * `element_at(array_sort(transform(sequence(1, |cb|), j ->
+    * struct(subDist(...) as d, j))), 1)("j")`: array_sort orders by (d, j)
+    * ascending, so the strict `<` update keeps the earliest minimum. */
+  def pqArgmin(x: ArrayData, cb: ArrayData, s: Int, subDim: Int): Int = {
+    val ncb = cb.numElements()
+    var best = Double.PositiveInfinity
+    var bestJ = 1
+    var j = 0
+    while (j < ncb) {
+      val cv = cb.getStruct(j, 2).getArray(1)
+      val d = subL2F(x, cv, s * subDim, subDim)
+      if (d < best) { best = d; bestJ = j + 1 }
+      j += 1
+    }
+    bestJ
+  }
+
+  /** PQ distance table, one subspace: [[subL2F]] to every codeword in
+    * codebook order — bit-identical elements to the per-`j` transform it
+    * replaces (`transform(sequence(1, |cb|), j -> subDist(...))`). */
+  def pqDists(x: ArrayData, cb: ArrayData, s: Int, subDim: Int): ArrayData = {
+    val ncb = cb.numElements()
+    val out = new Array[Any](ncb)
+    var j = 0
+    while (j < ncb) {
+      out(j) = subL2F(x, cb.getStruct(j, 2).getArray(1), s * subDim, subDim)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC lookup sum Σ_s dt[s][code[s]] with the adds in subspace order,
+    * seeded 0.0 — bit-compatible with
+    * `aggregate(sequence(1, m), 0.0d, (acc, s) ->
+    * acc + element_at(element_at(dt, s), element_at(code, s)))`. */
+  def adcSum(dt: ArrayData, code: ArrayData): Double = {
+    val m = dt.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += dt.getArray(s).getDouble(code.getInt(s) - 1)
+      s += 1
+    }
+    acc
+  }
+
   /** Double-vector variant with identical accumulation order. */
   def cosineD(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
@@ -127,6 +256,37 @@ object VectorMath {
       var j = 0
       while (j < n) { window(j) = toks(i + j); j += 1 }
       seen.add(UTF8String.concatWs(UTF8String.SPACE_UTF8, window: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** Distinct xxhash64 values of the word n-gram shingles of a token array,
+    * first-occurrence order — the fused shingle+hash kernel (round 16):
+    * builds each window exactly like [[wordShingles]] (concatWs, null
+    * tokens skipped by the joiner) but hashes it immediately instead of
+    * retaining the string, so the per-row output is 8 bytes per distinct
+    * shingle and the intermediate string set never exists. Two distinct
+    * shingles collide with probability ~2⁻⁶⁴ per pair (the
+    * [[shingleHashOverlap]] / minhash precedent — negligible against any
+    * tested corpus; the dedup operators that consume this only test
+    * shingle EQUALITY, never order or content). */
+  def wordShingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements() - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](tokens.numElements())
+    var i = 0
+    while (i < toks.length) {
+      toks(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long](cnt * 2)
+    val window = new Array[UTF8String](n)
+    i = 0
+    while (i < cnt) {
+      var j = 0
+      while (j < n) { window(j) = toks(i + j); j += 1 }
+      seen.add(xxhash(UTF8String.concatWs(UTF8String.SPACE_UTF8, window: _*)))
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])

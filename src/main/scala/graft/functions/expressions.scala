@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -56,6 +56,172 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.dotF($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** dot(array<double>, array<double>) -> double — element-order accumulation,
+  * the array<double> twin of [[DotProduct]] (round 16: replaces the
+  * interpreted `aggregate(zip_with(...))` HOF folds in the PCA / silhouette /
+  * geo-median family — bit-compatible per [[VectorMath.dotD]]'s doc). */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match { case ArrayType(DoubleType, _) => true; case _ => false })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<double>), got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot_d"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.dotD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductD =
+    copy(left = l, right = r)
+}
+
+/** center_dot_l(array<long> q, array<long> m, array<double> v) -> double —
+  * Σ (q−m)·v with exact long centering, element order ([[VectorMath.centerDotL]];
+  * the PCA outlier projection kernel). */
+case class CenterDotL(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>, array<double>), got " +
+          children.map(_.dataType.simpleString).mkString(", "))
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_center_dot_l"
+  override protected def nullSafeEval(q: Any, m: Any, v: Any): Any =
+    VectorMath.centerDotL(q.asInstanceOf[ArrayData], m.asInstanceOf[ArrayData],
+      v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (q, m, v) => s"graft.functions.VectorMath.centerDotL($q, $m, $v)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): CenterDotL =
+    copy(first = f, second = s, third = t)
+}
+
+/** ordered_sum(array<struct<k, v>>) -> double — sum of the struct's SECOND
+  * field in array order, seeded 0.0, integer values cast to double at each
+  * add: bit-compatible with the `foldSorted` HOF composition
+  * `aggregate(transform(arr, e -> e.v), 0.0d, (acc, x) -> acc + x)` it
+  * replaces across the catalogs (round 16 — HOFs are CodegenFallback, so a
+  * corpus-sized sorted fold paid a lambda dispatch per element plus a full
+  * intermediate array; this is one codegen'd kernel call, and the sort it
+  * consumes is unchanged). Null elements / null values yield null, exactly
+  * like the HOF's `acc + null`. */
+case class OrderedStructSum(child: Expression)
+    extends UnaryExpression {
+  private def valueType: Option[DataType] = child.dataType match {
+    case ArrayType(StructType(fs), _) if fs.length == 2 => Some(fs(1).dataType)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult = valueType match {
+    case Some(DoubleType) | Some(LongType) | Some(IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<k, v>> with v double/bigint/int, got " +
+        child.dataType.simpleString)
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ordered_sum"
+  private lazy val vIsLong = valueType.contains(LongType)
+  private lazy val vIsInt = valueType.contains(IntegerType)
+  override protected def nullSafeEval(arr: Any): Any =
+    VectorMath.orderedStructSum(arr.asInstanceOf[ArrayData], vIsLong, vIsInt)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, a => {
+      val boxed = ctx.freshName("boxedSum")
+      s"""
+         |java.lang.Double $boxed =
+         |  graft.functions.VectorMath.orderedStructSum($a, $vIsLong, $vIsInt);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
+    code
+  }
+  override protected def withNewChildInternal(c: Expression): OrderedStructSum =
+    copy(child = c)
+}
+
+/** The shared type check of the PQ kernels: (array<float> vector,
+  * array<struct<_, array<float>>> codebook, int subspace, int subDim). */
+private[functions] object PqTypes {
+  def check(prettyName: String, children: Seq[Expression]): TypeCheckResult = {
+    val ok = (children(0).dataType match {
+      case ArrayType(FloatType, _) => true; case _ => false
+    }) && (children(1).dataType match {
+      case ArrayType(StructType(fs), _) if fs.length == 2 =>
+        fs(1).dataType match { case ArrayType(FloatType, _) => true; case _ => false }
+      case _ => false
+    }) && children(2).dataType == IntegerType && children(3).dataType == IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, array<struct<id, array<float>>>, int, int), got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
+}
+
+/** pq_argmin(vec, codebook, s, subDim) -> int — 1-based nearest-sub-codeword
+  * position for subspace `s`, ties to the smaller position
+  * ([[VectorMath.pqArgmin]]: replaces the per-codeword `transform` +
+  * `array_sort` HOF pyramid of the PQ encoder with one kernel call). */
+case class PqArgmin(first: Expression, second: Expression, third: Expression,
+    fourth: Expression) extends QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = PqTypes.check(prettyName, children)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_pq_argmin"
+  override protected def nullSafeEval(x: Any, cb: Any, s: Any, d: Any): Any =
+    VectorMath.pqArgmin(x.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData],
+      s.asInstanceOf[Int], d.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, cb, s, d) => s"graft.functions.VectorMath.pqArgmin($x, $cb, $s, $d)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): PqArgmin = copy(a, b, c, d)
+}
+
+/** pq_dists(vec, codebook, s, subDim) -> array<double> — squared-L2 distance
+  * table of subspace `s` to every codeword in codebook order
+  * ([[VectorMath.pqDists]]; the query-side ADC table builder). */
+case class PqDists(first: Expression, second: Expression, third: Expression,
+    fourth: Expression) extends QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = PqTypes.check(prettyName, children)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_dists"
+  override protected def nullSafeEval(x: Any, cb: Any, s: Any, d: Any): Any =
+    VectorMath.pqDists(x.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData],
+      s.asInstanceOf[Int], d.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, cb, s, d) => s"graft.functions.VectorMath.pqDists($x, $cb, $s, $d)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): PqDists = copy(a, b, c, d)
+}
+
+/** adc_sum(array<array<double>> dt, array<int> code) -> double — Σ_s
+  * dt[s][code[s]] in subspace order ([[VectorMath.adcSum]]; the per-pair ADC
+  * scan kernel — one codegen call instead of an interpreted `aggregate`). */
+case class AdcSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<array<double>>, array<int>), got " +
+          children.map(_.dataType.simpleString).mkString(", "))
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_adc_sum"
+  override protected def nullSafeEval(dt: Any, code: Any): Any =
+    VectorMath.adcSum(dt.asInstanceOf[ArrayData], code.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (dt, code) => s"graft.functions.VectorMath.adcSum($dt, $code)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcSum =
     copy(left = l, right = r)
 }
 
@@ -117,6 +283,29 @@ case class WordShingles(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.functions.VectorMath.wordShingles($a, $n)")
   override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+/** word_shingle_hashes(array<string>, n) -> array<long> — distinct xxhash64
+  * of the word n-gram shingles, first-occurrence order (the fused
+  * shingle+hash kernel: [[VectorMath.wordShingleHashes]] — round 16, for
+  * the equality-only dedup family: 8 bytes per shingle in every downstream
+  * exchange instead of the n-word string). */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, s"shingle width must be positive, got $n")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType match { case ArrayType(StringType, _) => true; case _ => false }) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_word_shingle_hashes"
+  override protected def nullSafeEval(tokens: Any): Any =
+    VectorMath.wordShingleHashes(tokens.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorMath.wordShingleHashes($a, $n)")
+  override protected def withNewChildInternal(c: Expression): WordShingleHashes =
     copy(child = c)
 }
 
@@ -249,10 +438,18 @@ object GraftFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine"      -> { args => CosineSim(args(0), args(1)) },
     "graft_dot"         -> { args => DotProduct(args(0), args(1)) },
+    "graft_dot_d"       -> { args => DotProductD(args(0), args(1)) },
+    "graft_center_dot_l" -> { args => CenterDotL(args(0), args(1), args(2)) },
+    "graft_pq_argmin"   -> { args => PqArgmin(args(0), args(1), args(2), args(3)) },
+    "graft_pq_dists"    -> { args => PqDists(args(0), args(1), args(2), args(3)) },
+    "graft_adc_sum"     -> { args => AdcSum(args(0), args(1)) },
+    "graft_ordered_sum" -> { args => OrderedStructSum(args(0)) },
     "graft_simhash64"   -> { args => SimHash64(args(0)) },
     "graft_minhash_sig" -> { args => MinHashSig(args(0), intArg(args(1), "k")) },
     "graft_sign_bucket" -> { args => SignBucket(args(0), intArg(args(1), "planes")) },
     "graft_word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "n")) },
+    "graft_word_shingle_hashes" -> { args =>
+      WordShingleHashes(args(0), intArg(args(1), "n")) },
     "graft_strip_accents" -> { args => StripAccents(args(0)) },
     "graft_sorted_contains" -> { args => SortedContains(args(0), args(1)) },
     "graft_shingle_hash_overlap" -> { args =>
@@ -269,6 +466,20 @@ object GraftFunctions {
 
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def dotD(a: Column, b: Column): Column = call_function("graft_dot_d", a, b)
+  def centerDotL(q: Column, m: Column, v: Column): Column =
+    call_function("graft_center_dot_l", q, m, v)
+  def pqArgmin(vec: Column, cb: Column, s: Column, subDim: Column): Column =
+    call_function("graft_pq_argmin", vec, cb, s, subDim)
+  def pqDists(vec: Column, cb: Column, s: Column, subDim: Column): Column =
+    call_function("graft_pq_dists", vec, cb, s, subDim)
+  def adcSum(dt: Column, code: Column): Column = call_function("graft_adc_sum", dt, code)
+  /** Registry-free (built via the shim bridge): shared fold helpers call
+    * this without knowing whether their session registered the graft
+    * functions. */
+  def orderedSum(arr: Column): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      OrderedStructSum(org.apache.spark.sql.GraftSqlShim.expression(arr)))
   def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
   def minhashSig(tokens: Column, k: Int): Column = {
     import org.apache.spark.sql.functions.lit
@@ -281,6 +492,10 @@ object GraftFunctions {
   def wordShingles(tokens: Column, n: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("graft_word_shingles", tokens, lit(n))
+  }
+  def wordShingleHashes(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_word_shingle_hashes", tokens, lit(n))
   }
   def stripAccents(text: Column): Column = call_function("graft_strip_accents", text)
   def sortedContains(v: Column, sortedArr: Column): Column =

@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
  */
 object CatalogBeh {
 
+  // Round 16: the ordered fold runs as ONE codegen'd kernel
+  // (graft_ordered_sum) instead of the interpreted transform+aggregate
+  // HOF pair — bit-compatible per OrderedStructSum's doc (same adds in
+  // the same sorted order, same int->double cast per element).
   private def foldSorted(k: Column, v: Column): Column =
-    aggregate(
-      transform(sort_array(collect_list(struct(k.as("k"), v.as("v")))),
-        e => e("v")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.orderedSum(
+      sort_array(collect_list(struct(k.as("k"), v.as("v")))))
 
   private def u32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")

@@ -21,11 +21,13 @@ object CatalogDist {
 
   /** Sorted-key double fold — bit-identical to the oracle's
     * `list_reduce(list_prepend(0.0, list(v ORDER BY k)))`. */
+  // Round 16: the ordered fold runs as ONE codegen'd kernel
+  // (graft_ordered_sum) instead of the interpreted transform+aggregate
+  // HOF pair — bit-compatible per OrderedStructSum's doc (same adds in
+  // the same sorted order, same int->double cast per element).
   private def foldSorted(k: Column, v: Column): Column =
-    aggregate(
-      transform(sort_array(collect_list(struct(k.as("k"), v.as("v")))),
-        e => e("v")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.orderedSum(
+      sort_array(collect_list(struct(k.as("k"), v.as("v")))))
 
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
@@ -317,17 +319,26 @@ object CatalogDist {
   def q360Rfm(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val ref = o.agg(max(to_date(col("o_orderdate"))).as("ref"))
-    val rfm = o.groupBy(col("o_custkey").as("k"))
+    // Round 16: cut the per-customer RFM frame once — it feeds SEVEN
+    // consumers (each score()'s ranked window + threshold-scan pass ×3
+    // metrics, plus the final join), and the threshold frames run as
+    // broadcast scalar subqueries = separate executions, so without the
+    // cut each re-ran the orders aggregate (the C10 missing-loop-invariant
+    // pattern; guide §2.4). Values untouched.
+    val rfm = graft.dedup.Dedup.lineageCutLazy(o
+      .groupBy(col("o_custkey").as("k"))
       .agg(max(to_date(col("o_orderdate"))).as("last_d"),
         count(lit(1)).as("f"), sum(cents(col("o_totalprice"))).as("mv"))
       .crossJoin(broadcast(graft.ops.Guards.scalar(ref)))
       .select(col("k"), datediff(col("ref"), col("last_d")).cast("long").as("r"),
-        col("f"), col("mv"))
+        col("f"), col("mv")))
     def score(c: String, inverted: Boolean): DataFrame = {
-      val ranked = rfm.select(col("k"), col(c))
+      // the ranked global window feeds the four threshold aggregates (one
+      // broadcast-scalar execution) — cut it so they read persisted blocks
+      val ranked = graft.dedup.Dedup.lineageCutLazy(rfm.select(col("k"), col(c))
         .withColumn("rn", row_number().over(
           Window.orderBy(col(c), col("k"))).cast("long"))
-        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy())))
       val cuts = (1 to 4).map { q =>
         ranked.filter(col("rn") === expr(s"(nn * $q + 4) div 5"))
           .select(max(col(c)).as(s"t$q"))

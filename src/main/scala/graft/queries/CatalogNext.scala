@@ -21,11 +21,13 @@ object CatalogNext {
 
   /** Sorted-key double fold: bit-identical to the oracle's
     * `list_reduce(list_prepend(0.0, list(v ORDER BY k)))`. */
+  // Round 16: the ordered fold runs as ONE codegen'd kernel
+  // (graft_ordered_sum) instead of the interpreted transform+aggregate
+  // HOF pair — bit-compatible per OrderedStructSum's doc (same adds in
+  // the same sorted order, same int->double cast per element).
   private def foldSorted(k: Column, v: Column): Column =
-    aggregate(
-      transform(sort_array(collect_list(struct(k.as("k"), v.as("v")))),
-        e => e("v")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.orderedSum(
+      sort_array(collect_list(struct(k.as("k"), v.as("v")))))
 
   /** Exact cents of a 2-decimal double dollar column (noise-free: the
     * inputs are integral multiples of 0.01 so x*100 rounds cleanly). */
@@ -894,12 +896,20 @@ object CatalogNext {
       val sdx = deg.join(x, Seq("item"))
         .agg(foldSorted(col("item"), col("d").cast("double") * col("x"))
           .as("sdx"))
-      val bx = deg.join(ax, Seq("item"), "left")
-        .crossJoin(broadcast(graft.ops.Guards.scalar(sdx))).crossJoin(broadcast(graft.ops.Guards.scalar(twom)))
-        .select(col("item"),
-          (coalesce(col("ax"), lit(0.0))
-            - col("d").cast("double") * col("sdx")
-              / col("twom").cast("double")).as("bx"))
+      // Round 16 (r15 VERDICT #5): cut bx before the ∞-norm — `mx` runs as
+      // a broadcast scalar subquery, a SEPARATE execution from the main
+      // projection, so the uncut neighbor-join + aggregate tree executed
+      // TWICE per round (the q113/C9 pattern; guide §2.4 — at scale the
+      // duplicate is a full edge-sized pass per round). The cut
+      // materializes bx once; both the max-abs job and the rescale
+      // projection read the persisted blocks. Values untouched.
+      val bx = graft.dedup.Dedup.lineageCutLazy(
+        deg.join(ax, Seq("item"), "left")
+          .crossJoin(broadcast(graft.ops.Guards.scalar(sdx))).crossJoin(broadcast(graft.ops.Guards.scalar(twom)))
+          .select(col("item"),
+            (coalesce(col("ax"), lit(0.0))
+              - col("d").cast("double") * col("sdx")
+                / col("twom").cast("double")).as("bx")))
       val mx = bx.agg(max(abs(col("bx"))).as("mx"))
       bx.crossJoin(broadcast(graft.ops.Guards.scalar(mx)))
         .select(col("item"), (col("bx") / col("mx")).as("x"))

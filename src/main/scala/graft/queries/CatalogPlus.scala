@@ -65,11 +65,13 @@ object CatalogPlus {
 
   /** Sorted-key double fold: bit-identical to the oracle's
     * `list_reduce(list_prepend(0.0, list(v ORDER BY k)))`. */
+  // Round 16: the ordered fold runs as ONE codegen'd kernel
+  // (graft_ordered_sum) instead of the interpreted transform+aggregate
+  // HOF pair — bit-compatible per OrderedStructSum's doc (same adds in
+  // the same sorted order, same int->double cast per element).
   private def foldSorted(k: Column, v: Column): Column =
-    aggregate(
-      transform(sort_array(collect_list(struct(k.as("k"), v.as("v")))),
-        e => e("v")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.orderedSum(
+      sort_array(collect_list(struct(k.as("k"), v.as("v")))))
 
   /** Murphy (1973) decomposition of the Brier score: REL − RES + UNC over
     * 10 deterministic forecast buckets (p̂ = (2b+1)∕20 with b md5-drawn

@@ -320,10 +320,13 @@ object CatalogSci {
     geoMedianOf(Tables.embeddings(s, dir))
 
   private[graft] def geoMedianOf(embIn: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embIn.sparkSession)
     val scale = 1048576L // 2^20
     val wCap = 16777216L // 2^24
+    // Round 16: native graft_dot_d — bit-compatible with the HOF fold it
+    // replaces (same ordered multiply-add per VectorMath.dotD), codegen'd.
     def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
+      graft.functions.GraftFunctions.dotD(a, b)
     val emb = embIn
       .select(col("label"), col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"),
@@ -493,6 +496,7 @@ object CatalogSci {
     * full silhouette needs. Centroids are the q73 fixed-point means
     * (one broadcast row); per-label means are sorted folds by vec_id. */
   def q245Silhouette(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val emb = Tables.embeddings(s, dir)
     val cents = graft.sim.Similarity
       .labelCentroids(emb, "label", "embedding")
@@ -500,8 +504,10 @@ object CatalogSci {
       .agg(sort_array(collect_list(struct(col("pos"), col("centroid"))))
         .as("cs"))
       .select(col("cl"), transform(col("cs"), x => x("centroid")).as("cv"))
+    // Round 16: native graft_dot_d — bit-compatible with the HOF fold it
+    // replaces (same ordered multiply-add per VectorMath.dotD), codegen'd.
     def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
+      graft.functions.GraftFunctions.dotD(a, b)
     val centArr = cents
       .agg(sort_array(collect_list(struct(col("cl"), col("cv")))).as("__cents"))
     val scored = emb
@@ -864,10 +870,17 @@ object CatalogSci {
       .withColumn("cw", sum(col("w")).over(wCum))
       .withColumn("cwv", sum(col("w") * col("l")).over(wCum))
       .withColumn("cwv2", sum(col("w") * col("l") * col("l")).over(wCum))
-    val pre0 = pre.select(col("i"), col("l"), col("cw"), col("cwv"),
+    // Round 16: cut the prefix-sum and interval frames once — pre0 feeds
+    // iv twice plus the final join, and iv feeds dp1, three dpNext rounds
+    // and the spans join (5 references); without the cuts EVERY reference
+    // re-ran the corpus aggregate + the global windows (the C10
+    // missing-loop-invariant pattern, guide §2.4). All of these frames are
+    // level-domain-sized (bounded), so the persisted blocks are tiny.
+    val cutL = graft.dedup.Dedup.lineageCutLazy _
+    val pre0 = cutL(pre.select(col("i"), col("l"), col("cw"), col("cwv"),
         col("cwv2"))
       .unionByName(s.range(1).select(lit(0L).as("i"), lit(-1L).as("l"),
-        lit(0L).as("cw"), lit(0L).as("cwv"), lit(0L).as("cwv2")))
+        lit(0L).as("cw"), lit(0L).as("cwv"), lit(0L).as("cwv2"))))
     val iv = pre0.select(col("i").as("j"), col("cw").as("cwj"),
         col("cwv").as("cvj"), col("cwv2").as("c2j"))
       .join(pre0.select(col("i").as("k"), col("l").as("lk"),
@@ -879,19 +892,24 @@ object CatalogSci {
           ((col("cvk") - col("cvj")).cast("double") *
             (col("cvk") - col("cvj")).cast("double") /
             (col("cwk") - col("cwj")).cast("double"))).as("sse"))
-    val dp1 = iv.filter(col("j") === 0)
+    val ivC = cutL(iv)
+    val dp1 = ivC.filter(col("j") === 0)
       .select(col("k").as("i"), col("sse").as("cost"), lit(0L).as("arg"))
     def dpNext(prev: DataFrame): DataFrame = {
       val cand = prev.select(col("i").as("j"), col("cost").as("pc"))
-        .join(iv, "j")
+        .join(ivC, "j")
         .select(col("k").as("i"), col("j"), (col("pc") + col("sse")).as("cost"))
       cand.withColumn("rn", row_number().over(
           Window.partitionBy(col("i")).orderBy(col("cost"), col("j"))))
         .filter(col("rn") === 1)
         .select(col("i"), col("cost"), col("j").as("arg"))
     }
-    val dp2 = dpNext(dp1); val dp3 = dpNext(dp2); val dp4 = dpNext(dp3)
-    val last = pre.agg(max(col("i")).as("bL"))
+    // each dp level is read twice (next level + backtrack) — cut them too
+    val dp2 = cutL(dpNext(cutL(dp1))); val dp3 = cutL(dpNext(dp2))
+    val dp4 = cutL(dpNext(dp3))
+    // read the last index from the CUT pre0 (its extra i=0 sentinel row
+    // never wins a max), so this aggregate doesn't re-run the corpus pass
+    val last = pre0.agg(max(col("i")).as("bL"))
     val b4 = dp4.join(broadcast(last), col("i") === col("bL"))
       .select(col("arg").as("j4"), col("i").as("i4"))
     val b3 = b4.join(dp3, col("i") === col("j4"))
@@ -906,7 +924,7 @@ object CatalogSci {
       .as("sp"))
       .select(col("sp.bucket").as("bucket"), col("sp.jj").as("jj"),
         col("sp.kk").as("kk"))
-    spans.join(iv, col("jj") === col("j") && col("kk") === col("k"))
+    spans.join(ivC, col("jj") === col("j") && col("kk") === col("k"))
       .join(pre0.select(col("i").as("jj2"), col("l").as("lo0")),
         col("jj2") === col("jj"))
       .select(col("bucket"), (col("lo0") + 1).as("lo_level"),

@@ -584,6 +584,7 @@ object CatalogStats {
     * broadcast row — assignment is a narrow pipelined pass, no shuffle
     * on the vector side. Top-50 suspects. */
   def q224LabelNoise(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val emb = Tables.embeddings(s, dir)
     val cents = graft.sim.Similarity
       .labelCentroids(emb, "label", "embedding")
@@ -592,9 +593,11 @@ object CatalogStats {
         .as("cs"))
       .select(col("cl"), transform(col("cs"), x => x("centroid")).as("cv"))
     // element-order double folds == DuckDB list_dot_product accumulation
-    // (the q28 cosine contract, here over a double centroid array)
+    // (the q28 cosine contract, here over a double centroid array).
+    // Round 16: native graft_dot_d — bit-compatible with the HOF fold it
+    // replaces (same ordered multiply-add per VectorMath.dotD), codegen'd.
     def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
+      graft.functions.GraftFunctions.dotD(a, b)
     val centArr = cents
       .agg(sort_array(collect_list(struct(col("cl"), col("cv")))).as("__cents"))
     val scored = emb

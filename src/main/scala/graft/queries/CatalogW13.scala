@@ -174,7 +174,38 @@ object CatalogW13 {
         sum(aScore(col("p"), col("ma")))).collect().toSeq.map(_.toSeq))
     val fin = IterativeLoop.fixedUntil(init, GsCap, requireConverged = true,
         sameAs = probe) { (st, _) =>
-      st.join(prefs, col("p") === col("pp") && col("prank") === col("idx"),
+      // Round 16 (r15 VERDICT #3): certainly-rejected skip. An acceptor's
+      // tentative partner only ever improves under deferred acceptance (the
+      // window argmax always includes the current holder), so an acceptor
+      // whose CURRENT holding already beats proposer p — higher aScore, or
+      // equal score and smaller p (the window's exact tie order) — will
+      // reject p at every future round too. Each unmatched proposer
+      // therefore jumps its pointer straight to the first rank ≥ idx whose
+      // acceptor is NOT certainly rejecting (or past the list if none) —
+      // a valid deferred-acceptance schedule in the McVitie–Wilson sense
+      // (skipped proposals are exactly rejections), so the fixed point is
+      // the SAME unique proposer-optimal matching and the output (which
+      // never reads idx) is bit-identical; only the round count drops
+      // (~44 → ~A rounds at this panel — guide §1.2-1: fewer passes).
+      val held = st.filter(col("ma").isNotNull)
+        .select(col("ma").as("h_a"), col("p").as("h_p"),
+          aScore(col("p"), col("ma")).as("h_s"))
+      val jump = st.filter(col("ma").isNull)
+        .select(col("p").as("j_p"), col("idx").as("j_idx"))
+        .join(prefs, col("j_p") === col("pp") && col("prank") >= col("j_idx"))
+        .join(held, col("target") === col("h_a"), "left")
+        .filter(col("h_a").isNull
+          || aScore(col("j_p"), col("target")) > col("h_s")
+          || (aScore(col("j_p"), col("target")) === col("h_s")
+            && col("j_p") < col("h_p")))
+        .groupBy(col("j_p")).agg(min(col("prank")).as("jidx"))
+      val st2 = st.join(jump, col("p") === col("j_p"), "left")
+        .select(col("p"),
+          when(col("ma").isNull,
+            coalesce(col("jidx"), lit((GsAcceptors + 1).toLong)))
+            .otherwise(col("idx")).as("idx"),
+          col("ma"))
+      st2.join(prefs, col("p") === col("pp") && col("prank") === col("idx"),
           "left")
         .withColumn("proposed",
           col("ma").isNull && col("idx") <= GsAcceptors)

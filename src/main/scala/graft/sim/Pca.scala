@@ -29,14 +29,20 @@ import org.apache.spark.sql.functions._
  */
 object Pca {
 
+  // Round 16: native codegen'd dot (graft_dot_d) replaces the interpreted
+  // `aggregate(zip_with(...))` HOF fold — bit-compatible per
+  // [[graft.functions.VectorMath.dotD]] (same multiplies and adds in the
+  // same element order), so every double and every hash is unchanged; the
+  // q240/graft_dot precedent, here on array<double>.
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dotD(a, b)
 
   /** Fitted state: the one-row per-dim integer means array and the
     * one-row (unit vector, eigenvalue) frame after `iterations` rounds. */
   private def fit(df: DataFrame, vecCol: String, iterations: Int,
       quantBits: Int): (DataFrame, DataFrame) = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val scale = 1L << quantBits
     val lazyCut = (d: DataFrame) => graft.dedup.Dedup.lineageCutLazy(d)
 
@@ -105,8 +111,12 @@ object Pca {
       transform(col(vecCol), x => floor(x.cast("double") * scale).cast("long")).as("q"))
       .crossJoin(broadcast(graft.ops.Guards.scalar(meanArr)))
       .crossJoin(broadcast(graft.ops.Guards.scalar(v.select(col("v")))))
+      // graft_center_dot_l fuses the (q−m) centering zip_with into the dot:
+      // exact long subtraction + exact cast + the same ordered multiply-add
+      // fold (bit-compatible per VectorMath.centerDotL's doc) — one codegen
+      // kernel call per row instead of two interpreted HOF passes.
       .select(col(idCol),
-        dot(zip_with(col("q"), col("marr"), (q, m) => (q - m).cast("double")),
+        graft.functions.GraftFunctions.centerDotL(col("q"), col("marr"),
           col("v")).as("proj"))
       .orderBy(abs(col("proj")).desc, col(idCol).asc)
       .limit(topN)

@@ -498,22 +498,23 @@ object Similarity {
       m: Int = 4, stride: Int = 40): DataFrame = {
     require(m >= 1 && stride >= 1 && k >= 1,
       s"need m, stride, k >= 1; got m=$m stride=$stride k=$k")
+    GraftFunctions.ensureRegistered(queries.sparkSession)
     val cb = candidates.filter(col(idCol) % stride === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
       .agg(sort_array(collect_list(struct(col("cent_id"), col("cent_v"))))
         .as("__cb"))
-    // squared L2 between subspace s (0-based) of x and codeword j (1-based
-    // position in the sorted codebook): fixed-order fold, exact
-    // float-in-double differences, one IEEE product+add per element
-    def subDist(x: Column, cbArr: Column, j: Column, s: Column,
-        subDim: Column): Column =
-      aggregate(
-        zip_with(
-          slice(x, s * subDim + 1, subDim),
-          slice(element_at(cbArr, j)("cent_v"), s * subDim + 1, subDim),
-          (a, b) => (a.cast("double") - b.cast("double")) *
-            (a.cast("double") - b.cast("double"))),
-        lit(0.0), (acc, d) => acc + d)
+    // Round 16: the per-(row, subspace, codeword) squared-L2 used to be an
+    // interpreted `aggregate(zip_with(slice, slice))` HOF inside a
+    // per-codeword `transform` + `array_sort` — a lambda dispatch per
+    // element × |codebook| codewords × m subspaces per row, which profiled
+    // as ~all of q118's runtime. The native PQ kernels
+    // ([[graft.functions.VectorMath.subL2F]]/pqArgmin/pqDists/adcSum) run
+    // the IDENTICAL fp operations in the identical order (exact
+    // float→double casts, one (a−b)² product+add per element in slice
+    // order; argmin ties to the smaller position exactly like the
+    // (d, j)-struct array_sort) — every distance, every code, every hash
+    // is unchanged; only the interpretation overhead is gone (guide
+    // §1.2 step 2: per-task work).
     val subDimC = (size(element_at(col("__cb"), 1)("cent_v")) / lit(m)).cast("int")
     // candidates -> m codeword positions (argmin per subspace, ties to
     // the smaller position = smaller cent_id)
@@ -522,27 +523,23 @@ object Similarity {
       .crossJoin(broadcast(graft.ops.Guards.scalar(cb)))
       .select(col("c_id"),
         transform(sequence(lit(0), lit(m - 1)), s =>
-          element_at(
-            array_sort(transform(sequence(lit(1), size(col("__cb"))), j =>
-              struct(subDist(col("c_v"), col("__cb"), j, s, subDimC).as("d"),
-                j.as("j")))), 1)("j")).as("code"))
+          GraftFunctions.pqArgmin(col("c_v"), col("__cb"), s, subDimC))
+          .as("code"))
     // queries -> per-subspace distance tables (position-aligned with code)
     val qt = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
       .crossJoin(broadcast(graft.ops.Guards.scalar(cb)))
       .select(col("q_id"),
         transform(sequence(lit(0), lit(m - 1)), s =>
-          transform(sequence(lit(1), size(col("__cb"))), j =>
-            subDist(col("q_v"), col("__cb"), j, s, subDimC))).as("dt"))
+          GraftFunctions.pqDists(col("q_v"), col("__cb"), s, subDimC))
+          .as("dt"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("dist2").asc, col("c_id").asc)
     enc.crossJoin(broadcast(graft.ops.Guards.bounded(qt,
       graft.ops.Guards.BroadcastSetCap)))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        aggregate(sequence(lit(1), lit(m)), lit(0.0), (acc, s) =>
-          acc + element_at(element_at(col("dt"), s),
-            element_at(col("code"), s))).as("dist2"))
+        GraftFunctions.adcSum(col("dt"), col("code")).as("dist2"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("c_id"), col("rnk"), col("dist2"))

@@ -111,17 +111,16 @@ object DocsPipeline {
     // first
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     require(!benchmark.isStreaming, "benchmark must be a static (bounded) frame")
-    val benchShingles = graft.dedup.Dedup.shingled(benchmark, idCol, textCol, n)
+    // round 16: the kernel hashes shingles in-task (shingledHashed), so the
+    // collect ships 8 bytes per shingle and the driver never re-hashes.
+    val benchShingles = graft.dedup.Dedup.shingledHashed(benchmark, idCol, textCol, n)
       .select(explode(col("s")).as("sh")).distinct()
       .limit(maxBenchShingles + 1)
-      .collect().map(_.getString(0)).toSeq
+      .collect().map(_.getLong(0))
     require(benchShingles.length <= maxBenchShingles,
       s"benchmark has > $maxBenchShingles distinct $n-grams — that is a corpus, " +
         "not an eval set; use the batch contaminationFlags/contaminationScores path")
-    val benchHashes = benchShingles.iterator
-      .map(s => graft.functions.VectorMath.xxhash(
-        org.apache.spark.unsafe.types.UTF8String.fromString(s)))
-      .toArray
+    val benchHashes = benchShingles
     java.util.Arrays.sort(benchHashes)
     // coalesce(true): a null text tokenizes to null -> null predicate, which
     // filter would DROP — but the batch operator keeps null-text docs as

@@ -11,6 +11,10 @@ import java.nio.file.{Files, Paths}
   * Usage: DumpPlans <outDir> <suffix> <sfDir> <q1,q2,...> */
 object DumpPlans {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println("usage: DumpPlans <outDir> <suffix> <sfDir> <q1,q2,...>")
+      sys.exit(2)
+    }
     val Array(outDir, suffix, dir, nameCsv) = args.take(4)
     val names = nameCsv.split(',').toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -98,6 +98,55 @@ class IterativeLoopSpec extends SparkSpec {
     assert(res.df.collect()(0).getLong(1) === 4L)
   }
 
+  test("stationaryAgg: memo hit on the handed-back frame, fresh aggregate " +
+      "for any other frame") {
+    var calls = 0
+    val probe = IterativeLoop.stationaryAgg { df => calls += 1; Seq(df.count()) }
+    val a = Seq(1L, 2L).toDF("v")
+    val b = Seq(3L, 4L).toDF("v")
+    val c = Seq(5L).toDF("v")
+    assert(probe(a, b)) // both count 2 -> stationary; 2 aggregates
+    assert(calls === 2)
+    assert(!probe(b, c)) // prev eq memoized frame -> 1 aggregate (c only)
+    assert(calls === 3)
+    assert(!probe(a, c)) // prev NOT the memoized frame -> fresh aggregate
+    assert(calls === 5)
+  }
+
+  test("stationaryAgg: a probe shared across two concurrent loops never " +
+      "pairs one loop's frame with the other's summary (round 16: the memo " +
+      "is one atomic (frame, summary) reference — the old two-field shape " +
+      "could tear under this interleaving and answer convergence wrongly)") {
+    // Summaries are driver-side (keyed off the frame object), so thousands
+    // of racing probe calls run in milliseconds and actually exercise the
+    // interleaving. Thread A's chain is genuinely stationary (all tags
+    // equal); thread B's never is (strictly increasing tags). A torn memo
+    // would surface as a wrong boolean in one of the chains.
+    val tags = new java.util.IdentityHashMap[DataFrame, Long]()
+    def frame(tag: Long): DataFrame = {
+      val df = spark.range(1).toDF("v")
+      tags.put(df, tag); df
+    }
+    val iters = 2000
+    val aFrames = Array.fill(iters + 1)(frame(7L))
+    val bFrames = Array.tabulate(iters + 1)(i => frame(100L + i))
+    val probe = IterativeLoop.stationaryAgg(df => Seq(tags.get(df)))
+    @volatile var failure: String = null
+    def drive(frames: Array[DataFrame], expect: Int => Boolean): Runnable = () => {
+      var i = 1
+      while (i <= iters && failure == null) {
+        val got = probe(frames(i - 1), frames(i))
+        if (got != expect(i))
+          failure = s"iteration $i: got $got, expected ${expect(i)}"
+        i += 1
+      }
+    }
+    val ta = new Thread(drive(aFrames, _ => true))
+    val tb = new Thread(drive(bFrames, _ => false))
+    ta.start(); tb.start(); ta.join(30000); tb.join(30000)
+    assert(failure == null, String.valueOf(failure))
+  }
+
   test("fixedUntil: a multiset-level change (key churn at constant count) " +
       "is NOT a fixed point — the probe is exceptAll both directions") {
     // rotate keys: same row count and same value multiset per column
