@@ -330,6 +330,35 @@ object VectorMath {
     false
   }
 
+  /** All adjacent character bigrams of a string, in position order (length
+    * numChars−1, duplicates kept) — bit-equal to
+    * `transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))`, but
+    * ONE pass over the bytes: SQL `substring` re-walks the string from the
+    * start to find the char offset (O(i) per call, O(L²) per document —
+    * profiled as q425's whole runtime); this kernel records each char's
+    * byte offset once and slices bytes directly. Round 16, guide §1.2-2. */
+  def charBigrams(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = s.numChars()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](n + 1)
+    var b = 0
+    var c = 0
+    while (b < bytes.length) {
+      starts(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    starts(n) = bytes.length
+    val out = new Array[Any](n - 1)
+    var k = 0
+    while (k < n - 1) {
+      out(k) = UTF8String.fromBytes(bytes, starts(k), starts(k + 2) - starts(k))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ------------------------------------------------------------ simhash ----
 
   /** 64-bit SimHash over an array of string tokens (Charikar 2002, STOC —

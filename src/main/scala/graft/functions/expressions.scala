@@ -375,6 +375,25 @@ case class ShingleHashOverlap(left: Expression, right: Expression, n: Int)
     copy(left = l, right = r)
 }
 
+/** char_bigrams(string) -> array<string> — adjacent character bigrams in
+  * position order ([[VectorMath.charBigrams]]: one byte pass instead of the
+  * O(L²) per-position SQL substring walk). */
+case class CharBigrams(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_bigrams"
+  override protected def nullSafeEval(s: Any): Any =
+    VectorMath.charBigrams(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorMath.charBigrams($a)")
+  override protected def withNewChildInternal(c: Expression): CharBigrams =
+    copy(child = c)
+}
+
 /** sign_bucket(array<float>, planes) -> int — random-hyperplane LSH bucket. */
 case class SignBucket(child: Expression, planes: Int)
     extends UnaryExpression {
@@ -450,6 +469,7 @@ object GraftFunctions {
     "graft_word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "n")) },
     "graft_word_shingle_hashes" -> { args =>
       WordShingleHashes(args(0), intArg(args(1), "n")) },
+    "graft_char_bigrams" -> { args => CharBigrams(args(0)) },
     "graft_strip_accents" -> { args => StripAccents(args(0)) },
     "graft_sorted_contains" -> { args => SortedContains(args(0), args(1)) },
     "graft_shingle_hash_overlap" -> { args =>
@@ -498,6 +518,7 @@ object GraftFunctions {
     call_function("graft_word_shingle_hashes", tokens, lit(n))
   }
   def stripAccents(text: Column): Column = call_function("graft_strip_accents", text)
+  def charBigrams(text: Column): Column = call_function("graft_char_bigrams", text)
   def sortedContains(v: Column, sortedArr: Column): Column =
     call_function("graft_sorted_contains", v, sortedArr)
   def bigramOverlap(a: Column, b: Column): Column =

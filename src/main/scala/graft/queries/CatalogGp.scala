@@ -206,12 +206,23 @@ object CatalogGp {
     * high — threshold both tails. One explode + one broadcast join of
     * the (charset²-bounded) bigram dictionary; linear in corpus chars. */
   def q425BigramSurprisal(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).filter(length(col("text")) >= 2)
+    val docs0 = Tables.documents(s, dir).filter(length(col("text")) >= 2)
+    // Round 16: the per-char explode ran on the scan's partition count —
+    // ONE task on a single-split local corpus (ProfileTop par ≈ 1.0) —
+    // so the whole bigram materialization was serial. Same gated spread
+    // as Dedup.shingled: only repartition when the scan yields fewer
+    // partitions than cores (a real multi-split 100 TB scan already has
+    // enough and must not pay a gratuitous text exchange).
+    val par = s.sparkContext.defaultParallelism
+    val docs = if (docs0.rdd.getNumPartitions < par) docs0.repartition(par) else docs0
+    // ... and the per-position SQL substring was O(position) per call
+    // (UTF8String re-walks from the start), i.e. O(L²) per document — the
+    // native graft_char_bigrams kernel emits the identical bigram list in
+    // ONE byte pass (bit-equal per its doc; guide §1.2-2 per-task work).
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val grams = IterativeLoop.cutLazy(docs
       .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("text")) - 1)).as("i"),
-        col("text"))
-      .select(col("doc_id"), expr("substring(text, i, 2)").as("bg")))
+        explode(graft.functions.GraftFunctions.charBigrams(col("text"))).as("bg")))
     val dict = grams.groupBy(col("bg")).agg(count(lit(1)).as("c"))
     val tot = dict.agg(sum(col("c")).as("t"))
     val scored = grams

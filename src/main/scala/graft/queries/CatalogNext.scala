@@ -2013,11 +2013,15 @@ object CatalogNext {
     val d = Tables.customer(s, dir)
       .select((col("c_mktsegment") === "AUTOMOBILE").cast("long").as("z"),
         cents(col("c_acctbal")).as("yv"), col("c_custkey"))
-    val ranked = d
+    // Round 16: cut the ranked frame once — it feeds NINE decile filters
+    // (one union branch each), and without the cut every branch re-ran the
+    // two rank windows over the full table (the q360/q253 missing-
+    // loop-invariant class; guide §2.4). Values untouched.
+    val ranked = graft.dedup.Dedup.lineageCutLazy(d
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("z")).orderBy(col("yv"), col("c_custkey")))
         .cast("long"))
-      .withColumn("nz", count(lit(1)).over(Window.partitionBy(col("z"))))
+      .withColumn("nz", count(lit(1)).over(Window.partitionBy(col("z")))))
     val qs = (1 to 9).map { q =>
       ranked.filter(col("rn") === expr(s"(nz * $q + 9) div 10"))
         .groupBy(col("z")).agg(max(col("yv")).as("yq"))

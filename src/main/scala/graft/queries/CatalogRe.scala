@@ -65,11 +65,17 @@ object CatalogRe {
         .filter(col("xa").isNull || col("xb").isNull ||
           col("xa") =!= col("xb") || col("ca") =!= col("cb"))
         .select(col("bucket")))
-    // level 2: row drill-down touches ONLY the changed buckets
-    val aIn = ha.join(changed, Seq("bucket"), "left_semi")
-    val bIn = hb.join(changed, Seq("bucket"), "left_semi")
-    val aOnly = aIn.join(bIn, Seq("okey", "h"), "left_anti")
-    val bOnly = bIn.join(aIn, Seq("okey", "h"), "left_anti")
+    // level 2: row drill-down touches ONLY the changed buckets.
+    // Round 16: cut the four drill-down frames — aIn/bIn each feed two
+    // anti-joins and aOnly/bOnly feed two/three classification branches,
+    // so without the cuts every branch re-ran the md5 row-digest pass over
+    // its side (the missing-loop-invariant class, guide §2.4). All four
+    // are changed-bucket-sized (~2% of rows), so the persisted blocks are
+    // small. Values untouched.
+    val aIn = IterativeLoop.cutLazy(ha.join(changed, Seq("bucket"), "left_semi"))
+    val bIn = IterativeLoop.cutLazy(hb.join(changed, Seq("bucket"), "left_semi"))
+    val aOnly = IterativeLoop.cutLazy(aIn.join(bIn, Seq("okey", "h"), "left_anti"))
+    val bOnly = IterativeLoop.cutLazy(bIn.join(aIn, Seq("okey", "h"), "left_anti"))
     val upd = aOnly.join(bOnly.select(col("okey")), Seq("okey"), "left_semi")
       .select(col("bucket"), lit("u").as("kind"))
     val del = aOnly.join(bOnly.select(col("okey")), Seq("okey"), "left_anti")

@@ -177,6 +177,27 @@ class Round16KernelsSpec extends SparkSpec {
     }
   }
 
+  test("graft_char_bigrams equals the per-position substring transform " +
+      "(incl. unicode and short strings)") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.ensureRegistered(s)
+    val rows = Seq("hello world", "ab", "a", "", "héllo wörld ünïcode",
+      "xx yy zz xx yy", "日本語テキスト").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val out = rows.toDF("id", "text")
+      .select(col("id"),
+        GraftFunctions.charBigrams(col("text")).as("native"),
+        when(length(col("text")) >= 2,
+          transform(sequence(lit(1), length(col("text")) - 1),
+            i => expr("text").substr(i, lit(2))))
+          .otherwise(array().cast("array<string>")).as("hof"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2), s"id=${r.getLong(0)}")
+    }
+  }
+
   test("hashed-shingle jaccard pairs equal the string-shingle pairs on a " +
       "corpus with planted near-dups (collision-free regime)") {
     val s = spark
