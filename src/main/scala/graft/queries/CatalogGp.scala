@@ -159,8 +159,18 @@ object CatalogGp {
       .orderBy(col("a")).limit(CentSources)
     val init = srcs.select(col("a").as("src"), col("a"), lit(0L).as("d"))
     val fin = IterativeLoop.fixedUntil(init, BfsRounds, requireConverged = true,
-        sameAs = countSumProbe("d")) { (st, _) =>
-      val cand = und.join(st.select(col("src"), col("a").as("b"), col("d")), "b")
+        sameAs = countSumProbe("d")) { (st, r) =>
+      // Round 16: expand only the FRONTIER — the rows discovered last
+      // round (BFS is level-order, so a pair's d equals the round that
+      // first reached it: d = r−1 IS last round's additions). Expanding
+      // older rows only regenerates (src, node, d') with d' strictly
+      // above the existing minimum, which the min-merge discards — so
+      // dropping them is exact, and the per-round join volume falls from
+      // all-reached-sized to frontier-sized (guide §1.2-1; the bfsHops
+      // delta-frontier shape, batched across sources).
+      val cand = und.join(
+          st.filter(col("d") === (r - 1).toLong)
+            .select(col("src"), col("a").as("b"), col("d")), "b")
         .select(col("src"), col("a"), (col("d") + 1L).as("d"))
       st.unionByName(cand).groupBy(col("src"), col("a")).agg(min(col("d")).as("d"))
     }

@@ -349,10 +349,20 @@ object CatalogGx {
     * top-1 window; walk state is O(seeds), never O(graph). */
   def q441DetWalks(s: SparkSession, dir: String): DataFrame = {
     val nbr = nbrOf(edges(s, dir))
-    val init = nbr.select(col("a")).distinct().filter(col("a") % 50 === 0)
-      .select(col("a").as("seed"), lit(0L).as("step"), col("a").as("node"))
-    val fin = IterativeLoop.fixed(init, WalkSteps) { (st, r) =>
-      val cur = st.filter(col("step") === (r - 1).toLong)
+    // Round 16: the loop state is the FRONTIER (one row per live walk),
+    // not the accumulated trajectory — the old state grew by one layer per
+    // step and the per-round cut re-persisted the whole history (O(steps²)
+    // row copies); each step's output is cut once and the trajectory is
+    // assembled by one union at the end. Same rows: step r's candidates
+    // came from st.filter(step = r−1), which IS the frontier.
+    val init = IterativeLoop.cutLazy(
+      nbr.select(col("a")).distinct().filter(col("a") % 50 === 0)
+        .select(col("a").as("seed"), col("a").as("node")))
+    var cur = init
+    val parts = scala.collection.mutable.ListBuffer[DataFrame](
+      init.select(col("seed"), lit(0L).as("step"), col("node")))
+    val lid = graft.ops.PlanProbe.loopId()
+    for (r <- 1 to WalkSteps) {
       val cand = cur.join(nbr, col("node") === col("a"))
         .select(col("seed"), col("b"),
           md5(concat(lit(s"wk:$r:"), col("node").cast("string"), lit(","),
@@ -361,10 +371,13 @@ object CatalogGx {
         .orderBy(col("h").asc, col("b").asc)
       val nxt = cand.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("seed"), lit(r.toLong).as("step"), col("b").as("node"))
-      st.unionByName(nxt)
+        .select(col("seed"), col("b").as("node"))
+      graft.ops.PlanProbe.offer(lid, r, nxt)
+      val nxtC = IterativeLoop.cutLazy(nxt)
+      parts += nxtC.select(col("seed"), lit(r.toLong).as("step"), col("node"))
+      cur = nxtC
     }
-    fin.orderBy(col("seed"), col("step"))
+    parts.reduce(_ unionByName _).orderBy(col("seed"), col("step"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

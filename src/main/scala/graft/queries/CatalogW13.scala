@@ -94,16 +94,39 @@ object CatalogW13 {
         .select(lit(h.toLong).as("h"), col("nodes_reached"),
           col("pairs_reached"))
     var masks = IterativeLoop.cutLazy(src)
+    // Round 16: semi-naive (delta) propagation — only masks that CHANGED
+    // last round are joined against the edge list. Exact because masks are
+    // monotone under bit_or: a neighbor whose mask did not change last
+    // round contributed those same bits in an earlier round already, so
+    // re-propagating it is a no-op. The per-round join volume falls from
+    // all-reached-sized (every edge matched once the graph saturates —
+    // rounds past saturation used to re-shuffle the whole graph) to
+    // changed-sized, which is EMPTY after saturation (guide §1.2-1).
+    // The curve points are unchanged: the merged `masks` state is the same
+    // frame the naive form computes, round for round.
+    // The change detection is FUSED into the merge aggregate (the previous
+    // round's mask rides along as a marker column and `max` recovers it per
+    // node — masks contributes exactly one row per node), so the delta is a
+    // filter over the SAME cut frame the curve point materializes: zero
+    // extra joins, zero extra jobs per round vs the naive form.
+    var delta = masks
     val curve = scala.collection.mutable.ArrayBuffer(curvePoint(0, masks))
     val lid = graft.ops.PlanProbe.loopId()
     for (h <- 1 to BfsRounds) {
       val stepped = und
-        .join(masks.select(col("node").as("v"), col("mask")), "v")
-        .select(col("u").as("node"), col("mask"))
-        .unionAll(masks)
-        .groupBy(col("node")).agg(expr("bit_or(mask)").as("mask"))
+        .join(delta.select(col("node").as("v"), col("mask")), "v")
+        .select(col("u").as("node"), col("mask"),
+          lit(null).cast("long").as("__old"))
+        .unionAll(masks.select(col("node"), col("mask"),
+          col("mask").as("__old")))
+        .groupBy(col("node"))
+        .agg(expr("bit_or(mask)").as("mask"), max(col("__old")).as("__old"))
       graft.ops.PlanProbe.offer(lid, h, stepped)
-      masks = IterativeLoop.cutLazy(stepped)
+      val next = IterativeLoop.cutLazy(stepped)
+      masks = next.select(col("node"), col("mask"))
+      delta = next
+        .filter(col("__old").isNull || col("mask") =!= col("__old"))
+        .select(col("node"), col("mask"))
       curve += curvePoint(h, masks)
     }
     curve.reduce(_ unionAll _).orderBy(col("h"))
